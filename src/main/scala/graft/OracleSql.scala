@@ -1,0 +1,198 @@
+package graft
+
+import graft.model.LogModel._
+
+/** DuckDB-runnable ANSI SQL twins of every oracle-checkable query in
+  * SparkEntry.queries. Each statement must produce identical column names
+  * and values to its Spark counterpart (the driver sorts columns by name and
+  * hashes values).
+  *
+  * Conventions for cross-engine parity:
+  *  - integer sums wrapped in CAST(.. AS BIGINT) (DuckDB widens to HUGEINT);
+  *  - monetary math in DECIMAL with explicit scales on both sides;
+  *  - no reserved words as column names (part_id / msg_offset / grp);
+  *  - the log-model prelude (hash partitioner, offset window, record size,
+  *    segment assignment) is one shared CTE string.
+  */
+object OracleSql {
+
+  /** The log-model CTEs — SQL twin of graft.model.LogModel. */
+  val logCtes: String = s"""
+    base AS (
+      SELECT e.* REPLACE (CAST(ts AS TIMESTAMP) AS ts),
+             CAST(user_id AS VARCHAR) AS mkey,
+             ((user_id * 2654435761) % 4294967296) % $NumPartitions AS part_id
+      FROM events e
+    ),
+    log AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY part_id ORDER BY ts, event_id) - 1 AS BIGINT) AS msg_offset,
+             CAST(32 + octet_length(encode(mkey)) + octet_length(encode(props)) AS BIGINT) AS record_size
+      FROM base
+    ),
+    seg0 AS (
+      SELECT *,
+             CAST(COALESCE(SUM(record_size) OVER (PARTITION BY part_id ORDER BY msg_offset ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bytes_before
+      FROM log
+    ),
+    seg AS (
+      SELECT *, bytes_before // $SegmentMaxBytes AS segment_id FROM seg0
+    ),
+    wm AS (
+      SELECT part_id, min(msg_offset) AS low_off, max(msg_offset) AS high_off,
+             max(msg_offset) + 1 AS log_end_off
+      FROM log GROUP BY part_id
+    ),
+    committed AS (
+      SELECT part_id, 'analytics' AS grp, CAST(floor(high_off / 2) AS BIGINT) AS committed FROM wm
+      UNION ALL
+      SELECT part_id, 'billing' AS grp, high_off AS committed FROM wm
+    )"""
+
+  val all: Map[String, String] = Map(
+
+    "offset_assignment" -> s"""WITH $logCtes
+      SELECT event_id, part_id, msg_offset FROM log""",
+
+    "key_partitioner" -> s"""WITH $logCtes
+      SELECT part_id, count(*) AS n_records,
+             count(DISTINCT user_id) AS n_keys
+      FROM log GROUP BY part_id""",
+
+    "round_robin" -> s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      rr AS (
+        SELECT event_id,
+               (row_number() OVER (ORDER BY ts, event_id) - 1) % $NumPartitions AS rr_part
+        FROM ev)
+      SELECT rr_part, count(*) AS n_records,
+             min(event_id) AS first_event, max(event_id) AS last_event
+      FROM rr GROUP BY rr_part""",
+
+    "watermarks" -> s"""WITH $logCtes
+      SELECT part_id, low_off, high_off, log_end_off FROM wm""",
+
+    "consumer_lag" -> s"""WITH $logCtes
+      SELECT c.grp, c.part_id, c.committed, w.high_off,
+             greatest(w.high_off - c.committed, 0) AS lag,
+             CAST(SUM(greatest(w.high_off - c.committed, 0)) OVER (PARTITION BY c.grp) AS BIGINT) AS total_lag
+      FROM committed c JOIN wm w USING (part_id)""",
+
+    "partition_health" -> s"""WITH $logCtes
+      SELECT part_id, count(DISTINCT segment_id) AS segment_count,
+             CAST(sum(record_size) AS BIGINT) AS total_bytes,
+             min(msg_offset) AS low_off, max(msg_offset) AS high_off,
+             max(msg_offset) + 1 AS log_end_off
+      FROM seg GROUP BY part_id""",
+
+    "segment_assignment" -> s"""WITH $logCtes
+      SELECT part_id, segment_id, min(msg_offset) AS base_off,
+             max(msg_offset) AS last_off,
+             CAST(sum(record_size) AS BIGINT) AS seg_bytes,
+             count(*) AS n_records
+      FROM seg GROUP BY part_id, segment_id""",
+
+    "consume_from_offset" -> s"""WITH $logCtes,
+      r AS (SELECT *, row_number() OVER (PARTITION BY part_id ORDER BY msg_offset) AS rn
+            FROM log WHERE msg_offset >= 5)
+      SELECT part_id, msg_offset, event_id, mkey, event_type FROM r WHERE rn = 1""",
+
+    "consume_with_group" -> s"""WITH $logCtes,
+      r AS (SELECT l.*, c.grp, c.committed,
+                   row_number() OVER (PARTITION BY l.part_id ORDER BY l.msg_offset) AS rn
+            FROM log l JOIN committed c ON l.part_id = c.part_id AND c.grp = 'analytics'
+            WHERE l.msg_offset >= COALESCE(c.committed, 0))
+      SELECT grp, part_id, committed, msg_offset, event_id FROM r WHERE rn = 1""",
+
+    "commit_offset_state" -> s"""WITH $logCtes,
+      newc AS (SELECT part_id, 'analytics' AS grp, high_off AS committed, 1 AS gen
+               FROM wm WHERE part_id % 2 = 0),
+      merged AS (SELECT part_id, grp, committed, 0 AS gen FROM committed
+                 UNION ALL SELECT part_id, grp, committed, gen FROM newc)
+      SELECT grp, part_id, max_by(committed, gen) AS committed
+      FROM merged GROUP BY grp, part_id""",
+
+    "retention_filter" -> s"""WITH $logCtes,
+      seg_stats AS (
+        SELECT part_id, segment_id, max(ts) AS seg_max_ts,
+               CAST(sum(record_size) AS BIGINT) AS seg_bytes,
+               min(msg_offset) AS base_off, max(msg_offset) AS last_off
+        FROM seg GROUP BY part_id, segment_id),
+      cutoff AS (SELECT max(seg_max_ts) - INTERVAL $RetentionDays DAY AS cutoff FROM seg_stats),
+      marked AS (
+        SELECT s.*, CAST(SUM(seg_bytes) OVER (PARTITION BY part_id ORDER BY segment_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bytes_from_newest,
+               segment_id = MAX(segment_id) OVER (PARTITION BY part_id) AS is_active
+        FROM seg_stats s),
+      retained AS (
+        SELECT m.* FROM marked m, cutoff
+        WHERE m.is_active OR (m.seg_max_ts >= cutoff.cutoff AND m.bytes_from_newest <= $RetentionBytes))
+      SELECT part_id, count(*) AS retained_segments,
+             CAST(sum(seg_bytes) AS BIGINT) AS retained_bytes,
+             min(base_off) AS new_low_off, max(last_off) AS high_off
+      FROM retained GROUP BY part_id""",
+
+    // ----- relational coverage -----
+
+    "q1_pricing" -> """WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_discount AS DECIMAL(18,2)) AS disc,
+               CAST(l_tax AS DECIMAL(18,2)) AS tax
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(qty) AS DOUBLE) AS sum_qty,
+             CAST(sum(price) AS DOUBLE) AS sum_base_price,
+             CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+             count(*) AS count_order
+      FROM li GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_top_orders" -> """
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "region_rollup" -> """
+      SELECT r_name, count(*) AS n_suppliers,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""",
+
+    "events_hourly" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             count(DISTINCT user_id) AS n_users
+      FROM ev GROUP BY 1, 2""",
+
+    "sessionize" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      g AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM ev),
+      s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      t AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM s)
+      SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      FROM t GROUP BY user_id""",
+
+    "customers_without_orders" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      GROUP BY c_mktsegment"""
+  )
+}

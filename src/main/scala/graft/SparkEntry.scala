@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{BrokerOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a deterministic DataFrame over the parquet
+  * testdata in `sfDir`; every oracle-checkable entry has a DuckDB SQL twin
+  * in [[OracleSql]] with matching column names and value types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7.1): consumer lag — scan → per-partition
+    * watermark aggregation → broadcast join with committed offsets →
+    * saturating lag + per-group rollup. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    BrokerOps.consumerLag(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // broker semantics (SURVEY §2.1-2.5)
+    "offset_assignment" -> (BrokerOps.offsetAssignment(_, _)),
+    "key_partitioner" -> (BrokerOps.keyPartitioner(_, _)),
+    "round_robin" -> (BrokerOps.roundRobin(_, _)),
+    "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
+    "consumer_lag" -> (BrokerOps.consumerLag(_, _)),
+    "partition_health" -> (BrokerOps.partitionHealth(_, _)),
+    "segment_assignment" -> (BrokerOps.segmentAssignment(_, _)),
+    "consume_from_offset" -> (BrokerOps.consumeFromOffset(_, _)),
+    "consume_with_group" -> (BrokerOps.consumeWithGroup(_, _)),
+    "commit_offset_state" -> (BrokerOps.commitOffsetState(_, _)),
+    "retention_filter" -> (BrokerOps.retentionFilter(_, _)),
+    // generic relational coverage
+    "q1_pricing" -> (Relational.q1Pricing(_, _)),
+    "q3_top_orders" -> (Relational.q3TopOrders(_, _)),
+    "region_rollup" -> (Relational.regionRollup(_, _)),
+    "events_hourly" -> (Relational.eventsHourly(_, _)),
+    "sessionize" -> (Relational.sessionize(_, _)),
+    "customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
+  )
+
+  /** DuckDB twins for the driver's correctness gate. Keys must be a subset
+    * of `queries`; a missing key downgrades that query to a rows-only check. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,119 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonical log-structured view of the `events` table — the Spark-native
+  * equivalent of the reference broker's containment hierarchy
+  * (Topic → Partition → Segment → StoredRecord; see
+  * reference `flyq-server/src/core/partition.rs:19-32`,
+  * `flyq-server/src/core/segment.rs:14-28`).
+  *
+  * Every broker-semantics query (watermarks, consumer lag, partition health,
+  * consume, retention) derives from `toLog`, so the derivation must be a
+  * deterministic, oracle-reproducible relational computation:
+  *
+  *  - `part_id`  — key-hash partitioner (reference `topic.rs:76-93`). The
+  *    reference hashes the key with XXH3-64; neither Spark SQL nor the DuckDB
+  *    oracle expose XXH3, so (documented divergence, SURVEY.md §7.3) we use a
+  *    Knuth 32-bit multiplicative hash expressible identically in both
+  *    engines: `((user_id * 2654435761) % 2^32) % n`.
+  *  - `msg_offset` — per-partition dense offset (reference `partition.rs:107-142`,
+  *    atomic fetch_add). Batch Spark needs a total order; we use
+  *    `(ts, event_id)` which is unique and deterministic.
+  *  - `record_size` — on-disk size of a StoredRecord
+  *    (`stored_record.rs:14-17` + `message.rs:1-11`):
+  *    4 (len) + 8 (offset) + 8 (ts) + 4 (key_len) + key + 4 (val_len) + value
+  *    + 4 (header_count) = 32 + |key| + |value| with no headers.
+  *  - `segment_id` — segment assignment by cumulative size
+  *    (rotation at `segment_max_bytes`, reference `partition.rs:117-127`).
+  *    Divergence (documented): the reference rotates greedily *before* an
+  *    append that would overflow; a greedy packing is not expressible as a
+  *    pure window function, so our semantics are
+  *    `floor(bytes_before_this_record / segment_max_bytes)` — records may
+  *    straddle a boundary. Same monotone mapping offset→segment, same scale
+  *    behavior.
+  *
+  * Scale posture (100 TB): `toLog` is a single scan + one hash-partitioned
+  * window. The window shuffles by `part_id` (the topic's partition count);
+  * in a real deployment offsets are assigned at ingest (streaming, see
+  * graft.streaming) and stored, so batch queries read them as data. All
+  * downstream queries are pure aggregations/joins that inherit partition
+  * pruning and AQE.
+  */
+object LogModel {
+  /** Partition count of the synthetic topic (reference default is 1,
+    * `constants.rs:5`; we use 4 so partitioning semantics are exercised). */
+  val NumPartitions = 4
+
+  /** Segment rotation threshold. The reference default is 1 GiB
+    * (`config.rs:28`); testdata records are ~40 B so we scale the constant
+    * down to get multi-segment partitions at every SF. */
+  val SegmentMaxBytes = 4096L
+
+  /** Time-retention window relative to the newest record (reference default
+    * 7 days, `config.rs:29`). */
+  val RetentionDays = 7
+
+  /** Size-retention cap per partition (reference `retention_bytes`,
+    * disabled by default — we enable it so M1 semantics are testable). */
+  val RetentionBytes = 16384L
+
+  /** Knuth multiplicative hash, 32-bit: identical expression in Spark and
+    * DuckDB (see scaladoc above for why not XXH3). */
+  def portableHash(key: Column): Column =
+    (key * lit(2654435761L)) % lit(4294967296L)
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "events")
+
+  /** events → log records with part_id / msg_offset / record_size.
+    * Columns: event_id, ts, user_id, event_type, value, props,
+    * mkey (string key), part_id, msg_offset, record_size. */
+  def toLog(events: DataFrame, n: Int = NumPartitions): DataFrame = {
+    val withPart = events
+      .withColumn("mkey", col("user_id").cast("string"))
+      .withColumn("part_id",
+        pmod(portableHash(col("user_id")), lit(n.toLong)).cast("long"))
+    val w = Window.partitionBy("part_id").orderBy("ts", "event_id")
+    withPart
+      .withColumn("msg_offset", (row_number().over(w) - 1).cast("long"))
+      .withColumn("record_size",
+        (lit(32) + octet_length(col("mkey")) + octet_length(col("props")))
+          .cast("long"))
+  }
+
+  /** log → + segment_id, via running byte total per partition
+    * (window sum; see scaladoc for the floor-based rotation semantics). */
+  def withSegments(log: DataFrame,
+                   segMaxBytes: Long = SegmentMaxBytes): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    log
+      .withColumn("bytes_before",
+        coalesce(sum(col("record_size")).over(w), lit(0L)))
+      .withColumn("segment_id",
+        floor(col("bytes_before") / lit(segMaxBytes)).cast("long"))
+  }
+
+  /** Watermark triple per partition (reference `partition.rs:172-178`):
+    * low = first retained offset, high = last written offset,
+    * log_end = next offset to be written. */
+  def watermarks(log: DataFrame): DataFrame =
+    log.groupBy("part_id").agg(
+      min("msg_offset").as("low_off"),
+      max("msg_offset").as("high_off"),
+      (max("msg_offset") + 1).as("log_end_off"))
+
+  /** Synthetic-but-deterministic committed offsets for two consumer groups
+    * (the reference's OffsetTracker state, `offset_tracker.rs:6-10`):
+    * "analytics" is half-caught-up, "billing" is fully caught up. */
+  def committedOffsets(log: DataFrame): DataFrame = {
+    val wm = watermarks(log)
+    wm.select(col("part_id"), lit("analytics").as("grp"),
+        floor(col("high_off") / 2).cast("long").as("committed"))
+      .unionByName(wm.select(col("part_id"), lit("billing").as("grp"),
+        col("high_off").as("committed")))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.LogModel
+import graft.model.LogModel._
+
+/** Broker-semantics queries over the canonical log model — each method is
+  * one operator row from SURVEY.md §2, re-expressed as a deterministic
+  * DataFrame transform so the driver's DuckDB oracle can check it.
+  *
+  * Scale notes apply to all: the log derivation is the only wide stage
+  * (window by part_id); everything downstream is either a partial-aggregable
+  * groupBy on `part_id` (map-side combine, 4..N groups → tiny shuffle) or a
+  * join between two already-tiny aggregates (broadcast).
+  */
+object BrokerOps {
+
+  private def log(spark: SparkSession, sfDir: String): DataFrame =
+    toLog(events(spark, sfDir))
+
+  /** W4 — offset assignment: the full log mapping (event → partition,offset).
+    * Reference `partition.rs:107-142`. */
+  def offsetAssignment(spark: SparkSession, sfDir: String): DataFrame =
+    log(spark, sfDir)
+      .select(col("event_id"), col("part_id"), col("msg_offset"))
+
+  /** W2 — key-hash partitioner distribution: per-partition record count and
+    * distinct-key count. Reference `topic.rs:76-93`. */
+  def keyPartitioner(spark: SparkSession, sfDir: String): DataFrame =
+    log(spark, sfDir).groupBy("part_id").agg(
+      count(lit(1)).as("n_records"),
+      countDistinct(col("user_id")).as("n_keys"))
+
+  /** W3 — round-robin partitioner for keyless messages
+    * (reference `topic.rs:79-83`): cycle over partitions in arrival order.
+    * Batch definition: global arrival order = (ts, event_id).
+    * Scale note: the global row_number is a single-partition window — at
+    * 100 TB, round-robin assignment happens at ingest time (streaming),
+    * never as a batch recompute; this query exists to pin the semantics. */
+  def roundRobin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("ts", "event_id")
+    events(spark, sfDir)
+      .withColumn("rr_part",
+        pmod(row_number().over(w) - 1, lit(NumPartitions)).cast("long"))
+      .groupBy("rr_part")
+      .agg(count(lit(1)).as("n_records"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+  }
+
+  /** O1 — watermark triple per partition. Reference `partition.rs:172-178`,
+    * semantics pinned by `flyq-server/tests/watermark_apis.rs:38-42`. */
+  def watermarkQuery(spark: SparkSession, sfDir: String): DataFrame =
+    watermarks(log(spark, sfDir))
+
+  /** O2 — consumer lag (FLAGSHIP): per-(group, partition) lag =
+    * max(high_watermark - committed, 0), plus per-group total.
+    * Reference `log_engine.rs:181-224` (saturating_sub at :209) — its one
+    * real join+aggregation. Both join sides are per-partition aggregates
+    * (N_partitions rows), so Spark broadcast-joins them; the scan+agg is
+    * the only big stage. */
+  def consumerLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = log(spark, sfDir)
+    val wm = watermarks(l)
+    val committed = committedOffsets(l)
+    val perPart = committed.join(broadcast(wm), Seq("part_id"))
+      .withColumn("lag",
+        greatest(col("high_off") - col("committed"), lit(0L)))
+    perPart.select(col("grp"), col("part_id"), col("committed"),
+        col("high_off"),
+        col("lag"),
+        sum("lag").over(Window.partitionBy("grp")).as("total_lag"))
+  }
+
+  /** O3 — partition health: segment count, byte totals, watermarks.
+    * Reference `log_engine.rs:226-256`, `partition.rs:207-223`. */
+  def partitionHealth(spark: SparkSession, sfDir: String): DataFrame =
+    withSegments(log(spark, sfDir)).groupBy("part_id").agg(
+      countDistinct(col("segment_id")).as("segment_count"),
+      sum("record_size").as("total_bytes"),
+      min("msg_offset").as("low_off"),
+      max("msg_offset").as("high_off"),
+      (max("msg_offset") + 1).as("log_end_off"))
+
+  /** W5/W6 — segment assignment: per-segment base/last offset, bytes, count
+    * (the file layout a FlyQ partition directory would have).
+    * Reference `partition.rs:117-127`, `segment.rs:106-154`. */
+  def segmentAssignment(spark: SparkSession, sfDir: String): DataFrame =
+    withSegments(log(spark, sfDir)).groupBy("part_id", "segment_id").agg(
+      min("msg_offset").as("base_off"),
+      max("msg_offset").as("last_off"),
+      sum("record_size").as("seg_bytes"),
+      count(lit(1)).as("n_records"))
+
+  /** R1/R6 — consume from offset: for each partition, the first record with
+    * offset >= K (graceful None past end = no row). Reference
+    * `log_engine.rs:75-102`. Filter prunes before the per-partition top-1. */
+  def consumeFromOffset(spark: SparkSession, sfDir: String,
+                        fromOffset: Long = 5L): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+    log(spark, sfDir)
+      .filter(col("msg_offset") >= fromOffset)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("part_id"), col("msg_offset"), col("event_id"),
+        col("mkey"), col("event_type"))
+  }
+
+  /** G1 — consume with group: fetch committed offset (default 0), read the
+    * first record at/after it; does NOT auto-commit.
+    * Reference `log_engine.rs:146-161`. */
+  def consumeWithGroup(spark: SparkSession, sfDir: String,
+                       group: String = "analytics"): DataFrame = {
+    val l = log(spark, sfDir)
+    val committed = committedOffsets(l).filter(col("grp") === group)
+    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+    l.join(broadcast(committed), Seq("part_id"))
+      .filter(col("msg_offset") >= coalesce(col("committed"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("part_id"), col("committed"),
+        col("msg_offset"), col("event_id"))
+  }
+
+  /** G2/G3 — commit-offset upsert: new commits merged over the existing
+    * store, last-write-wins per (group, partition). Batch form of
+    * `OffsetTracker::commit` (`offset_tracker.rs:21-27`). The new-commit
+    * batch is synthesized deterministically: "analytics" advances to the
+    * high watermark on even partitions. */
+  def commitOffsetState(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = log(spark, sfDir)
+    val base = committedOffsets(l)
+    val newCommits = watermarks(l)
+      .filter(col("part_id") % 2 === 0)
+      .select(col("part_id"), lit("analytics").as("grp"),
+        col("high_off").as("committed"))
+    // last-write-wins: the new batch supersedes base entries for its keys
+    base.withColumn("gen", lit(0))
+      .unionByName(newCommits.withColumn("gen", lit(1)))
+      .groupBy("grp", "part_id")
+      .agg(max_by(col("committed"), col("gen")).as("committed"))
+  }
+
+  /** M1 — retention: time cutoff (newest-ts − 7d) OR size cap per partition,
+    * evicting whole segments oldest-first, never the active (newest) segment.
+    * Reference `partition.rs:225-308`. Expressed as: per-segment stats, a
+    * reverse running byte total (newest→oldest) for the size rule, and the
+    * low-watermark bump (`partition.rs:285`) = min retained offset.
+    * Output: per partition, retained segment/byte counts + new low_off. */
+  def retentionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = withSegments(log(spark, sfDir))
+    val segStats = seg.groupBy("part_id", "segment_id").agg(
+      max("ts").as("seg_max_ts"),
+      sum("record_size").as("seg_bytes"),
+      min("msg_offset").as("base_off"),
+      max("msg_offset").as("last_off"))
+    val cutoff = segStats.agg(
+      (max("seg_max_ts") - expr(s"INTERVAL $RetentionDays DAYS")).as("cutoff"))
+    val wNewest = Window.partitionBy("part_id").orderBy(col("segment_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wActive = Window.partitionBy("part_id")
+    val retained = segStats
+      .withColumn("bytes_from_newest", sum("seg_bytes").over(wNewest))
+      .withColumn("is_active", col("segment_id") === max("segment_id").over(wActive))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("is_active") ||
+        (col("seg_max_ts") >= col("cutoff") &&
+          col("bytes_from_newest") <= lit(RetentionBytes)))
+    retained.groupBy("part_id").agg(
+      count(lit(1)).as("retained_segments"),
+      sum("seg_bytes").as("retained_bytes"),
+      min("base_off").as("new_low_off"),
+      max("last_off").as("high_off"))
+  }
+}

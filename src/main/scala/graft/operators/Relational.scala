@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational coverage over the TPC-H-ish tables — scans,
+  * projections, filtered aggregation, multi-way joins, top-k, window
+  * functions, time-bucketed aggregation, sessionization.
+  *
+  * Numeric discipline for oracle parity: monetary aggregates are computed in
+  * DECIMAL (exact, order-independent) rather than DOUBLE, because a
+  * floating-point sum's value depends on reduction order and would
+  * hash-mismatch the DuckDB oracle. This is also the right call at 100 TB:
+  * decimal sums are deterministic under any shuffle/AQE re-plan.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, name)
+
+  /** TPC-H Q1-style pricing summary: filtered scan → grouped aggregation.
+    * Catalyst pushes the shipdate filter and prunes columns at the parquet
+    * scan; partial aggregation makes the shuffle tiny. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
+      .withColumn("disc", col("l_discount").cast("decimal(18,2)"))
+      .withColumn("tax", col("l_tax").cast("decimal(18,2)"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // exact DECIMAL sums (order-independent), surfaced as DOUBLE so the
+        // oracle compare is representation-robust
+        sum("qty").cast("double").as("sum_qty"),
+        sum("price").cast("double").as("sum_base_price"),
+        sum(col("price") * (lit(1) - col("disc")))
+          .cast("double").as("sum_disc_price"),
+        sum(col("price") * (lit(1) - col("disc")) * (lit(1) + col("tax")))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem) + grouped
+    * revenue + top-10. customer is small → broadcast; lineitem⋈orders is the
+    * one real shuffle. Top-k runs on the aggregated (small) side. */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, sfDir, "orders")
+    val li = t(spark, sfDir, "lineitem")
+      .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
+      .withColumn("disc", col("l_discount").cast("decimal(18,2)"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("price") * (lit(1) - col("disc")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Supplier/nation/region rollup: two broadcast joins + aggregation
+    * (dimension-table join coverage). */
+  def regionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = t(spark, sfDir, "supplier")
+    val nat = t(spark, sfDir, "nation")
+    val reg = t(spark, sfDir, "region")
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("total_acctbal"))
+  }
+
+  /** Tumbling-window (hourly) event aggregation — the batch twin of the
+    * Structured Streaming windowed agg in graft.streaming. date_trunc keeps
+    * it a plain groupBy (partial-aggregable, no window shuffle). */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Sessionization: per-user session boundaries where the gap to the
+    * previous event exceeds 30 minutes (lag window + running sum), then
+    * per-user session stats. The window shuffles by user_id — the natural
+    * key — so it scales horizontally. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, sfDir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Anti-join coverage: customers with no high-value order (> 400k),
+    * counted per market segment. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+    val ord = t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+}
