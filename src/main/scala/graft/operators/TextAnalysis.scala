@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * normalization, token counting, quality scoring, language ID,
+  * fingerprinting. All are narrow per-row transforms (no shuffle except the
+  * final aggregations) built from codegen'd `functions._` — at 100 TB these
+  * run at scan speed inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "documents")
+
+  /** Canonical normalization shared by every text operator (and the
+    * DuckDB oracle): collapse whitespace, trim, lowercase. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Per-document stats + a composite quality score (length, word length,
+    * punctuation/digit ratios, distinct-word ratio) — the usual cheap
+    * pre-training quality filters. Ratios rounded to 6 for oracle parity. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    docs(spark, sfDir)
+      .withColumn("n_chars_norm", length(normText(col("text"))))
+      .withColumn("n_words", size(t).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(t)).cast("long"))
+      .withColumn("avg_word_len",
+        round((col("n_chars_norm") - (col("n_words") - 1)).cast("double")
+          / col("n_words"), 6))
+      .withColumn("punct_ratio",
+        round(((length(col("text")) -
+          length(regexp_replace(col("text"), "[\\.,;:!\\?'\"]", ""))).cast("double"))
+          / length(col("text")), 6))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct_words").cast("double") / col("n_words"), 6))
+      .withColumn("quality_score",
+        round(least(col("n_words").cast("double") / 100d, lit(1d)) * 0.4
+          + col("distinct_ratio") * 0.4
+          + (lit(1d) - col("punct_ratio")) * 0.2, 6))
+      .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("n_words"),
+        col("n_distinct_words"), col("avg_word_len"), col("punct_ratio"),
+        col("distinct_ratio"), col("quality_score"))
+  }
+
+  /** Token counting two ways: whitespace words and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation), plus a
+    * crude byte-per-token estimate. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(normText(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+      .withColumn("bytes_per_token",
+        round(octet_length(col("text")).cast("double") / col("n_bpe_tokens"), 6))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("bytes_per_token"))
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and public-knowledge (most-frequent function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "que", "es", "con", "por", "una"))
+
+  /** Language ID: count stopword-token occurrences per language, argmax
+    * with deterministic tie-break (max hits, then language code asc; 'und'
+    * on zero hits). Mirrors the oracle SQL expression-for-expression. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(docs(spark, sfDir)) { (df, lang) =>
+      val words = stopwords(lang)
+      df.withColumn(s"hits_$lang",
+        size(filter(t, x => words.map(w => x === lit(w)).reduce(_ || _)))
+          .cast("long"))
+    }
+    val mx = greatest(langs.map(l => col(s"hits_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"hits_$l") === col("mx"), lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("mx", mx)
+      .withColumn("pred_lang", when(col("mx") > 0, pred).otherwise(lit("und")))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("mx").as("stopword_hits"))
+  }
+
+  /** Language-ID accuracy rollup (grouped agreement with the labeled
+    * `lang` column) — the aggregate the driver can oracle-check. */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+}

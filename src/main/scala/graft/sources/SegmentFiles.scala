@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FlyqCodec
+
+/** Reader/writer for the reference's on-disk layout
+  * (`base_dir/topic_{name}/partition_{id}/segment_{base:020}.log` + sparse
+  * `.index`; reference `topic.rs:21-26`, `segment.rs:54-60,106-154`).
+  *
+  * Reading is Spark-first: the `binaryFile` source lists segment files in
+  * parallel (one task per file — exactly the reference's segment
+  * granularity), `flyq_decode_segment` explodes each file into records, and
+  * `part_id` is parsed from the directory name. Offset-range predicates
+  * then prune whole files via the (base_offset-in-filename >= range) filter
+  * before any byte is decoded — the Spark analog of the reference's
+  * BTreeMap floor-seek (`partition.rs:144-165`).
+  *
+  * Scale note: one task per segment file is the right parallelism at 1 GiB
+  * segments; the sparse `.index` is written for layout fidelity but unused
+  * by reads (columnar row-group stats play that role on the parquet path).
+  */
+object SegmentFiles {
+
+  case class Record(offset: Long, tsMs: Long, key: Array[Byte],
+                    value: Array[Byte],
+                    headers: Seq[(String, Array[Byte])] = Nil)
+
+  val IndexInterval = 100 // reference constants.rs:3
+
+  /** Write one segment (.log + .index) under dir/topic_{t}/partition_{p}. */
+  def writeSegment(baseDir: String, topic: String, partition: Int,
+                   records: Seq[Record],
+                   indexInterval: Int = IndexInterval): java.nio.file.Path = {
+    require(records.nonEmpty)
+    val dir = Paths.get(baseDir, s"topic_$topic", s"partition_$partition")
+    Files.createDirectories(dir)
+    val base = records.head.offset
+    val logPath = dir.resolve(f"segment_$base%020d.log")
+    val idxPath = dir.resolve(f"segment_$base%020d.index")
+    val out = new BufferedOutputStream(new FileOutputStream(logPath.toFile))
+    val idx = new BufferedOutputStream(new FileOutputStream(idxPath.toFile))
+    var pos = 0L
+    var first = true
+    try records.foreach { r =>
+      val headers = if (r.headers.isEmpty) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.headers.map { case (k, v) =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(k), v)
+          }.toArray[Any])
+      val bytes = FlyqCodec.encodeRecord(r.offset, r.key, r.value, r.tsMs, headers)
+      // sparse index: first record of segment + every index_interval-th
+      // offset (reference segment.rs:142-154), 16-byte BE entries
+      if (first || r.offset % indexInterval == 0) {
+        val e = ByteBuffer.allocate(16)
+        e.putLong(r.offset); e.putLong(pos)
+        idx.write(e.array())
+        first = false
+      }
+      out.write(bytes)
+      pos += bytes.length
+    } finally { out.close(); idx.close() }
+    logPath
+  }
+
+  /** Read every segment of a topic into a records DataFrame
+    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers). */
+  def readTopic(spark: SparkSession, baseDir: String, topic: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.log")
+      .load(s"$baseDir/topic_$topic/partition_*/")
+      .select(col("path"), FlyqCodec.flyq_decode_segment(col("content")).as("recs"))
+      .withColumn("part_id",
+        regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
+      .withColumn("base_off",
+        regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
+      .select(col("part_id"), col("base_off"), explode(col("recs")).as("r"))
+      .select(col("part_id"), col("base_off"), col("r.*"))
+}

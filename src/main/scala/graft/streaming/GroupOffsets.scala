@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming consumer-group offset tracker — the Structured Streaming
+  * analog of the reference's OffsetTracker (G1-G4,
+  * `flyq-server/src/core/offset_tracker.rs`): state = committed offset per
+  * (group, partition); commits upsert it; Spark's checkpoint subsumes the
+  * reference's dirty-set + 5 s JSON flush loop (`runtime/flush.rs:9-39`).
+  *
+  * Two deliberate divergences, both documented in SURVEY.md §7.4:
+  *  - commits are monotone (max-wins) rather than arrival-order overwrite,
+  *    because micro-batch arrival order is not total; consumer progress is
+  *    monotone in practice and this makes the operator order-insensitive;
+  *  - state is bounded: groups idle past `idleTimeout` are evicted
+  *    (the reference's JSON store grows forever).
+  */
+object GroupOffsets {
+
+  case class Commit(grp: String, partId: Long, offset: Long)
+  case class Committed(grp: String, partId: Long, committed: Long)
+
+  def track(commits: Dataset[Commit],
+            idleTimeout: String = "1 hour"): Dataset[Committed] = {
+    import commits.sparkSession.implicits._
+    commits.groupByKey(c => (c.grp, c.partId))
+      .flatMapGroupsWithState[Long, Committed](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case ((grp, partId), rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.map(_.offset).max
+            val next = math.max(state.getOption.getOrElse(-1L), incoming)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator.single(Committed(grp, partId, next))
+          }
+      }
+  }
+}

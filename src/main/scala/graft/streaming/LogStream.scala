@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.FlyqCodec
+
+/** Structured Streaming ingestion of FlyQ-format segment files — the
+  * Spark-native replacement for the reference's consume lifecycle
+  * (SURVEY.md §3.2): instead of a TCP listener + per-connection tasks
+  * funneling through a global engine mutex, a file stream source discovers
+  * newly-rolled segment files per micro-batch, decodes them in parallel
+  * tasks, and checkpoints progress — no shared lock anywhere.
+  *
+  * Scale posture: one input partition per new segment file per batch;
+  * decode is a narrow map (no shuffle); downstream aggregations get
+  * watermark-bounded state. At 1000 executors this ingests as fast as the
+  * filesystem can list+read.
+  */
+object LogStream {
+
+  /** binaryFile's fixed schema (needed explicitly for readStream). */
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Stream of decoded records from a FlyQ topic directory:
+    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers). */
+  def readSegments(spark: SparkSession, baseDir: String, topic: String): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.log")
+      .load(s"$baseDir/topic_$topic/partition_*/")
+      .select(col("path"), FlyqCodec.flyq_decode_segment(col("content")).as("recs"))
+      .withColumn("part_id",
+        regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
+      .withColumn("base_off",
+        regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
+      .select(col("part_id"), col("base_off"), explode(col("recs")).as("r"))
+      .select(col("part_id"), col("base_off"), col("r.*"))
+
+  /** Streaming twin of Relational.eventsHourly: event-time tumbling window
+    * with a watermark bounding state (NOT the reference's offset watermark —
+    * SURVEY.md §2.7 naming discipline). */
+  def windowedCounts(records: DataFrame): DataFrame =
+    records
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("part_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("part_id"), col("n_events"))
+}

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FlyqCodec
+import graft.protocol.Frame
+import graft.protocol.Frame.FrameType
+import graft.sources.SegmentFiles
+import graft.sources.SegmentFiles.Record
+
+/** Codec parity tests mirroring the reference's own fixtures
+  * (FIXTURES.md §B; flyq-protocol/src/message.rs:133-184 roundtrips,
+  * flyq-server segment tests). Golden bytes are hand-encoded here,
+  * independently of the implementation under test. */
+class CodecSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+  import spark.implicits._
+
+  private def str(s: String) = s.getBytes("UTF-8")
+
+  /** Independent hand-encoding of a StoredRecord (big-endian). */
+  private def golden(offset: Long, ts: Long, key: Array[Byte],
+                     value: Array[Byte],
+                     headers: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val hbytes = headers.flatMap { case (k, v) =>
+      val kb = str(k)
+      ByteBuffer.allocate(4).putInt(kb.length).array().toSeq ++ kb ++
+        ByteBuffer.allocate(4).putInt(v.length).array().toSeq ++ v
+    }
+    val klen = if (key == null) 0 else key.length
+    val body = ByteBuffer.allocate(8 + 4 + klen + 4 + value.length + 4)
+    body.putLong(ts).putInt(klen)
+    if (klen > 0) body.put(key)
+    body.putInt(value.length).put(value).putInt(headers.length)
+    val bodyArr = body.array() ++ hbytes
+    ByteBuffer.allocate(12).putInt(8 + bodyArr.length).putLong(offset).array() ++ bodyArr
+  }
+
+  private def encodeViaSpark(offset: Long, ts: Long, key: Array[Byte],
+                             value: Array[Byte],
+                             headers: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val hcol = if (headers.isEmpty) lit(null).cast(
+        org.apache.spark.sql.types.ArrayType(FlyqCodec.headerType))
+      else array(headers.map { case (k, v) =>
+        struct(lit(k).as("hkey"), lit(v).as("hvalue")) }: _*)
+    spark.range(1).select(FlyqCodec.flyq_encode_record(
+      lit(offset), lit(ts), lit(key), lit(value), hcol).as("b"))
+      .head().getAs[Array[Byte]]("b")
+  }
+
+  test("encode matches independently hand-rolled golden bytes (full message)") {
+    // reference fixture message.rs:138-147
+    val got = encodeViaSpark(3L, 1700000000000L, str("user-42"), str("click:event"),
+      Seq("event-type" -> str("click"), "source" -> str("web")))
+    val want = golden(3L, 1700000000000L, str("user-42"), str("click:event"),
+      Seq("event-type" -> str("click"), "source" -> str("web")))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("encode matches golden bytes (minimal: no key, no headers)") {
+    // reference fixture message.rs:165-183
+    val got = encodeViaSpark(0L, 42L, null, str("just value"), Nil)
+    val want = golden(0L, 42L, null, str("just value"), Nil)
+    assert(got.toSeq === want.toSeq)
+    // record_len = 8 + 8+4+0+4+10+4 = 38; total 42 bytes
+    assert(got.length === 42)
+  }
+
+  test("decode(encode(m)) roundtrips; empty key decodes as null (quirk)") {
+    val df = Seq(
+      (1L, 1000L, "k1", "v1"),
+      (2L, 2000L, "", "v2"),   // empty key -> None on decode
+      (3L, 3000L, null: String, "v3")
+    ).toDF("off", "ts", "k", "v")
+    val enc = df.select(FlyqCodec.flyq_encode_record(col("off"), col("ts"),
+      col("k").cast("binary"), col("v").cast("binary"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(FlyqCodec.headerType))).as("bytes"))
+    val dec = enc.select(FlyqCodec.flyq_decode_record(col("bytes")).as("r"))
+      .select(col("r.msg_offset"), col("r.mkey").cast("string").as("k"),
+        col("r.mvalue").cast("string").as("v"))
+      .orderBy("msg_offset").collect()
+    assert(dec.map(r => (r.getLong(0), r.getAs[String]("k"), r.getAs[String]("v"))).toSeq ===
+      Seq((1L, "k1", "v1"), (2L, null, "v2"), (3L, null, "v3")))
+  }
+
+  test("property: roundtrip arbitrary keys/values/headers (seeded)") {
+    val rnd = new scala.util.Random(42)
+    def randBytes(max: Int) = {
+      val a = new Array[Byte](rnd.nextInt(max)); rnd.nextBytes(a); a
+    }
+    (1 to 300).foreach { _ =>
+      val off = rnd.nextLong() & ((1L << 40) - 1)
+      val ts = rnd.nextLong() & ((1L << 45) - 1)
+      val k = randBytes(32)
+      val v = randBytes(256)
+      val hs = Seq.fill(rnd.nextInt(3))(
+        ("h" + rnd.nextInt(100)) -> randBytes(16))
+      val headers = if (hs.isEmpty) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          hs.map { case (hk, hv) => org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(hk), hv) }.toArray[Any])
+      val bytes = FlyqCodec.encodeRecord(off, k, v, ts, headers)
+      val (row, next) = FlyqCodec.decodeRecordAt(bytes, 0)
+      assert(next === bytes.length)
+      assert(row.getLong(0) === off)
+      assert(row.getLong(1) === ts)
+      val decKey = if (row.isNullAt(2)) null else row.getBinary(2)
+      if (k.isEmpty) assert(decKey === null) else assert(decKey.toSeq === k.toSeq)
+      assert(row.getBinary(3).toSeq === v.toSeq)
+      if (hs.nonEmpty) {
+        val arr = row.getArray(4)
+        assert(arr.numElements() === hs.length)
+      } else assert(row.isNullAt(4))
+    }
+  }
+
+  test("frame: xxh32 empty-payload vector + roundtrip + partial + corrupt") {
+    // standard XXH32 test vector: xxh32("", seed 0) = 0x02CC5D05
+    assert(Frame.xxh32(Array.emptyByteArray) === 0x02CC5D05)
+    val f = Frame.Frame(1, FrameType.Request, 77, str("hello flyq"))
+    val enc = Frame.encode(f)
+    assert(enc.length === Frame.HeaderLen + 10)
+    val Right(Some((dec, consumed))) = Frame.decode(enc): @unchecked
+    assert(consumed === enc.length)
+    assert(dec.correlationId === 77 && dec.frameType === FrameType.Request)
+    assert(dec.payload.toSeq === f.payload.toSeq)
+    // partial header / partial payload -> None (re-buffer)
+    assert(Frame.decode(enc.take(10)) === Right(None))
+    assert(Frame.decode(enc.take(enc.length - 1)) === Right(None))
+    // corrupt payload -> checksum error
+    val bad = enc.clone(); bad(enc.length - 1) = (bad(enc.length - 1) ^ 0xFF).toByte
+    assert(Frame.decode(bad).isLeft)
+  }
+
+  test("segment files: write FlyQ layout, read back via binaryFile source") {
+    val dir = Files.createTempDirectory("flyq-seg").toString
+    val recs0 = (0L until 5L).map(i =>
+      Record(i, 1000 + i, str(s"key-$i"), str(s"value-$i")))
+    val recs1 = (5L until 10L).map(i =>
+      Record(i, 1000 + i, str(s"key-$i"), str(s"value-$i")))
+    SegmentFiles.writeSegment(dir, "demo", 0, recs0, indexInterval = 3)
+    SegmentFiles.writeSegment(dir, "demo", 0, recs1, indexInterval = 3)
+    SegmentFiles.writeSegment(dir, "demo", 1,
+      Seq(Record(0L, 9999L, null, str("solo"), Seq("h" -> str("x")))))
+    val got = SegmentFiles.readTopic(spark, dir, "demo")
+    assert(got.count() === 11)
+    // multi-segment chained scan from offset 7 (reference R2/R3 semantics)
+    val fromSeven = got.filter(col("part_id") === 0 && col("msg_offset") >= 7)
+      .orderBy("msg_offset")
+      .select(col("msg_offset"), col("mvalue").cast("string")).collect()
+    assert(fromSeven.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((7L, "value-7"), (8L, "value-8"), (9L, "value-9")))
+    // headers survive
+    val h = got.filter(col("part_id") === 1)
+      .select(explode(col("headers")).as("h")).select(col("h.hkey")).head()
+    assert(h.getString(0) === "h")
+    // torn tail: truncate the last segment file mid-record; reader stops clean
+    val segs = new java.io.File(s"$dir/topic_demo/partition_0").listFiles()
+      .filter(_.getName.endsWith(".log")).sortBy(_.getName)
+    val last = segs.last
+    val raw = Files.readAllBytes(last.toPath)
+    Files.write(last.toPath, raw.take(raw.length - 7))
+    val afterTear = SegmentFiles.readTopic(spark, dir, "demo")
+      .filter(col("part_id") === 0).count()
+    assert(afterTear === 9) // lost exactly the torn record
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SegmentFiles
+import graft.sources.SegmentFiles.Record
+import graft.streaming.{GroupOffsets, LogStream}
+import graft.streaming.GroupOffsets.Commit
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+  import spark.implicits._
+
+  private def str(s: String) = s.getBytes("UTF-8")
+
+  test("segment ingest discovers newly-rolled segments incrementally") {
+    val dir = Files.createTempDirectory("flyq-stream").toString
+    val ckpt = Files.createTempDirectory("flyq-ckpt").toString
+    SegmentFiles.writeSegment(dir, "t", 0,
+      (0L until 4L).map(i => Record(i, 1000 + i, str(s"k$i"), str(s"v$i"))))
+    val q = LogStream.readSegments(spark, dir, "t")
+      .writeStream.format("memory").queryName("seg_ingest")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("seg_ingest").count() === 4)
+      // roll a new segment (the reference's rotation event); stream picks
+      // it up on the next micro-batch without reprocessing the old one
+      SegmentFiles.writeSegment(dir, "t", 0,
+        (4L until 7L).map(i => Record(i, 1000 + i, str(s"k$i"), str(s"v$i"))))
+      q.processAllAvailable()
+      val rows = spark.table("seg_ingest")
+      assert(rows.count() === 7)
+      assert(rows.agg(max("msg_offset")).head().getLong(0) === 6L)
+    } finally q.stop()
+  }
+
+  test("group offset tracker: upsert across batches, monotone, multi-group") {
+    val input = MemoryStream[Commit](spark)
+    val q = GroupOffsets.track(input.toDS())
+      .writeStream.format("memory").queryName("offsets")
+      .outputMode("update").start()
+    try {
+      // mirror of tests/offset_tracker.rs: groups are independent
+      input.addData(Commit("a", 0, 1), Commit("b", 0, 2))
+      q.processAllAvailable()
+      input.addData(Commit("a", 0, 5), Commit("a", 1, 3))
+      q.processAllAvailable()
+      // a stale/duplicate commit must not move the offset backwards
+      input.addData(Commit("a", 0, 4))
+      q.processAllAvailable()
+      val last = spark.table("offsets")
+        .groupBy("grp", "partId").agg(max("committed").as("committed"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(last(("a", 0L)) === 5L)
+      assert(last(("a", 1L)) === 3L)
+      assert(last(("b", 0L)) === 2L)
+      // and the latest emitted update for (a,0) after the stale commit is still 5
+      val updates = spark.table("offsets").filter($"grp" === "a" && $"partId" === 0)
+        .select("committed").as[Long].collect()
+      assert(updates.last === 5L)
+    } finally q.stop()
+  }
+
+  test("windowed counts with event-time watermark over ingested segments") {
+    val dir = Files.createTempDirectory("flyq-win").toString
+    val ckpt = Files.createTempDirectory("flyq-win-ckpt").toString
+    val hourMs = 3600L * 1000
+    SegmentFiles.writeSegment(dir, "w", 0, Seq(
+      Record(0, 0 * hourMs, null, str("a")),
+      Record(1, 0 * hourMs + 1000, null, str("b")),
+      Record(2, 1 * hourMs, null, str("c")),
+      Record(3, 3 * hourMs, null, str("d")))) // advances watermark past h0/h1
+    val q = LogStream.windowedCounts(LogStream.readSegments(spark, dir, "w"))
+      .writeStream.format("memory").queryName("win")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // force one more batch so closed windows flush in append mode
+      SegmentFiles.writeSegment(dir, "w", 1,
+        Seq(Record(0, 5 * hourMs, null, str("e"))))
+      q.processAllAvailable()
+      val rows = spark.table("win").orderBy("hour")
+        .select(col("hour").cast("long"), col("n_events")).collect()
+        .map(r => (r.getLong(0) / 3600, r.getLong(1)))
+      assert(rows.contains((0L, 2L)))
+      assert(rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+}
