@@ -21,7 +21,7 @@ object OracleSql {
     base AS (
       SELECT e.* REPLACE (CAST(ts AS TIMESTAMP) AS ts),
              CAST(user_id AS VARCHAR) AS mkey,
-             ((user_id * 2654435761) % 4294967296) % $NumPartitions AS part_id
+             (${portableHashSql("user_id")}) % $NumPartitions AS part_id
       FROM events e
     ),
     log AS (
@@ -47,6 +47,18 @@ object OracleSql {
       SELECT part_id, 'analytics' AS grp, CAST(floor(high_off / 2) AS BIGINT) AS committed FROM wm
       UNION ALL
       SELECT part_id, 'billing' AS grp, high_off AS committed FROM wm
+    )"""
+
+  /** Text-normalization CTEs — SQL twin of graft.operators.TextAnalysis. */
+  val textCtes: String = """
+    norm AS (
+      SELECT *, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+      FROM documents
+    ),
+    tok AS (
+      SELECT *, string_split(ntext, ' ') AS toks,
+             CAST(length(ntext) AS BIGINT) AS n_chars_norm
+      FROM norm
     )"""
 
   val all: Map[String, String] = Map(
@@ -77,6 +89,16 @@ object OracleSql {
              greatest(w.high_off - c.committed, 0) AS lag,
              CAST(SUM(greatest(w.high_off - c.committed, 0)) OVER (PARTITION BY c.grp) AS BIGINT) AS total_lag
       FROM committed c JOIN wm w USING (part_id)""",
+
+    "lag_alerts" -> s"""WITH $logCtes,
+      lag_rows AS (
+        SELECT c.grp, CAST(SUM(greatest(w.high_off - c.committed, 0)) AS BIGINT) AS total_lag
+        FROM committed c JOIN wm w USING (part_id) GROUP BY c.grp)
+      SELECT grp, total_lag,
+             CASE WHEN total_lag > 1000 THEN 'warn'
+                  WHEN total_lag > 100 THEN 'notice'
+                  ELSE 'ok' END AS severity
+      FROM lag_rows""",
 
     "partition_health" -> s"""WITH $logCtes
       SELECT part_id, count(DISTINCT segment_id) AS segment_count,
@@ -130,6 +152,61 @@ object OracleSql {
              CAST(sum(seg_bytes) AS BIGINT) AS retained_bytes,
              min(base_off) AS new_low_off, max(last_off) AS high_off
       FROM retained GROUP BY part_id""",
+
+    // ----- text analysis (graft.operators.TextAnalysis) -----
+    // Expression-for-expression mirrors: normalization is
+    // lower(trim(regexp_replace(text,'\s+',' ','g'))) on both sides; ratios
+    // rounded to 6; DuckDB '/' on integers is float division (like Spark's
+    // double-promoting '/').
+
+    "text_stats" -> s"""WITH $textCtes,
+      s AS (
+        SELECT doc_id, lang, n_chars_norm,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+               round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+        FROM tok),
+      s2 AS (
+        SELECT *,
+               round((n_chars_norm - (n_words - 1)) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
+               round(n_distinct_words / CAST(n_words AS DOUBLE), 6) AS distinct_ratio
+        FROM s)
+      SELECT doc_id, lang, n_chars_norm, n_words, n_distinct_words,
+             avg_word_len, punct_ratio, distinct_ratio,
+             round(least(n_words / 100.0, 1.0) * 0.4 + distinct_ratio * 0.4
+                   + (1 - punct_ratio) * 0.2, 6) AS quality_score
+      FROM s2""",
+
+    "token_count" -> s"""WITH $textCtes,
+      t AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS nbytes
+        FROM tok)
+      SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+             round(nbytes / n_bpe_tokens, 6) AS bytes_per_token
+      FROM t""",
+
+    "lang_id_eval" -> s"""WITH $textCtes,
+      h AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','mit','von','ein'))) AS BIGINT) AS hits_de,
+               CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS BIGINT) AS hits_en,
+               CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es','con','por','una'))) AS BIGINT) AS hits_es,
+               CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','dans','que'))) AS BIGINT) AS hits_fr
+        FROM tok),
+      p AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS mx FROM h),
+      q AS (
+        SELECT lang,
+               CASE WHEN mx = 0 THEN 'und'
+                    WHEN hits_de = mx THEN 'de'
+                    WHEN hits_en = mx THEN 'en'
+                    WHEN hits_es = mx THEN 'es'
+                    WHEN hits_fr = mx THEN 'fr' END AS pred_lang
+        FROM p)
+      SELECT lang, pred_lang, count(*) AS n_docs
+      FROM q GROUP BY lang, pred_lang""",
 
     // ----- relational coverage -----
 

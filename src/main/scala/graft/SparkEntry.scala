@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BrokerOps, Relational}
+import graft.operators.{BrokerOps, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,11 @@ object SparkEntry {
     "consume_with_group" -> (BrokerOps.consumeWithGroup(_, _)),
     "commit_offset_state" -> (BrokerOps.commitOffsetState(_, _)),
     "retention_filter" -> (BrokerOps.retentionFilter(_, _)),
+    "lag_alerts" -> (BrokerOps.lagAlerts(_, _)),
+    // text analysis (SURVEY §7.5 / north-star extension block)
+    "text_stats" -> (TextAnalysis.textStats(_, _)),
+    "token_count" -> (TextAnalysis.tokenCount(_, _)),
+    "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),
     "q3_top_orders" -> (Relational.q3TopOrders(_, _)),

@@ -62,17 +62,28 @@ object BrokerOps {
     * (N_partitions rows), so Spark broadcast-joins them; the scan+agg is
     * the only big stage. */
   def consumerLag(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = log(spark, sfDir)
-    val wm = watermarks(l)
-    val committed = committedOffsets(l)
-    val perPart = committed.join(broadcast(wm), Seq("part_id"))
+    // Single derivation: committed offsets explode out of the one watermark
+    // aggregate (round 1 executed the scan+window three times; the explode
+    // keeps high_off alongside, so no join back is needed at all).
+    val wm = watermarks(log(spark, sfDir))
+    committedOffsetsFromWm(wm)
       .withColumn("lag",
         greatest(col("high_off") - col("committed"), lit(0L)))
-    perPart.select(col("grp"), col("part_id"), col("committed"),
-        col("high_off"),
+      .select(col("grp"), col("part_id"), col("committed"), col("high_off"),
         col("lag"),
         sum("lag").over(Window.partitionBy("grp")).as("total_lag"))
   }
+
+  /** O4 — monitor alerting: per-group total lag classified against the
+    * reference monitor's thresholds (`flyq-client/examples/monitor.rs:79-85`:
+    * total_lag > 1000 → warn, > 100 → notice). */
+  def lagAlerts(spark: SparkSession, sfDir: String): DataFrame =
+    consumerLag(spark, sfDir)
+      .groupBy("grp").agg(max("total_lag").as("total_lag"))
+      .withColumn("severity",
+        when(col("total_lag") > 1000, "warn")
+          .when(col("total_lag") > 100, "notice")
+          .otherwise("ok"))
 
   /** O3 — partition health: segment count, byte totals, watermarks.
     * Reference `log_engine.rs:226-256`, `partition.rs:207-223`. */
@@ -113,14 +124,21 @@ object BrokerOps {
     * Reference `log_engine.rs:146-161`. */
   def consumeWithGroup(spark: SparkSession, sfDir: String,
                        group: String = "analytics"): DataFrame = {
+    // Our committed store is synthetic (a pure function of the watermark),
+    // so it can ride the SAME part_id window the log already has — one scan,
+    // one shuffle. With a real external offsets table the shape would be
+    // `log.join(broadcast(offsets), "part_id")` as in round 1.
     val l = log(spark, sfDir)
-    val committed = committedOffsets(l).filter(col("grp") === group)
-    val w = Window.partitionBy("part_id").orderBy("msg_offset")
-    l.join(broadcast(committed), Seq("part_id"))
-      .filter(col("msg_offset") >= coalesce(col("committed"), lit(0L)))
-      .withColumn("rn", row_number().over(w))
+    val wp = Window.partitionBy("part_id")
+    val committedExpr =
+      if (group == "billing") max("msg_offset").over(wp)
+      else floor(max("msg_offset").over(wp) / 2).cast("long")
+    l.withColumn("committed", committedExpr)
+      .filter(col("msg_offset") >= col("committed"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("part_id").orderBy("msg_offset")))
       .filter(col("rn") === 1)
-      .select(col("grp"), col("part_id"), col("committed"),
+      .select(lit(group).as("grp"), col("part_id"), col("committed"),
         col("msg_offset"), col("event_id"))
   }
 
@@ -130,15 +148,23 @@ object BrokerOps {
     * batch is synthesized deterministically: "analytics" advances to the
     * high watermark on even partitions. */
   def commitOffsetState(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = log(spark, sfDir)
-    val base = committedOffsets(l)
-    val newCommits = watermarks(l)
-      .filter(col("part_id") % 2 === 0)
-      .select(col("part_id"), lit("analytics").as("grp"),
-        col("high_off").as("committed"))
-    // last-write-wins: the new batch supersedes base entries for its keys
-    base.withColumn("gen", lit(0))
-      .unionByName(newCommits.withColumn("gen", lit(1)))
+    // Base store + new-commit batch explode out of ONE watermark aggregate
+    // (a union of selects would execute the scan per branch).
+    val wm = watermarks(log(spark, sfDir))
+    val baseEntries = array(
+      struct(lit("analytics").as("grp"),
+        floor(col("high_off") / 2).cast("long").as("committed"),
+        lit(0).as("gen")),
+      struct(lit("billing").as("grp"), col("high_off").as("committed"),
+        lit(0).as("gen")))
+    // "analytics" advances to the high watermark on even partitions
+    val entries = when(col("part_id") % 2 === 0,
+      concat(baseEntries, array(struct(lit("analytics").as("grp"),
+        col("high_off").as("committed"), lit(1).as("gen")))))
+      .otherwise(baseEntries)
+    wm.select(col("part_id"), explode(entries).as("c"))
+      .select(col("part_id"), col("c.grp").as("grp"),
+        col("c.committed").as("committed"), col("c.gen").as("gen"))
       .groupBy("grp", "part_id")
       .agg(max_by(col("committed"), col("gen")).as("committed"))
   }

@@ -27,7 +27,7 @@ object TextAnalysis {
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(col("text"))
     docs(spark, sfDir)
-      .withColumn("n_chars_norm", length(normText(col("text"))))
+      .withColumn("n_chars_norm", length(normText(col("text"))).cast("long"))
       .withColumn("n_words", size(t).cast("long"))
       .withColumn("n_distinct_words", size(array_distinct(t)).cast("long"))
       .withColumn("avg_word_len",

@@ -110,6 +110,23 @@ class LogModelSpec extends AnyFunSuite {
     ret.foreach(r => assert(r.getAs[Long]("retained_segments") >= 1))
   }
 
+  test("portableHash matches exact BigInt arithmetic at overflow boundaries") {
+    // round-1 advice: the naive k*2654435761 % 2^32 wraps Int64 in Spark for
+    // k ≳ 3.47e9 while DuckDB raises; the limb-split form must equal the
+    // mathematically exact masked hash everywhere, including negatives.
+    val keys = Seq(0L, 1L, 7L, 65535L, 65536L, Int.MaxValue.toLong,
+      4294967295L, 4294967296L, 4294967297L, 8589934597L /* 2^33+5 */,
+      -1L, -12345L, Long.MaxValue, Long.MinValue)
+    val got = keys.toDF("k")
+      .select($"k", LogModel.portableHash($"k").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val masked = BigInt(k) & BigInt(4294967295L)
+      val expected = (masked * BigInt(2654435761L)) % BigInt(4294967296L)
+      assert(BigInt(got(k)) === expected, s"key $k")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
