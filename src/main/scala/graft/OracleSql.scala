@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.LogModel._
+import graft.operators.{Dedup, Similarity}
 
 /** DuckDB-runnable ANSI SQL twins of every oracle-checkable query in
   * SparkEntry.queries. Each statement must produce identical column names
@@ -60,6 +61,54 @@ object OracleSql {
              CAST(length(ntext) AS BIGINT) AS n_chars_norm
       FROM norm
     )"""
+
+  /** MinHash/LSH CTEs, generated from the SAME constants the Spark side
+    * uses (Dedup.hashA/hashB/MinHashPrime/...) so the two can't drift. */
+  val dedupCtes: String = {
+    val sigExprs = (0 until Dedup.NumHashes).map { i =>
+      s"list_min(list_transform(hws, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinHashPrime})) AS s$i"
+    }.mkString(",\n             ")
+    val bandSelects = (0 until Dedup.NumBands).map { j =>
+      val cols = (0 until Dedup.BandSize)
+        .map(r => s"s${j * Dedup.BandSize + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band_j, concat_ws('_', $cols) AS band_key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    words AS (SELECT doc_id, lang, list_distinct(toks) AS ws FROM tok),
+    hw AS (SELECT doc_id, ws,
+           list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hws
+           FROM words),
+    sig AS (SELECT doc_id,
+             $sigExprs
+            FROM hw),
+    bands AS ($bandSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_j = b.band_j AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(wa.ws, wb.ws))
+                     / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) AS jaccard
+            FROM cand c JOIN words wa ON c.doc_a = wa.doc_id
+                        JOIN words wb ON c.doc_b = wb.doc_id),
+    nd_pairs AS (SELECT doc_a, doc_b, jaccard FROM ver
+                 WHERE jaccard >= ${Dedup.JaccardThreshold})"""
+  }
+
+  /** Embedding CTEs (double-cast + sequential-fold dot, matching
+    * graft.operators.Similarity bit-for-bit). */
+  val embCtes: String = s"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+          list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> v[k]*v[k])) AS n2
+          FROM e)"""
+
+  private def annBucketSql(v: String): String =
+    (0 until Similarity.NumPlanes).map { j =>
+      val proj = s"list_sum(list_transform(generate_series(1, ${Similarity.Dim}), " +
+        s"d -> $v[d] * (((${j * Similarity.Dim} + d) * 2654435761) % 4294967296 / 4294967296.0 - 0.5)))"
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   val all: Map[String, String] = Map(
 
@@ -207,6 +256,109 @@ object OracleSql {
         FROM p)
       SELECT lang, pred_lang, count(*) AS n_docs
       FROM q GROUP BY lang, pred_lang""",
+
+    // ----- dedup / similarity / multimodal (north-star extension block) -----
+
+    "dedup_exact" -> s"""WITH $textCtes,
+      h AS (SELECT doc_id, sha256(ntext) AS text_hash FROM norm)
+      SELECT doc_id, text_hash,
+             CAST(count(*) OVER (PARTITION BY text_hash) AS BIGINT) AS group_size,
+             row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS is_kept
+      FROM h""",
+
+    "dedup_minhash_pairs" -> s"""WITH $textCtes, $dedupCtes
+      SELECT doc_a, doc_b, jaccard FROM nd_pairs""",
+
+    "dedup_similar_keep" -> s"""WITH $textCtes, $dedupCtes,
+      dropped AS (SELECT DISTINCT doc_b AS doc_id FROM nd_pairs)
+      SELECT d.doc_id, (dr.doc_id IS NULL) AS is_kept
+      FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id""",
+
+    "simhash_fingerprint" -> {
+      val sums = (0 until 16).map(j =>
+        s"COALESCE(list_sum(list_transform(hws, h -> ((h >> $j) & 1) * 2 - 1)), 0) AS b$j")
+        .mkString(",\n               ")
+      val fp = (0 until 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $textCtes,
+      words AS (SELECT doc_id, list_distinct(toks) AS ws FROM tok),
+      hw AS (SELECT doc_id,
+             list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hws
+             FROM words),
+      sums AS (SELECT doc_id,
+               $sums
+               FROM hw),
+      fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
+      SELECT doc_id, simhash,
+             CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same_fp
+      FROM fp"""
+    },
+
+    "ngram_jaccard" -> s"""WITH $textCtes,
+      g AS (SELECT doc_id, lang, n_chars_norm,
+                   list_distinct(list_transform(
+                     generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
+                     i -> substr(ntext, i, 3))) AS grams
+            FROM tok),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.grams, b.grams))
+                     / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS ngram_jaccard
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
+                 AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, ngram_jaccard FROM p WHERE ngram_jaccard >= 0.5""",
+
+    "doc_fingerprint" -> s"""WITH $textCtes,
+      g AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, CAST(length(ntext) AS INTEGER) - 4),
+                     i -> substr(ntext, i, 5))) AS grams
+            FROM tok),
+      h AS (SELECT doc_id, grams,
+                   list_transform(grams, g2 -> CAST('0x' || substr(md5(g2), 1, 8) AS BIGINT)) AS hs
+            FROM g),
+      f AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   list_filter(hs, x -> x % 8 = 0) AS fps
+            FROM h)
+      SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+             list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+      FROM f""",
+
+    "embedding_topk" -> s"""WITH $embCtes,
+      q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+            WHERE vec_id % ${Similarity.QueryMod} = 0),
+      s AS (SELECT q.q_id, n.vec_id,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*n.v[k]))
+                     / (sqrt(q.qn2) * sqrt(n.n2)) AS cos
+            FROM q JOIN n ON n.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+      FROM r WHERE rank <= ${Similarity.TopK}""",
+
+    "embedding_ann_lsh" -> s"""WITH $embCtes,
+      b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
+      q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket FROM b
+            WHERE vec_id % ${Similarity.QueryMod} = 0),
+      s AS (SELECT q.q_id, b.vec_id,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*b.v[k]))
+                     / (sqrt(q.qn2) * sqrt(b.n2)) AS cos
+            FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+      FROM r WHERE rank <= ${Similarity.TopK}""",
+
+    "multimodal_features" -> s"""WITH $textCtes,
+      h AS (SELECT doc_id,
+                   CAST(octet_length(encode(ntext)) AS BIGINT) AS media_bytes,
+                   CAST('0x' || substr(md5(ntext), 1, 8) AS BIGINT) AS h
+            FROM norm)
+      SELECT doc_id, media_bytes,
+             CAST(64 + (h % 16) * 16 AS BIGINT) AS fake_width,
+             CAST(64 + ((h >> 4) % 16) * 16 AS BIGINT) AS fake_height,
+             CAST(1 + (h >> 8) % 30 AS BIGINT) AS est_frames,
+             round((64 + (h % 16) * 16) / CAST(64 + ((h >> 4) % 16) * 16 AS DOUBLE), 6) AS aspect_ratio
+      FROM h""",
 
     // ----- relational coverage -----
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BrokerOps, Relational, TextAnalysis}
+import graft.operators.{BrokerOps, Dedup, MultiModal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,16 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
+    // dedup / similarity / multimodal (north-star extension block)
+    "dedup_exact" -> (Dedup.dedupExact(_, _)),
+    "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),
+    "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
+    "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),
+    "ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),
+    "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
+    "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),
+    "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),
     "q3_top_orders" -> (Relational.q3TopOrders(_, _)),

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.{normText, tokens}
+
+/** Deduplication family for a training-data pipeline over `documents`:
+  * exact (content hash), MinHash+LSH near-dup, SimHash fingerprinting,
+  * blocked n-gram Jaccard, and mod-p k-gram document fingerprinting.
+  *
+  * Scale posture (100 TB):
+  *  - every operator shuffles only by hash keys (content hash, LSH band
+  *    bucket, blocking key) — there is NO all-pairs crossJoin anywhere;
+  *    candidate generation is equi-join on band/block keys, so cost is
+  *    Σ bucket² not N². Hot buckets are an AQE skew-join case.
+  *  - signatures (minhash/simhash) are narrow per-row transforms that run
+  *    inside WholeStageCodegen at scan speed; in production you'd persist
+  *    the signature table once and reuse it across dedup runs.
+  *
+  * Hash portability: every hash must be bit-identical in Spark and the
+  * DuckDB oracle, so word/gram hashes are the first 8 hex chars of md5
+  * (`conv(hex,16,10)` / `CAST('0x'||hex AS BIGINT)` — both engines get the
+  * same 32-bit value), and the MinHash family is (a*h + b) mod P over that.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "documents")
+
+  /** 32-bit portable string hash: first 8 md5 hex chars as an integer.
+    * SQL twin: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ---- MinHash parameters (shared with the generated oracle SQL) ----
+  /** Prime > 2^32 for the universal hash family (a*h + b) mod P. */
+  val MinHashPrime = 4294967311L
+  val NumHashes = 16
+  val BandSize = 4
+  val NumBands: Int = NumHashes / BandSize
+  def hashA(i: Int): Long = 97L + 131L * i
+  def hashB(i: Int): Long = 13L + 911L * i
+  /** Verified-Jaccard near-dup threshold. */
+  val JaccardThreshold = 0.9
+
+  /** doc_id + distinct word set + per-word 32-bit hashes. */
+  private def docWords(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      normText(col("text")).as("ntext"),
+      array_distinct(tokens(col("text"))).as("ws"))
+      .withColumn("hws", transform(col("ws"), w => hash32(w)))
+
+  /** Exact dedup: sha256 over normalized text; keep-first by doc_id within
+    * each hash group. Per-doc output so the oracle checks the whole
+    * decision, not just survivor counts. Scale: one shuffle by 256-bit
+    * content hash — uniform keys, no skew. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("text_hash", sha2(normText(col("text")), 256))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("text_hash")).cast("long"))
+      .withColumn("is_kept",
+        row_number().over(
+          Window.partitionBy("text_hash").orderBy("doc_id")) === 1)
+      .select(col("doc_id"), col("text_hash"), col("group_size"),
+        col("is_kept"))
+
+  /** MinHash signature columns s0..s{k-1} (min over words of (a*h+b) mod P). */
+  private def withSignature(words: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(words) { (df, i) =>
+      df.withColumn(s"s$i", array_min(transform(col("hws"),
+        h => (lit(hashA(i)) * h + lit(hashB(i))) % lit(MinHashPrime))))
+    }
+
+  /** (doc_id, band_j, band_key) — one row per LSH band. */
+  private def bands(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = withSignature(docWords(spark, sfDir))
+    val bandKeys = array((0 until NumBands).map { j =>
+      concat_ws("_", (0 until BandSize).map(r => col(s"s${j * BandSize + r}")): _*)
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band_j", "band_key")))
+  }
+
+  /** Candidate pairs from LSH banding (docs sharing ≥1 band bucket),
+    * verified with exact Jaccard over the distinct word sets.
+    * Output: verified near-dup pairs (doc_a < doc_b, jaccard ≥ 0.9).
+    *
+    * Scale: the self-join is an equi-join on (band_j, band_key) — only
+    * same-bucket pairs are materialized; recall at s=0.9 with 4 bands of 4
+    * is 1-(1-0.9^4)^4 ≈ 0.986 (deterministic: both engines compute the same
+    * signatures, hence the same candidate set). */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = bands(spark, sfDir)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val w = docWords(spark, sfDir).select(col("doc_id"), col("ws"))
+    pairs
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double")
+          / size(array_union(col("wa.ws"), col("wb.ws"))), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Keep/drop decision from the verified pairs: a doc is dropped iff a
+    * verified near-dup with a smaller doc_id exists (greedy keep-first —
+    * full connected components would need iteration; keep-first is the
+    * standard one-pass policy). */
+  def dedupSimilarKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val dropped = dedupMinhashPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(dropped.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dropped") === lit(false), lit(true)).as("is_kept"))
+  }
+
+  /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is
+    * the sign of Σ_words (±1 by bit j of the word hash). Shuffle-free until
+    * the tiny collision-count aggregate. */
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docWords(spark, sfDir)
+    val withSums = (0 until 16).foldLeft(base) { (df, j) =>
+      df.withColumn(s"b$j",
+        aggregate(col("hws"), lit(0L),
+          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)))
+    }
+    val fp = (0 until 16).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    withSums
+      .withColumn("simhash", fp)
+      .withColumn("n_same_fp",
+        count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
+      .select(col("doc_id"), col("simhash"), col("n_same_fp"))
+  }
+
+  /** Character 3-gram Jaccard between documents in the same block
+    * (lang, normalized char count) — word-shuffle duplicates have identical
+    * normalized length, so the blocking key catches them while bounding the
+    * pair space (no all-pairs). Output pairs with 3-gram Jaccard ≥ 0.5. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docs(spark, sfDir).select(
+        col("doc_id"), col("lang"),
+        normText(col("text")).as("ntext"))
+      .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
+      .withColumn("grams", array_distinct(
+        transform(sequence(lit(1), length(col("ntext")) - 2),
+          i => col("ntext").substr(i, lit(3)))))
+      .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("grams"))
+    g.as("a").join(g.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.n_chars_norm") === col("b.n_chars_norm") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ngram_jaccard",
+        round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
+          / size(array_union(col("a.grams"), col("b.grams"))), 6))
+      .filter(col("ngram_jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("ngram_jaccard"))
+  }
+
+  /** Mod-p k-gram fingerprinting (Broder-style content sampling): hash all
+    * distinct 5-char grams, keep those ≡ 0 (mod 8) as the document's
+    * fingerprint sample; emit stable aggregates of the sample. Narrow
+    * per-row transform — no shuffle at all. */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+        col("doc_id"), normText(col("text")).as("ntext"))
+      .withColumn("grams", array_distinct(
+        transform(sequence(lit(1), length(col("ntext")) - 4),
+          i => col("ntext").substr(i, lit(5)))))
+      .withColumn("hs", transform(col("grams"), g => hash32(g)))
+      .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+}

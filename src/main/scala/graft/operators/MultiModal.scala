@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.normText
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted in distributed batches.
+  *
+  * The container has no image/audio libraries, so the decode step is a
+  * clearly-marked STUB (`FakeDecoder` — a deterministic function of the
+  * bytes' content hash); everything Spark-side is real and tested: the
+  * binary schema, the typed `Dataset` pipeline, per-partition batched
+  * decoding (`mapPartitions` — the Scala analog of `mapInPandas` batches),
+  * and the downstream relational features.
+  *
+  * Scale posture: decode is a narrow per-partition pass (no shuffle); the
+  * binary payloads never move except the initial scan. Partition sizing is
+  * the scan's `maxPartitionBytes` concern, not the operator's.
+  */
+object MultiModal {
+
+  /** A media row: opaque payload + source metadata. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata a real image/audio decoder would produce. */
+  case class MediaFeatures(media_id: Long, kind: String, bytes: Long,
+                           width: Int, height: Int, n_frames: Int)
+
+  /** Decoder contract: payload bytes → (width, height, frames).
+    * A real deployment plugs ImageIO / ffmpeg here. */
+  type Decoder = Array[Byte] => (Int, Int, Int)
+
+  /** STUB decode — deterministic fake derived from a 32-bit content hash
+    * (matches the SQL feature derivation below so the plumbing is
+    * oracle-checkable end-to-end). */
+  val FakeDecoder: Decoder = { bytes =>
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val h = java.lang.Long.parseLong(
+      md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    (64 + (h % 16).toInt * 16, 64 + ((h >> 4) % 16).toInt * 16,
+      1 + ((h >> 8) % 30).toInt)
+  }
+
+  /** Typed decode pipeline: per-partition batches through the decoder.
+    * `mapPartitions` so a real decoder can amortize init (model load,
+    * codec context) across a partition — the mapInPandas batch shape. */
+  def decodeFeatures(media: Dataset[MediaRecord],
+                     decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, f) = decoder(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Oracle-checkable feature query: documents' normalized text re-encoded
+    * as a binary media payload, features derived from the same 32-bit
+    * content hash `FakeDecoder` uses. Expression-for-expression twin in
+    * OracleSql (bit arithmetic on the md5-derived hash). */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("ntext"))
+      .withColumn("media", col("ntext").cast("binary"))
+      .withColumn("h", Dedup.hash32(col("ntext")))
+      .select(col("doc_id"),
+        octet_length(col("media")).cast("long").as("media_bytes"),
+        (lit(64) + (col("h") % 16) * 16).cast("long").as("fake_width"),
+        (lit(64) + (shiftright(col("h"), 4) % 16) * 16).cast("long").as("fake_height"),
+        (lit(1) + shiftright(col("h"), 8) % 30).cast("long").as("est_frames"))
+      .withColumn("aspect_ratio",
+        round(col("fake_width").cast("double") / col("fake_height"), 6))
+}

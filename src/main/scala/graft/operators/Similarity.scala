@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a sign-random-
+  * projection LSH variant as the scale path.
+  *
+  * Float parity with the DuckDB oracle: vectors are cast to double FIRST
+  * (so products are exact doubles, not float32-rounded), and the dot
+  * product is a sequential left-to-right fold — Spark's `aggregate` and
+  * DuckDB's `list_sum(list_transform(generate_series…))` both reduce in
+  * array order, verified bit-identical on this data.
+  *
+  * Scale posture (100 TB): top-k keeps the query set broadcast-small and
+  * scans the corpus once (cost Q×N — the honest exact baseline; at real
+  * scale you shard the corpus and mergesort per-query top-k, which is what
+  * the partition-local window below already expresses). The LSH variant
+  * bounds candidates to same-bucket vectors: an equi-join on the bucket id,
+  * cost Σ bucket², tunable by the number of hyperplanes.
+  */
+object Similarity {
+
+  val Dim = 64
+  /** Query set: every 100th vector. */
+  val QueryMod = 100
+  val TopK = 10
+  /** Hyperplanes for the LSH variant (4 planes → 16 buckets). */
+  val NumPlanes = 4
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "embeddings")
+
+  private val idx: Column = sequence(lit(1), lit(Dim))
+
+  /** Sequential-fold dot product of two double-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(transform(idx, k => element_at(a, k) * element_at(b, k)),
+      lit(0d), (acc, x) => acc + x)
+
+  /** vec_id, v (double array), n2 (squared norm). */
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+
+  /** Exact cosine top-k: broadcast the query subset, scan the corpus once,
+    * per-query top-k via partition-local window (ranking uses the unrounded
+    * cosine; ties broken by vec_id). */
+  def embeddingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vectors(spark, sfDir)
+    val q = n.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    rankTopK(scored)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * Knuth-hash of the flat index mapped into [-0.5, 0.5). Identical
+    * expression in the oracle SQL. */
+  private def planeAt(j: Int, d: Column): Column =
+    ((lit(j * Dim.toLong) + d) * lit(2654435761L) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0) - lit(0.5)
+
+  /** LSH bucket id: sign bits of the projections onto NumPlanes
+    * deterministic hyperplanes. */
+  private def bucketOf(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val proj = aggregate(
+        transform(idx, d => element_at(v, d) * planeAt(j, d)),
+        lit(0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (equi-join on bucket id — never Q×N), then exact cosine within. */
+  def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
+    val q = b.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket"))
+    val scored = b.join(broadcast(q),
+        b("bucket") === q("bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    rankTopK(scored)
+  }
+}
