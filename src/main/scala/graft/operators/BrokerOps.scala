@@ -36,19 +36,17 @@ object BrokerOps {
 
   /** W3 — round-robin partitioner for keyless messages
     * (reference `topic.rs:79-83`): cycle over partitions in arrival order.
-    * Batch definition: global arrival order = (ts, event_id).
-    * Scale note: the global row_number is a single-partition window — at
-    * 100 TB, round-robin assignment happens at ingest time (streaming),
-    * never as a batch recompute; this query exists to pin the semantics. */
-  def roundRobin(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("ts", "event_id")
-    events(spark, sfDir)
-      .withColumn("rr_part",
-        pmod(row_number().over(w) - 1, lit(NumPartitions)).cast("long"))
+    * Batch definition: global arrival order = (ts, event_id), indexed by
+    * the two-phase global prefix (OrderedIndex with an empty group) — NOT a
+    * `Window.orderBy` with no partition, which funnels everything into one
+    * sort task (round-1 verdict scale-killer #1). */
+  def roundRobin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.OrderedIndex.withExclusivePrefix(
+        events(spark, sfDir), Seq.empty, Seq("ts", "event_id"), None, "idx")
+      .withColumn("rr_part", pmod(col("idx"), lit(NumPartitions)).cast("long"))
       .groupBy("rr_part")
       .agg(count(lit(1)).as("n_records"),
         min("event_id").as("first_event"), max("event_id").as("last_event"))
-  }
 
   /** O1 — watermark triple per partition. Reference `partition.rs:172-178`,
     * semantics pinned by `flyq-server/tests/watermark_apis.rs:38-42`. */
@@ -107,39 +105,43 @@ object BrokerOps {
 
   /** R1/R6 — consume from offset: for each partition, the first record with
     * offset >= K (graceful None past end = no row). Reference
-    * `log_engine.rs:75-102`. Filter prunes before the per-partition top-1. */
+    * `log_engine.rs:75-102`. `min_by` aggregation, not a window row_number:
+    * partial aggregation combines map-side, so no partition-count-bounded
+    * sort task exists anywhere in the plan. */
   def consumeFromOffset(spark: SparkSession, sfDir: String,
-                        fromOffset: Long = 5L): DataFrame = {
-    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+                        fromOffset: Long = 5L): DataFrame =
     log(spark, sfDir)
       .filter(col("msg_offset") >= fromOffset)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("part_id"), col("msg_offset"), col("event_id"),
-        col("mkey"), col("event_type"))
-  }
+      .groupBy("part_id")
+      .agg(min_by(
+        struct(col("msg_offset"), col("event_id"), col("mkey"),
+          col("event_type")), col("msg_offset")).as("r"))
+      .select(col("part_id"), col("r.msg_offset").as("msg_offset"),
+        col("r.event_id").as("event_id"), col("r.mkey").as("mkey"),
+        col("r.event_type").as("event_type"))
 
   /** G1 — consume with group: fetch committed offset (default 0), read the
     * first record at/after it; does NOT auto-commit.
     * Reference `log_engine.rs:146-161`. */
   def consumeWithGroup(spark: SparkSession, sfDir: String,
                        group: String = "analytics"): DataFrame = {
-    // Our committed store is synthetic (a pure function of the watermark),
-    // so it can ride the SAME part_id window the log already has — one scan,
-    // one shuffle. With a real external offsets table the shape would be
-    // `log.join(broadcast(offsets), "part_id")` as in round 1.
+    // Committed offsets are a tiny per-partition aggregate (partial-agg →
+    // N_partitions rows) broadcast back onto the log; the consume itself is
+    // a min_by aggregate. Both branches share the same `l` plan, so the
+    // log derivation's range shuffle is computed once and reused.
     val l = log(spark, sfDir)
-    val wp = Window.partitionBy("part_id")
     val committedExpr =
-      if (group == "billing") max("msg_offset").over(wp)
-      else floor(max("msg_offset").over(wp) / 2).cast("long")
-    l.withColumn("committed", committedExpr)
+      if (group == "billing") max("msg_offset")
+      else floor(max("msg_offset") / 2).cast("long")
+    val committed = l.groupBy("part_id").agg(committedExpr.as("committed"))
+    l.join(broadcast(committed), Seq("part_id"))
       .filter(col("msg_offset") >= col("committed"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("part_id").orderBy("msg_offset")))
-      .filter(col("rn") === 1)
+      .groupBy("part_id")
+      .agg(min_by(struct(col("msg_offset"), col("event_id")),
+          col("msg_offset")).as("r"),
+        first(col("committed")).as("committed"))
       .select(lit(group).as("grp"), col("part_id"), col("committed"),
-        col("msg_offset"), col("event_id"))
+        col("r.msg_offset").as("msg_offset"), col("r.event_id").as("event_id"))
   }
 
   /** G2/G3 — commit-offset upsert: new commits merged over the existing
