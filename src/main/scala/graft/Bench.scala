@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with total + per-query seconds.
+  *
+  * Round-1 verdict hardening:
+  *  - a warmup pass (JVM/JIT, parquet footer cache, codegen) runs before
+  *    anything is timed, so the first measured query isn't charged for it;
+  *  - materialization is `queryExecution.toRdd.count()` — unlike
+  *    `df.count()`, Catalyst cannot prune the payload columns away, so
+  *    decode-heavy queries are actually measured;
+  *  - failures are not swallowed into fast green bars: a failed query
+  *    reports -1 seconds and lands in the top-level "errors" object.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +23,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Either[String, Unit] =
+      try Right {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+
+    // warmup: touch every source table + the heaviest shared derivations
+    Seq("watermarks", "token_count", "embedding_topk").foreach(materialize)
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = materialize(name)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (r.isRight) secs else -1.0, r.left.toOption)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,23 +88,31 @@ object FlyqCodec {
   def decodeRecordAt(bytes: Array[Byte], pos: Int): (InternalRow, Int) = {
     val buf = ByteBuffer.wrap(bytes, pos, bytes.length - pos)
     val recordLen = buf.getInt
-    require(recordLen >= 24 && recordLen <= buf.remaining(),
+    // 28 = 8 offset + 8 ts + 3×4 mandatory length fields (a 24..27 value
+    // would mis-frame into the next record); every inner length must also
+    // fit the remaining buffer BEFORE allocating, so corrupt (not merely
+    // truncated) bytes fail cleanly instead of NegativeArraySizeException /
+    // multi-GB allocations (round-1 advice).
+    require(recordLen >= 28 && recordLen <= buf.remaining(),
       s"bad record_len $recordLen at $pos")
+    def checkedBytes(len: Int, what: String): Array[Byte] = {
+      require(len >= 0 && len <= buf.remaining(), s"bad $what length $len at $pos")
+      val a = new Array[Byte](len); buf.get(a); a
+    }
     val offset = buf.getLong
     val ts = buf.getLong
     val klen = buf.getInt
-    val key = if (klen == 0) null else { val a = new Array[Byte](klen); buf.get(a); a }
-    val vlen = buf.getInt
-    val value = { val a = new Array[Byte](vlen); buf.get(a); a }
+    val key = if (klen == 0) null else checkedBytes(klen, "key")
+    val value = checkedBytes(buf.getInt, "value")
     val hn = buf.getInt
+    require(hn >= 0 && hn.toLong * 8 <= buf.remaining(),
+      s"bad header_count $hn at $pos")
     val headers = if (hn == 0) null else {
       val rows = new Array[Any](hn)
       var i = 0
       while (i < hn) {
-        val kl = buf.getInt
-        val kb = new Array[Byte](kl); buf.get(kb)
-        val vl = buf.getInt
-        val vb = new Array[Byte](vl); buf.get(vb)
+        val kb = checkedBytes(buf.getInt, "header key")
+        val vb = checkedBytes(buf.getInt, "header value")
         rows(i) = InternalRow(UTF8String.fromBytes(kb), vb)
         i += 1
       }

@@ -64,7 +64,13 @@ object Frame {
     val corr = buf.getInt
     val payloadLen = buf.getInt
     val expected = buf.getInt
-    if (bytes.length < HeaderLen + payloadLen) return Right(None)
+    // the reference gets this bound implicitly from usize; a signed-Int read
+    // of a corrupt/malicious length must fail the error contract, not throw
+    // NegativeArraySizeException (round-1 advice). Long math avoids the
+    // HeaderLen + payloadLen overflow for lengths near 2^31.
+    if (payloadLen < 0)
+      return Left(s"bad payload_len $payloadLen")
+    if (bytes.length.toLong < HeaderLen.toLong + payloadLen) return Right(None)
     val payload = new Array[Byte](payloadLen)
     buf.get(payload)
     val actual = xxh32(payload)

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FlyqCodec
+import graft.model.LogModel
+import graft.plans.OrderedIndex
+
+/** Distributed produce facade (W1, reference `log_engine.rs:60-70`):
+  * routes a DataFrame of messages into topic partitions and writes
+  * FlyQ-format segment files FROM THE EXECUTORS — round 1 only had a
+  * driver-side `Seq[Record]` writer, which caps ingest at one process.
+  *
+  * Routing reproduces `Topic::produce` (`topic.rs:76-93`): keyed messages
+  * by key hash (Spark's xxhash64 — divergence from the reference's XXH3
+  * documented in SURVEY §7.3; no oracle involved here), keyless messages
+  * round-robin over the deterministic arrival order.
+  *
+  * Scale shape: one global two-phase index (arrival order), one per-group
+  * index (offsets), one hash repartition by part_id — each topic partition
+  * lands in exactly one task, which rolls segments at `segMaxBytes` with
+  * the countdown sparse index, exactly like `Partition::append` +
+  * `Segment::append` (`partition.rs:107-142`, `segment.rs:106-154`).
+  * Headers are not routed (the reference's network produce drops them too,
+  * `listener.rs:91-96`).
+  */
+object Broker {
+
+  /** `df` schema: mkey binary (nullable), mvalue binary, ts_ms long, plus
+    * the `orderCols` that define arrival order. */
+  def produce(df: DataFrame, baseDir: String, topic: String,
+              numPartitions: Int = LogModel.NumPartitions,
+              segMaxBytes: Long = LogModel.SegmentMaxBytes,
+              orderCols: Seq[String] = Seq("ts_ms"),
+              indexInterval: Int = SegmentFiles.IndexInterval): Unit = {
+    val arrival = OrderedIndex.withExclusivePrefix(
+      df, Seq.empty, orderCols, None, "arrival_idx")
+    val routed = arrival.withColumn("part_id",
+      when(col("mkey").isNull,
+        pmod(col("arrival_idx"), lit(numPartitions.toLong)))
+        .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
+        .cast("long"))
+    val withOffsets = OrderedIndex.withExclusivePrefix(
+      routed, Seq("part_id"), Seq("arrival_idx"), None, "msg_offset")
+
+    withOffsets
+      .repartition(numPartitions, col("part_id"))
+      .sortWithinPartitions("part_id", "msg_offset")
+      .select("part_id", "msg_offset", "ts_ms", "mkey", "mvalue")
+      .foreachPartition { it: Iterator[Row] =>
+        var writer: SegmentWriter = null
+        it.foreach { r =>
+          val partId = r.getLong(0)
+          if (writer == null || writer.partId != partId) {
+            if (writer != null) writer.close()
+            writer = new SegmentWriter(baseDir, topic, partId, segMaxBytes,
+              indexInterval)
+          }
+          writer.append(r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3),
+            r.getAs[Array[Byte]](4))
+        }
+        if (writer != null) writer.close()
+      }
+  }
+
+  /** Executor-side rolling segment writer: greedy pre-append rotation like
+    * the reference (`partition.rs:117-127` — rotate before an append that
+    * would overflow a non-empty segment). */
+  private final class SegmentWriter(baseDir: String, topic: String,
+                                    val partId: Long, segMaxBytes: Long,
+                                    indexInterval: Int) {
+    private val dir = Paths.get(baseDir, s"topic_$topic", s"partition_$partId")
+    Files.createDirectories(dir)
+    private var out: BufferedOutputStream = _
+    private var idx: BufferedOutputStream = _
+    private var segBytes = 0L
+    private var appended = 0
+
+    private def open(baseOffset: Long): Unit = {
+      out = new BufferedOutputStream(new FileOutputStream(
+        dir.resolve(f"segment_$baseOffset%020d.log").toFile))
+      idx = new BufferedOutputStream(new FileOutputStream(
+        dir.resolve(f"segment_$baseOffset%020d.index").toFile))
+      segBytes = 0L
+      appended = 0
+    }
+
+    def append(offset: Long, tsMs: Long, key: Array[Byte],
+               value: Array[Byte]): Unit = {
+      val bytes = FlyqCodec.encodeRecord(offset, key, value, tsMs, null)
+      if (out == null) open(offset)
+      else if (segBytes > 0 && segBytes + bytes.length > segMaxBytes) {
+        close(); open(offset)
+      }
+      if (appended % indexInterval == 0) {
+        val e = ByteBuffer.allocate(16)
+        e.putLong(offset); e.putLong(segBytes)
+        idx.write(e.array())
+      }
+      appended += 1
+      out.write(bytes)
+      segBytes += bytes.length
+    }
+
+    def close(): Unit = if (out != null) { out.close(); idx.close() }
+  }
+}

@@ -46,7 +46,7 @@ object SegmentFiles {
     val out = new BufferedOutputStream(new FileOutputStream(logPath.toFile))
     val idx = new BufferedOutputStream(new FileOutputStream(idxPath.toFile))
     var pos = 0L
-    var first = true
+    var appended = 0
     try records.foreach { r =>
       val headers = if (r.headers.isEmpty) null
         else new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -55,14 +55,16 @@ object SegmentFiles {
               org.apache.spark.unsafe.types.UTF8String.fromString(k), v)
           }.toArray[Any])
       val bytes = FlyqCodec.encodeRecord(r.offset, r.key, r.value, r.tsMs, headers)
-      // sparse index: first record of segment + every index_interval-th
-      // offset (reference segment.rs:142-154), 16-byte BE entries
-      if (first || r.offset % indexInterval == 0) {
+      // sparse index: first record of the segment, then every
+      // index_interval-th APPEND relative to the segment (a countdown, NOT
+      // offset % interval — reference segment.rs:142-154 should_index);
+      // 16-byte BE entries
+      if (appended % indexInterval == 0) {
         val e = ByteBuffer.allocate(16)
         e.putLong(r.offset); e.putLong(pos)
         idx.write(e.array())
-        first = false
       }
+      appended += 1
       out.write(bytes)
       pos += bytes.length
     } finally { out.close(); idx.close() }
