@@ -71,21 +71,22 @@ object OracleSql {
     val bandSelects = (0 until Dedup.NumBands).map { j =>
       val cols = (0 until Dedup.BandSize)
         .map(r => s"s${j * Dedup.BandSize + r}").mkString(", ")
-      s"SELECT doc_id, $j AS band_j, concat_ws('_', $cols) AS band_key FROM sig"
+      s"SELECT doc_id, nw, $j AS band_j, concat_ws('_', $cols) AS band_key FROM sig"
     }.mkString("\n      UNION ALL ")
     s"""
     words AS (SELECT doc_id, lang, list_distinct(toks) AS ws FROM tok),
-    hw AS (SELECT doc_id, ws,
+    hw AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
            list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hws
            FROM words),
-    sig AS (SELECT doc_id,
+    sig AS (SELECT doc_id, nw,
              $sigExprs
             FROM hw),
     bands AS ($bandSelects),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band_j = b.band_j AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id),
+                  AND a.doc_id < b.doc_id
+                  AND least(a.nw, b.nw) * 10 >= greatest(a.nw, b.nw) * 9),
     ver AS (SELECT c.doc_a, c.doc_b,
                    round(len(list_intersect(wa.ws, wb.ws))
                      / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) AS jaccard
@@ -347,6 +348,15 @@ object OracleSql {
       r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
+
+    "embedding_near_dup" -> s"""WITH $embCtes,
+      b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
+      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> x.v[k]*y.v[k]))
+                     / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+      FROM p WHERE cos >= ${Similarity.NearDupCosine}""",
 
     "multimodal_features" -> s"""WITH $textCtes,
       h AS (SELECT doc_id,

@@ -46,6 +46,7 @@ object SparkEntry {
     "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
     "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),
+    "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),

@@ -85,6 +85,29 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Cosine near-duplicate threshold for [[embeddingNearDup]]. */
+  val NearDupCosine = 0.35
+
+  /** Embedding-cosine near-dup detection: candidate pairs restricted to
+    * same-LSH-bucket vectors (equi-join, never N²), exact cosine verify at
+    * ≥ 0.35. Recall for a pair at angle θ is (1-θ/π)^NumPlanes —
+    * the standard SRP-LSH tradeoff, tunable via NumPlanes; deterministic on
+    * both engines, so the oracle sees the identical candidate set. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        aggregate(transform(idx,
+            k => element_at(col("x.v"), k) * element_at(col("y.v"), k)),
+          lit(0d), (acc, p) => acc + p)
+          / (sqrt(col("x.n2")) * sqrt(col("y.n2"))))
+      .filter(col("cos") >= NearDupCosine)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
   def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
