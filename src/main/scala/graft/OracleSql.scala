@@ -432,6 +432,26 @@ object OracleSql {
     "customers_without_orders" -> """
       SELECT c_mktsegment, count(*) AS n_customers
       FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
-      GROUP BY c_mktsegment"""
+      GROUP BY c_mktsegment""",
+
+    "supplier_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""",
+
+    "order_priority_rank" -> """WITH r AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        FROM orders)
+      SELECT o_orderpriority, rnk, o_orderkey, totalprice FROM r WHERE rnk <= 3""",
+
+    "repeat_customers" -> """
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"""
   )
 }

@@ -55,6 +55,9 @@ object SparkEntry {
     "events_hourly" -> (Relational.eventsHourly(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
+    "supplier_rollup" -> (Relational.supplierRollup(_, _)),
+    "order_priority_rank" -> (Relational.orderPriorityRank(_, _)),
+    "repeat_customers" -> (Relational.repeatCustomers(_, _)),
   )
 
   /** DuckDB twins for the driver's correctness gate. Keys must be a subset

@@ -116,4 +116,45 @@ object Relational {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
   }
+
+  /** Grouping-sets coverage: ROLLUP(region, nation) supplier stats —
+    * subtotal rows have NULL group keys on both engines. */
+  def supplierRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    // expressed via spark.sql: the Dataset rollup-after-join form trips
+    // Spark's ambiguous-self-join detector on the Expand-duplicated
+    // grouping attributes; the SQL path resolves cleanly and also
+    // exercises the spark.sql() surface of the library.
+    t(spark, sfDir, "supplier").createOrReplaceTempView("v_supplier")
+    t(spark, sfDir, "nation").createOrReplaceTempView("v_nation")
+    t(spark, sfDir, "region").createOrReplaceTempView("v_region")
+    spark.sql("""
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+                      JOIN v_region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""")
+  }
+
+  /** Ranking-window coverage: top-3 orders per priority class by price.
+    * The window shuffles by o_orderpriority (5 classes → modest fan-in;
+    * at 100 TB you'd pre-aggregate a per-partition top-3 first — the
+    * groupBy+min_by pattern in BrokerOps.consumeFromOffset). */
+  def orderPriorityRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("totalprice"))
+  }
+
+  /** Set-op coverage: customers who ordered in BOTH 1995 and 1996
+    * (INTERSECT = distinct semi-semantics on both engines). */
+  def repeatCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = t(spark, sfDir, "orders")
+    def custIn(y: Int) =
+      ord.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    custIn(1995).intersect(custIn(1996))
+  }
 }
