@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Imperative Catalyst kernels for the dedup/fingerprint hot path.
+  *
+  * The declarative forms (`transform(ws, w -> conv(substring(md5(w),1,8),
+  * 16,10))`, 16 stacked `array_min(transform(...))` signatures, 16
+  * `aggregate(...)` bit sums) are correct but interpreted: Spark's
+  * higher-order functions are CodegenFallback and evaluate their lambda
+  * per ELEMENT through the expression interpreter. These expressions
+  * compute the same values in one JVM pass per ROW — bit-identical to the
+  * declarative forms and to the DuckDB oracle (the hash is the first 4
+  * md5 bytes as an unsigned int = the first 8 hex chars as an integer).
+  */
+object TextHashes {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 4 bytes of md5(bytes) as an unsigned 32-bit value. */
+  def md5_32(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** hash32_array(array<string>) -> array<long>: md5_32 per element. */
+  case class Hash32Array(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val out = new Array[Long](a.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = md5_32(a.getUTF8String(i).getBytes)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** minhash_sigs(array<long>) -> array<long>: for each (a,b) in the hash
+    * family, min over elements of (a*h + b) mod prime. Null on an empty
+    * array (as array_min would be). */
+  case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long],
+                         prime: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(as.length == bs.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any = {
+      val h = arr.asInstanceOf[ArrayData]
+      val n = h.numElements()
+      if (n == 0) return null
+      val k = as.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      val aArr = as.toArray
+      val bArr = bs.toArray
+      var i = 0
+      while (i < n) {
+        val hv = h.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (aArr(j) * hv + bArr(j)) % prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** simhash16(array<long>) -> long: sign-aggregated 16-bit fingerprint
+    * over bits 0..15 of each element hash. */
+  case class SimHash16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(arr: Any): Any = {
+      val h = arr.asInstanceOf[ArrayData]
+      val counts = new Array[Long](16)
+      var i = 0
+      val n = h.numElements()
+      while (i < n) {
+        val hv = h.getLong(i)
+        var j = 0
+        while (j < 16) {
+          counts(j) += ((hv >> j) & 1L) * 2 - 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 16) {
+        if (counts(j) > 0) fp |= 1L << j
+        j += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
+  def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
+    column(MinHashSigs(expression(c), as, bs, prime))
+  def simhash16(c: Column): Column = column(SimHash16(expression(c)))
+}

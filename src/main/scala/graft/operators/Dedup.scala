@@ -45,13 +45,15 @@ object Dedup {
   /** Verified-Jaccard near-dup threshold. */
   val JaccardThreshold = 0.9
 
-  /** doc_id + distinct word set + per-word 32-bit hashes. */
+  /** doc_id + distinct word set + per-word 32-bit hashes (one imperative
+    * pass — graft.functions.TextHashes — instead of an interpreted
+    * per-element HOF lambda; values identical). */
   private def docWords(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
       col("doc_id"), col("lang"),
       normText(col("text")).as("ntext"),
       array_distinct(tokens(col("text"))).as("ws"))
-      .withColumn("hws", transform(col("ws"), w => hash32(w)))
+      .withColumn("hws", graft.functions.TextHashes.hash32_array(col("ws")))
 
   /** Exact dedup: sha256 over normalized text; keep-first by doc_id within
     * each hash group. Per-doc output so the oracle checks the whole
@@ -68,19 +70,18 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"), col("group_size"),
         col("is_kept"))
 
-  /** MinHash signature columns s0..s{k-1} (min over words of (a*h+b) mod P). */
-  private def withSignature(words: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(words) { (df, i) =>
-      df.withColumn(s"s$i", array_min(transform(col("hws"),
-        h => (lit(hashA(i)) * h + lit(hashB(i))) % lit(MinHashPrime))))
-    }
-
   /** (doc_id, nw, band_j, band_key) — one row per LSH band; nw (distinct
-    * word count) rides along for the size-ratio prune. */
+    * word count) rides along for the size-ratio prune. The whole k-hash
+    * signature is ONE expression (TextHashes.minhash_sigs) computing all
+    * mins in a single pass over the word hashes. */
   private def bands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = withSignature(docWords(spark, sfDir))
+    val sig = docWords(spark, sfDir).withColumn("sigs",
+      graft.functions.TextHashes.minhash_sigs(col("hws"),
+        (0 until NumHashes).map(hashA),
+        (0 until NumHashes).map(hashB), MinHashPrime))
     val bandKeys = array((0 until NumBands).map { j =>
-      concat_ws("_", (0 until BandSize).map(r => col(s"s${j * BandSize + r}")): _*)
+      concat_ws("_", (0 until BandSize).map(r =>
+        element_at(col("sigs"), j * BandSize + r + 1)): _*)
     }: _*)
     sig.select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
       posexplode(bandKeys).as(Seq("band_j", "band_key")))
@@ -134,21 +135,12 @@ object Dedup {
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is
     * the sign of Σ_words (±1 by bit j of the word hash). Shuffle-free until
     * the tiny collision-count aggregate. */
-  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = docWords(spark, sfDir)
-    val withSums = (0 until 16).foldLeft(base) { (df, j) =>
-      df.withColumn(s"b$j",
-        aggregate(col("hws"), lit(0L),
-          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)))
-    }
-    val fp = (0 until 16).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    withSums
-      .withColumn("simhash", fp)
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docWords(spark, sfDir)
+      .withColumn("simhash", graft.functions.TextHashes.simhash16(col("hws")))
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select(col("doc_id"), col("simhash"), col("n_same_fp"))
-  }
 
   /** Character 3-gram Jaccard between documents in the same block
     * (lang, normalized char count) — word-shuffle duplicates have identical
@@ -185,7 +177,7 @@ object Dedup {
       .withColumn("grams", array_distinct(
         transform(sequence(lit(1), length(col("ntext")) - 4),
           i => col("ntext").substr(i, lit(5)))))
-      .withColumn("hs", transform(col("grams"), g => hash32(g)))
+      .withColumn("hs", graft.functions.TextHashes.hash32_array(col("grams")))
       .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
