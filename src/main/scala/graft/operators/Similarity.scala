@@ -35,16 +35,17 @@ object Similarity {
 
   private val idx: Column = sequence(lit(1), lit(Dim))
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Sequential-fold dot product — the imperative kernel
+    * (graft.functions.VectorOps) with the same left-to-right double fold
+    * as the declarative aggregate/transform form and the oracle. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(transform(idx, k => element_at(a, k) * element_at(b, k)),
-      lit(0d), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot_seq(a, b)
 
   /** vec_id, v (double array), n2 (squared norm). */
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("n2", graft.functions.VectorOps.norm2_seq(col("v")))
 
   private def rankTopK(scored: DataFrame): DataFrame =
     scored
@@ -68,22 +69,12 @@ object Similarity {
     rankTopK(scored)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * Knuth-hash of the flat index mapped into [-0.5, 0.5). Identical
-    * expression in the oracle SQL. */
-  private def planeAt(j: Int, d: Column): Column =
-    ((lit(j * Dim.toLong) + d) * lit(2654435761L) % lit(4294967296L))
-      .cast("double") / lit(4294967296.0) - lit(0.5)
-
   /** LSH bucket id: sign bits of the projections onto NumPlanes
-    * deterministic hyperplanes. */
+    * deterministic hyperplanes (Knuth-hashed flat index → [-0.5, 0.5)),
+    * computed by the imperative kernel with the same arithmetic as the
+    * oracle's generate_series form. */
   private def bucketOf(v: Column): Column =
-    (0 until NumPlanes).map { j =>
-      val proj = aggregate(
-        transform(idx, d => element_at(v, d) * planeAt(j, d)),
-        lit(0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorOps.srp_bucket(v, NumPlanes, Dim)
 
   /** Cosine near-duplicate threshold for [[embeddingNearDup]]. */
   val NearDupCosine = 0.35
@@ -99,10 +90,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos",
-        aggregate(transform(idx,
-            k => element_at(col("x.v"), k) * element_at(col("y.v"), k)),
-          lit(0d), (acc, p) => acc + p)
-          / (sqrt(col("x.n2")) * sqrt(col("y.n2"))))
+        dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))))
       .filter(col("cos") >= NearDupCosine)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))
