@@ -112,9 +112,33 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** char_grams_distinct(string, n) -> array<string>: all distinct
+    * character n-grams in first-occurrence order — identical to
+    * `array_distinct(transform(sequence(1, length-n+1), i ->
+    * substr(s, i, n)))` (substrings via UTF8String.substringSQL, the same
+    * code-point semantics as the substr Column). */
+  case class CharGramsDistinct(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any = {
+      val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val total = str.numChars() - n + 1
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 1
+      while (i <= total) {
+        seen.add(str.substringSQL(i, n))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
+  def char_grams_distinct(c: Column, n: Int): Column =
+    column(CharGramsDistinct(expression(c), n))
   def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     column(MinHashSigs(expression(c), as, bs, prime))
   def simhash16(c: Column): Column = column(SimHash16(expression(c)))

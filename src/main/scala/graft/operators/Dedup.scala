@@ -151,9 +151,8 @@ object Dedup {
         col("doc_id"), col("lang"),
         normText(col("text")).as("ntext"))
       .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
-      .withColumn("grams", array_distinct(
-        transform(sequence(lit(1), length(col("ntext")) - 2),
-          i => col("ntext").substr(i, lit(3)))))
+      .withColumn("grams",
+        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3))
       .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("grams"))
     g.as("a").join(g.as("b"),
         col("a.lang") === col("b.lang") &&
@@ -174,9 +173,8 @@ object Dedup {
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
         col("doc_id"), normText(col("text")).as("ntext"))
-      .withColumn("grams", array_distinct(
-        transform(sequence(lit(1), length(col("ntext")) - 4),
-          i => col("ntext").substr(i, lit(5)))))
+      .withColumn("grams",
+        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 5))
       .withColumn("hs", graft.functions.TextHashes.hash32_array(col("grams")))
       .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
       .select(col("doc_id"),

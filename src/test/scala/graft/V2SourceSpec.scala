@@ -72,6 +72,40 @@ class V2SourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end consume lifecycle: v2 tail feeds group-offset commits") {
+    import spark.implicits._
+    import graft.streaming.GroupOffsets
+    val dir = Files.createTempDirectory("flyq-e2e").toString
+    val ckpt = Files.createTempDirectory("flyq-e2e-ckpt").toString
+    SegmentFiles.writeSegment(dir, "e2e", 0,
+      (0L until 5L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    SegmentFiles.writeSegment(dir, "e2e", 1,
+      (0L until 3L).map(i => Record(i, 2000 + i, null, str(s"w$i"))))
+    // the reference's two-phase consume/commit (SURVEY §3.2): each consumed
+    // record yields a commit of next-offset-to-read = consumed + 1
+    val commits = spark.readStream
+      .format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", "e2e").load(dir)
+      .select(lit("grp-a").as("grp"), col("part_id").as("partId"),
+        (col("msg_offset") + 1).as("offset"))
+      .as[GroupOffsets.Commit]
+    val q = GroupOffsets.track(commits)
+      .writeStream.format("memory").queryName("e2e_offsets")
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def committed(): Map[Long, Long] = spark.table("e2e_offsets")
+        .groupBy("partId").agg(max("committed").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(committed() === Map(0L -> 5L, 1L -> 3L))
+      // new segment rolls in partition 0; tracker advances monotonically
+      SegmentFiles.writeSegment(dir, "e2e", 0,
+        (5L until 7L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+      q.processAllAvailable()
+      assert(committed() === Map(0L -> 7L, 1L -> 3L))
+    } finally q.stop()
+  }
+
   test("v2 schema matches the batch reader's") {
     assert(FlyqSegmentSource.schema.fieldNames.toSeq ===
       Seq("part_id", "base_off", "msg_offset", "ts_ms", "mkey", "mvalue", "headers"))
