@@ -88,10 +88,11 @@ object OracleSql {
                   AND a.doc_id < b.doc_id
                   AND least(a.nw, b.nw) * 10 >= greatest(a.nw, b.nw) * 9),
     ver AS (SELECT c.doc_a, c.doc_b,
-                   round(len(list_intersect(wa.ws, wb.ws))
-                     / CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS DOUBLE), 6) AS jaccard
-            FROM cand c JOIN words wa ON c.doc_a = wa.doc_id
-                        JOIN words wb ON c.doc_b = wb.doc_id),
+                   round(len(list_intersect(ha.hws, hb.hws))
+                     / CAST(len(list_distinct(ha.hws)) + len(list_distinct(hb.hws))
+                            - len(list_intersect(ha.hws, hb.hws)) AS DOUBLE), 6) AS jaccard
+            FROM cand c JOIN hw ha ON c.doc_a = ha.doc_id
+                        JOIN hw hb ON c.doc_b = hb.doc_id),
     nd_pairs AS (SELECT doc_a, doc_b, jaccard FROM ver
                  WHERE jaccard >= ${Dedup.JaccardThreshold})"""
   }
@@ -452,6 +453,21 @@ object OracleSql {
     "repeat_customers" -> """
       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
       INTERSECT
-      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+
+    "asof_click_purchase" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      w AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS click_ts,
+               last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS click_value
+        FROM ev
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id AS purchase_id, user_id, click_id,
+             epoch_ms(ts) - epoch_ms(click_ts) AS ms_since_click,
+             CAST(click_value AS DOUBLE) AS click_value
+      FROM w WHERE event_type = 'purchase'"""
   )
 }

@@ -58,6 +58,7 @@ object SparkEntry {
     "supplier_rollup" -> (Relational.supplierRollup(_, _)),
     "order_priority_rank" -> (Relational.orderPriorityRank(_, _)),
     "repeat_customers" -> (Relational.repeatCustomers(_, _)),
+    "asof_click_purchase" -> (Relational.asofClickPurchase(_, _)),
   )
 
   /** DuckDB twins for the driver's correctness gate. Keys must be a subset

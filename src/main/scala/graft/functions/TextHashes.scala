@@ -134,9 +134,46 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** jaccard_long(array<long>, array<long>) -> double: DISTINCT-set
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) via sort-merge (no boxing, no
+    * intermediate arrays) — same value as
+    * `len(list_intersect(a,b)) / (len(list_distinct(a)) +
+    * len(list_distinct(b)) - len(list_intersect(a,b)))` in DuckDB. */
+  case class JaccardLong(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def sortedDistinct(d: ArrayData): Array[Long] = {
+      val a = d.toLongArray()
+      java.util.Arrays.sort(a)
+      var n = 0
+      var i = 0
+      while (i < a.length) {
+        if (n == 0 || a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(a, n)
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = sortedDistinct(l.asInstanceOf[ArrayData])
+      val b = sortedDistinct(r.asInstanceOf[ArrayData])
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
+  def jaccard_long(a: Column, b: Column): Column =
+    column(JaccardLong(expression(a), expression(b)))
   def char_grams_distinct(c: Column, n: Int): Column =
     column(CharGramsDistinct(expression(c), n))
   def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =

@@ -109,13 +109,16 @@ object Dedup {
             greatest(col("a.nw"), col("b.nw")) * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val w = docWords(spark, sfDir).select(col("doc_id"), col("ws"))
+    // verify on the hashed shingle sets (standard MinHash practice): long
+    // sort-merge jaccard, no per-pair array materialization; identical to
+    // the oracle's list_intersect/list_distinct arithmetic on hws.
+    val w = docWords(spark, sfDir).select(col("doc_id"), col("hws"))
     pairs
       .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
       .join(w.as("wb"), col("doc_b") === col("wb.doc_id"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double")
-          / size(array_union(col("wa.ws"), col("wb.ws"))), 6))
+        round(graft.functions.TextHashes.jaccard_long(
+          col("wa.hws"), col("wb.hws")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

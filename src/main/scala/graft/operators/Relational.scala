@@ -157,4 +157,26 @@ object Relational {
       ord.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
     custIn(1995).intersect(custIn(1996))
   }
+
+  /** AS-OF join — an operator Spark lacks natively, composed from existing
+    * ops (preference (a) in the build rules): for each purchase, the most
+    * recent click at-or-before it by the same user, via a running
+    * last-non-null over the (ts, event_id) total order. One shuffle by
+    * user_id (the natural key) — the same plan shape an AsOfJoinExec would
+    * produce, with no range-join explosion. */
+  def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(spark, sfDir, "events")
+      .withColumn("last_click",
+        last(when(col("event_type") === "click",
+          struct(col("event_id"), col("ts"), col("value"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click.event_id").as("click_id"),
+        (unix_millis(col("ts")) - unix_millis(col("last_click.ts")))
+          .as("ms_since_click"),
+        col("last_click.value").cast("double").as("click_value"))
+  }
 }
