@@ -298,13 +298,16 @@ object OracleSql {
 
     "ngram_jaccard" -> s"""WITH $textCtes,
       g AS (SELECT doc_id, lang, n_chars_norm,
-                   list_distinct(list_transform(
-                     generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
-                     i -> substr(ntext, i, 3))) AS grams
+                   list_transform(
+                     list_distinct(list_transform(
+                       generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
+                       i -> substr(ntext, i, 3))),
+                     g3 -> CAST('0x' || substr(md5(g3), 1, 8) AS BIGINT)) AS hgs
             FROM tok),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.grams, b.grams))
-                     / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS ngram_jaccard
+                   round(len(list_intersect(a.hgs, b.hgs))
+                     / CAST(len(list_distinct(a.hgs)) + len(list_distinct(b.hgs))
+                            - len(list_intersect(a.hgs, b.hgs)) AS DOUBLE), 6) AS ngram_jaccard
             FROM g a JOIN g b
               ON a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
                  AND a.doc_id < b.doc_id)

@@ -154,16 +154,16 @@ object Dedup {
         col("doc_id"), col("lang"),
         normText(col("text")).as("ntext"))
       .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
-      .withColumn("grams",
-        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3))
-      .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("grams"))
+      .withColumn("hgs", graft.functions.TextHashes.hash32_array(
+        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
+      .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
     g.as("a").join(g.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.n_chars_norm") === col("b.n_chars_norm") &&
           col("a.doc_id") < col("b.doc_id"))
       .withColumn("ngram_jaccard",
-        round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
-          / size(array_union(col("a.grams"), col("b.grams"))), 6))
+        round(graft.functions.TextHashes.jaccard_long(
+          col("a.hgs"), col("b.hgs")), 6))
       .filter(col("ngram_jaccard") >= 0.5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("ngram_jaccard"))

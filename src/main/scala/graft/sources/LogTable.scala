@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PRODUCTION storage story the log-model scaladocs reference: offsets
+  * are assigned once at ingest (streaming or Broker.produce) and then
+  * MATERIALIZED as a parquet table partitioned by part_id — so every batch
+  * query reads them as data instead of recomputing the assignment window.
+  *
+  * This is the Spark mapping of the reference's on-disk hierarchy
+  * (topic dir → partition dir → segments, `topic.rs:21-26`): directory
+  * partitioning plays the partition dirs, `maxRecordsPerFile` plays
+  * segment rotation, and parquet row-group stats play the sparse index
+  * (SURVEY §1.3) — consume-style predicates prune partitions AND skip
+  * row groups with zero custom code.
+  */
+object LogTable {
+
+  /** Rotation analog: records per parquet file within a partition dir. */
+  val RecordsPerFile = 4096
+
+  def materialize(log: DataFrame, path: String,
+                  recordsPerFile: Int = RecordsPerFile): Unit =
+    log.write.mode("overwrite")
+      .partitionBy("part_id")
+      .option("maxRecordsPerFile", recordsPerFile.toLong)
+      .parquet(path)
+
+  /** Consume-style pruned scan: `WHERE part_id = p AND msg_offset >= o`
+    * hits only one partition directory (partition pruning) and skips row
+    * groups below the offset (parquet min/max stats) — the Spark analog of
+    * the reference's segment floor-seek (`partition.rs:144-165`). */
+  def scanFrom(spark: SparkSession, path: String, partId: Long,
+               fromOffset: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("part_id") === partId && col("msg_offset") >= fromOffset)
+}
