@@ -27,6 +27,22 @@ object GroupOffsets {
   case class Commit(grp: String, partId: Long, offset: Long)
   case class Committed(grp: String, partId: Long, committed: Long)
 
+  /** The state-transition function, exposed so the timeout/eviction branch
+    * is unit-testable with TestGroupState (no live stream needed). */
+  def updateGroup(key: (String, Long), rows: Iterator[Commit],
+                  state: GroupState[Long],
+                  idleTimeout: Option[String]): Iterator[Committed] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val incoming = rows.map(_.offset).max
+      val next = math.max(state.getOption.getOrElse(-1L), incoming)
+      state.update(next)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      Iterator.single(Committed(key._1, key._2, next))
+    }
+
   def track(commits: Dataset[Commit],
             idleTimeout: Option[String] = None): Dataset[Committed] = {
     import commits.sparkSession.implicits._
@@ -35,18 +51,6 @@ object GroupOffsets {
       else GroupStateTimeout.NoTimeout()
     commits.groupByKey(c => (c.grp, c.partId))
       .flatMapGroupsWithState[Long, Committed](
-        OutputMode.Update(), timeoutConf) {
-        case ((grp, partId), rows, state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val incoming = rows.map(_.offset).max
-            val next = math.max(state.getOption.getOrElse(-1L), incoming)
-            state.update(next)
-            idleTimeout.foreach(state.setTimeoutDuration)
-            Iterator.single(Committed(grp, partId, next))
-          }
-      }
+        OutputMode.Update(), timeoutConf)(updateGroup(_, _, _, idleTimeout))
   }
 }

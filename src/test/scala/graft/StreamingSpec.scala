@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("opt-in eviction: timed-out group state is removed; live commits renew") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // timed-out invocation → state removed, nothing emitted
+    val timedOut = TestGroupState.create[Long](Optional.of(5L),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long], hasTimedOut = true)
+    val out = GroupOffsets.updateGroup(("a", 0L), Iterator.empty, timedOut,
+      Some("1 hour"))
+    assert(out.isEmpty)
+    assert(timedOut.isRemoved)
+    // live invocation → monotone update + timeout re-armed
+    val live = TestGroupState.create[Long](Optional.of(5L),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long], hasTimedOut = false)
+    val emitted = GroupOffsets.updateGroup(("a", 0L),
+      Iterator(Commit("a", 0L, 3L)), live, Some("1 hour")).toSeq
+    assert(emitted === Seq(GroupOffsets.Committed("a", 0L, 5L))) // stale 3 < 5
+    assert(live.get === 5L)
+    assert(!live.isRemoved)
+  }
+
   test("windowed counts with event-time watermark over ingested segments") {
     val dir = Files.createTempDirectory("flyq-win").toString
     val ckpt = Files.createTempDirectory("flyq-win-ckpt").toString
