@@ -37,6 +37,8 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
+    // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
+    "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),

@@ -169,9 +169,39 @@ object TextHashes {
       copy(left = l, right = r)
   }
 
+  /** stopword_hits(array<string>) -> array<long>: per language-table count
+    * of tokens present in that table — one pass over tokens with hashed
+    * membership, same counts as `size(filter(tokens, t -> t IN (...)))`
+    * per language. */
+  case class StopwordHits(child: Expression, tables: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val sets: Array[Set[org.apache.spark.unsafe.types.UTF8String]] =
+      tables.map(_.map(org.apache.spark.unsafe.types.UTF8String.fromString).toSet).toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val counts = new Array[Long](sets.length)
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val tok = a.getUTF8String(i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(tok)) counts(j) += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(counts)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
+  def stopword_hits(c: Column, tables: Seq[Seq[String]]): Column =
+    column(StopwordHits(expression(c), tables))
   def jaccard_long(a: Column, b: Column): Column =
     column(JaccardLong(expression(a), expression(b)))
   def char_grams_distinct(c: Column, n: Int): Column =

@@ -74,14 +74,14 @@ object TextAnalysis {
     * with deterministic tie-break (max hits, then language code asc; 'und'
     * on zero hits). Mirrors the oracle SQL expression-for-expression. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tokens(col("text"))
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.foldLeft(docs(spark, sfDir)) { (df, lang) =>
-      val words = stopwords(lang)
-      df.withColumn(s"hits_$lang",
-        size(filter(t, x => words.map(w => x === lit(w)).reduce(_ || _)))
-          .cast("long"))
-    }
+    val hitsArr = graft.functions.TextHashes.stopword_hits(
+      tokens(col("text")), langs.map(stopwords))
+    val scored = docs(spark, sfDir)
+      .withColumn("hits_all", hitsArr)
+      .select(col("*") +: langs.zipWithIndex.map { case (lang, i) =>
+        element_at(col("hits_all"), i + 1).as(s"hits_$lang")
+      }: _*)
     val mx = greatest(langs.map(l => col(s"hits_$l")): _*)
     val pred = langs.foldRight(lit("und")) { (l, acc) =>
       when(col(s"hits_$l") === col("mx"), lit(l)).otherwise(acc)
@@ -99,4 +99,18 @@ object TextAnalysis {
     langId(spark, sfDir)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Sketch coverage: HLL++ approximate distinct users per event type next
+    * to the exact count and relative error. No oracle twin (DuckDB's HLL
+    * is a different sketch) — deterministic for fixed data, bounded by the
+    * PipelineSpec error assertion; at 100 TB the approx column is a
+    * partial-aggregable sketch merge while exact needs a full shuffle. */
+  def approxUserCount(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", 0.02).as("approx_users"))
+      .withColumn("rel_err",
+        round(abs(col("approx_users") - col("exact_users"))
+          .cast("double") / col("exact_users"), 4))
 }

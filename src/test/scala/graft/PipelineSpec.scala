@@ -88,6 +88,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter($"c_exact" =!= $"c_ann").count() === 0)
   }
 
+  test("HLL sketch stays within its error bound against the exact count") {
+    val rows = TextAnalysis.approxUserCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.1,
+        s"event_type ${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("typed decode pipeline matches the relational multimodal query") {
     val media = graft.sources.Tables.load(spark, sf, "documents")
       .select($"doc_id", TextAnalysis.normText($"text").as("ntext"))
