@@ -353,6 +353,28 @@ object OracleSql {
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
 
+    "embedding_ann_ivf" -> s"""WITH $embCtes,
+      cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                WHERE vec_id % ${Similarity.CentroidMod} = ${Similarity.CentroidRem}),
+      scored_cells AS (
+        SELECT n.vec_id, n.v, n.n2, c.c_id,
+               list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> n.v[k]*c.cv[k]))
+                 / (sqrt(n.n2) * sqrt(c.cn2)) AS ccos
+        FROM n CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, v, n2, c_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+          FROM scored_cells) WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
+            WHERE vec_id % ${Similarity.QueryMod} = 0),
+      s AS (SELECT q.q_id, a.vec_id,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*a.v[k]))
+                     / (sqrt(q.qn2) * sqrt(a.n2)) AS cos
+            FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+      FROM r WHERE rank <= ${Similarity.TopK}""",
+
     "embedding_near_dup" -> s"""WITH $embCtes,
       b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
       p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -48,6 +48,7 @@ object SparkEntry {
     "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
     "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),
+    "embedding_ann_ivf" -> (Similarity.embeddingAnnIvf(_, _)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage

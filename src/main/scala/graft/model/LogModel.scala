@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   *    straddle a boundary. Same monotone mapping offset→segment, same scale
   *    behavior.
   *
-  * Scale posture (100 TB): `toLog` is a single scan + one hash-partitioned
-  * window. The window shuffles by `part_id` (the topic's partition count);
-  * in a real deployment offsets are assigned at ingest (streaming, see
-  * graft.streaming) and stored, so batch queries read them as data. All
-  * downstream queries are pure aggregations/joins that inherit partition
-  * pruning and AQE.
+  * Scale posture (100 TB): `toLog` is a single scan + the two-phase
+  * grouped prefix ([[graft.plans.OrderedIndex]]) — a range shuffle at full
+  * task parallelism, never a `partitionBy(part_id)` window that would cap
+  * the sort at the topic's partition count. In a real deployment offsets
+  * are assigned at ingest (streaming, see graft.streaming /
+  * graft.sources.Broker) and MATERIALIZED ([[graft.sources.LogTable]]), so
+  * batch queries read them as data with partition pruning; the recompute
+  * here is the oracle-checkable batch definition. All downstream queries
+  * are pure aggregations/joins that inherit pruning and AQE.
   */
 object LogModel {
   /** Partition count of the synthetic topic (reference default is 1,

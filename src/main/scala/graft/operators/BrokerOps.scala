@@ -12,9 +12,12 @@ import graft.model.LogModel._
   * DataFrame transform so the driver's DuckDB oracle can check it.
   *
   * Scale notes apply to all: the log derivation is the only wide stage
-  * (window by part_id); everything downstream is either a partial-aggregable
-  * groupBy on `part_id` (map-side combine, 4..N groups → tiny shuffle) or a
-  * join between two already-tiny aggregates (broadcast).
+  * (two-phase range prefix at full parallelism — see
+  * graft.plans.OrderedIndex); everything downstream is either a
+  * partial-aggregable groupBy on `part_id` (map-side combine, 4..N groups
+  * → tiny shuffle), a `min_by` consume aggregate, or an explode/broadcast
+  * of an already-tiny aggregate. No query funnels raw rows into a
+  * partition-count-bounded sort.
   */
 object BrokerOps {
 

@@ -96,6 +96,38 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Centroid set for the IVF variant: every 100th vector starting at 50
+    * (disjoint from the query set). At real scale these come from k-means;
+    * a deterministic subsample keeps the oracle exact. */
+  val CentroidMod = 100
+  val CentroidRem = 50
+
+  /** IVF approximate top-k: vectors are assigned to their nearest centroid
+    * cell (cosine argmax, N×C scoring with a broadcast centroid list — C
+    * is fixed, so linear in N), and each query searches only its own cell.
+    * The coarse-quantizer analog of [[embeddingAnnLsh]]; both bound
+    * candidates by an equi-join on a cell id. */
+  def embeddingAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vectors(spark, sfDir)
+    val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val assigned = n.join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell"))
+    val scored = assigned.join(broadcast(q),
+        assigned("cell") === q("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    rankTopK(scored)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
   def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
