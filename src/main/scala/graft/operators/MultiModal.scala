@@ -57,6 +57,39 @@ object MultiModal {
     }
   }
 
+  /** A sampled frame reference (video path): which frames a downstream
+    * extractor should decode. */
+  case class FrameRef(media_id: Long, frame_idx: Int, ts_ms: Long)
+
+  /** Deterministic frame sampling: every `stride`-th frame of each medium
+    * (narrow flatMap — no shuffle; the real decoder would extract exactly
+    * these frames in the same per-partition pass). Frame timestamps assume
+    * 25 fps (40 ms per frame). */
+  def sampleFrames(features: Dataset[MediaFeatures],
+                   stride: Int): Dataset[FrameRef] = {
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
+      (0 until f.n_frames by stride).map(i =>
+        FrameRef(f.media_id, i, i * 40L))
+    }
+  }
+
+  case class ResizedMeta(media_id: Long, width: Int, height: Int,
+                         scale: Double)
+
+  /** Resize planning: fit within `maxDim` preserving aspect ratio, never
+    * upscaling (the pixel transform itself would ride the same
+    * mapPartitions batch as the decode). */
+  def resizeMeta(features: Dataset[MediaFeatures],
+                 maxDim: Int): Dataset[ResizedMeta] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val s = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      ResizedMeta(f.media_id, math.round(f.width * s).toInt,
+        math.round(f.height * s).toInt, s)
+    }
+  }
+
   /** Oracle-checkable feature query: documents' normalized text re-encoded
     * as a binary media payload, features derived from the same 32-bit
     * content hash `FakeDecoder` uses. Expression-for-expression twin in

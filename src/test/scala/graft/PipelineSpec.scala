@@ -97,6 +97,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling and resize planning ride the decoded features") {
+    val media = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", TextAnalysis.normText($"text").as("ntext"))
+      .as[(Long, String)]
+      .map { case (id, t) => MediaRecord(id, "text", t.getBytes("UTF-8")) }
+    val feats = MultiModal.decodeFeatures(media).cache()
+    val frames = MultiModal.sampleFrames(feats, stride = 5)
+    val perMedia = frames.groupBy("media_id").count()
+      .join(feats.select($"media_id", $"n_frames"), "media_id")
+    // every-5th sampling: count = ceil(n_frames / 5); timestamps at 40ms
+    assert(perMedia.filter($"count" =!= ceil($"n_frames" / lit(5.0))).count() === 0)
+    assert(frames.filter($"ts_ms" =!= $"frame_idx" * 40L).count() === 0)
+    val resized = MultiModal.resizeMeta(feats, maxDim = 128)
+    val joined = resized.join(feats.select($"media_id", $"width".as("w0"),
+      $"height".as("h0")), "media_id")
+    assert(joined.filter($"width" > 128 || $"height" > 128).count() === 0)
+    assert(joined.filter($"scale" > 1.0).count() === 0) // never upscale
+    // aspect preserved within rounding: |w/h - w0/h0| small
+    assert(joined.filter(abs($"width" / $"height".cast("double")
+      - $"w0" / $"h0".cast("double")) > 0.1).count() === 0)
+  }
+
   test("typed decode pipeline matches the relational multimodal query") {
     val media = graft.sources.Tables.load(spark, sf, "documents")
       .select($"doc_id", TextAnalysis.normText($"text").as("ntext"))
