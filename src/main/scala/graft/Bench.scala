@@ -43,8 +43,11 @@ object Bench {
         val r = materialize(name)
         (if (r.isRight) (System.nanoTime() - t0) / 1e9 else -1.0, r.left.toOption)
       }
-      val err = runs.collectFirst { case (_, Some(e)) => e }
       val ok = runs.collect { case (s, None) => s }
+      // only report an error when NO run succeeded — a transient first-run
+      // failure with a good second run is a timing, not a failure
+      val err = if (ok.isEmpty) runs.collectFirst { case (_, Some(e)) => e }
+                else None
       (name, if (ok.nonEmpty) ok.min else -1.0, err)
     }
     def jstr(s: String): String =

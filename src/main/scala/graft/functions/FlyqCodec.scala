@@ -90,13 +90,18 @@ object FlyqCodec {
     val recordLen = buf.getInt
     // 28 = 8 offset + 8 ts + 3×4 mandatory length fields (a 24..27 value
     // would mis-frame into the next record); every inner length must also
-    // fit the remaining buffer BEFORE allocating, so corrupt (not merely
-    // truncated) bytes fail cleanly instead of NegativeArraySizeException /
-    // multi-GB allocations (round-1 advice).
+    // fit — bounded by THIS record's own end, not the whole buffer, so a
+    // corrupt record can never consume the following records' bytes and
+    // silently mis-frame (and never NegativeArraySizeException / multi-GB
+    // allocate on garbage lengths).
     require(recordLen >= 28 && recordLen <= buf.remaining(),
       s"bad record_len $recordLen at $pos")
+    val recordEnd = buf.position() + recordLen
     def checkedBytes(len: Int, what: String): Array[Byte] = {
-      require(len >= 0 && len <= buf.remaining(), s"bad $what length $len at $pos")
+      // long math: position + a near-Int.MaxValue corrupt length would
+      // wrap negative and sail past the bound
+      require(len >= 0 && buf.position().toLong + len <= recordEnd,
+        s"bad $what length $len at $pos")
       val a = new Array[Byte](len); buf.get(a); a
     }
     val offset = buf.getLong
@@ -105,7 +110,7 @@ object FlyqCodec {
     val key = if (klen == 0) null else checkedBytes(klen, "key")
     val value = checkedBytes(buf.getInt, "value")
     val hn = buf.getInt
-    require(hn >= 0 && hn.toLong * 8 <= buf.remaining(),
+    require(hn >= 0 && buf.position() + hn.toLong * 8 <= recordEnd,
       s"bad header_count $hn at $pos")
     val headers = if (hn == 0) null else {
       val rows = new Array[Any](hn)

@@ -133,9 +133,14 @@ object BrokerOps {
     // a min_by aggregate. Both branches share the same `l` plan, so the
     // log derivation's range shuffle is computed once and reused.
     val l = log(spark, sfDir)
-    val committedExpr =
-      if (group == "billing") max("msg_offset")
-      else floor(max("msg_offset") / 2).cast("long")
+    // unknown groups default to committed = 0 (reference
+    // `log_engine.rs:146-157`: OffsetTracker fetch falls back to 0, so an
+    // untracked group reads from the beginning)
+    val committedExpr = group match {
+      case "analytics" => floor(max("msg_offset") / 2).cast("long")
+      case "billing" => max("msg_offset")
+      case _ => lit(0L)
+    }
     val committed = l.groupBy("part_id").agg(committedExpr.as("committed"))
     l.join(broadcast(committed), Seq("part_id"))
       .filter(col("msg_offset") >= col("committed"))

@@ -132,7 +132,7 @@ object Dedup {
       .select(col("doc_b").as("doc_id")).distinct()
     docs(spark, sfDir).select(col("doc_id"))
       .join(dropped.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dropped") === lit(false), lit(true)).as("is_kept"))
+      .select(col("doc_id"), col("dropped").isNull.as("is_kept"))
   }
 
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is

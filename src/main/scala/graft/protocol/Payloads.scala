@@ -86,6 +86,13 @@ object Payloads {
       val a = new Array[Byte](buf.remaining()); buf.get(a); a
     }
     def atEnd: Boolean = buf.remaining() == 0
+    /** Bound an attacker-controlled element count by the bytes that could
+      * possibly hold it — without this, a corrupt count of 0xFFFFFFFF
+      * would spin ~4.3e9 fold iterations before failing. */
+    def boundedCount(n: Long, minElemBytes: Int, what: String): Either[String, Long] =
+      if (n < 0 || n > buf.remaining().toLong / minElemBytes)
+        Left(s"implausible $what count $n for ${buf.remaining()} remaining bytes")
+      else Right(n)
   }
 
   private def decodeUtf8(b: Array[Byte], what: String): Either[String, String] = {
@@ -208,7 +215,7 @@ object Payloads {
         topics <- flag match {
           case 0 => Right(None)
           case 1 =>
-            in.u32().flatMap { n =>
+            in.u32().flatMap(in.boundedCount(_, 4, "topic")).flatMap { n =>
               (0L until n).foldLeft[Either[String, Vector[String]]](
                 Right(Vector.empty)) { (acc, _) =>
                 acc.flatMap(v => in.string("topic").map(v :+ _))
@@ -272,7 +279,7 @@ object Payloads {
         key <- in.blob(klen, "key")
         vlen <- in.u32()
         value <- in.blob(vlen, "value")
-        hn <- in.u32()
+        hn <- in.u32().flatMap(in.boundedCount(_, 8, "header"))
         headers <- (0L until hn).foldLeft[Either[String, Vector[(String, Array[Byte])]]](
           Right(Vector.empty)) { (acc, _) =>
           acc.flatMap { v =>
@@ -336,7 +343,7 @@ object Payloads {
       for {
         group <- in.string("consumer group")
         total <- in.u64()
-        n <- in.u32()
+        n <- in.u32().flatMap(in.boundedCount(_, 32, "partition-lag"))
         parts <- (0L until n).foldLeft[Either[String, Vector[PartitionLag]]](
           Right(Vector.empty)) { (acc, _) =>
           acc.flatMap { v =>

@@ -32,17 +32,27 @@ import graft.plans.OrderedIndex
 object Broker {
 
   /** `df` schema: mkey binary (nullable), mvalue binary, ts_ms long, plus
-    * the `orderCols` that define arrival order. */
+    * the `orderCols` that define arrival order. `orderCols` MUST be a
+    * total order (include a unique tiebreaker): ties would make arrival
+    * indices — and therefore routing and offsets — nondeterministic across
+    * stage retries, so there is deliberately no default. */
   def produce(df: DataFrame, baseDir: String, topic: String,
+              orderCols: Seq[String],
               numPartitions: Int = LogModel.NumPartitions,
               segMaxBytes: Long = LogModel.SegmentMaxBytes,
-              orderCols: Seq[String] = Seq("ts_ms"),
               indexInterval: Int = SegmentFiles.IndexInterval): Unit = {
     val arrival = OrderedIndex.withExclusivePrefix(
       df, Seq.empty, orderCols, None, "arrival_idx")
-    val routed = arrival.withColumn("part_id",
-      when(col("mkey").isNull,
-        pmod(col("arrival_idx"), lit(numPartitions.toLong)))
+    // keyless messages cycle over THEIR OWN dense arrival sequence (the
+    // reference's counter increments only per keyless produce,
+    // `topic.rs:79-83`) — pmod over the global index would skew whenever
+    // keyless arrivals stride with numPartitions
+    val keyedFlag = arrival.withColumn("keyless", col("mkey").isNull)
+    val withRR = OrderedIndex.withExclusivePrefix(
+      keyedFlag, Seq("keyless"), Seq("arrival_idx"), None, "class_idx")
+    val routed = withRR.withColumn("part_id",
+      when(col("keyless"),
+        pmod(col("class_idx"), lit(numPartitions.toLong)))
         .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
         .cast("long"))
     val withOffsets = OrderedIndex.withExclusivePrefix(

@@ -23,12 +23,14 @@ import graft.functions.FlyqCodec
   * recovery replay (`partition.rs:144-165`, `segment.rs:188-265`) at the
   * planner level instead of behind a global engine mutex.
   *
-  * Offset model: per segment file, the count of bytes fully processed —
-  * `latestOffset` lists files and sizes (driver, metadata-only);
+  * Offset model: per segment file, the byte position of the last COMPLETE
+  * record boundary — `latestOffset` lists files and walks the delta's
+  * length-prefix headers to align on a boundary (so a record torn by a
+  * mid-append listing is never split across batches or lost);
   * `planInputPartitions` diffs two offsets into (file, startPos, endPos)
-  * splits, one task per grown/new segment. Bytes past the last decodable
-  * record boundary in a split are skipped, exactly like the reference's
-  * torn-tail recovery (stop at first parse failure).
+  * splits, one task per grown/new segment. A corrupt record freezes the
+  * file's offset at the corruption point, mirroring the reference's
+  * recovery replay (stop at first parse failure).
   *
   * Unlike the `binaryFile` stand-in ([[graft.streaming.LogStream]]), this
   * source re-reads NOTHING when a segment grows: only the byte delta is
@@ -93,21 +95,79 @@ object FlyqOffset {
 class FlyqMicroBatchStream(path: String, topic: Option[String])
     extends MicroBatchStream {
 
+  /** Session Hadoop conf captured at stream creation (driver) and shipped
+    * to readers as a plain map — a fresh `new Configuration()` on the
+    * executor would lose fs.defaultFS / s3a credentials and break on any
+    * non-local filesystem. */
+  private val hadoopConfMap: Map[String, String] = {
+    val c = SparkSession.active.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private def driverConf: org.apache.hadoop.conf.Configuration =
+    FlyqMicroBatchStream.confFromMap(hadoopConfMap)
+
+  /** Walk the length-prefix chain over [from, size) and return the last
+    * COMPLETE record boundary — offsets only ever advance to record
+    * boundaries, so a record torn at listing time (writer mid-append) is
+    * simply picked up whole by a later batch instead of being split across
+    * two batches and silently lost. Reads only the 4-byte length headers
+    * of the delta. A corrupt length (< 28) freezes the boundary at the
+    * corruption point — nothing after a damaged record is silently
+    * skipped (the reference's recovery also stops at first parse failure,
+    * `segment.rs:213-231`). */
+  private def alignedEnd(fs: FileSystem, p: Path, from: Long, size: Long): Long = {
+    if (size <= from) return from
+    val in = fs.open(p)
+    try {
+      val lenBuf = new Array[Byte](4)
+      var pos = from
+      var done = false
+      while (!done && pos + 4 <= size) {
+        in.seek(pos)
+        in.readFully(lenBuf, 0, 4)
+        val recLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
+        if (recLen < 28 || pos + 4L + recLen > size) done = true
+        else pos += 4L + recLen
+      }
+      pos
+    } finally in.close()
+  }
+
   private def listSegments(): Map[String, Long] = {
     val glob = topic match {
       case Some(t) => s"$path/topic_$t/partition_*/segment_*.log"
       case None => s"$path/topic_*/partition_*/segment_*.log"
     }
-    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(glob)
-    val fs = p.getFileSystem(hadoopConf)
+    val fs = p.getFileSystem(driverConf)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    statuses.map(s => s.getPath.toUri.getPath -> s.getLen).toMap
+    // full URI string so the executor resolves the same filesystem
+    statuses.map(s => s.getPath.toString -> s.getLen).toMap
   }
 
+  @volatile private var lastKnown: Map[String, Long] = Map.empty
+
   override def initialOffset(): Offset = FlyqOffset(Map.empty)
-  override def latestOffset(): Offset = FlyqOffset(listSegments())
-  override def deserializeOffset(json: String): Offset = FlyqOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val sizes = listSegments()
+    val fs = new Path(path).getFileSystem(driverConf)
+    val aligned = sizes.map { case (file, size) =>
+      val from = lastKnown.getOrElse(file, 0L)
+      file -> (if (size > from) alignedEnd(fs, new Path(file), from, size)
+               else from)
+    }
+    lastKnown = aligned
+    FlyqOffset(aligned)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = FlyqOffset.fromJson(json)
+    // resume: seed the incremental walk from the checkpointed boundaries
+    lastKnown = o.fileBytes ++ lastKnown
+    o
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -132,59 +192,78 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new FlyqPartitionReader(p.asInstanceOf[FlyqInputPartition])
-    }
+    FlyqReaderFactory(hadoopConfMap)
+}
+
+object FlyqMicroBatchStream {
+  def confFromMap(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 case class FlyqInputPartition(file: String, startPos: Long, endPos: Long,
                               partId: Long, baseOff: Long) extends InputPartition
 
-/** Reads the byte delta [startPos, endPos) of one segment file, decoding
-  * sequential StoredRecords; stops cleanly at a torn tail. */
-class FlyqPartitionReader(split: FlyqInputPartition)
+case class FlyqReaderFactory(hadoopConfMap: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FlyqPartitionReader(p.asInstanceOf[FlyqInputPartition], hadoopConfMap)
+}
+
+/** Streams the byte delta [startPos, endPos) of one segment file record by
+  * record — never materializes the whole delta (a > 2 GiB delta would
+  * overflow an array), and endPos is always a record boundary (driver
+  * alignment), so a clean stop before endPos means corrupt bytes. */
+class FlyqPartitionReader(split: FlyqInputPartition,
+                          hadoopConfMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
-  private val bytes: Array[Byte] = {
-    val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private val in = {
     val p = new Path(split.file)
-    val fs = p.getFileSystem(hadoopConf)
-    val in = fs.open(p)
-    try {
-      val len = (split.endPos - split.startPos).toInt
-      val buf = new Array[Byte](len)
-      in.seek(split.startPos)
-      in.readFully(buf, 0, len)
-      buf
-    } finally in.close()
+    val stream = p.getFileSystem(
+      FlyqMicroBatchStream.confFromMap(hadoopConfMap)).open(p)
+    stream.seek(split.startPos)
+    stream
   }
-
-  private var pos = 0
+  private var pos = split.startPos
   private var row: InternalRow = _
   private var done = false
 
   override def next(): Boolean = {
-    if (done || pos + 4 > bytes.length) return false
+    if (done || pos + 4 > split.endPos) return false
     try {
-      val (rec, nextPos) = FlyqCodec.decodeRecordAt(bytes, pos)
-      pos = nextPos
+      val lenBuf = new Array[Byte](4)
+      in.readFully(lenBuf, 0, 4)
+      val recLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
+      require(recLen >= 28 && pos + 4L + recLen <= split.endPos,
+        s"bad record_len $recLen at $pos in ${split.file}")
+      val recBuf = new Array[Byte](4 + recLen)
+      System.arraycopy(lenBuf, 0, recBuf, 0, 4)
+      in.readFully(recBuf, 4, recLen)
+      val (rec, _) = FlyqCodec.decodeRecordAt(recBuf, 0)
+      pos += 4L + recLen
       val out = new GenericInternalRow(7)
       out.update(0, split.partId)
       out.update(1, split.baseOff)
       var i = 0
-      while (i < 5) { out.update(2 + i, rec.get(i, FlyqCodec.recordType.fields(i).dataType)); i += 1 }
+      while (i < 5) {
+        out.update(2 + i, rec.get(i, FlyqCodec.recordType.fields(i).dataType))
+        i += 1
+      }
       row = out
       true
     } catch {
-      case _: IllegalArgumentException | _: java.nio.BufferUnderflowException =>
-        // torn tail: skip the undecodable remainder (reference recovery
-        // semantics — stop replay at first parse failure)
+      case _: IllegalArgumentException | _: java.nio.BufferUnderflowException |
+           _: java.io.EOFException =>
+        // corrupt bytes: stop at first parse failure (reference recovery
+        // semantics); the driver-side boundary freeze keeps the offset here
         done = true
         false
     }
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

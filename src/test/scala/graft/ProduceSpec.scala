@@ -46,8 +46,12 @@ class ProduceSpec extends AnyFunSuite {
       count(lit(1)).as("cnt"), countDistinct("msg_offset").as("nd"))
       .filter($"mn" =!= 0 || $"mx" =!= $"cnt" - 1 || $"nd" =!= $"cnt")
     assert(bad.count() === 0)
-    // keyless rows exist and landed somewhere valid
-    assert(back.filter($"mkey".isNull).count() > 0)
+    // keyless rows cycle over ALL partitions (reference topic.rs:79-83 —
+    // a per-keyless counter, NOT pmod of the global arrival index, which
+    // would skew whenever the keyless stride shares a factor with n)
+    val keylessParts = back.filter($"mkey".isNull)
+      .select("part_id").distinct().count()
+    assert(keylessParts === 4L)
   }
 
   test("structured streaming ingests a produce-written topic") {
