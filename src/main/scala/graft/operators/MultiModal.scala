@@ -67,6 +67,7 @@ object MultiModal {
     * 25 fps (40 ms per frame). */
   def sampleFrames(features: Dataset[MediaFeatures],
                    stride: Int): Dataset[FrameRef] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import features.sparkSession.implicits._
     features.flatMap { f =>
       (0 until f.n_frames by stride).map(i =>

@@ -41,22 +41,23 @@ object Broker {
               numPartitions: Int = LogModel.NumPartitions,
               segMaxBytes: Long = LogModel.SegmentMaxBytes,
               indexInterval: Int = SegmentFiles.IndexInterval): Unit = {
-    val arrival = OrderedIndex.withExclusivePrefix(
-      df, Seq.empty, orderCols, None, "arrival_idx")
     // keyless messages cycle over THEIR OWN dense arrival sequence (the
     // reference's counter increments only per keyless produce,
     // `topic.rs:79-83`) — pmod over the global index would skew whenever
-    // keyless arrivals stride with numPartitions
-    val keyedFlag = arrival.withColumn("keyless", col("mkey").isNull)
+    // keyless arrivals stride with numPartitions. The keyless index is the
+    // exclusive prefix SUM of a 0/1 indicator over the global arrival
+    // order, so it folds into one two-phase pass instead of a third one.
     val withRR = OrderedIndex.withExclusivePrefix(
-      keyedFlag, Seq("keyless"), Seq("arrival_idx"), None, "class_idx")
+      df.withColumn("keyless_val",
+        when(col("mkey").isNull, lit(1L)).otherwise(lit(0L))),
+      Seq.empty, orderCols, Some("keyless_val"), "keyless_idx")
     val routed = withRR.withColumn("part_id",
-      when(col("keyless"),
-        pmod(col("class_idx"), lit(numPartitions.toLong)))
+      when(col("mkey").isNull,
+        pmod(col("keyless_idx"), lit(numPartitions.toLong)))
         .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
         .cast("long"))
     val withOffsets = OrderedIndex.withExclusivePrefix(
-      routed, Seq("part_id"), Seq("arrival_idx"), None, "msg_offset")
+      routed, Seq("part_id"), orderCols, None, "msg_offset")
 
     withOffsets
       .repartition(numPartitions, col("part_id"))

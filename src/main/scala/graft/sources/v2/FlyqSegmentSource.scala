@@ -120,15 +120,27 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
     if (size <= from) return from
     val in = fs.open(p)
     try {
-      val lenBuf = new Array[Byte](4)
+      // chunked walk: one positioned read per MiB of delta, lengths parsed
+      // in memory — a seek per record would turn a 1 GiB delta of small
+      // records into millions of driver round-trips per trigger
+      val chunk = new Array[Byte](1 << 20)
       var pos = from
       var done = false
       while (!done && pos + 4 <= size) {
-        in.seek(pos)
-        in.readFully(lenBuf, 0, 4)
-        val recLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
-        if (recLen < 28 || pos + 4L + recLen > size) done = true
-        else pos += 4L + recLen
+        val chunkStart = pos
+        val want = math.min(chunk.length.toLong, size - chunkStart).toInt
+        in.seek(chunkStart)
+        in.readFully(chunk, 0, want)
+        var inChunk = true
+        while (!done && inChunk && pos + 4 <= size) {
+          val off = (pos - chunkStart).toInt
+          if (off + 4 > want) inChunk = false // refill from pos
+          else {
+            val recLen = java.nio.ByteBuffer.wrap(chunk, off, 4).getInt
+            if (recLen < 28 || pos + 4L + recLen > size) done = true
+            else pos += 4L + recLen // may jump past the chunk: refill next
+          }
+        }
       }
       pos
     } finally in.close()
@@ -175,7 +187,11 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
     val s = start.asInstanceOf[FlyqOffset].fileBytes
     val e = end.asInstanceOf[FlyqOffset].fileBytes
     e.toSeq.sortBy(_._1).flatMap { case (file, endPos) =>
-      val startPos = s.getOrElse(file, 0L)
+      // fall back to the scheme-stripped key for checkpoints written when
+      // offsets were keyed by toUri.getPath — otherwise an upgrade would
+      // re-read every file from 0 and duplicate records into the sink
+      val legacyKey = new Path(file).toUri.getPath
+      val startPos = s.getOrElse(file, s.getOrElse(legacyKey, 0L))
       if (endPos <= startPos) None
       else {
         val partId = file match {
@@ -192,7 +208,9 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FlyqReaderFactory(hadoopConfMap)
+    // broadcast once per stream — the conf map (~1000 entries) would
+    // otherwise ride every task's serialized closure
+    FlyqReaderFactory(SparkSession.active.sparkContext.broadcast(hadoopConfMap))
 }
 
 object FlyqMicroBatchStream {
@@ -206,10 +224,12 @@ object FlyqMicroBatchStream {
 case class FlyqInputPartition(file: String, startPos: Long, endPos: Long,
                               partId: Long, baseOff: Long) extends InputPartition
 
-case class FlyqReaderFactory(hadoopConfMap: Map[String, String])
+case class FlyqReaderFactory(
+    hadoopConfMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new FlyqPartitionReader(p.asInstanceOf[FlyqInputPartition], hadoopConfMap)
+    new FlyqPartitionReader(p.asInstanceOf[FlyqInputPartition],
+      hadoopConfMap.value)
 }
 
 /** Streams the byte delta [startPos, endPos) of one segment file record by
@@ -232,36 +252,45 @@ class FlyqPartitionReader(split: FlyqInputPartition,
   private var done = false
 
   override def next(): Boolean = {
-    if (done || pos + 4 > split.endPos) return false
-    try {
-      val lenBuf = new Array[Byte](4)
-      in.readFully(lenBuf, 0, 4)
-      val recLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
-      require(recLen >= 28 && pos + 4L + recLen <= split.endPos,
-        s"bad record_len $recLen at $pos in ${split.file}")
-      val recBuf = new Array[Byte](4 + recLen)
-      System.arraycopy(lenBuf, 0, recBuf, 0, 4)
-      in.readFully(recBuf, 4, recLen)
-      val (rec, _) = FlyqCodec.decodeRecordAt(recBuf, 0)
-      pos += 4L + recLen
-      val out = new GenericInternalRow(7)
-      out.update(0, split.partId)
-      out.update(1, split.baseOff)
-      var i = 0
-      while (i < 5) {
-        out.update(2 + i, rec.get(i, FlyqCodec.recordType.fields(i).dataType))
-        i += 1
+    while (!done && pos + 4 <= split.endPos) {
+      try {
+        val lenBuf = new Array[Byte](4)
+        in.readFully(lenBuf, 0, 4)
+        val recLen = java.nio.ByteBuffer.wrap(lenBuf).getInt
+        if (recLen < 28 || pos + 4L + recLen > split.endPos) {
+          // outer length chain broken — no way to resync; stop. The driver
+          // aligned endPos on this same chain, so this is defensive.
+          done = true
+          return false
+        }
+        val recBuf = new Array[Byte](4 + recLen)
+        System.arraycopy(lenBuf, 0, recBuf, 0, 4)
+        in.readFully(recBuf, 4, recLen)
+        pos += 4L + recLen
+        val (rec, _) = FlyqCodec.decodeRecordAt(recBuf, 0)
+        val out = new GenericInternalRow(7)
+        out.update(0, split.partId)
+        out.update(1, split.baseOff)
+        var i = 0
+        while (i < 5) {
+          out.update(2 + i, rec.get(i, FlyqCodec.recordType.fields(i).dataType))
+          i += 1
+        }
+        row = out
+        return true
+      } catch {
+        case _: java.io.EOFException =>
+          done = true
+          return false
+        case _: IllegalArgumentException | _: java.nio.BufferUnderflowException =>
+          // body-corrupt record with a VALID outer length: the length chain
+          // lets us resync at the next record, so only this record is lost
+          // — without the resync, every later record in the batch would be
+          // silently skipped while the offset still advanced past them.
+          // (pos was already advanced past this record above.)
       }
-      row = out
-      true
-    } catch {
-      case _: IllegalArgumentException | _: java.nio.BufferUnderflowException |
-           _: java.io.EOFException =>
-        // corrupt bytes: stop at first parse failure (reference recovery
-        // semantics); the driver-side boundary freeze keeps the offset here
-        done = true
-        false
     }
+    false
   }
 
   override def get(): InternalRow = row

@@ -46,12 +46,23 @@ class ProduceSpec extends AnyFunSuite {
       count(lit(1)).as("cnt"), countDistinct("msg_offset").as("nd"))
       .filter($"mn" =!= 0 || $"mx" =!= $"cnt" - 1 || $"nd" =!= $"cnt")
     assert(bad.count() === 0)
-    // keyless rows cycle over ALL partitions (reference topic.rs:79-83 —
-    // a per-keyless counter, NOT pmod of the global arrival index, which
-    // would skew whenever the keyless stride shares a factor with n)
-    val keylessParts = back.filter($"mkey".isNull)
-      .select("part_id").distinct().count()
-    assert(keylessParts === 4L)
+    // keyless rows CYCLE over partitions in arrival order (reference
+    // topic.rs:79-83 — a per-keyless counter, NOT pmod of the global
+    // arrival index, which would skew whenever the keyless stride shares
+    // a factor with n): the i-th keyless message lands on i % n exactly
+    val keyless = back.filter($"mkey".isNull)
+      .orderBy("ts_ms", "msg_offset").select("part_id").collect()
+      .map(_.getLong(0))
+    assert(keyless.nonEmpty)
+    val np = graft.model.LogModel.NumPartitions
+    // order within equal ts is ambiguous from the read side, so check the
+    // multiset per cycle instead: every window of np consecutive keyless
+    // messages by arrival hits each partition exactly once
+    keyless.grouped(np).filter(_.length == np).zipWithIndex.foreach {
+      case (cycle, i) =>
+        assert(cycle.sorted.toSeq === (0L until np.toLong).toSeq,
+          s"cycle $i: ${cycle.toSeq}")
+    }
   }
 
   test("structured streaming ingests a produce-written topic") {
