@@ -33,8 +33,6 @@ object Similarity {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, "embeddings")
 
-  private val idx: Column = sequence(lit(1), lit(Dim))
-
   /** Sequential-fold dot product — the imperative kernel
     * (graft.functions.VectorOps) with the same left-to-right double fold
     * as the declarative aggregate/transform form and the oracle. */
