@@ -296,7 +296,17 @@ object OracleSql {
       FROM fp"""
     },
 
-    "ngram_jaccard" -> s"""WITH $textCtes,
+    "ngram_jaccard" -> {
+      // LSH-band CTEs generated from the SAME constants as Dedup.ngramJaccard.
+      val sigExprs = (0 until Dedup.NumHashes).map { i =>
+        s"list_min(list_transform(hgs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinHashPrime})) AS s$i"
+      }.mkString(",\n               ")
+      val bandSelects = (0 until Dedup.NgramNumBands).map { j =>
+        val cols = (0 until Dedup.NgramBandSize)
+          .map(r => s"s${j * Dedup.NgramBandSize + r}").mkString(", ")
+        s"SELECT doc_id, lang, n_chars_norm, $j AS band_j, concat_ws('_', $cols) AS band_key FROM gsig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH $textCtes,
       g AS (SELECT doc_id, lang, n_chars_norm,
                    list_transform(
                      list_distinct(list_transform(
@@ -304,14 +314,23 @@ object OracleSql {
                        i -> substr(ntext, i, 3))),
                      g3 -> CAST('0x' || substr(md5(g3), 1, 8) AS BIGINT)) AS hgs
             FROM tok),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.hgs, b.hgs))
-                     / CAST(len(list_distinct(a.hgs)) + len(list_distinct(b.hgs))
-                            - len(list_intersect(a.hgs, b.hgs)) AS DOUBLE), 6) AS ngram_jaccard
-            FROM g a JOIN g b
-              ON a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
-                 AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, ngram_jaccard FROM p WHERE ngram_jaccard >= 0.5""",
+      gsig AS (SELECT doc_id, lang, n_chars_norm,
+               $sigExprs
+               FROM g),
+      gbands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM gbands a JOIN gbands b
+                 ON a.band_j = b.band_j AND a.band_key = b.band_key
+                    AND a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
+                    AND a.doc_id < b.doc_id),
+      p AS (SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(ga.hgs, gb.hgs))
+                     / CAST(len(list_distinct(ga.hgs)) + len(list_distinct(gb.hgs))
+                            - len(list_intersect(ga.hgs, gb.hgs)) AS DOUBLE), 6) AS ngram_jaccard
+            FROM cand c JOIN g ga ON c.doc_a = ga.doc_id
+                        JOIN g gb ON c.doc_b = gb.doc_id)
+      SELECT doc_a, doc_b, ngram_jaccard FROM p WHERE ngram_jaccard >= ${Dedup.NgramJaccardThreshold}"""
+    },
 
     "doc_fingerprint" -> s"""WITH $textCtes,
       g AS (SELECT doc_id,

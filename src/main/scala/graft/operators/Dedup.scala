@@ -45,6 +45,14 @@ object Dedup {
   /** Verified-Jaccard near-dup threshold. */
   val JaccardThreshold = 0.9
 
+  // ---- n-gram variant banding (threshold 0.5 → more, smaller bands) ----
+  /** 8 bands of 2 rows over the same 16-hash family: candidate recall at
+    * s=0.5 is 1-(1-0.5²)⁸ ≈ 0.90, and ≈ 1.0 at the s≥0.8 the word-shuffle
+    * duplicates actually sit at. */
+  val NgramBandSize = 2
+  val NgramNumBands: Int = NumHashes / NgramBandSize
+  val NgramJaccardThreshold = 0.5
+
   /** doc_id + distinct word set + per-word 32-bit hashes (one imperative
     * pass — graft.functions.TextHashes — instead of an interpreted
     * per-element HOF lambda; values identical). */
@@ -145,10 +153,23 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select(col("doc_id"), col("simhash"), col("n_same_fp"))
 
-  /** Character 3-gram Jaccard between documents in the same block
-    * (lang, normalized char count) — word-shuffle duplicates have identical
-    * normalized length, so the blocking key catches them while bounding the
-    * pair space (no all-pairs). Output pairs with 3-gram Jaccard ≥ 0.5. */
+  /** Character 3-gram Jaccard near-dup pairs, LSH-banded.
+    *
+    * Candidate generation is MinHash LSH over the hashed 3-gram set (8
+    * bands of 2 from the shared 16-hash family), with (lang, normalized
+    * char count) kept as residual equi-predicates — word-shuffle
+    * duplicates have identical normalized length, so length equality is a
+    * cheap extra prune, but it is NO LONGER the blocking key: real corpora
+    * concentrate at common lengths, so an (en, ~500 chars) bucket is
+    * unbounded, while an LSH band bucket only holds documents sharing two
+    * specific min-grams. Join key = (band_j, band_key, lang, n_chars_norm)
+    * — fully equi, so cost stays Σ bucket², never N².
+    *
+    * Output: pairs with 3-gram Jaccard ≥ 0.5 among LSH candidates. The
+    * banding is deterministic (both engines compute identical signatures),
+    * so the candidate set — and hence the output — is exactly reproducible;
+    * recall vs the unblocked ideal is 1-(1-s²)⁸ (≈0.90 at s=0.5, ≈1.0 at
+    * the s≥0.8 where true duplicates live). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val g = docs(spark, sfDir).select(
         col("doc_id"), col("lang"),
@@ -157,16 +178,33 @@ object Dedup {
       .withColumn("hgs", graft.functions.TextHashes.hash32_array(
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
       .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
-    g.as("a").join(g.as("b"),
-        col("a.lang") === col("b.lang") &&
+    val sig = g.withColumn("sigs",
+      graft.functions.TextHashes.minhash_sigs(col("hgs"),
+        (0 until NumHashes).map(hashA),
+        (0 until NumHashes).map(hashB), MinHashPrime))
+    val bandKeys = array((0 until NgramNumBands).map { j =>
+      concat_ws("_", (0 until NgramBandSize).map(r =>
+        element_at(col("sigs"), j * NgramBandSize + r + 1)): _*)
+    }: _*)
+    val b = sig.select(col("doc_id"), col("lang"), col("n_chars_norm"),
+      posexplode(bandKeys).as(Seq("band_j", "band_key")))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.lang") === col("b.lang") &&
           col("a.n_chars_norm") === col("b.n_chars_norm") &&
           col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val h = g.select(col("doc_id"), col("hgs"))
+    pairs
+      .join(h.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(h.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("ngram_jaccard",
         round(graft.functions.TextHashes.jaccard_long(
-          col("a.hgs"), col("b.hgs")), 6))
-      .filter(col("ngram_jaccard") >= 0.5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("ngram_jaccard"))
+          col("ga.hgs"), col("gb.hgs")), 6))
+      .filter(col("ngram_jaccard") >= NgramJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("ngram_jaccard"))
   }
 
   /** Mod-p k-gram fingerprinting (Broder-style content sampling): hash all
