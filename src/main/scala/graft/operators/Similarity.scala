@@ -116,11 +116,14 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("cell"))
+    // query side renames its cell column — q derives from `assigned`, so
+    // joining on same-named columns would lean on analyzer self-join
+    // disambiguation (and log trivially-true-predicate WARNs)
     val q = assigned.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cell"))
+        col("n2").as("qn2"), col("cell").as("q_cell"))
     val scored = assigned.join(broadcast(q),
-        assigned("cell") === q("cell") && col("vec_id") =!= col("q_id"))
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
     rankTopK(scored)
@@ -132,9 +135,9 @@ object Similarity {
     val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
     val q = b.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("bucket"))
+        col("n2").as("qn2"), col("bucket").as("q_bucket"))
     val scored = b.join(broadcast(q),
-        b("bucket") === q("bucket") && col("vec_id") =!= col("q_id"))
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
     rankTopK(scored)
