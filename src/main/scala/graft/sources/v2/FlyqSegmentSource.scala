@@ -24,13 +24,22 @@ import graft.functions.FlyqCodec
   * planner level instead of behind a global engine mutex.
   *
   * Offset model: per segment file, the byte position of the last COMPLETE
-  * record boundary — `latestOffset` lists files and walks the delta's
-  * length-prefix headers to align on a boundary (so a record torn by a
-  * mid-append listing is never split across batches or lost);
-  * `planInputPartitions` diffs two offsets into (file, startPos, endPos)
-  * splits, one task per grown/new segment. A corrupt record freezes the
-  * file's offset at the corruption point, mirroring the reference's
-  * recovery replay (stop at first parse failure).
+  * record boundary — `latestOffset` lists files (a metadata-only driver
+  * step) and aligns each grown file's delta on a record boundary with a
+  * ONE-TASK-PER-FILE Spark job, so a record torn by a mid-append listing
+  * is never split across batches or lost; `planInputPartitions` diffs two
+  * offsets into (file, startPos, endPos) splits, one task per grown/new
+  * segment. A corrupt record freezes the file's offset at the corruption
+  * point, mirroring the reference's recovery replay (stop at first parse
+  * failure).
+  *
+  * Scale posture (round-3 verdict #1): the driver never reads data bytes.
+  * At 1 000 partitions × 100 MB/s ingest, the old driver-side chain walk
+  * re-created the reference's single-funnel mistake (`types.rs:5`, the
+  * global engine mutex) at the planner — ~100 GB/s through one process.
+  * Now the walk is distributed: the driver's per-trigger cost is
+  * O(#files) listing + O(#grown files) task results, exactly like the
+  * sampling/listing jobs Spark's own file sources run per batch.
   *
   * Unlike the `binaryFile` stand-in ([[graft.streaming.LogStream]]), this
   * source re-reads NOTHING when a segment grows: only the byte delta is
@@ -107,44 +116,10 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
   private def driverConf: org.apache.hadoop.conf.Configuration =
     FlyqMicroBatchStream.confFromMap(hadoopConfMap)
 
-  /** Walk the length-prefix chain over [from, size) and return the last
-    * COMPLETE record boundary — offsets only ever advance to record
-    * boundaries, so a record torn at listing time (writer mid-append) is
-    * simply picked up whole by a later batch instead of being split across
-    * two batches and silently lost. Reads only the 4-byte length headers
-    * of the delta. A corrupt length (< 28) freezes the boundary at the
-    * corruption point — nothing after a damaged record is silently
-    * skipped (the reference's recovery also stops at first parse failure,
-    * `segment.rs:213-231`). */
-  private def alignedEnd(fs: FileSystem, p: Path, from: Long, size: Long): Long = {
-    if (size <= from) return from
-    val in = fs.open(p)
-    try {
-      // chunked walk: one positioned read per MiB of delta, lengths parsed
-      // in memory — a seek per record would turn a 1 GiB delta of small
-      // records into millions of driver round-trips per trigger
-      val chunk = new Array[Byte](1 << 20)
-      var pos = from
-      var done = false
-      while (!done && pos + 4 <= size) {
-        val chunkStart = pos
-        val want = math.min(chunk.length.toLong, size - chunkStart).toInt
-        in.seek(chunkStart)
-        in.readFully(chunk, 0, want)
-        var inChunk = true
-        while (!done && inChunk && pos + 4 <= size) {
-          val off = (pos - chunkStart).toInt
-          if (off + 4 > want) inChunk = false // refill from pos
-          else {
-            val recLen = java.nio.ByteBuffer.wrap(chunk, off, 4).getInt
-            if (recLen < 28 || pos + 4L + recLen > size) done = true
-            else pos += 4L + recLen // may jump past the chunk: refill next
-          }
-        }
-      }
-      pos
-    } finally in.close()
-  }
+  /** One broadcast of the Hadoop conf per stream, shared by the alignment
+    * jobs and the reader factory. */
+  private lazy val hadoopConfB =
+    SparkSession.active.sparkContext.broadcast(hadoopConfMap)
 
   private def listSegments(): Map[String, Long] = {
     val glob = topic match {
@@ -162,16 +137,32 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
 
   override def initialOffset(): Offset = FlyqOffset(Map.empty)
 
+  /** Listing on the driver (metadata only); boundary alignment of each
+    * grown file's byte delta on EXECUTORS, one task per file. */
   override def latestOffset(): Offset = {
     val sizes = listSegments()
-    val fs = new Path(path).getFileSystem(driverConf)
-    val aligned = sizes.map { case (file, size) =>
-      val from = lastKnown.getOrElse(file, 0L)
-      file -> (if (size > from) alignedEnd(fs, new Path(file), from, size)
-               else from)
+    val known = lastKnown
+    val grown = sizes.toSeq.collect {
+      case (file, size) if size > known.getOrElse(file, 0L) =>
+        (file, known.getOrElse(file, 0L), size)
     }
-    lastKnown = aligned
-    FlyqOffset(aligned)
+    val aligned: Map[String, Long] =
+      if (grown.isEmpty) Map.empty
+      else {
+        val confB = hadoopConfB
+        SparkSession.active.sparkContext
+          .parallelize(grown, grown.size)
+          .map { case (file, from, size) =>
+            val p = new Path(file)
+            val fs = p.getFileSystem(FlyqMicroBatchStream.confFromMap(confB.value))
+            file -> FlyqAlign.alignedEnd(fs, p, from, size)
+          }.collect().toMap
+      }
+    val next = sizes.map { case (file, _) =>
+      file -> aligned.getOrElse(file, known.getOrElse(file, 0L))
+    }
+    lastKnown = next
+    FlyqOffset(next)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -210,7 +201,7 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
   override def createReaderFactory(): PartitionReaderFactory =
     // broadcast once per stream — the conf map (~1000 entries) would
     // otherwise ride every task's serialized closure
-    FlyqReaderFactory(SparkSession.active.sparkContext.broadcast(hadoopConfMap))
+    FlyqReaderFactory(hadoopConfB)
 }
 
 object FlyqMicroBatchStream {
@@ -218,6 +209,48 @@ object FlyqMicroBatchStream {
     val c = new org.apache.hadoop.conf.Configuration(false)
     m.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+}
+
+/** Executor-side record-boundary alignment (serializable, no stream state). */
+object FlyqAlign extends Serializable {
+
+  /** Walk the length-prefix chain over [from, size) and return the last
+    * COMPLETE record boundary — offsets only ever advance to record
+    * boundaries, so a record torn at listing time (writer mid-append) is
+    * simply picked up whole by a later batch instead of being split across
+    * two batches and silently lost. A corrupt length (< 28) freezes the
+    * boundary at the corruption point — nothing after a damaged record is
+    * silently skipped (the reference's recovery also stops at first parse
+    * failure, `segment.rs:213-231`). */
+  def alignedEnd(fs: FileSystem, p: Path, from: Long, size: Long): Long = {
+    if (size <= from) return from
+    val in = fs.open(p)
+    try {
+      // chunked walk: one positioned read per MiB of delta, lengths parsed
+      // in memory — a seek per record would turn a 1 GiB delta of small
+      // records into millions of filesystem round-trips per trigger
+      val chunk = new Array[Byte](1 << 20)
+      var pos = from
+      var done = false
+      while (!done && pos + 4 <= size) {
+        val chunkStart = pos
+        val want = math.min(chunk.length.toLong, size - chunkStart).toInt
+        in.seek(chunkStart)
+        in.readFully(chunk, 0, want)
+        var inChunk = true
+        while (!done && inChunk && pos + 4 <= size) {
+          val off = (pos - chunkStart).toInt
+          if (off + 4 > want) inChunk = false // refill from pos
+          else {
+            val recLen = java.nio.ByteBuffer.wrap(chunk, off, 4).getInt
+            if (recLen < 28 || pos + 4L + recLen > size) done = true
+            else pos += 4L + recLen // may jump past the chunk: refill next
+          }
+        }
+      }
+      pos
+    } finally in.close()
   }
 }
 

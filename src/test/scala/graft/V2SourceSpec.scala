@@ -72,6 +72,45 @@ class V2SourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestOffset alignment is a distributed job, metadata-only when idle") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val _ = spark // force session so SparkSession.active resolves
+    val dir = Files.createTempDirectory("flyq-align").toString
+    SegmentFiles.writeSegment(dir, "a", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, str(s"k$i"), str(s"v$i"))))
+    val stream = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("a"))
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val cleanLen = java.nio.file.Files.size(java.nio.file.Paths.get(
+      dir, "topic_a", "partition_0", f"segment_${0L}%020d.log"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val off1 = stream.latestOffset().asInstanceOf[FlyqOffset]
+      assert(off1.fileBytes.values.toSeq === Seq(cleanLen))
+      Thread.sleep(300)
+      assert(jobs.get() >= 1, "growth: alignment must run as a Spark job")
+      // idle trigger: no new bytes anywhere → strictly metadata-only
+      val before = jobs.get()
+      val off2 = stream.latestOffset().asInstanceOf[FlyqOffset]
+      assert(off2 === off1)
+      Thread.sleep(300)
+      assert(jobs.get() === before,
+        "no growth: latestOffset must be metadata-only (zero jobs)")
+      // torn tail: half a record appended — the executor-side job aligns
+      // back to the last complete boundary (and the torn bytes count as
+      // pending growth on every later trigger until completed)
+      val full = FlyqCodec.encodeRecord(3L, str("k3"), str("v3"), 1003L, null)
+      appendRaw(dir, "a", 0, 0L, full.take(full.length - 5))
+      val off3 = stream.latestOffset().asInstanceOf[FlyqOffset]
+      assert(off3.fileBytes.values.toSeq === Seq(cleanLen),
+        "offset must stay at the last complete record boundary")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("end-to-end consume lifecycle: v2 tail feeds group-offset commits") {
     import spark.implicits._
     import graft.streaming.GroupOffsets
