@@ -62,7 +62,31 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Per-query regression guard (round-3 verdict #3): compare against the
+    // previous bench run AT THE SAME SF (self-maintained baseline file —
+    // the driver's BENCH_r{N}.json wraps the line in a log tail, so we key
+    // our own). >1.5× over a 0.2 s noise floor is flagged; the baseline
+    // then advances so each round compares to the one before it.
+    val baselineFile = new java.io.File(
+      s"/root/repo/tools/bench_baseline_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.json")
+    val prev: Map[String, Double] =
+      if (!baselineFile.exists()) Map.empty
+      else {
+        val text = scala.io.Source.fromFile(baselineFile).mkString
+        "\"((?:[^\"\\\\]|\\\\.)+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val regressions = results.collect {
+      case (k, v, None) if prev.get(k).exists(p =>
+          p > 0.0 && v > 1.5 * p && v - p > 0.2) =>
+        val p = prev(k)
+        s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
+    }.mkString("{", ",", "}")
+    val w = new java.io.PrintWriter(baselineFile)
+    try w.write(qs) finally w.close()
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2","queries":$qs,"errors":$errs,"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

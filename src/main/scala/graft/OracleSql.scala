@@ -141,6 +141,15 @@ object OracleSql {
              CAST(SUM(greatest(w.high_off - c.committed, 0)) OVER (PARTITION BY c.grp) AS BIGINT) AS total_lag
       FROM committed c JOIN wm w USING (part_id)""",
 
+    // identical result to consumer_lag BY DESIGN: the Spark side reads a
+    // materialized snapshot of the same log (LogTable), the oracle
+    // recomputes — a hash match proves snapshot == recompute
+    "consumer_lag_materialized" -> s"""WITH $logCtes
+      SELECT c.grp, c.part_id, c.committed, w.high_off,
+             greatest(w.high_off - c.committed, 0) AS lag,
+             CAST(SUM(greatest(w.high_off - c.committed, 0)) OVER (PARTITION BY c.grp) AS BIGINT) AS total_lag
+      FROM committed c JOIN wm w USING (part_id)""",
+
     "lag_alerts" -> s"""WITH $logCtes,
       lag_rows AS (
         SELECT c.grp, CAST(SUM(greatest(w.high_off - c.committed, 0)) AS BIGINT) AS total_lag

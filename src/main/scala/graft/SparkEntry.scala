@@ -26,6 +26,7 @@ object SparkEntry {
     "round_robin" -> (BrokerOps.roundRobin(_, _)),
     "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
     "consumer_lag" -> (BrokerOps.consumerLag(_, _)),
+    "consumer_lag_materialized" -> (BrokerOps.consumerLagMaterialized(_, _)),
     "partition_health" -> (BrokerOps.partitionHealth(_, _)),
     "segment_assignment" -> (BrokerOps.segmentAssignment(_, _)),
     "consume_from_offset" -> (BrokerOps.consumeFromOffset(_, _)),

