@@ -80,7 +80,7 @@ object OracleSql {
            FROM words),
     sig AS (SELECT doc_id, nw,
              $sigExprs
-            FROM hw),
+            FROM hw WHERE nw >= ${Dedup.MinWords}),
     bands AS ($bandSelects),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
@@ -285,6 +285,22 @@ object OracleSql {
       SELECT d.doc_id, (dr.doc_id IS NULL) AS is_kept
       FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id""",
 
+    // transitive closure via recursive CTE: component_id = min doc_id
+    // reachable over the verified near-dup pairs (Spark side iterates
+    // min-label propagation to the same fixpoint)
+    "dedup_components" -> s"""WITH RECURSIVE $textCtes, $dedupCtes,
+      und AS (SELECT doc_a AS u, doc_b AS v FROM nd_pairs
+              UNION ALL SELECT doc_b, doc_a FROM nd_pairs),
+      reach(u, lbl) AS (
+        SELECT DISTINCT u, u FROM und
+        UNION
+        SELECT und.u, r.lbl FROM und JOIN reach r ON und.v = r.u),
+      comp AS (SELECT u AS doc_id, min(lbl) AS component_id
+               FROM reach GROUP BY u)
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+             (COALESCE(c.component_id, d.doc_id) = d.doc_id) AS is_kept
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
     "simhash_fingerprint" -> {
       val sums = (0 until 16).map(j =>
         s"COALESCE(list_sum(list_transform(hws, h -> ((h >> $j) & 1) * 2 - 1)), 0) AS b$j")
@@ -322,7 +338,7 @@ object OracleSql {
                        generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
                        i -> substr(ntext, i, 3))),
                      g3 -> CAST('0x' || substr(md5(g3), 1, 8) AS BIGINT)) AS hgs
-            FROM tok),
+            FROM tok WHERE n_chars_norm >= ${Dedup.NgramMinChars}),
       gsig AS (SELECT doc_id, lang, n_chars_norm,
                $sigExprs
                FROM g),

@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),
     "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
+    "dedup_components" -> (Dedup.dedupComponents(_, _)),
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),
     "ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),

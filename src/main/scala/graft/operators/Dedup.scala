@@ -53,6 +53,15 @@ object Dedup {
   val NgramNumBands: Int = NumHashes / NgramBandSize
   val NgramJaccardThreshold = 0.5
 
+  /** Minimum sizes below which a document has an EMPTY shingle/word set —
+    * round-3 advice: empty sets make MinHashSigs NULL, concat_ws then
+    * collapses every band_key to "" (one hot bucket duplicated per band, a
+    * Σ bucket² blowup) and their 0/0 jaccard is NaN, which passes ≥-filters
+    * under NaN-is-greatest semantics on BOTH engines. Filtered out up
+    * front, mirrored in the generated oracle SQL (shared constants). */
+  val NgramMinChars = 3 // a 3-gram needs ≥3 normalized chars
+  val MinWords = 1
+
   /** doc_id + distinct word set + per-word 32-bit hashes (one imperative
     * pass — graft.functions.TextHashes — instead of an interpreted
     * per-element HOF lambda; values identical). */
@@ -83,7 +92,9 @@ object Dedup {
     * signature is ONE expression (TextHashes.minhash_sigs) computing all
     * mins in a single pass over the word hashes. */
   private def bands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = docWords(spark, sfDir).withColumn("sigs",
+    val sig = docWords(spark, sfDir)
+      .filter(size(col("ws")) >= MinWords) // empty set → NULL sigs hot bucket
+      .withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hws"),
         (0 until NumHashes).map(hashA),
         (0 until NumHashes).map(hashB), MinHashPrime))
@@ -103,7 +114,25 @@ object Dedup {
     * same-bucket pairs are materialized; recall at s=0.9 with 4 bands of 4
     * is 1-(1-0.9^4)^4 ≈ 0.986 (deterministic: both engines compute the same
     * signatures, hence the same candidate set). */
-  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Session-scoped persist-once of the verified-pairs table (round-3
+    * verdict #8): the signature pipeline is the expensive 20%-of-corpus
+    * scan; every consumer (pairs query, keep/drop, connected components)
+    * shares ONE materialization per (session, sfDir) — the batch analog of
+    * "persist the signature table once" from the production notes. */
+  private val pairsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((spark, sfDir),
+        computeMinhashPairs(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairs(spark, sfDir)
+
+  private def computeMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val b = bands(spark, sfDir)
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
     // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (integer-exact, so the oracle's
@@ -136,11 +165,52 @@ object Dedup {
     * full connected components would need iteration; keep-first is the
     * standard one-pass policy). */
   def dedupSimilarKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    val dropped = dedupMinhashPairs(spark, sfDir)
+    val dropped = verifiedPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     docs(spark, sfDir).select(col("doc_id"))
       .join(dropped.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dropped").isNull.as("is_kept"))
+  }
+
+  /** Connected components over the verified near-dup pairs (round-3
+    * stretch #9): component_id = min doc_id transitively reachable, so
+    * chains a−b, b−c keep ONE doc where greedy keep-first would keep two.
+    * This is what production dedup pipelines ship.
+    *
+    * Scale shape: iterative min-label propagation runs ONLY on the
+    * pair-involved vertices (the near-dup graph, orders of magnitude
+    * smaller than the corpus — and read from the persist-once pairs
+    * table), with `localCheckpoint` cutting lineage per iteration and a
+    * convergence probe per round (the same driver-side loop GraphX's
+    * connectedComponents runs). The full corpus is only touched by the
+    * final left join stamping singleton components. */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+    var comp = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nb = edges.join(comp, edges("v") === comp("doc_id"))
+        .groupBy("u").agg(min("comp").as("cand"))
+      val next = comp.join(nb, comp("doc_id") === nb("u"), "left")
+        .select(comp("doc_id"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(comp.as("c"), Seq("doc_id"))
+        .filter(col("n.comp") =!= col("c.comp")).isEmpty
+      comp = next
+      iter += 1
+    }
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component_id"))
+      .withColumn("is_kept", col("component_id") === col("doc_id"))
   }
 
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is
@@ -175,6 +245,7 @@ object Dedup {
         col("doc_id"), col("lang"),
         normText(col("text")).as("ntext"))
       .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
+      .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
       .withColumn("hgs", graft.functions.TextHashes.hash32_array(
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
       .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
