@@ -189,23 +189,45 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
-    var comp = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      val nb = edges.join(comp, edges("v") === comp("doc_id"))
-        .groupBy("u").agg(min("comp").as("cand"))
-      val next = comp.join(nb, comp("doc_id") === nb("u"), "left")
-        .select(comp("doc_id"),
-          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(comp.as("c"), Seq("doc_id"))
-        .filter(col("n.comp") =!= col("c.comp")).isEmpty
-      comp = next
-      iter += 1
-    }
+    // Size the LOOP's shuffle parallelism to the measured pair count (the
+    // pairs table is persist-once, so count() is a cache read): the
+    // near-dup graph is orders of magnitude smaller than the corpus, and
+    // running 7 fixpoint rounds × 3 shuffles at corpus parallelism is all
+    // scheduler overhead. ~100k edges per task; restored after the loop so
+    // the final corpus-wide join runs at full parallelism.
+    val loopParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      pairs.count() / 100000L + 1L)).toString
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val comp =
+      try {
+        spark.conf.set(confKey, loopParts)
+        // seed with min(self, direct neighbors) — one aggregation, and
+        // depth-1 duplicate cliques converge on the first probe
+        var c = edges.groupBy("u").agg(min("v").as("mv"))
+          .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
+          .localCheckpoint(true)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          // newcomp(u) = min(comp(u), min over neighbors v of comp(v));
+          // prev value rides along so the convergence probe is a narrow
+          // filter on the checkpointed frame — no extra join, no shuffle
+          val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
+            .select(col("u"), col("cv.comp").as("vc"))
+            .groupBy("u").agg(min("vc").as("nbmin"))
+            .join(c.as("cs"), col("u") === col("cs.doc_id"))
+            .select(col("cs.doc_id").as("doc_id"),
+              col("cs.comp").as("prev_comp"),
+              least(col("cs.comp"), col("nbmin")).as("comp"))
+            .localCheckpoint(true)
+          converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
+          c = next.select("doc_id", "comp")
+          iter += 1
+        }
+        c
+      } finally spark.conf.set(confKey, prevParts)
     docs(spark, sfDir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
