@@ -262,15 +262,26 @@ object Dedup {
     * so the candidate set — and hence the output — is exactly reproducible;
     * recall vs the unblocked ideal is 1-(1-s²)⁸ (≈0.90 at s=0.5, ≈1.0 at
     * the s≥0.8 where true duplicates live). */
+  /** Hashed 3-gram sets, persist-once per (session, sfDir): the gram
+    * hashing (md5 per distinct gram) is the dominant cost and is consumed
+    * twice inside the query (band signatures + Jaccard verify) — same
+    * persist-the-signature-table pattern as [[verifiedPairs]]. */
+  private def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((spark, sfDir + "#ngrams"),
+        docs(spark, sfDir).select(
+            col("doc_id"), col("lang"),
+            normText(col("text")).as("ntext"))
+          .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
+          .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
+          .withColumn("hgs", graft.functions.TextHashes.hash32_array(
+            graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
+          .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = docs(spark, sfDir).select(
-        col("doc_id"), col("lang"),
-        normText(col("text")).as("ntext"))
-      .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
-      .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
-      .withColumn("hgs", graft.functions.TextHashes.hash32_array(
-        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
-      .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
+    val g = ngramDocs(spark, sfDir)
     val sig = g.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hgs"),
         (0 until NumHashes).map(hashA),

@@ -55,6 +55,25 @@ class PrefixPlanSpec extends AnyFunSuite {
       ("b", 1L, 0L), ("b", 2L, 50L), ("c", 9L, 0L)))
   }
 
+  test("order_priority_rank plan: partial top-k aggregate, no window over raw orders") {
+    val plan = graft.operators.Relational
+      .orderPriorityRank(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_structs"),
+      "map-side partial top-k must cap shuffle at k rows per class per task")
+    assert(!plan.contains("Window"),
+      "no partition-count-bounded window may touch raw orders")
+  }
+
+  test("offset assignment plans through GroupedPrefixExec with a range exchange") {
+    val plan = graft.operators.BrokerOps
+      .offsetAssignment(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedPrefix")) // physical nodes print w/o "Exec"
+    assert(plan.contains("rangepartitioning"),
+      "Spark must plan the range exchange from OrderedDistribution")
+  }
+
   test("empty group = global dense index") {
     val df = Seq(5L, 3L, 9L, 1L).toDF("ord")
     val got = graft.plans.OrderedIndex
