@@ -103,7 +103,7 @@ class FlyqServer(baseDir: String,
         val i = rr.getOrElse(topic, 0L)
         rr(topic) = i + 1
         i % numPartitions
-      } else (Frame.xxh32(key).toLong & 0x7fffffffL) % numPartitions
+      } else FlyqServer.routeKey(key, numPartitions)
     val h = head(topic, part)
     val off = h.nextOffset
     val bytes = FlyqCodec.encodeRecord(off, key, value, tsMs, null)
@@ -300,5 +300,19 @@ class FlyqServer(baseDir: String,
   def stop(): Unit = {
     running = false
     if (server != null) server.close()
+  }
+}
+
+object FlyqServer {
+  /** Keyed routing — the SAME hash as the bulk path
+    * (`Broker.produce`'s `pmod(xxhash64(mkey), n)`, seed 42), so a key
+    * lands in one partition no matter which front door produced it. The
+    * reference has a single `Topic::produce` (`topic.rs:76-93`) and
+    * therefore a single routing; two ingest paths with different hashes
+    * would silently split a key's history. */
+  def routeKey(key: Array[Byte], numPartitions: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, org.apache.spark.sql.types.BinaryType, 42L)
+    java.lang.Math.floorMod(h, numPartitions.toLong)
   }
 }

@@ -135,6 +135,49 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
+  test("socket routing matches the bulk path's pmod(xxhash64(key), n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 64).map(i => s"user-$i")
+    val viaSpark = keys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k").cast("binary")), lit(4L)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(FlyqServer.routeKey(b(k), 4) === viaSpark(k),
+        s"key $k routes differently on the socket vs the bulk path")
+    }
+  }
+
+  test("v2 streaming source tails a socket-fed topic live") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-sock-tail").toString
+    val ckpt = Files.createTempDirectory("flyq-sock-tail-ckpt").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val c = new Client(server.start())
+    def produce(i: Int): Unit =
+      c.call(OpCode.Produce, ProduceRequest.encode(ProduceRequest("live",
+        WireMessage.encode(WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)))))
+    try {
+      (0 until 3).foreach(produce)
+      val q = spark.readStream
+        .format("graft.sources.v2.FlyqSegmentSource")
+        .option("topic", "live").load(dir)
+        .writeStream.format("memory").queryName("sock_tail")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("sock_tail").count() === 3)
+        // live appends to the ACTIVE segment: only the delta is planned
+        (3 until 5).foreach(produce)
+        q.processAllAvailable()
+        val rows = spark.table("sock_tail")
+        assert(rows.count() === 5)
+        assert(rows.groupBy("msg_offset").count()
+          .filter(col("count") > 1).count() === 0, "no re-reads")
+      } finally q.stop()
+    } finally { c.close(); server.stop() }
+  }
+
   test("server recovers its write head from existing segments") {
     val dir = Files.createTempDirectory("flyq-sock-rec").toString
     val s1 = new FlyqServer(dir, numPartitions = 1)
