@@ -211,16 +211,23 @@ object Dedup {
         var converged = false
         var iter = 0
         while (!converged && iter < 50) {
-          // newcomp(u) = min(comp(u), min over neighbors v of comp(v));
-          // prev value rides along so the convergence probe is a narrow
-          // filter on the checkpointed frame — no extra join, no shuffle
+          // newcomp(u) = min(comp(u), min over neighbors v of comp(v),
+          // comp(comp(u))) — the last term is pointer-jumping shortcutting
+          // (labels are always component members, so following them stays
+          // in-component and roughly halves rounds on chains); prev value
+          // rides along so the convergence probe is a narrow filter on the
+          // checkpointed frame — no extra join, no shuffle
           val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
             .select(col("u"), col("cv.comp").as("vc"))
             .groupBy("u").agg(min("vc").as("nbmin"))
             .join(c.as("cs"), col("u") === col("cs.doc_id"))
             .select(col("cs.doc_id").as("doc_id"),
               col("cs.comp").as("prev_comp"),
-              least(col("cs.comp"), col("nbmin")).as("comp"))
+              least(col("cs.comp"), col("nbmin")).as("c1"))
+            .as("m")
+            .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
+            .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
+              least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
             .localCheckpoint(true)
           converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
           c = next.select("doc_id", "comp")
