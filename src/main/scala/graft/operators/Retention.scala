@@ -96,34 +96,69 @@ object Retention {
           fs.delete(new Path(p.replaceAll("\\.log$", ".index")), false)
         }
     }
-    // low watermark bump (`partition.rs:285`): first retained offset per
-    // partition, persisted next to the segments like the reference's
-    // tracker state — tiny per-partition marker writes, driver-side
+    // low watermark bump (`partition.rs:285`): persisted as the
+    // reference's per-partition meta.json snapshot (three watermarks,
+    // atomic tmp+rename — `partiton_meta.rs:8-13,27-40`); tiny
+    // per-partition writes, driver-side
     decisions.filter(_.keep).groupBy(_.partId).foreach {
       case (partId, kept) =>
-        val lowOff = kept.map(_.baseOff).min
-        val marker = new Path(
-          s"$baseDir/topic_$topic/partition_$partId/low_watermark")
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        val out = fs.create(marker, true)
-        try out.write(lowOff.toString.getBytes("UTF-8")) finally out.close()
+        Meta.write(spark, s"$baseDir/topic_$topic/partition_$partId",
+          lowWatermark = kept.map(_.baseOff).min,
+          highWatermark = kept.map(_.lastOff).max,
+          logEndOffset = kept.map(_.lastOff).max + 1)
     }
     decisions
   }
 
   /** Persisted low watermark for a partition (None before any compaction). */
   def lowWatermark(spark: SparkSession, baseDir: String, topic: String,
-                   partId: Long): Option[Long] = {
-    val marker = new Path(s"$baseDir/topic_$topic/partition_$partId/low_watermark")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
-      } finally in.close()
+                   partId: Long): Option[Long] =
+    Meta.read(spark, s"$baseDir/topic_$topic/partition_$partId")
+      .map(_._1)
+
+  /** The reference's `meta.json` snapshot (`partiton_meta.rs:8-13`):
+    * `{"log_end_offset":N,"low_watermark":N,"high_watermark":N}`, written
+    * atomically via tmp + rename (`partiton_meta.rs:27-40`) so a crashed
+    * writer can never leave a torn snapshot. */
+  object Meta {
+    def write(spark: SparkSession, partitionDir: String, lowWatermark: Long,
+              highWatermark: Long, logEndOffset: Long): Unit = {
+      val conf = spark.sessionState.newHadoopConf()
+      val tmp = new Path(s"$partitionDir/meta.json.tmp")
+      val dst = new Path(s"$partitionDir/meta.json")
+      val fs = dst.getFileSystem(conf)
+      val out = fs.create(tmp, true)
+      try out.write(
+        (s"""{"log_end_offset":$logEndOffset,"low_watermark":$lowWatermark,""" +
+          s""""high_watermark":$highWatermark}""").getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(tmp, dst)
+    }
+
+    /** (low, high, logEnd) if a snapshot exists. */
+    def read(spark: SparkSession,
+             partitionDir: String): Option[(Long, Long, Long)] = {
+      val p = new Path(s"$partitionDir/meta.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+        def field(name: String): Option[Long] =
+          ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r
+            .findFirstMatchIn(text).map(_.group(1).toLong)
+        for {
+          low <- field("low_watermark")
+          high <- field("high_watermark")
+          end <- field("log_end_offset")
+        } yield (low, high, end)
+      }
     }
   }
 

@@ -59,9 +59,14 @@ class RetentionSpec extends AnyFunSuite {
       .select("msg_offset").collect().map(_.getLong(0)).sorted
     assert(offs.toSeq === (20L until 25L))
 
-    // persisted low watermark = first retained offset (partition.rs:285)
+    // persisted low watermark = first retained offset (partition.rs:285),
+    // stored as the reference's meta.json snapshot (partiton_meta.rs:8-13)
     assert(Retention.lowWatermark(spark, dir, "r", 0L) === Some(20L))
     assert(Retention.lowWatermark(spark, dir, "r", 1L) === Some(0L))
+    assert(Retention.Meta.read(spark,
+      s"$dir/topic_r/partition_0") === Some((20L, 24L, 25L)))
+    assert(!Files.exists(Paths.get(dir, "topic_r", "partition_0",
+      "meta.json.tmp")), "atomic rename leaves no tmp file")
     val wm = Retention.watermarksOnDisk(spark, dir, "r")
     assert(wm(0L) === ((20L, 24L, 25L)))
     assert(wm(1L) === ((0L, 4L, 5L)))
