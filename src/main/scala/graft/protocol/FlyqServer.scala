@@ -46,6 +46,45 @@ class FlyqServer(baseDir: String,
   private val rr = mutable.Map.empty[String, Long] // keyless round-robin
   private val lock = new Object
 
+  // group offsets survive restarts, like the reference's OffsetTracker
+  // JSON at base_dir/consumer_offsets.json (`offset_tracker.rs:36-44`;
+  // ours nests by topic since we serve many topics, and writes
+  // synchronously per commit instead of via the background flush loop —
+  // a durability upgrade, not a divergence in observable semantics)
+  private val offsetsPath = Paths.get(baseDir, "consumer_offsets.json")
+  loadOffsets()
+
+  private def loadOffsets(): Unit =
+    if (Files.exists(offsetsPath)) {
+      val text = new String(Files.readAllBytes(offsetsPath), "UTF-8")
+      val Entry =
+        "\"((?:[^\"\\\\]|\\\\.)+)\\|((?:[^\"\\\\]|\\\\.)+)\\|(\\d+)\"\\s*:\\s*(\\d+)".r
+      Entry.findAllMatchIn(text).foreach { m =>
+        committed((unescape(m.group(1)), m.group(3).toLong,
+          unescape(m.group(2)))) = m.group(4).toLong
+      }
+    }
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("|", "\\u007c")
+  private def unescape(s: String): String =
+    s.replace("\\u007c", "|").replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Atomic tmp+rename like the reference's persist (`offset_tracker.rs`,
+    * `partiton_meta.rs:27-40`). Caller holds `lock`. */
+  private def persistOffsets(): Unit = {
+    val body = committed.toSeq.sortBy(_._1.toString).map {
+      case ((topic, part, group), off) =>
+        "\"" + escape(topic) + "|" + escape(group) + "|" + part + "\":" + off
+    }.mkString("{", ",", "}")
+    val tmp = Paths.get(baseDir, "consumer_offsets.json.tmp")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, offsetsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def partDir(topic: String, part: Long): Path =
     Paths.get(baseDir, s"topic_$topic", s"partition_$part")
 
@@ -206,6 +245,7 @@ class FlyqServer(baseDir: String,
         CommitOffsetRequest.decode(req.data).map { c =>
           lock.synchronized {
             committed((c.topic, c.partition, c.group)) = c.offset
+            persistOffsets()
           }
           ProduceAck.encode(ProduceAck(c.partition, c.offset))
         }
@@ -297,8 +337,26 @@ class FlyqServer(baseDir: String,
     finally sock.close()
   }
 
+  /** Persist a meta.json watermark snapshot per touched partition (the
+    * reference's flush loop does this periodically, `runtime/flush.rs`;
+    * we snapshot on clean shutdown) and close the socket. */
   def stop(): Unit = {
     running = false
+    lock.synchronized {
+      heads.foreach { case ((topic, part), h) =>
+        val dir = partDir(topic, part)
+        if (Files.isDirectory(dir)) {
+          val low = listSegBases(topic, part).headOption.getOrElse(0L)
+          val tmp = dir.resolve("meta.json.tmp")
+          Files.write(tmp,
+            (s"""{"log_end_offset":${h.nextOffset},"low_watermark":$low,""" +
+              s""""high_watermark":${h.nextOffset - 1}}""").getBytes("UTF-8"))
+          Files.move(tmp, dir.resolve("meta.json"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
     if (server != null) server.close()
   }
 }

@@ -131,19 +131,33 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
-  test("server recovers its write head from existing segments") {
+  test("server recovers write head, committed offsets, and meta across restart") {
     val dir = Files.createTempDirectory("flyq-sock-rec").toString
     val s1 = new FlyqServer(dir, numPartitions = 1)
     val c1 = new FlyqClient("127.0.0.1", s1.start())
-    assert(c1.produce("t", WireMessage(1L, Some(b("k")), b("v0"), Nil)).isRight)
+    (0 until 3).foreach { i =>
+      assert(c1.produce("t",
+        WireMessage(1L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+    }
+    assert(c1.commitOffset("t", 0L, "g1", 2L).isRight)
     c1.close(); s1.stop()
+
+    // clean shutdown snapshots the reference's meta.json watermark triple
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "topic_t", "partition_0", "meta.json")),
+      "UTF-8")
+    assert(meta.contains("\"log_end_offset\":3"))
+    assert(meta.contains("\"high_watermark\":2"))
 
     val s2 = new FlyqServer(dir, numPartitions = 1)
     val c2 = new FlyqClient("127.0.0.1", s2.start())
     try {
       val Right(ack) = c2.produce("t",
-        WireMessage(2L, Some(b("k")), b("v1"), Nil)): @unchecked
-      assert(ack.offset === 1L, "offset continues after restart")
+        WireMessage(9L, Some(b("k")), b("v3"), Nil)): @unchecked
+      assert(ack.offset === 3L, "offset continues after restart")
+      // committed offsets reloaded from consumer_offsets.json
+      val Right(gr) = c2.consumeWithGroup("t", 0L, "g1"): @unchecked
+      assert(gr.offset === 2L, "group offset survives restart")
     } finally { c2.close(); s2.stop() }
   }
 }
