@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{FlyqCodec, TextHashes, TopK, VectorOps}
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * injects the [[graft.plans.GroupedPrefixStrategy]] planner strategy and
+  * registers the SQL-expressible custom functions, so a pure-SQL user
+  * gets the whole surface (`SELECT simhash16(hash32_array(words)) ...`)
+  * with zero Scala. [[GraftFunctions.register]] does the same for an
+  * already-running session (the operators also self-register the
+  * strategy at DataFrame construction, so either path works). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedPrefixStrategy)
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal integer, got $other")
+  }
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
+      builder)
+
+  /** Every custom function whose arguments are SQL-expressible.
+    * (minhash_sigs / stopword_hits take Scala-side constant tables and
+    * stay DataFrame-API-only.) */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("hash32_array", "hash32_array(array<string>) - md5-32 per element") {
+      a => TextHashes.Hash32Array(a.head)
+    },
+    fn("jaccard_long", "jaccard_long(array<long>, array<long>) - exact Jaccard") {
+      a => TextHashes.JaccardLong(a(0), a(1))
+    },
+    fn("char_grams_distinct",
+      "char_grams_distinct(str, n) - distinct char n-grams") {
+      a => TextHashes.CharGramsDistinct(a(0), intLit(a(1), "n"))
+    },
+    fn("simhash16", "simhash16(array<long>) - 16-bit SimHash") {
+      a => TextHashes.SimHash16(a.head)
+    },
+    fn("dot_seq", "dot_seq(array<float|double>, array) - dot product") {
+      a => VectorOps.DotSeq(a(0), a(1))
+    },
+    fn("norm2_seq", "norm2_seq(array<float|double>) - squared L2 norm (self dot)") {
+      a => VectorOps.Norm2Seq(a.head)
+    },
+    fn("srp_bucket",
+      "srp_bucket(vec, numPlanes, dim) - signed-random-projection bucket") {
+      a => VectorOps.SrpBucket(a(0), intLit(a(1), "numPlanes"),
+        intLit(a(2), "dim"))
+    },
+    fn("flyq_decode_record", "flyq_decode_record(binary) - one StoredRecord") {
+      a => FlyqCodec.FlyqDecodeRecord(a.head)
+    },
+    fn("flyq_decode_segment",
+      "flyq_decode_segment(binary) - all records of a segment") {
+      a => FlyqCodec.FlyqDecodeSegment(a.head)
+    },
+    fn("top_k_structs",
+      "top_k_structs(struct, k) - bounded top-k aggregate (asc struct order)") {
+      a => TopK.TopKStructAgg(a.head, intLit(a(1), "k"))
+    })
+
+  /** Register into a live session (same list the extensions inject). */
+  def register(spark: SparkSession): Unit = {
+    graft.plans.OrderedIndex.ensureRegistered(spark)
+    all.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+  }
+}

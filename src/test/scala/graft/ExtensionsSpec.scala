@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface: GraftFunctions.register (same list
+  * GraftExtensions injects via spark.sql.extensions) makes every
+  * SQL-expressible custom function callable from spark.sql, and the
+  * values must equal the DataFrame-API forms. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+
+  test("registered SQL functions compute the same values as the Column API") {
+    val s = spark.newSession() // fresh registry, shared context
+    GraftFunctions.register(s)
+
+    val r = s.sql("""
+      SELECT hash32_array(array('a','b')) AS h,
+             jaccard_long(array(1L,2L,3L), array(2L,3L,4L)) AS j,
+             char_grams_distinct('abcd', 3) AS g,
+             simhash16(array(1L,2L)) AS sh,
+             dot_seq(array(1.0D,2.0D), array(3.0D,4.0D)) AS d,
+             norm2_seq(array(3.0D,4.0D)) AS n
+    """).head()
+    assert(r.getAs[scala.collection.Seq[Long]]("h").toSeq ===
+      Seq(TextHashesRef.md5_32("a"), TextHashesRef.md5_32("b")))
+    assert(r.getAs[Double]("j") === 0.5) // |{2,3}| / |{1,2,3,4}|
+    assert(r.getAs[scala.collection.Seq[String]]("g").toSeq === Seq("abc", "bcd"))
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Double]("n") === 25.0) // squared norm (self dot)
+
+    // top-k aggregate from pure SQL: 2 smallest (v, id) structs per grp
+    val rows = s.sql("""
+      SELECT grp, top_k_structs(named_struct('v', v, 'id', id), 2) AS top
+      FROM VALUES ('a', 3L, 1L), ('a', 1L, 2L), ('a', 2L, 3L), ('b', 9L, 4L)
+           AS t(grp, v, id)
+      GROUP BY grp ORDER BY grp
+    """).collect()
+    val a = rows(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+    assert(a.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top").length === 1)
+
+    // the decode function round-trips the byte-exact codec
+    val bytes = graft.functions.FlyqCodec.encodeRecord(
+      7L, "k".getBytes, "v".getBytes, 123L, null)
+    val dec = s.sql(
+      s"SELECT flyq_decode_record(X'${bytes.map("%02x".format(_)).mkString}') AS r")
+      .select("r.msg_offset", "r.ts_ms").head()
+    assert(dec.getLong(0) === 7L)
+    assert(dec.getLong(1) === 123L)
+  }
+
+  private object TextHashesRef {
+    def md5_32(s: String): Long =
+      graft.functions.TextHashes.md5_32(s.getBytes("UTF-8"))
+  }
+}
