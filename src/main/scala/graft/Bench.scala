@@ -74,7 +74,9 @@ object Bench {
       if (!baselineFile.exists()) Map.empty
       else {
         val text = scala.io.Source.fromFile(baselineFile).mkString
-        "\"((?:[^\"\\\\]|\\\\.)+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+        // full numeric literal incl. signed exponents — "[0-9.eE+]+" would
+        // truncate 1.0E-4 to "1.0E" and crash toDouble on the next run
+        "\"((?:[^\"\\\\]|\\\\.)+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
           .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     val regressions = results.collect {

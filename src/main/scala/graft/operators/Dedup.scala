@@ -129,6 +129,18 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Unpersist and drop every cached intermediate for `spark` — call when
+    * a session's input files changed or the session is being retired (the
+    * cache would otherwise pin the session and its blocks for the process
+    * lifetime, and serve stale pairs for rewritten sfDirs). */
+  def clearCaches(spark: SparkSession): Unit = pairsCache.synchronized {
+    val stale = pairsCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      pairsCache(k).unpersist(blocking = false)
+      pairsCache.remove(k)
+    }
+  }
+
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     verifiedPairs(spark, sfDir)
 
@@ -194,7 +206,11 @@ object Dedup {
     // near-dup graph is orders of magnitude smaller than the corpus, and
     // running 7 fixpoint rounds × 3 shuffles at corpus parallelism is all
     // scheduler overhead. ~100k edges per task; restored after the loop so
-    // the final corpus-wide join runs at full parallelism.
+    // the final corpus-wide join runs at full parallelism. CAVEAT: the
+    // sizing works by temporarily setting the session's
+    // spark.sql.shuffle.partitions — queries planned CONCURRENTLY on the
+    // same session during the (short) loop would pick it up; run this
+    // operator from a dedicated session in multi-tenant drivers.
     val loopParts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       pairs.count() / 100000L + 1L)).toString

@@ -45,13 +45,22 @@ object Retention {
         regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
       .withColumn("base_off",
         regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
+      // explode_OUTER: a fully-torn/empty segment decodes to zero records
+      // but must still appear in the decision table — with plain explode
+      // it would be invisible (never evicted, uncounted by the size cap,
+      // and the active-segment marker would shift to the wrong file)
       .select(col("part_id"), col("base_off"), col("path"),
-        col("length").as("seg_bytes"), explode(col("recs")).as("r"))
+        col("length").as("seg_bytes"), explode_outer(col("recs")).as("r"))
       .groupBy("part_id", "base_off", "path", "seg_bytes")
       .agg(max("r.ts_ms").as("seg_max_ts"), max("r.msg_offset").as("last_off"))
       .collect()
     if (segStats.isEmpty) return Seq.empty
-    val now = nowMs.getOrElse(segStats.map(_.getAs[Long]("seg_max_ts")).max)
+    def tsOf(r: org.apache.spark.sql.Row): Long = {
+      val i = r.fieldIndex("seg_max_ts")
+      if (r.isNullAt(i)) Long.MinValue else r.getLong(i) // recordless = stale
+    }
+    val allTs = segStats.map(tsOf).filter(_ != Long.MinValue)
+    val now = nowMs.getOrElse(if (allTs.isEmpty) 0L else allTs.max)
     val cutoff = now - retentionMs
 
     segStats.groupBy(_.getAs[Long]("part_id")).toSeq.flatMap {
@@ -63,10 +72,12 @@ object Retention {
           cumBytes += r.getAs[Long]("seg_bytes")
           val active = i == 0 // highest base offset = the write head
           val keep = active ||
-            (r.getAs[Long]("seg_max_ts") >= cutoff && cumBytes <= retentionBytes)
+            (tsOf(r) >= cutoff && cumBytes <= retentionBytes)
+          val lastOffIdx = r.fieldIndex("last_off")
           SegmentDecision(partId, r.getAs[Long]("base_off"),
-            r.getAs[String]("path"), r.getAs[Long]("seg_bytes"),
-            r.getAs[Long]("seg_max_ts"), r.getAs[Long]("last_off"),
+            r.getAs[String]("path"), r.getAs[Long]("seg_bytes"), tsOf(r),
+            if (r.isNullAt(lastOffIdx)) r.getAs[Long]("base_off") - 1
+            else r.getLong(lastOffIdx),
             active, keep)
         }
     }
@@ -146,9 +157,14 @@ object Retention {
         val in = fs.open(p)
         val text =
           try {
+            // drain fully — a single read() may legally return a short
+            // count (FSDataInputStream on object stores does), which
+            // would silently truncate the snapshot and drop fields
+            val bos = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8")
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8")
           } finally in.close()
         def field(name: String): Option[Long] =
           ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r

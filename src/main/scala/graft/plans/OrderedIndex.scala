@@ -170,10 +170,14 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
     val basesB: Broadcast[Array[Map[UnsafeRow, Long]]] =
       session.sparkContext.broadcast(bases)
 
-    // pass 2: base + local running total (exclusive), appended as a column
+    // pass 2: base + local running total (exclusive), appended as a column.
+    // outAttrs/pAttr hoisted so the closure captures plain Seqs, not
+    // `this` (the whole exec subtree would otherwise serialize per task).
+    val outAttrs = output
+    val pAttr = prefixAttr
     rdd.mapPartitionsWithIndex { (pid, it) =>
       val keyProj = UnsafeProjection.create(group, childOutput)
-      val toUnsafe = UnsafeProjection.create(output, childOutput :+ prefixAttr)
+      val toUnsafe = UnsafeProjection.create(outAttrs, childOutput :+ pAttr)
       val base = basesB.value(pid)
       val local = mutable.HashMap.empty[UnsafeRow, Long]
       val prefixRow = new GenericInternalRow(1)

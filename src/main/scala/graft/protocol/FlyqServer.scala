@@ -57,8 +57,8 @@ class FlyqServer(baseDir: String,
   private def loadOffsets(): Unit =
     if (Files.exists(offsetsPath)) {
       val text = new String(Files.readAllBytes(offsetsPath), "UTF-8")
-      val Entry =
-        "\"((?:[^\"\\\\]|\\\\.)+)\\|((?:[^\"\\\\]|\\\\.)+)\\|(\\d+)\"\\s*:\\s*(\\d+)".r
+      val Entry = ("""\{"topic":"((?:[^"\\]|\\.)*)","group":"((?:[^"\\]|\\.)*)",""" +
+        """"partition":(\d+),"offset":(\d+)\}""").r
       Entry.findAllMatchIn(text).foreach { m =>
         committed((unescape(m.group(1)), m.group(3).toLong,
           unescape(m.group(2)))) = m.group(4).toLong
@@ -66,17 +66,21 @@ class FlyqServer(baseDir: String,
     }
 
   private def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("|", "\\u007c")
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** Single-pass: every `\x` → `x` (a sequential .replace chain corrupts
+    * strings whose ESCAPED form coincides with another escape). */
   private def unescape(s: String): String =
-    s.replace("\\u007c", "|").replace("\\\"", "\"").replace("\\\\", "\\")
+    "\\\\(.)".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
 
   /** Atomic tmp+rename like the reference's persist (`offset_tracker.rs`,
     * `partiton_meta.rs:27-40`). Caller holds `lock`. */
   private def persistOffsets(): Unit = {
     val body = committed.toSeq.sortBy(_._1.toString).map {
       case ((topic, part, group), off) =>
-        "\"" + escape(topic) + "|" + escape(group) + "|" + part + "\":" + off
-    }.mkString("{", ",", "}")
+        s"""{"topic":"${escape(topic)}","group":"${escape(group)}",""" +
+          s""""partition":$part,"offset":$off}"""
+    }.mkString("[", ",", "]")
     val tmp = Paths.get(baseDir, "consumer_offsets.json.tmp")
     Files.createDirectories(Paths.get(baseDir))
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -84,6 +88,17 @@ class FlyqServer(baseDir: String,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Topic names come off the WIRE — without this, a crafted topic like
+    * `../../tmp/evil` walks `partDir` out of baseDir (path traversal on
+    * every produce/consume/watermark path). Same charset the reference's
+    * directory layout can represent safely. */
+  private def validTopic(topic: String): Either[String, String] =
+    if (topic.nonEmpty && topic.length <= 255 &&
+        topic.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+        topic != "." && topic != "..")
+      Right(topic)
+    else Left(s"invalid topic name: ${topic.take(64)}")
 
   private def partDir(topic: String, part: Long): Path =
     Paths.get(baseDir, s"topic_$topic", s"partition_$part")
@@ -179,13 +194,34 @@ class FlyqServer(baseDir: String,
         .find(_._1 >= from)
     }
 
+  /** First record's offset without decoding the segment: the StoredRecord
+    * layout is `[len u32][offset u64]...`, so 12 bytes suffice — a
+    * monitoring client polling lag must not trigger a full oldest-segment
+    * decode under the global lock on every request. */
+  private def firstOffset(topic: String, part: Long, base: Long): Option[Long] = {
+    val p = segPath(topic, part, base)
+    if (!Files.exists(p) || Files.size(p) < 16) return None
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val buf = ByteBuffer.allocate(12)
+      var read = 0
+      while (read < 12) {
+        val n = ch.read(buf)
+        if (n < 0) return None
+        read += n
+      }
+      buf.flip()
+      val len = buf.getInt
+      if (len < 28) None else Some(buf.getLong)
+    } finally ch.close()
+  }
+
   private def watermark(topic: String, part: Long): (Long, Long, Long) =
     lock.synchronized {
       val bases = listSegBases(topic, part)
       if (bases.isEmpty) (0L, -1L, 0L)
       else {
-        val lowDisk = readSeg(topic, part, bases.head).headOption
-          .map(_._1).getOrElse(0L)
+        val lowDisk = firstOffset(topic, part, bases.head).getOrElse(0L)
         val h = head(topic, part)
         (lowDisk, h.nextOffset - 1, h.nextOffset)
       }
@@ -216,6 +252,7 @@ class FlyqServer(baseDir: String,
       case OpCode.Produce =>
         for {
           p <- ProduceRequest.decode(req.data)
+          _ <- validTopic(p.topic)
           m <- WireMessage.decode(p.message)
         } yield {
           val (part, off) = append(p.topic, m.key.orNull, m.value, m.tsMs)
@@ -223,15 +260,16 @@ class FlyqServer(baseDir: String,
         }
       case OpCode.Consume =>
         ConsumeRequest.decode(req.data).flatMap { c =>
-          consumeAt(c.topic, c.partition, c.offset)
+          validTopic(c.topic).flatMap(_ => consumeAt(c.topic, c.partition, c.offset)
             .toRight(s"offset ${c.offset} out of range")
             .map { case (off, ts, k, v) =>
               ConsumeResponse.encode(ConsumeResponse(off,
                 WireMessage(ts, Option(k), v, Nil)))
-            }
+            })
         }
       case OpCode.ConsumeWithGroup =>
-        ConsumeWithGroupRequest.decode(req.data).flatMap { c =>
+        ConsumeWithGroupRequest.decode(req.data)
+            .flatMap(c => validTopic(c.topic).map(_ => c)).flatMap { c =>
           val from = lock.synchronized(
             committed.getOrElse((c.topic, c.partition, c.group), 0L))
           consumeAt(c.topic, c.partition, from)
@@ -242,7 +280,8 @@ class FlyqServer(baseDir: String,
             }
         }
       case OpCode.CommitOffset =>
-        CommitOffsetRequest.decode(req.data).map { c =>
+        CommitOffsetRequest.decode(req.data)
+            .flatMap(c => validTopic(c.topic).map(_ => c)).map { c =>
           lock.synchronized {
             committed((c.topic, c.partition, c.group)) = c.offset
             persistOffsets()
@@ -250,12 +289,17 @@ class FlyqServer(baseDir: String,
           ProduceAck.encode(ProduceAck(c.partition, c.offset))
         }
       case OpCode.Watermark =>
-        WatermarkRequest.decode(req.data).map { w =>
+        WatermarkRequest.decode(req.data)
+            .flatMap(w => validTopic(w.topic).map(_ => w)).map { w =>
           val (low, high, end) = watermark(w.topic, w.partition)
           WatermarkResponse.encode(WatermarkResponse(low, high, end))
         }
       case OpCode.GetConsumerLag =>
-        ConsumerLagRequest.decode(req.data).map { r =>
+        ConsumerLagRequest.decode(req.data).flatMap { r =>
+          r.topics.getOrElse(Nil).foldLeft[Either[String, Unit]](Right(())) {
+            (acc, t) => acc.flatMap(_ => validTopic(t).map(_ => ()))
+          }.map(_ => r)
+        }.map { r =>
           val topics = lock.synchronized {
             val known = heads.keys.map(_._1).toSet ++
               committed.keys.map(_._1).toSet
@@ -276,7 +320,8 @@ class FlyqServer(baseDir: String,
             r.consumerGroup, parts.map(_.lag).sum, parts))
         }
       case OpCode.GetPartitionHealth =>
-        PartitionHealthRequest.decode(req.data).map { h =>
+        PartitionHealthRequest.decode(req.data)
+            .flatMap(h => validTopic(h.topic).map(_ => h)).map { h =>
           val bases = listSegBases(h.topic, h.partition)
           val bytes = bases.map(b =>
             Files.size(segPath(h.topic, h.partition, b))).sum
@@ -294,7 +339,10 @@ class FlyqServer(baseDir: String,
   @volatile private var running = false
 
   def start(): Int = {
-    server = new ServerSocket(0)
+    // loopback only — the scaladoc promises a loopback lifecycle, and
+    // binding 0.0.0.0 would expose the dispatch surface to the network
+    server = new ServerSocket(0, 50,
+      java.net.InetAddress.getLoopbackAddress)
     running = true
     val t = new Thread(() => {
       while (running) {

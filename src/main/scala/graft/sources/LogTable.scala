@@ -42,10 +42,19 @@ object LogTable {
 
   /** Materialize the sfDir's log once per machine (marker-checked) and
     * return its path — the production read path: offsets as DATA, not a
-    * recompute. Benched as `consumer_lag_materialized`. */
+    * recompute. Benched as `consumer_lag_materialized`. The cache key
+    * includes a fingerprint of the input files (size + mtime), so
+    * REGENERATED testdata at the same path invalidates the snapshot
+    * instead of silently serving stale offsets. */
   def ensureMaterialized(spark: SparkSession, sfDir: String): String = synchronized {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_logtable_v$SemanticsVersion$tag"
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_logtable_v$SemanticsVersion${tag}_$fp"
     if (!new java.io.File(path, "_SUCCESS").exists())
       materialize(graft.model.LogModel.toLog(
         graft.model.LogModel.events(spark, sfDir)), path)

@@ -88,6 +88,40 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
+  test("wire-supplied topic names cannot escape the base directory") {
+    val dir = Files.createTempDirectory("flyq-sock-sec").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val c = new FlyqClient("127.0.0.1", server.start())
+    try {
+      for (bad <- Seq("../evil", "..", "a/b", "x\\y", "")) {
+        val r = c.produce(bad, WireMessage(1L, None, b("v"), Nil))
+        assert(r.isLeft, s"topic '$bad' must be rejected")
+        assert(c.consume(bad, 0L, 0L).isLeft)
+        assert(c.watermark(bad, 0L).isLeft)
+      }
+      assert(!Files.exists(java.nio.file.Paths.get(dir).getParent
+        .resolve("evil")), "no directory created outside baseDir")
+    } finally { c.close(); server.stop() }
+  }
+
+  test("empty and escaped group names survive the offsets round-trip") {
+    val dir = Files.createTempDirectory("flyq-sock-esc").toString
+    val s1 = new FlyqServer(dir, numPartitions = 1)
+    val c1 = new FlyqClient("127.0.0.1", s1.start())
+    assert(c1.produce("t", WireMessage(1L, None, b("v"), Nil)).isRight)
+    assert(c1.commitOffset("t", 0L, "", 1L).isRight)
+    assert(c1.commitOffset("t", 0L, """we"ird\grp""", 2L).isRight)
+    c1.close(); s1.stop()
+    val s2 = new FlyqServer(dir, numPartitions = 1)
+    val c2 = new FlyqClient("127.0.0.1", s2.start())
+    try {
+      val Right(lag) = c2.consumerLag("", Some(Seq("t"))): @unchecked
+      assert(lag.partitions.head.committedOffset === 1L)
+      val Right(lag2) = c2.consumerLag("""we"ird\grp""", Some(Seq("t"))): @unchecked
+      assert(lag2.partitions.head.committedOffset === 2L)
+    } finally { c2.close(); s2.stop() }
+  }
+
   test("socket routing matches the bulk path's pmod(xxhash64(key), n)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
