@@ -127,6 +127,13 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val group = groupCols
@@ -167,6 +174,8 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
         k -> b
       }.toMap
     }
+    longMetric("numGroups") += running.size
+    val numOutputRows = longMetric("numOutputRows")
     val basesB: Broadcast[Array[Map[UnsafeRow, Long]]] =
       session.sparkContext.broadcast(bases)
 
@@ -193,6 +202,7 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
           case None => local.update(k.copy(), v)
         }
         prefixRow.update(0, prefix)
+        numOutputRows += 1
         toUnsafe(joined(row, prefixRow))
       }
     }
