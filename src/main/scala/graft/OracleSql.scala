@@ -481,6 +481,24 @@ object OracleSql {
              count(DISTINCT user_id) AS n_users
       FROM ev GROUP BY 1, 2""",
 
+    "value_percentiles" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      SELECT event_type, count(*) AS n_events,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM ev GROUP BY event_type""",
+
+    "events_pivot" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      SELECT date_trunc('hour', ts) AS hour,
+             count(*) FILTER (event_type = 'click') AS n_click,
+             count(*) FILTER (event_type = 'view') AS n_view,
+             count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (event_type = 'signup') AS n_signup,
+             count(*) FILTER (event_type = 'error') AS n_error
+      FROM ev GROUP BY 1""",
+
     "sessionize" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
       g AS (

@@ -58,6 +58,8 @@ object SparkEntry {
     "q3_top_orders" -> (Relational.q3TopOrders(_, _)),
     "region_rollup" -> (Relational.regionRollup(_, _)),
     "events_hourly" -> (Relational.eventsHourly(_, _)),
+    "events_pivot" -> (Relational.eventsPivot(_, _)),
+    "value_percentiles" -> (Relational.valuePercentiles(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
     "supplier_rollup" -> (Relational.supplierRollup(_, _)),

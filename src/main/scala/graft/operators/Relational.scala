@@ -164,6 +164,36 @@ object Relational {
     custIn(1995).intersect(custIn(1996))
   }
 
+  /** Exact percentile profile of event values per type (quality-scoring
+    * pipelines gate on tail latencies/lengths like this). Spark's exact
+    * `percentile` uses linear interpolation — the same definition as the
+    * oracle's quantile_cont — and is a partial-aggregable aggregate, so
+    * the shuffle carries per-group sketch state, not raw rows. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** Pivot coverage: hourly event counts spread over event-type columns
+    * (the wide layout dashboards read). The pivot values are enumerated,
+    * so this is one partial-aggregable groupBy — no second pass to
+    * discover the domain. */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("hour"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+
   /** AS-OF join — an operator Spark lacks natively, composed from existing
     * ops (preference (a) in the build rules): for each purchase, the most
     * recent click at-or-before it by the same user, via a running
