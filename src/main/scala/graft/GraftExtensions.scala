@@ -28,7 +28,10 @@ object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType)
+        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+    case Literal(v: Long, LongType) => throw new IllegalArgumentException(
+      s"$what out of Int range: $v") // silent .toInt would wrap the value
     case other => throw new IllegalArgumentException(
       s"$what must be a literal integer, got $other")
   }

@@ -122,9 +122,22 @@ object Dedup {
   private val pairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Cache keys embed a size+mtime fingerprint of documents.parquet, so
+    * REGENERATED testdata at the same path invalidates instead of
+    * silently serving stale pairs (same scheme as
+    * LogTable.ensureMaterialized). */
+  private def cacheKey(sfDir: String, variant: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
+    s"$sfDir#$variant#$fp"
+  }
+
   def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
     pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((spark, sfDir),
+      pairsCache.getOrElseUpdate((spark, cacheKey(sfDir, "pairs")),
         computeMinhashPairs(spark, sfDir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
@@ -291,7 +304,7 @@ object Dedup {
     * persist-the-signature-table pattern as [[verifiedPairs]]. */
   private def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
     pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((spark, sfDir + "#ngrams"),
+      pairsCache.getOrElseUpdate((spark, cacheKey(sfDir, "ngrams")),
         docs(spark, sfDir).select(
             col("doc_id"), col("lang"),
             normText(col("text")).as("ntext"))

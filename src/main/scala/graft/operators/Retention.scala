@@ -143,8 +143,11 @@ object Retention {
         (s"""{"log_end_offset":$logEndOffset,"low_watermark":$lowWatermark,""" +
           s""""high_watermark":$highWatermark}""").getBytes("UTF-8"))
       finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(tmp, dst)
+      // FileContext rename with OVERWRITE is the actually-atomic form —
+      // FileSystem.rename needs a delete-first (a crash in between loses
+      // the previous snapshot entirely) and returns false on races
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     /** (low, high, logEnd) if a snapshot exists. */

@@ -175,6 +175,14 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
       }.toMap
     }
     longMetric("numGroups") += running.size
+    // driver-side metric: must be POSTED (task-end accumulator updates
+    // never fire for it) or the SQL UI shows 0 — same pattern as
+    // BroadcastExchangeExec's driver metrics
+    org.apache.spark.sql.execution.metric.SQLMetrics.postDriverMetricUpdates(
+      sparkContext,
+      sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY),
+      Seq(longMetric("numGroups")))
     val numOutputRows = longMetric("numOutputRows")
     val basesB: Broadcast[Array[Map[UnsafeRow, Long]]] =
       session.sparkContext.broadcast(bases)

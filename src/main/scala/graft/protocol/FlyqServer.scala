@@ -58,7 +58,7 @@ class FlyqServer(baseDir: String,
     if (Files.exists(offsetsPath)) {
       val text = new String(Files.readAllBytes(offsetsPath), "UTF-8")
       val Entry = ("""\{"topic":"((?:[^"\\]|\\.)*)","group":"((?:[^"\\]|\\.)*)",""" +
-        """"partition":(\d+),"offset":(\d+)\}""").r
+        """"partition":(\d+),"offset":(-?\d+)\}""").r
       Entry.findAllMatchIn(text).foreach { m =>
         committed((unescape(m.group(1)), m.group(3).toLong,
           unescape(m.group(2)))) = m.group(4).toLong
@@ -152,6 +152,10 @@ class FlyqServer(baseDir: String,
     * (`partition.rs:107-142`) on the same on-disk layout Broker writes. */
   private def append(topic: String, key: Array[Byte], value: Array[Byte],
                      tsMs: Long): (Long, Long) = lock.synchronized {
+    // stop() flips `running` BEFORE taking the lock for its meta.json
+    // snapshot: any append that wins the lock afterwards must fail, or
+    // the persisted watermarks would trail an acknowledged write
+    if (!running) throw new IllegalStateException("server is stopping")
     val part =
       if (key == null) {
         val i = rr.getOrElse(topic, 0L)
@@ -212,7 +216,11 @@ class FlyqServer(baseDir: String,
       }
       buf.flip()
       val len = buf.getInt
-      if (len < 28) None else Some(buf.getLong)
+      // a torn head record (len runs past EOF) is invisible to readers —
+      // advertising its offset as the low watermark would send consumers
+      // to an offset that consume() then reports as out of range
+      if (len < 28 || 4L + len > Files.size(p)) None
+      else Some(buf.getLong)
     } finally ch.close()
   }
 
@@ -221,7 +229,11 @@ class FlyqServer(baseDir: String,
       val bases = listSegBases(topic, part)
       if (bases.isEmpty) (0L, -1L, 0L)
       else {
-        val lowDisk = firstOffset(topic, part, bases.head).getOrElse(0L)
+        val lowDisk = firstOffset(topic, part, bases.head)
+          // corrupt/torn head: fall back to the decode path, which skips
+          // to the first COMPLETE record (rare, so the cost is fine)
+          .orElse(readSeg(topic, part, bases.head).headOption.map(_._1))
+          .getOrElse(0L)
         val h = head(topic, part)
         (lowDisk, h.nextOffset - 1, h.nextOffset)
       }
@@ -281,7 +293,12 @@ class FlyqServer(baseDir: String,
         }
       case OpCode.CommitOffset =>
         CommitOffsetRequest.decode(req.data)
-            .flatMap(c => validTopic(c.topic).map(_ => c)).map { c =>
+            .flatMap(c => validTopic(c.topic).map(_ => c))
+            // the wire field is u64; a Long that decoded negative is a
+            // >=2^63 or sentinel value we refuse rather than persist
+            .flatMap(c => if (c.offset < 0)
+              Left(s"negative commit offset ${c.offset}") else Right(c))
+            .map { c =>
           lock.synchronized {
             committed((c.topic, c.partition, c.group)) = c.offset
             persistOffsets()

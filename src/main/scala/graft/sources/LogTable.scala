@@ -53,12 +53,25 @@ object LogTable {
       if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
     val fp = java.lang.Long.toHexString(
       parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
-    val path = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_logtable_v$SemanticsVersion${tag}_$fp"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val prefix = s"graft_logtable_v$SemanticsVersion${tag}_"
+    val path = s"$tmpRoot/$prefix$fp"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // a regenerated input strands the previous fingerprint's snapshot —
+      // sweep stale siblings so tmpdir doesn't grow without bound
+      Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
+        .foreach(deleteRecursively)
       materialize(graft.model.LogModel.toLog(
         graft.model.LogModel.events(spark, sfDir)), path)
+    }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Read a materialized log back with the canonical column types (the

@@ -88,6 +88,43 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
+  test("malformed request payloads get an Error frame, not a dropped connection") {
+    import graft.protocol.Frame
+    import graft.protocol.Frame.{Frame => WireFrame, FrameType}
+    val dir = Files.createTempDirectory("flyq-sock-mal").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      def roundTrip(payload: Array[Byte]): WireFrame = {
+        out.write(Frame.encode(WireFrame(1, FrameType.Request, 7, payload)))
+        out.flush()
+        val header = new Array[Byte](Frame.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 6, 4).getInt
+        val buf = new Array[Byte](Frame.HeaderLen + len)
+        System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
+        in.readFully(buf, Frame.HeaderLen, len)
+        val Right(Some((f, _))) = Frame.decode(buf): @unchecked
+        f
+      }
+      // unknown opcode, truncated ProduceRequest, empty payload — each
+      // must come back as an Error frame on a STILL-LIVE connection
+      assert(roundTrip(Array[Byte](99, 1, 2)).frameType === FrameType.Error)
+      assert(roundTrip(Array[Byte](OpCode.Produce, 0, 0))
+        .frameType === FrameType.Error)
+      assert(roundTrip(Array.empty[Byte]).frameType === FrameType.Error)
+      // connection survived all three: a well-formed request still works
+      val ok = roundTrip(RequestPayload.encode(
+        RequestPayload(OpCode.Watermark,
+          WatermarkRequest.encode(
+            WatermarkRequest("t", 0L)))))
+      assert(ok.frameType === FrameType.Response)
+    } finally { sock.close(); server.stop() }
+  }
+
   test("wire-supplied topic names cannot escape the base directory") {
     val dir = Files.createTempDirectory("flyq-sock-sec").toString
     val server = new FlyqServer(dir, numPartitions = 1)
