@@ -42,6 +42,30 @@ object LogStream {
       .select(col("part_id"), col("base_off"), explode(col("recs")).as("r"))
       .select(col("part_id"), col("base_off"), col("r.*"))
 
+  /** CONTINUOUS consumer lag — the flagship query as a live stream (the
+    * reference's monitor example polls GetConsumerLag in a loop,
+    * `monitor.rs:54-77`; this is the push twin). The tailing source feeds
+    * a running high-watermark aggregate per partition; committed offsets
+    * arrive as a per-(group, partition) map (in production: a
+    * slowly-changing table the sink joins or a second stream). Complete
+    * output mode — state is one row per partition, bounded by topology,
+    * not data. */
+  def consumerLag(records: DataFrame,
+                  committed: Map[(String, Long), Long]): DataFrame = {
+    val entries = committed.toSeq.map { case ((grp, part), off) =>
+      struct(lit(grp).as("grp"), lit(part).as("c_part"),
+        lit(off).as("committed"))
+    }
+    records
+      .groupBy(col("part_id"))
+      .agg(max(col("msg_offset")).as("high_off"))
+      .withColumn("c", explode(array(entries: _*)))
+      .filter(col("c.c_part") === col("part_id"))
+      .select(col("c.grp").as("grp"), col("part_id"),
+        col("c.committed").as("committed"), col("high_off"),
+        greatest(col("high_off") - col("c.committed"), lit(0L)).as("lag"))
+  }
+
   /** Streaming twin of Relational.eventsHourly: event-time tumbling window
     * with a watermark bounding state (NOT the reference's offset watermark —
     * SURVEY.md §2.7 naming discipline). */

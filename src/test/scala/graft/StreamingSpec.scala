@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!live.isRemoved)
   }
 
+  test("continuous consumer lag over the tailing source updates as the log grows") {
+    val dir = Files.createTempDirectory("flyq-lagstream").toString
+    val ckpt = Files.createTempDirectory("flyq-lagstream-ckpt").toString
+    SegmentFiles.writeSegment(dir, "t", 0,
+      (0L until 5L).map(i => Record(i, 1000 + i, str(s"k$i"), str(s"v$i"))))
+    val records = spark.readStream
+      .format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", "t").load(dir)
+    val committed = Map(("analytics", 0L) -> 2L, ("billing", 0L) -> 10L)
+    val q = LogStream.consumerLag(records, committed)
+      .writeStream.format("memory").queryName("lag_stream")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def lagOf(grp: String): Long =
+        spark.table("lag_stream").filter(col("grp") === grp)
+          .head().getAs[Long]("lag")
+      assert(lagOf("analytics") === 2L) // high 4, committed 2
+      assert(lagOf("billing") === 0L) // saturating: committed past end
+      // the log grows: lag must ADVANCE with the high watermark
+      val f = java.nio.file.Paths.get(dir, "topic_t", "partition_0",
+        f"segment_${0L}%020d.log").toFile
+      val out = new java.io.FileOutputStream(f, true)
+      try out.write(graft.functions.FlyqCodec.encodeRecord(
+        5L, str("k5"), str("v5"), 1005L, null)) finally out.close()
+      q.processAllAvailable()
+      assert(lagOf("analytics") === 3L) // high 5 now
+    } finally q.stop()
+  }
+
   test("windowed counts with event-time watermark over ingested segments") {
     val dir = Files.createTempDirectory("flyq-win").toString
     val ckpt = Files.createTempDirectory("flyq-win-ckpt").toString
