@@ -119,6 +119,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full loop: socket produce -> segment files -> live lag stream") {
+    import graft.protocol.{FlyqClient, FlyqServer}
+    import graft.protocol.Payloads.WireMessage
+    val dir = Files.createTempDirectory("flyq-loop").toString
+    val ckpt = Files.createTempDirectory("flyq-loop-ckpt").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val client = new FlyqClient("127.0.0.1", server.start())
+    def produce(i: Int): Unit = assert(client.produce("loop",
+      WireMessage(1000L + i, Some(str("k")), str(s"v$i"), Nil)).isRight)
+    try {
+      (0 until 4).foreach(produce)
+      val records = spark.readStream
+        .format("graft.sources.v2.FlyqSegmentSource")
+        .option("topic", "loop").load(dir)
+      val q = LogStream.consumerLag(records, Map(("g", 0L) -> 1L))
+        .writeStream.format("memory").queryName("loop_lag")
+        .option("checkpointLocation", ckpt).outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("loop_lag").head().getAs[Long]("lag") === 2L)
+        (4 until 7).foreach(produce) // wire appends while the stream runs
+        q.processAllAvailable()
+        assert(spark.table("loop_lag").head().getAs[Long]("lag") === 5L)
+      } finally q.stop()
+    } finally { client.close(); server.stop() }
+  }
+
   test("windowed counts with event-time watermark over ingested segments") {
     val dir = Files.createTempDirectory("flyq-win").toString
     val ckpt = Files.createTempDirectory("flyq-win-ckpt").toString
