@@ -35,12 +35,58 @@ object Broker {
     * the `orderCols` that define arrival order. `orderCols` MUST be a
     * total order (include a unique tiebreaker): ties would make arrival
     * indices — and therefore routing and offsets — nondeterministic across
-    * stage retries, so there is deliberately no default. */
+    * stage retries, so there is deliberately no default.
+    *
+    * APPENDS to an existing topic (like the reference — `Partition::append`
+    * continues from the recovered log end): per-partition base offsets are
+    * read from the existing layout (segment file names, a metadata-only
+    * listing, + one tail decode per partition for the last offset) and the
+    * batch's dense indices continue from there. Each batch opens fresh
+    * segments at its base offsets — a valid layout (readers chain segments
+    * by base offset), chosen over tail-appending so a failed batch can
+    * never tear an existing file. */
   def produce(df: DataFrame, baseDir: String, topic: String,
               orderCols: Seq[String],
               numPartitions: Int = LogModel.NumPartitions,
               segMaxBytes: Long = LogModel.SegmentMaxBytes,
               indexInterval: Int = SegmentFiles.IndexInterval): Unit = {
+    // recover per-partition next offsets (reference `partition.rs:180-205`
+    // recovery): driver-side listing + ONE tail-segment decode per
+    // partition — O(partitions), not O(data)
+    val baseOffsets: Map[Long, Long] = (0L until numPartitions.toLong).flatMap { p =>
+      val dir = Paths.get(baseDir, s"topic_$topic", s"partition_$p")
+      if (!Files.isDirectory(dir)) None
+      else {
+        val bases = Files.list(dir).toArray.map(_.toString)
+          .flatMap("segment_(\\d+)\\.log$".r.findFirstMatchIn(_))
+          .map(_.group(1).toLong).sorted
+        bases.lastOption.map { base =>
+          val bytes = Files.readAllBytes(
+            dir.resolve(f"segment_$base%020d.log"))
+          var pos = 0
+          var next = base
+          while (pos + 4 <= bytes.length) {
+            val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
+            if (recLen < 28 || pos + 4L + recLen > bytes.length) pos = bytes.length
+            else {
+              next = ByteBuffer.wrap(bytes, pos + 4, 8).getLong + 1
+              pos += 4 + recLen
+            }
+          }
+          p -> next
+        }
+      }
+    }.toMap
+    produceFrom(df, baseDir, topic, orderCols, baseOffsets, numPartitions,
+      segMaxBytes, indexInterval)
+  }
+
+  private def produceFrom(df: DataFrame, baseDir: String, topic: String,
+                          orderCols: Seq[String],
+                          baseOffsets: Map[Long, Long],
+                          numPartitions: Int,
+                          segMaxBytes: Long,
+                          indexInterval: Int): Unit = {
     // keyless messages cycle over THEIR OWN dense arrival sequence (the
     // reference's counter increments only per keyless produce,
     // `topic.rs:79-83`) — pmod over the global index would skew whenever
@@ -56,8 +102,14 @@ object Broker {
         pmod(col("keyless_idx"), lit(numPartitions.toLong)))
         .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
         .cast("long"))
+    // per-partition recovered bases fold into a literal CASE expression
+    // (numPartitions entries — tiny); empty map = fresh topic = offset 0
+    val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+      when(col("part_id") === p, lit(b)).otherwise(acc)
+    }
     val withOffsets = OrderedIndex.withExclusivePrefix(
-      routed, Seq("part_id"), orderCols, None, "msg_offset")
+        routed, Seq("part_id"), orderCols, None, "batch_idx")
+      .withColumn("msg_offset", col("batch_idx") + baseExpr)
 
     withOffsets
       .repartition(numPartitions, col("part_id"))

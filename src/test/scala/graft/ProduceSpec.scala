@@ -31,6 +31,34 @@ class ProduceSpec extends AnyFunSuite {
     dir
   }
 
+  test("a second produce batch APPENDS: offsets continue past the recovered log end") {
+    val dir = Files.createTempDirectory("flyq-produce-append").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (s"k${i % 5}".getBytes, s"v$i".getBytes, 1000L + i, i))
+        .toDF("mkey", "mvalue", "ts_ms", "event_id")
+    Broker.produce(batch(0, 40), dir, "t", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 2)
+    val firstEnd = SegmentFiles.readTopic(spark, dir, "t")
+      .groupBy("part_id").agg(max("msg_offset").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Broker.produce(batch(40, 70), dir, "t", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 2)
+    val back = SegmentFiles.readTopic(spark, dir, "t").cache()
+    assert(back.count() === 70)
+    // offsets stay dense 0..n-1 per partition across the two batches —
+    // nothing overwritten, nothing duplicated, no gap at the batch seam
+    val bad = back.groupBy("part_id").agg(
+      min("msg_offset").as("mn"), max("msg_offset").as("mx"),
+      count(lit(1)).as("cnt"), countDistinct("msg_offset").as("nd"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"cnt" - 1 || $"nd" =!= $"cnt")
+    assert(bad.count() === 0)
+    firstEnd.foreach { case (p, mx) =>
+      assert(back.filter($"part_id" === p).agg(max("msg_offset"))
+        .head().getLong(0) > mx, s"partition $p must grow past $mx")
+    }
+    back.unpersist()
+  }
+
   test("produce writes executor-side multi-partition, multi-segment logs") {
     val back = SegmentFiles.readTopic(spark, produced, "events").cache()
     val n = graft.sources.Tables.load(spark, sf, "events").count()
