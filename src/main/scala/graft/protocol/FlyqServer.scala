@@ -114,10 +114,42 @@ class FlyqServer(baseDir: String,
       .map(_.group(1).toLong).sorted.toSeq
   }
 
-  /** Decode every record of one segment file (driver-side point path). */
-  private def readSeg(topic: String, part: Long,
-                      base: Long): Seq[(Long, Long, Array[Byte], Array[Byte])] = {
-    val bytes = Files.readAllBytes(segPath(topic, part, base))
+  /** Sparse-index floor seek (reference `segment.rs:156-179`): byte
+    * position of the last indexed record with offset <= `from`, or 0.
+    * Entries are 16-byte big-endian (offset, pos) pairs in offset order. */
+  private def indexFloorPos(topic: String, part: Long, base: Long,
+                            from: Long): Long = {
+    val idx = partDir(topic, part).resolve(f"segment_$base%020d.index")
+    if (!Files.exists(idx)) return 0L
+    val bytes = Files.readAllBytes(idx)
+    var pos = 0L
+    var i = 0
+    while (i + 16 <= bytes.length) {
+      val off = ByteBuffer.wrap(bytes, i, 8).getLong
+      if (off > from) return pos
+      pos = ByteBuffer.wrap(bytes, i + 8, 8).getLong
+      i += 16
+    }
+    pos
+  }
+
+  /** Decode records of one segment from byte `fromPos` (0 = whole file;
+    * pass an [[indexFloorPos]] result to skip ahead — `fromPos` MUST be a
+    * record boundary, which index entries are by construction). */
+  private def readSeg(topic: String, part: Long, base: Long,
+                      fromPos: Long = 0L): Seq[(Long, Long, Array[Byte], Array[Byte])] = {
+    val p = segPath(topic, part, base)
+    val size = Files.size(p)
+    val start = math.max(0L, math.min(fromPos, size))
+    // read only [start, EOF) — the index seek exists precisely so a point
+    // read near the tail of a large segment doesn't load the whole file
+    val bytes = new Array[Byte]((size - start).toInt)
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      ch.position(start)
+      val buf = ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+    } finally ch.close()
     val out = mutable.ArrayBuffer.empty[(Long, Long, Array[Byte], Array[Byte])]
     var pos = 0
     while (pos + 4 <= bytes.length) {
@@ -186,7 +218,10 @@ class FlyqServer(baseDir: String,
   }
 
   /** First record with offset >= from (reference `partition.rs:144-165`:
-    * floor-seek the segment, scan forward). */
+    * floor-seek the segment via its sparse index, scan forward). The
+    * floor segment is entered at its index floor position, so a point
+    * read touches ~index_interval records, not the whole segment; later
+    * segments in the chain start at 0 (their whole range is >= from). */
   private def consumeAt(topic: String, part: Long,
                         from: Long): Option[(Long, Long, Array[Byte], Array[Byte])] =
     lock.synchronized {
@@ -194,7 +229,11 @@ class FlyqServer(baseDir: String,
       val floor = bases.filter(_ <= from).lastOption
       val chain = bases.dropWhile(b => floor.exists(_ > b))
       chain.iterator
-        .flatMap(b => readSeg(topic, part, b).iterator)
+        .flatMap { b =>
+          val fromPos = if (floor.contains(b))
+            indexFloorPos(topic, part, b, from) else 0L
+          readSeg(topic, part, b, fromPos).iterator
+        }
         .find(_._1 >= from)
     }
 

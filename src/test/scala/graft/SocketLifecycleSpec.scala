@@ -159,6 +159,28 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c2.close(); s2.stop() }
   }
 
+  test("consume floor-seeks via the sparse index across dense offsets") {
+    // small index interval + many records in one partition: every offset
+    // must come back exactly, including ones far past an index entry and
+    // ones landing exactly ON an entry (boundary of the floor seek)
+    val dir = Files.createTempDirectory("flyq-sock-idx").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 1 << 20, indexInterval = 7)
+    val c = new FlyqClient("127.0.0.1", server.start())
+    try {
+      (0 until 100).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      for (off <- Seq(0L, 1L, 6L, 7L, 8L, 13L, 14L, 50L, 98L, 99L)) {
+        val Right(r) = c.consume("t", 0L, off): @unchecked
+        assert(r.offset === off)
+        assert(new String(r.message.value, "UTF-8") === s"v$off")
+      }
+      assert(c.consume("t", 0L, 100L).isLeft)
+    } finally { c.close(); server.stop() }
+  }
+
   test("socket routing matches the bulk path's pmod(xxhash64(key), n)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
