@@ -352,23 +352,20 @@ object Dedup {
     * fingerprint sample; emit stable aggregates of the sample. Narrow
     * per-row transform — no shuffle at all. */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    // persist-once like the other signature tables: fingerprints are
-    // computed once per corpus in production, and the md5-per-gram pass
-    // is the single heaviest narrow transform in the family
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((spark, cacheKey(sfDir, "docfp")),
-        docs(spark, sfDir).select(
-            col("doc_id"), normText(col("text")).as("ntext"))
-          .withColumn("grams",
-            graft.functions.TextHashes.char_grams_distinct(col("ntext"), 5))
-          .withColumn("hs", graft.functions.TextHashes.hash32_array(col("grams")))
-          .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
-          .select(col("doc_id"),
-            size(col("grams")).cast("long").as("n_grams"),
-            size(col("fps")).cast("long").as("n_fp"),
-            array_min(col("fps")).as("fp_min"),
-            array_max(col("fps")).as("fp_max"),
-            aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    // deliberately NOT persist-once (unlike verifiedPairs/ngramDocs,
+    // which several queries share): nothing else consumes this table, so
+    // a cache would only make the bench measure a cache read and blind
+    // the per-query regression guard to the md5-per-gram hot path
+    docs(spark, sfDir).select(
+        col("doc_id"), normText(col("text")).as("ntext"))
+      .withColumn("grams",
+        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 5))
+      .withColumn("hs", graft.functions.TextHashes.hash32_array(col("grams")))
+      .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
 }

@@ -30,6 +30,8 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltBy: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs already carry a __salt column — it would be silently replaced")
     val p = probe.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts.toLong)))
     val b = build.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))

@@ -106,13 +106,8 @@ class FlyqServer(baseDir: String,
   private def segPath(topic: String, part: Long, base: Long): Path =
     partDir(topic, part).resolve(f"segment_$base%020d.log")
 
-  private def listSegBases(topic: String, part: Long): Seq[Long] = {
-    val d = partDir(topic, part)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).toArray.map(_.toString)
-      .flatMap("segment_(\\d+)\\.log$".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong).sorted.toSeq
-  }
+  private def listSegBases(topic: String, part: Long): Seq[Long] =
+    graft.sources.SegmentFiles.segmentBases(partDir(topic, part))
 
   /** Sparse-index floor seek (reference `segment.rs:156-179`): byte
     * position of the last indexed record with offset <= `from`, or 0.

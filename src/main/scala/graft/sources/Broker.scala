@@ -55,26 +55,20 @@ object Broker {
     // partition — O(partitions), not O(data)
     val baseOffsets: Map[Long, Long] = (0L until numPartitions.toLong).flatMap { p =>
       val dir = Paths.get(baseDir, s"topic_$topic", s"partition_$p")
-      if (!Files.isDirectory(dir)) None
-      else {
-        val bases = Files.list(dir).toArray.map(_.toString)
-          .flatMap("segment_(\\d+)\\.log$".r.findFirstMatchIn(_))
-          .map(_.group(1).toLong).sorted
-        bases.lastOption.map { base =>
-          val bytes = Files.readAllBytes(
-            dir.resolve(f"segment_$base%020d.log"))
-          var pos = 0
-          var next = base
-          while (pos + 4 <= bytes.length) {
-            val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-            if (recLen < 28 || pos + 4L + recLen > bytes.length) pos = bytes.length
-            else {
-              next = ByteBuffer.wrap(bytes, pos + 4, 8).getLong + 1
-              pos += 4 + recLen
-            }
+      SegmentFiles.segmentBases(dir).lastOption.map { base =>
+        val bytes = Files.readAllBytes(
+          dir.resolve(f"segment_$base%020d.log"))
+        var pos = 0
+        var next = base
+        while (pos + 4 <= bytes.length) {
+          val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
+          if (recLen < 28 || pos + 4L + recLen > bytes.length) pos = bytes.length
+          else {
+            next = ByteBuffer.wrap(bytes, pos + 4, 8).getLong + 1
+            pos += 4 + recLen
           }
-          p -> next
         }
+        p -> next
       }
     }.toMap
     produceFrom(df, baseDir, topic, orderCols, baseOffsets, numPartitions,
@@ -97,9 +91,15 @@ object Broker {
       df.withColumn("keyless_val",
         when(col("mkey").isNull, lit(1L)).otherwise(lit(0L))),
       Seq.empty, orderCols, Some("keyless_val"), "keyless_idx")
+    // rotate the batch's round-robin START by the recovered log ends:
+    // restarting the cycle at 0 every batch would systematically favor
+    // low partitions across many small keyless batches (the reference's
+    // in-memory counter carries across produces, `topic.rs:79-83`; this
+    // deterministic rotation is the batch equivalent)
+    val rrStart = baseOffsets.values.sum % numPartitions
     val routed = withRR.withColumn("part_id",
       when(col("mkey").isNull,
-        pmod(col("keyless_idx"), lit(numPartitions.toLong)))
+        pmod(col("keyless_idx") + lit(rrStart), lit(numPartitions.toLong)))
         .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
         .cast("long"))
     // per-partition recovered bases fold into a literal CASE expression

@@ -33,6 +33,19 @@ object SegmentFiles {
 
   val IndexInterval = 100 // reference constants.rs:3
 
+  /** Segment base offsets in a partition dir, ascending. The single home
+    * of the `segment_N.log` listing (server, broker recovery, and tests
+    * all call this); closes the `Files.list` stream — an unclosed stream
+    * leaks a directory handle per call. */
+  def segmentBases(partitionDir: java.nio.file.Path): Seq[Long] = {
+    if (!Files.isDirectory(partitionDir)) return Seq.empty
+    val s = Files.list(partitionDir)
+    try s.toArray.map(_.toString)
+      .flatMap("segment_(\\d+)\\.log$".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong).sorted.toSeq
+    finally s.close()
+  }
+
   /** Write one segment (.log + .index) under dir/topic_{t}/partition_{p}. */
   def writeSegment(baseDir: String, topic: String, partition: Int,
                    records: Seq[Record],

@@ -52,18 +52,40 @@ object LogStream {
     * not data. */
   def consumerLag(records: DataFrame,
                   committed: Map[(String, Long), Long]): DataFrame = {
+    // cold start: no commits → plan a validly-typed empty stream (an
+    // array() literal would be NullType and fail analysis)
+    if (committed.isEmpty)
+      return records.groupBy(col("part_id"))
+        .agg(max(col("msg_offset")).as("high_off"))
+        .select(lit("").as("grp"), col("part_id"), lit(0L).as("committed"),
+          col("high_off"), lit(0L).as("lag"))
+        .filter(lit(false))
+    // ONE global aggregate with a conditional max per committed partition
+    // (topology-bounded columns; streaming allows a single aggregation,
+    // so a per-partition groupBy could not be re-joined with entries for
+    // partitions that have no records yet) — then entries project against
+    // it, so a record-less (group, partition) still emits lag 0 instead
+    // of vanishing, like the reference monitor reporting every requested
+    // partition
+    val parts = committed.keys.map(_._2).toSeq.distinct.sorted
+    val aggs = parts.map(p =>
+      max(when(col("part_id") === p, col("msg_offset"))).as(s"high_$p"))
     val entries = committed.toSeq.map { case ((grp, part), off) =>
       struct(lit(grp).as("grp"), lit(part).as("c_part"),
         lit(off).as("committed"))
     }
+    val highExpr = parts.foldLeft(lit(null).cast("bigint")) { (acc, p) =>
+      when(col("c.c_part") === p, col(s"high_$p")).otherwise(acc)
+    }
     records
-      .groupBy(col("part_id"))
-      .agg(max(col("msg_offset")).as("high_off"))
+      .groupBy()
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("c", explode(array(entries: _*)))
-      .filter(col("c.c_part") === col("part_id"))
-      .select(col("c.grp").as("grp"), col("part_id"),
-        col("c.committed").as("committed"), col("high_off"),
-        greatest(col("high_off") - col("c.committed"), lit(0L)).as("lag"))
+      .select(col("c.grp").as("grp"), col("c.c_part").as("part_id"),
+        col("c.committed").as("committed"),
+        coalesce(highExpr, lit(-1L)).as("high_off"))
+      .withColumn("lag",
+        greatest(col("high_off") - col("committed"), lit(0L)))
   }
 
   /** Streaming twin of Relational.eventsHourly: event-time tumbling window

@@ -119,6 +119,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lag stream cold start: empty committed map and record-less partitions") {
+    val dir = Files.createTempDirectory("flyq-lag-cold").toString
+    val ckpt = Files.createTempDirectory("flyq-lag-cold-ckpt").toString
+    SegmentFiles.writeSegment(dir, "t", 0,
+      Seq(Record(0L, 1000L, str("k"), str("v"))))
+    val records = spark.readStream
+      .format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", "t").load(dir)
+    // no commits yet: must plan and run (array() used to be NullType and
+    // failed analysis), emitting zero rows
+    val q0 = LogStream.consumerLag(records, Map.empty)
+      .writeStream.format("memory").queryName("lag_cold0")
+      .option("checkpointLocation", s"$ckpt/0").outputMode("complete").start()
+    try { q0.processAllAvailable(); assert(spark.table("lag_cold0").isEmpty) }
+    finally q0.stop()
+    // a committed entry for a partition with NO records still gets a row
+    // (lag 0 — nothing to consume), not silence
+    val q1 = LogStream.consumerLag(records, Map(("g", 1L) -> 0L))
+      .writeStream.format("memory").queryName("lag_cold1")
+      .option("checkpointLocation", s"$ckpt/1").outputMode("complete").start()
+    try {
+      q1.processAllAvailable()
+      val r = spark.table("lag_cold1").collect()
+      assert(r.length === 1)
+      assert(r.head.getAs[Long]("part_id") === 1L)
+      assert(r.head.getAs[Long]("lag") === 0L)
+    } finally q1.stop()
+  }
+
   test("full loop: socket produce -> segment files -> live lag stream") {
     import graft.protocol.{FlyqClient, FlyqServer}
     import graft.protocol.Payloads.WireMessage
