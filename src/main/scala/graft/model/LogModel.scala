@@ -115,11 +115,18 @@ object LogModel {
 
   /** log → + segment_id, via running byte total per partition (same
     * two-phase prefix machinery, summing record_size instead of counting;
-    * see scaladoc for the floor-based rotation semantics). */
+    * see scaladoc for the floor-based rotation semantics).
+    *
+    * Sort keys are (ts, event_id), NOT msg_offset — identical order by
+    * construction (offsets are assigned along exactly that order in
+    * [[toLog]]), and phrased this way the node's required distribution is
+    * the one the offset-assignment prefix ALREADY established, so
+    * EnsureRequirements elides the second range exchange + sort: the
+    * whole log shuffles once, not twice, on the segment-stats path. */
   def withSegments(log: DataFrame,
                    segMaxBytes: Long = SegmentMaxBytes): DataFrame =
     graft.plans.OrderedIndex.withExclusivePrefix(
-        log, Seq("part_id"), Seq("msg_offset"), Some("record_size"),
+        log, Seq("part_id"), Seq("ts", "event_id"), Some("record_size"),
         "bytes_before")
       .withColumn("segment_id",
         floor(col("bytes_before") / lit(segMaxBytes)).cast("long"))
