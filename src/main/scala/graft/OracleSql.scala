@@ -53,7 +53,7 @@ object OracleSql {
   /** Text-normalization CTEs — SQL twin of graft.operators.TextAnalysis. */
   val textCtes: String = """
     norm AS (
-      SELECT *, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+      SELECT *, lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS ntext
       FROM documents
     ),
     tok AS (
@@ -224,12 +224,12 @@ object OracleSql {
         SELECT doc_id, lang, n_chars_norm,
                CAST(len(toks) AS BIGINT) AS n_words,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
-               round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+               round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))) / CAST(NULLIF(length(text), 0) AS DOUBLE), 6) AS punct_ratio
         FROM tok),
       s2 AS (
         SELECT *,
-               round((n_chars_norm - (n_words - 1)) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
-               round(n_distinct_words / CAST(n_words AS DOUBLE), 6) AS distinct_ratio
+               round((n_chars_norm - (n_words - 1)) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS avg_word_len,
+               round(n_distinct_words / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS distinct_ratio
         FROM s)
       SELECT doc_id, lang, n_chars_norm, n_words, n_distinct_words,
              avg_word_len, punct_ratio, distinct_ratio,
@@ -245,7 +245,7 @@ object OracleSql {
                CAST(octet_length(encode(text)) AS DOUBLE) AS nbytes
         FROM tok)
       SELECT doc_id, n_ws_tokens, n_bpe_tokens,
-             round(nbytes / n_bpe_tokens, 6) AS bytes_per_token
+             round(nbytes / NULLIF(n_bpe_tokens, 0), 6) AS bytes_per_token
       FROM t""",
 
     "lang_id_eval" -> s"""WITH $textCtes,
@@ -263,7 +263,8 @@ object OracleSql {
                     WHEN hits_de = mx THEN 'de'
                     WHEN hits_en = mx THEN 'en'
                     WHEN hits_es = mx THEN 'es'
-                    WHEN hits_fr = mx THEN 'fr' END AS pred_lang
+                    WHEN hits_fr = mx THEN 'fr'
+                    ELSE 'und' END AS pred_lang
         FROM p)
       SELECT lang, pred_lang, count(*) AS n_docs
       FROM q GROUP BY lang, pred_lang""",

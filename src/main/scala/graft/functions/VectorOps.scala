@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -16,23 +17,53 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  private def seqDot(a: ArrayData, b: ArrayData): Double = {
+  /** Numeric element accessor by declared type — reading float-backed
+    * ArrayData with getDouble returns stride-garbage on UnsafeArrayData,
+    * so the SQL-registered forms must branch on the real element type
+    * (AbstractDataType is private[sql], so ImplicitCastInputTypes is not
+    * available to inject casts). */
+  private def getter(dt: DataType): (ArrayData, Int) => Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => (a, i) => a.getDouble(i)
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"expected array<float|double>, got array<$other>")
+    }
+
+  private def checkElem(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private def seqDot(a: ArrayData, ga: (ArrayData, Int) => Double,
+                     b: ArrayData, gb: (ArrayData, Int) => Double): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0d
     var i = 0
     while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      acc += ga(a, i) * gb(b, i)
       i += 1
     }
     acc
   }
 
-  /** dot_seq(array<double>, array<double>) -> double (sequential fold). */
+  /** dot_seq(array<double>, array<double>) -> double (sequential fold).
+    * ImplicitCastInputTypes: the SQL-registered form would otherwise read
+    * float-backed arrays as doubles — UnsafeArrayData returns silent
+    * garbage at the wrong stride (the Column API callers cast first). */
   case class DotSeq(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(checkElem(left.dataType, "dot_seq"),
+        checkElem(right.dataType, "dot_seq"))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    @transient private lazy val gl = getter(left.dataType)
+    @transient private lazy val gr = getter(right.dataType)
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      seqDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      seqDot(a.asInstanceOf[ArrayData], gl, b.asInstanceOf[ArrayData], gr)
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
@@ -41,9 +72,12 @@ object VectorOps {
   case class Norm2Seq(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkElem(child.dataType, "norm2_seq")
+    @transient private lazy val g = getter(child.dataType)
     override protected def nullSafeEval(a: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
-      seqDot(v, v)
+      seqDot(v, g, v, g)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -55,16 +89,23 @@ object VectorOps {
   case class SrpBucket(child: Expression, numPlanes: Int, dim: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkElem(child.dataType, "srp_bucket")
+    @transient private lazy val g = getter(child.dataType)
     override protected def nullSafeEval(a: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
+      // a vector shorter than `dim` contributes zeros for the missing
+      // components — without the bound, reads past numElements() return
+      // unchecked garbage on UnsafeArrayData (silent wrong buckets)
+      val bound = math.min(dim, v.numElements())
       var bucket = 0L
       var j = 0
       while (j < numPlanes) {
         var acc = 0d
         var i = 0
-        while (i < dim) {
+        while (i < bound) {
           val u = ((j.toLong * dim + i + 1) * 2654435761L) % 4294967296L
-          acc += v.getDouble(i) * (u.toDouble / 4294967296.0 - 0.5)
+          acc += g(v, i) * (u.toDouble / 4294967296.0 - 0.5)
           i += 1
         }
         if (acc > 0) bucket |= 1L << j

@@ -36,9 +36,10 @@ object MultiModal {
     * (matches the SQL feature derivation below so the plumbing is
     * oracle-checkable end-to-end). */
   val FakeDecoder: Decoder = { bytes =>
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val h = java.lang.Long.parseLong(
-      md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // md5_32 = the ONE definition of "first 4 md5 bytes as unsigned int"
+    // (shared with the dedup hashing and its SQL twin — and it reuses a
+    // ThreadLocal digest instead of allocating one per record)
+    val h = graft.functions.TextHashes.md5_32(bytes)
     (64 + (h % 16).toInt * 16, 64 + ((h >> 4) % 16).toInt * 16,
       1 + ((h >> 8) % 30).toInt)
   }

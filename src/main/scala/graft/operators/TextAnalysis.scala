@@ -16,7 +16,11 @@ object TextAnalysis {
 
   /** Canonical normalization shared by every text operator (and the
     * DuckDB oracle): collapse whitespace, trim, lowercase. */
-  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  def normText(c: Column): Column =
+    // explicit class, not \s: Java's \s matches vertical tab but DuckDB's
+    // RE2 \s does not — the shared normalization must collapse the same
+    // characters on both engines or every text-derived hash diverges
+    lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")

@@ -29,6 +29,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Double]("n") === 25.0) // squared norm (self dot)
 
+    // FLOAT arrays through the SQL surface (the stored embedding type):
+    // reading float-backed ArrayData as double returns stride-garbage, so
+    // the kernels must branch on the declared element type
+    val f = s.sql("""
+      SELECT dot_seq(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                     CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d,
+             norm2_seq(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS n
+    """).head()
+    assert(f.getAs[Double]("d") === 11.0)
+    assert(f.getAs[Double]("n") === 25.0)
+
     // top-k aggregate from pure SQL: 2 smallest (v, id) structs per grp
     val rows = s.sql("""
       SELECT grp, top_k_structs(named_struct('v', v, 'id', id), 2) AS top
