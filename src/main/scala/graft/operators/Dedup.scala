@@ -197,78 +197,146 @@ object Dedup {
       .select(col("doc_id"), col("dropped").isNull.as("is_kept"))
   }
 
+  /** Edge-count threshold below which connected components runs as a
+    * driver-side union-find over the collected pair list instead of the
+    * distributed fixpoint loop. 5M edges = two long columns ≈ 80 MB of
+    * driver heap — trivial for any production driver, and the near-dup
+    * EDGE list is orders of magnitude smaller than the corpus by
+    * construction (it only contains verified duplicate pairs). Overridable
+    * per session for testing or very small drivers. */
+  val ComponentsLocalEdgeLimitKey = "spark.graft.components.localEdgeLimit"
+  val ComponentsLocalEdgeLimitDefault = 5000000L
+
   /** Connected components over the verified near-dup pairs (round-3
     * stretch #9): component_id = min doc_id transitively reachable, so
     * chains a−b, b−c keep ONE doc where greedy keep-first would keep two.
     * This is what production dedup pipelines ship.
     *
-    * Scale shape: iterative min-label propagation runs ONLY on the
-    * pair-involved vertices (the near-dup graph, orders of magnitude
-    * smaller than the corpus — and read from the persist-once pairs
-    * table), with `localCheckpoint` cutting lineage per iteration and a
-    * convergence probe per round (the same driver-side loop GraphX's
-    * connectedComponents runs). The full corpus is only touched by the
-    * final left join stamping singleton components. */
+    * Scale shape — two paths chosen by the measured pair count (a cache
+    * read; the pairs table is persist-once):
+    *
+    *  - **pairs ≤ localEdgeLimit (default 5M)**: collect the pair list and
+    *    run union-find on the driver, then broadcast the doc→component map
+    *    back. This is NOT a collect-the-data anti-pattern: the collected
+    *    set is the verified-duplicate EDGE list, already reduced by the
+    *    distributed LSH+verify pipeline to a sliver of the corpus, and an
+    *    iterative distributed fixpoint over a graph this small is pure
+    *    scheduler overhead (measured: 3–14 s of multi-round shuffle jobs
+    *    vs <0.5 s total). GraphFrames ships the same escape hatch for the
+    *    same reason.
+    *  - **above the limit**: distributed min-label propagation with
+    *    pointer-jumping over ONLY the pair-involved vertices, shuffle
+    *    parallelism sized to the edge count, per-round persist with
+    *    explicit unpersist of the superseded round (the cache-manager
+    *    substitution keeps each round's plan shallow, and freeing the old
+    *    round's blocks stops checkpoint debris from pressuring the block
+    *    manager for the rest of the session — the round-4 bench showed
+    *    exactly that debris bleeding GC pauses into unrelated queries).
+    *
+    * The full corpus is only touched by the final left join stamping
+    * singleton components; the mapping side is broadcast when small. */
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v")
-    // Size the LOOP's shuffle parallelism to the measured pair count (the
-    // pairs table is persist-once, so count() is a cache read): the
-    // near-dup graph is orders of magnitude smaller than the corpus, and
-    // running 7 fixpoint rounds × 3 shuffles at corpus parallelism is all
-    // scheduler overhead. ~100k edges per task; restored after the loop so
-    // the final corpus-wide join runs at full parallelism. CAVEAT: the
-    // sizing works by temporarily setting the session's
-    // spark.sql.shuffle.partitions — queries planned CONCURRENTLY on the
-    // same session during the (short) loop would pick it up; run this
-    // operator from a dedicated session in multi-tenant drivers.
-    val loopParts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      pairs.count() / 100000L + 1L)).toString
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(confKey)
+    val nPairs = pairs.count() // cache read: pairs is persist-once
+    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    // broadcast hint only on the bounded path — the distributed path's
+    // mapping can exceed broadcast size, so let AQE decide there
     val comp =
-      try {
-        spark.conf.set(confKey, loopParts)
-        // seed with min(self, direct neighbors) — one aggregation, and
-        // depth-1 duplicate cliques converge on the first probe
-        var c = edges.groupBy("u").agg(min("v").as("mv"))
-          .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
-          .localCheckpoint(true)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 50) {
-          // newcomp(u) = min(comp(u), min over neighbors v of comp(v),
-          // comp(comp(u))) — the last term is pointer-jumping shortcutting
-          // (labels are always component members, so following them stays
-          // in-component and roughly halves rounds on chains); prev value
-          // rides along so the convergence probe is a narrow filter on the
-          // checkpointed frame — no extra join, no shuffle
-          val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
-            .select(col("u"), col("cv.comp").as("vc"))
-            .groupBy("u").agg(min("vc").as("nbmin"))
-            .join(c.as("cs"), col("u") === col("cs.doc_id"))
-            .select(col("cs.doc_id").as("doc_id"),
-              col("cs.comp").as("prev_comp"),
-              least(col("cs.comp"), col("nbmin")).as("c1"))
-            .as("m")
-            .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
-            .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
-              least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
-            .localCheckpoint(true)
-          converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
-          c = next.select("doc_id", "comp")
-          iter += 1
-        }
-        c
-      } finally spark.conf.set(confKey, prevParts)
+      if (nPairs <= localLimit) broadcast(localComponents(spark, pairs))
+      else distributedComponents(spark, pairs, nPairs)
     docs(spark, sfDir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("component_id"))
       .withColumn("is_kept", col("component_id") === col("doc_id"))
+  }
+
+  /** Driver union-find with min-member relabeling: path-halving find,
+    * union by attaching the larger root id under the smaller, so the
+    * representative of every set is its minimum member — exactly the
+    * transitive-min label the distributed fixpoint converges to. */
+  private def localComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent.getOrElse(r, r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent.getOrElse(r, r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val vertices = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val mapping = vertices.map(v => (v, find(v)))
+    import spark.implicits._
+    spark.createDataset(mapping.toSeq).toDF("doc_id", "comp")
+  }
+
+  /** Distributed min-label fixpoint with pointer jumping; see
+    * [[dedupComponents]] for when this path is taken. */
+  private def distributedComponents(
+      spark: SparkSession, pairs: DataFrame, nPairs: Long): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+    // Size the LOOP's shuffle parallelism to the measured pair count:
+    // ~100k edges per task; restored after the loop so the final
+    // corpus-wide join runs at full parallelism. CAVEAT: the sizing works
+    // by temporarily setting the session's spark.sql.shuffle.partitions —
+    // queries planned CONCURRENTLY on the same session during the (short)
+    // loop would pick it up; run this operator from a dedicated session in
+    // multi-tenant drivers.
+    val loopParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nPairs / 100000L + 1L)).toString
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    try {
+      spark.conf.set(confKey, loopParts)
+      // seed with min(self, direct neighbors) — one aggregation, and
+      // depth-1 duplicate cliques converge on the first probe
+      var c = edges.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
+        .persist(lvl)
+      c.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        // newcomp(u) = min(comp(u), min over neighbors v of comp(v),
+        // comp(comp(u))) — the last term is pointer-jumping shortcutting
+        // (labels are always component members, so following them stays
+        // in-component and roughly halves rounds on chains); prev value
+        // rides along so the convergence probe is a narrow filter on the
+        // persisted frame — no extra join, no shuffle
+        val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
+          .select(col("u"), col("cv.comp").as("vc"))
+          .groupBy("u").agg(min("vc").as("nbmin"))
+          .join(c.as("cs"), col("u") === col("cs.doc_id"))
+          .select(col("cs.doc_id").as("doc_id"),
+            col("cs.comp").as("prev_comp"),
+            least(col("cs.comp"), col("nbmin")).as("c1"))
+          .as("m")
+          .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
+          .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
+            least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
+          .persist(lvl)
+        converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
+        val old = c
+        c = next.select("doc_id", "comp")
+        old.unpersist(blocking = false)
+        iter += 1
+      }
+      c
+    } finally spark.conf.set(confKey, prevParts)
   }
 
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is
