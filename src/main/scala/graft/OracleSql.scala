@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.LogModel._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** DuckDB-runnable ANSI SQL twins of every oracle-checkable query in
   * SparkEntry.queries. Each statement must produce identical column names
@@ -61,6 +61,25 @@ object OracleSql {
              CAST(length(ntext) AS BIGINT) AS n_chars_norm
       FROM norm
     )"""
+
+  /** Quality-score CTEs — SQL twin of TextAnalysis.textStats, shared by
+    * text_stats and quality_topk_sample so the formula cannot drift. */
+  val qualityCtes: String = s"""
+    qs0 AS (
+      SELECT doc_id, lang, n_chars_norm,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+             round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))) / CAST(NULLIF(length(text), 0) AS DOUBLE), 6) AS punct_ratio
+      FROM tok),
+    qs1 AS (
+      SELECT *,
+             round((n_chars_norm - (n_words - 1)) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS avg_word_len,
+             round(n_distinct_words / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS distinct_ratio
+      FROM qs0),
+    quality AS (
+      SELECT *, round(least(n_words / 100.0, 1.0) * 0.4 + distinct_ratio * 0.4
+                 + (1 - punct_ratio) * 0.2, 6) AS quality_score
+      FROM qs1)"""
 
   /** MinHash/LSH CTEs, generated from the SAME constants the Spark side
     * uses (Dedup.hashA/hashB/MinHashPrime/...) so the two can't drift. */
@@ -219,23 +238,10 @@ object OracleSql {
     // rounded to 6; DuckDB '/' on integers is float division (like Spark's
     // double-promoting '/').
 
-    "text_stats" -> s"""WITH $textCtes,
-      s AS (
-        SELECT doc_id, lang, n_chars_norm,
-               CAST(len(toks) AS BIGINT) AS n_words,
-               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
-               round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))) / CAST(NULLIF(length(text), 0) AS DOUBLE), 6) AS punct_ratio
-        FROM tok),
-      s2 AS (
-        SELECT *,
-               round((n_chars_norm - (n_words - 1)) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS avg_word_len,
-               round(n_distinct_words / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS distinct_ratio
-        FROM s)
+    "text_stats" -> s"""WITH $textCtes, $qualityCtes
       SELECT doc_id, lang, n_chars_norm, n_words, n_distinct_words,
-             avg_word_len, punct_ratio, distinct_ratio,
-             round(least(n_words / 100.0, 1.0) * 0.4 + distinct_ratio * 0.4
-                   + (1 - punct_ratio) * 0.2, 6) AS quality_score
-      FROM s2""",
+             avg_word_len, punct_ratio, distinct_ratio, quality_score
+      FROM quality""",
 
     "token_count" -> s"""WITH $textCtes,
       t AS (
@@ -268,6 +274,61 @@ object OracleSql {
         FROM p)
       SELECT lang, pred_lang, count(*) AS n_docs
       FROM q GROUP BY lang, pred_lang""",
+
+    // ----- corpus composition (graft.operators.Sampling / TextAnalysis) -----
+    // Generated from the same Scala constants as the Spark side
+    // (SampleSalt/SampleBuckets/QualityTopK/TopTermsK) so parameters
+    // cannot drift; every sampling decision is integer-exact.
+
+    "top_terms" -> s"""WITH $textCtes,
+      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
+             FROM ex GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+                FROM tc GROUP BY term),
+      ranked AS (
+        SELECT tc.doc_id, tc.term, tc.term_count, dfreq.doc_freq,
+               CAST(row_number() OVER (PARTITION BY tc.doc_id
+                 ORDER BY tc.term_count DESC, dfreq.doc_freq ASC, tc.term ASC) AS BIGINT) AS term_rank
+        FROM tc JOIN dfreq USING (term))
+      SELECT doc_id, term_rank, term, term_count, doc_freq
+      FROM ranked WHERE term_rank <= ${TextAnalysis.TopTermsK}""",
+
+    "source_mix_plan" -> s"""WITH $textCtes,
+      per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     CAST(count(*) AS BIGINT) AS n_langs FROM per)
+      SELECT lang, n_docs, n_tokens,
+             round(n_docs / CAST(tot_docs AS DOUBLE), 6) AS doc_share,
+             round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS tok_share,
+             round(least(1.0, (CAST(tot_docs AS DOUBLE) / n_langs) / n_docs), 6) AS sample_rate
+      FROM per, tot""",
+
+    "stratified_sample" -> s"""WITH
+      per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+                     CAST(count(*) AS BIGINT) AS n_langs FROM per),
+      plan AS (
+        SELECT lang,
+               CAST(floor(round(least(1.0, (CAST(tot_docs AS DOUBLE) / n_langs) / n_docs), 6) * ${Sampling.SampleBuckets}) AS BIGINT) AS keep_below
+        FROM per, tot),
+      b AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('${Sampling.SampleSalt}' || doc_id), 1, 8) AS BIGINT) % ${Sampling.SampleBuckets} AS bucket
+        FROM documents)
+      SELECT b.doc_id, b.lang, b.bucket, b.bucket < p.keep_below AS sampled
+      FROM b JOIN plan p USING (lang)""",
+
+    "quality_topk_sample" -> s"""WITH $textCtes, $qualityCtes,
+      r AS (SELECT lang, doc_id, quality_score,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY quality_score DESC, doc_id) AS BIGINT) AS qrank
+            FROM quality)
+      SELECT lang, qrank, doc_id, quality_score FROM r WHERE qrank <= ${Sampling.QualityTopK}""",
 
     // ----- dedup / similarity / multimodal (north-star extension block) -----
 

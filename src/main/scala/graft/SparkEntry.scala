@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BrokerOps, Dedup, MultiModal, Relational, Similarity, TextAnalysis}
+import graft.operators.{BrokerOps, Dedup, MultiModal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,11 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
+    "top_terms" -> (TextAnalysis.topTerms(_, _)),
+    // corpus composition (training-mix planning + deterministic sampling)
+    "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
+    "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
+    "quality_topk_sample" -> (Sampling.qualityTopkSample(_, _)),
     // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokens
+
+/** Corpus-composition operators for a training-data pipeline: mix
+  * planning (what share each stratum should contribute) and deterministic
+  * stratified downsampling (applying those rates reproducibly).
+  *
+  * Scale posture (100 TB):
+  *  - the plan is ONE partial-aggregable groupBy over a low-cardinality
+  *    stratum key (languages/sources number in the dozens), so the shuffle
+  *    carries per-stratum partial sums, never rows;
+  *  - the sampling decision is a pure per-row hash predicate joined with
+  *    the broadcast plan table — the corpus is never shuffled, the filter
+  *    runs at scan speed, and the SAME decision reproduces on re-runs,
+  *    across engines, and across retries (hash-mod sampling, the standard
+  *    reproducible alternative to rand()-based Bernoulli sampling).
+  *
+  * Hash portability: the sampling hash is [[Dedup.hash32]] (first 8 md5
+  * hex chars), bit-identical in Spark and the DuckDB oracle.
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.load(spark, sfDir, "documents")
+
+  /** Salt namespacing the sampling hash — reusing the raw doc_id hash in
+    * another sampler would correlate the two samples. Shared with the
+    * generated oracle SQL. */
+  val SampleSalt = "strat|"
+
+  /** Sampling-rate resolution: rates are applied as integer bucket
+    * thresholds out of this many buckets (floor(rate·10⁴) exact on both
+    * engines — the double division producing `rate` is the same IEEE
+    * operation on the same integer inputs in Spark and DuckDB). */
+  val SampleBuckets = 10000
+
+  /** Per-language training-mix plan: document/token counts, corpus
+    * shares, and the deterministic downsampling rate that would equalize
+    * DOCUMENT counts across languages (rate = min(1, target/n_docs) with
+    * target = total/n_languages — the dominant language is downsampled,
+    * minority languages are kept whole; the standard first step of
+    * rebalancing a web corpus). */
+  def sourceMixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = docs(spark, sfDir)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    // the window-over-() runs on the ≤dozens-row aggregate, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perLang
+      .withColumn("tot_docs", sum("n_docs").over(w))
+      .withColumn("tot_tokens", sum("n_tokens").over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / col("tot_docs"), 6))
+      .withColumn("tok_share",
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6))
+      .withColumn("rate_raw",
+        least(lit(1.0d),
+          (col("tot_docs").cast("double") / col("n_langs")) / col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("doc_share"), col("tok_share"),
+        round(col("rate_raw"), 6).as("sample_rate"))
+  }
+
+  /** Deterministic stratified sample applying [[sourceMixPlan]]'s rates:
+    * every document gets a stable hash bucket in [0, 10⁴) and is kept iff
+    * bucket < floor(rate·10⁴) for its language. Per-doc decision output so
+    * the oracle checks the whole decision, not just survivor counts. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val plan = sourceMixPlan(spark, sfDir)
+      .select(col("lang"),
+        floor(col("sample_rate") * SampleBuckets).cast("long").as("keep_below"))
+    docs(spark, sfDir)
+      .withColumn("bucket",
+        Dedup.hash32(concat(lit(SampleSalt), col("doc_id"))) % SampleBuckets)
+      .join(broadcast(plan), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        (col("bucket") < col("keep_below")).as("sampled"))
+  }
+
+  /** Per-language top-k documents by composite quality score (the
+    * "curate the best docs per stratum" sampler): reuses the
+    * [[graft.functions.TopK]] bounded aggregate, so map-side combine caps
+    * every task's shuffle contribution at k rows per language — no
+    * low-cardinality window funnel (same scale argument as
+    * `order_priority_rank`). quality_score is the round-6 value already
+    * hash-proven identical across engines by `text_stats`, so ranking on
+    * (score desc, doc_id asc) is parity-safe. */
+  val QualityTopK = 5
+
+  def qualityTopkSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.textStats(spark, sfDir)
+      .groupBy("lang")
+      .agg(graft.functions.TopK.top_k_structs(
+        struct((-col("quality_score")).as("neg_qs"),
+          col("doc_id").as("doc_id")), QualityTopK).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("qrank"),
+        col("s.doc_id").as("doc_id"),
+        (-col("s.neg_qs")).cast("double").as("quality_score"))
+}

@@ -104,6 +104,45 @@ object TextAnalysis {
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-document top-k distinctive terms — the inverted-index-shaped
+    * workload (term statistics over the corpus): token explode →
+    * (doc, term) counts → corpus document frequency → bounded top-k per
+    * doc via the partial-aggregable [[graft.functions.TopK]] aggregate.
+    *
+    * Ranking is (term_count desc, doc_freq asc, term asc) — integer-exact
+    * on both engines. A true tf·idf double score is deliberately NOT
+    * emitted: ln() is not bit-identical across engines (measured: 4/5550
+    * one-ulp differences between JVM Math.log and DuckDB's libm ln over
+    * the ln(N/df) input domain on this container), so ranking or rounding
+    * on it could diverge at ulp boundaries; the integer ordering is the
+    * ordering tf·idf induces whenever term counts differ (idf is monotone
+    * decreasing in df), with the rarest-in-corpus term preferred on tied
+    * counts — exactly tf-idf's tiebreak direction.
+    *
+    * Scale: both groupBys are partial-aggregable; the df side is
+    * vocab-sized (real corpora: millions of rows, not corpus-sized) and
+    * AQE broadcast-joins it when small; the top-k aggregate caps each
+    * task's shuffle contribution at k rows per document. */
+  val TopTermsK = 3
+
+  def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("term_count"))
+    val df = tc.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tc.join(df, Seq("term"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopK.top_k_structs(
+        struct((-col("term_count")).as("neg_cnt"),
+          col("doc_freq").as("doc_freq"), col("term").as("term")),
+        TopTermsK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("term_rank"),
+        col("s.term").as("term"), (-col("s.neg_cnt")).as("term_count"),
+        col("s.doc_freq").as("doc_freq"))
+  }
+
   /** Sketch coverage: HLL++ approximate distinct users per event type next
     * to the exact count and relative error. No oracle twin (DuckDB's HLL
     * is a different sketch) — deterministic for fixed data, bounded by the

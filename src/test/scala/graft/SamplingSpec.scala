@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Invariant tests for the corpus-composition operators (the oracle pins
+  * exact values; these pin the semantic contracts). */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("source_mix_plan: shares sum to 1, rates clamp at 1, dominant lang downsampled") {
+    val p = Sampling.sourceMixPlan(spark, sf).cache()
+    val sums = p.agg(
+      round(sum("doc_share"), 4).as("ds"),
+      round(sum("tok_share"), 4).as("ts")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-3)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-3)
+    assert(p.filter($"sample_rate" > 1.0 || $"sample_rate" <= 0.0).count() === 0)
+    // the most frequent language must be downsampled below 1 whenever the
+    // distribution is non-uniform (it is, in every generated testdata SF)
+    val top = p.orderBy($"n_docs".desc).head()
+    assert(top.getAs[Double]("sample_rate") < 1.0)
+  }
+
+  test("stratified_sample: deterministic, per-lang acceptance matches the planned rate") {
+    val s1 = Sampling.stratifiedSample(spark, sf).cache()
+    val s2 = Sampling.stratifiedSample(spark, sf)
+    // re-running produces the identical decision set (hash-mod, not rand())
+    assert(s1.exceptAll(s2).count() === 0)
+    assert(s1.filter($"bucket" < 0 || $"bucket" >= Sampling.SampleBuckets).count() === 0)
+    // langs at rate 1.0 keep everything; downsampled langs keep a strict subset
+    val plan = Sampling.sourceMixPlan(spark, sf)
+      .select($"lang", $"sample_rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val perLang = s1.groupBy("lang").agg(
+      sum(when($"sampled", 1).otherwise(0)).as("kept"),
+      count(lit(1)).as("n")).collect()
+    perLang.foreach { r =>
+      val (lang, kept, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (plan(lang) >= 1.0) assert(kept === n, s"lang $lang must keep all")
+      else {
+        assert(kept < n, s"lang $lang must drop some")
+        // md5 buckets are uniform: acceptance within ±15 pp of the rate
+        assert(math.abs(kept.toDouble / n - plan(lang)) < 0.15,
+          s"lang $lang kept ${kept.toDouble / n} vs rate ${plan(lang)}")
+      }
+    }
+  }
+
+  test("quality_topk_sample agrees with the window formulation") {
+    val got = Sampling.qualityTopkSample(spark, sf)
+      .select("lang", "qrank", "doc_id", "quality_score")
+    val want = TextAnalysis.textStats(spark, sf)
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy($"quality_score".desc, $"doc_id")).cast("long"))
+      .filter($"qrank" <= Sampling.QualityTopK)
+      .select("lang", "qrank", "doc_id", "quality_score")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("top_terms agrees with the window formulation and its counts recount") {
+    val got = TextAnalysis.topTerms(spark, sf).cache()
+    val tc = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("term_count"))
+    val dfreq = tc.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val want = tc.join(dfreq, Seq("term"))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy($"term_count".desc, $"doc_freq", $"term")).cast("long"))
+      .filter($"term_rank" <= TextAnalysis.TopTermsK)
+      .select("doc_id", "term_rank", "term", "term_count", "doc_freq")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // ranks are dense from 1 within every doc
+    val ranks = got.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), min("term_rank").as("mn"), max("term_rank").as("mx"))
+    assert(ranks.filter($"mn" =!= 1 || $"mx" =!= $"n").count() === 0)
+  }
+}
