@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.SegmentFiles
 import graft.sources.SegmentFiles.Record
-import graft.streaming.{GroupOffsets, LogStream}
+import graft.streaming.{GroupOffsets, LogStream, PipelineStreams}
 import graft.streaming.GroupOffsets.Commit
 
 class StreamingSpec extends AnyFunSuite {
@@ -198,6 +198,58 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0) / 3600, r.getLong(1)))
       assert(rows.contains((0L, 2L)))
       assert(rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup suppresses duplicates within the watermark horizon") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.exactDedupStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 2 normalizes to doc 1's text (same content hash)
+      input.addData(
+        StreamDoc(1, "en", "hello world", ts(0)),
+        StreamDoc(2, "en", "  Hello   WORLD  ", ts(1)),
+        StreamDoc(3, "en", "something else", ts(2)))
+      q.processAllAvailable()
+      // batch 2: a later duplicate of doc 1, still inside the horizon
+      input.addData(StreamDoc(4, "en", "HELLO world", ts(30)))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      // exactly ONE of the intra-batch duplicates {1, 2} survives (which
+      // one is not defined within a batch), doc 3 is unique, and the
+      // cross-batch duplicate doc 4 is suppressed by the kept state
+      assert(ids.size === 2)
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size === 1)
+      assert(!ids.contains(4L))
+    } finally q.stop()
+  }
+
+  test("streaming stratified sample makes the exact batch decision per doc") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Sampling.stratifiedSample(spark, sf)
+      .select("doc_id", "sampled").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val someDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").limit(40).collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), "x",
+        new java.sql.Timestamp(0L)))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.stratifiedSampleStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("ssample")
+      .outputMode("append").start()
+    try {
+      input.addData(someDocs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ssample").select("doc_id", "sampled").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.size === someDocs.length)
+      got.foreach { case (id, s) => assert(s === batch(id), s"doc $id") }
     } finally q.stop()
   }
 }
