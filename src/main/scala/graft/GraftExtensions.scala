@@ -36,6 +36,13 @@ object GraftFunctions {
       s"$what must be a literal integer, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal integer, got $other")
+  }
+
   private def fn(name: String, usage: String)(
       builder: Seq[Expression] => Expression)
       : (String, ExpressionInfo, Seq[Expression] => Expression) =
@@ -69,6 +76,24 @@ object GraftFunctions {
       "srp_bucket(vec, numPlanes, dim) - signed-random-projection bucket") {
       a => VectorOps.SrpBucket(a(0), intLit(a(1), "numPlanes"),
         intLit(a(2), "dim"))
+    },
+    fn("pq_encode",
+      "pq_encode(vec, numSub, numCodewords, subDim, seed) - PQ codes per subspace") {
+      a => VectorOps.PqEncode(a(0), intLit(a(1), "numSub"),
+        intLit(a(2), "numCodewords"), intLit(a(3), "subDim"),
+        longLit(a(4), "seed"))
+    },
+    fn("pq_adc_dot",
+      "pq_adc_dot(query, codes, numSub, numCodewords, subDim, seed) - asymmetric dot") {
+      a => VectorOps.PqAdcDot(a(0), a(1), intLit(a(2), "numSub"),
+        intLit(a(3), "numCodewords"), intLit(a(4), "subDim"),
+        longLit(a(5), "seed"))
+    },
+    fn("pq_recon_n2",
+      "pq_recon_n2(codes, numSub, numCodewords, subDim, seed) - reconstructed norm2") {
+      a => VectorOps.PqReconN2(a.head, intLit(a(1), "numSub"),
+        intLit(a(2), "numCodewords"), intLit(a(3), "subDim"),
+        longLit(a(4), "seed"))
     },
     fn("flyq_decode_record", "flyq_decode_record(binary) - one StoredRecord") {
       a => FlyqCodec.FlyqDecodeRecord(a.head)

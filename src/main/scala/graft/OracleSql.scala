@@ -131,6 +131,55 @@ object OracleSql {
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** IVF cell-assignment CTEs (over `n` from embCtes), shared by the IVF
+    * and IVF+PQ entries so the quantizer cannot drift between them. */
+  private val ivfAssignCtes: String = s"""
+      cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                WHERE vec_id % ${Similarity.CentroidMod} = ${Similarity.CentroidRem}),
+      scored_cells AS (
+        SELECT n.vec_id, n.v, n.n2, c.c_id,
+               list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> n.v[k]*c.cv[k]))
+                 / (sqrt(n.n2) * sqrt(c.cn2)) AS ccos
+        FROM n CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, v, n2, c_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+          FROM scored_cells) WHERE rn = 1)"""
+
+  // ---- PQ codebook arithmetic, generated from Similarity's constants
+  // (kernel twins: graft.functions.VectorOps.pqCodeword/PqEncode/...) ----
+
+  /** Codeword component for a flat-index SQL expression (1-based d folded
+    * in): Knuth-hash unit in [-0.5, 0.5). */
+  private def pqCwSql(flatExpr: String): String =
+    s"(((${Similarity.PqSeed} + ($flatExpr)) * 2654435761) % 4294967296 / 4294967296.0 - 0.5)"
+
+  /** code_m = index of the L2-nearest codeword of subspace m (first-min on
+    * ties, like the kernel's strict <). */
+  private def pqCodeSql(m: Int): String = {
+    val s = Similarity.PqSubDim
+    val k = Similarity.PqCodebookSize
+    val diffs = s"list_transform(generate_series(1, $s), d -> v[${m * s} + d] - ${pqCwSql(s"((${m * k} + k)*$s + d)")})"
+    val dl = s"list_transform(generate_series(0, ${k - 1}), k -> list_sum(list_transform($diffs, x -> x*x)))"
+    s"CAST(list_position($dl, list_min($dl)) - 1 AS BIGINT)"
+  }
+
+  /** Flat-index expression for the codeword of flat dim d (1-based) under
+    * a codes array column. */
+  private def pqFlatSql(codes: String): String = {
+    val s = Similarity.PqSubDim
+    val k = Similarity.PqCodebookSize
+    s"((((d-1)//$s)*$k + $codes[((d-1)//$s) + 1])*$s + ((d-1)%$s) + 1)"
+  }
+
+  private def pqAdcSql(qv: String, codes: String): String =
+    s"list_sum(list_transform(generate_series(1, ${Similarity.Dim}), d -> $qv[d] * ${pqCwSql(pqFlatSql(codes))}))"
+
+  private def pqReconN2Sql(codes: String): String = {
+    val rec = s"list_transform(generate_series(1, ${Similarity.Dim}), d -> ${pqCwSql(pqFlatSql(codes))})"
+    s"list_sum(list_transform($rec, x -> x*x))"
+  }
+
   val all: Map[String, String] = Map(
 
     "offset_assignment" -> s"""WITH $logCtes
@@ -323,6 +372,16 @@ object OracleSql {
       SELECT b.doc_id, b.lang, b.bucket, b.bucket < p.keep_below AS sampled
       FROM b JOIN plan p USING (lang)""",
 
+    "shard_pack" -> s"""WITH $textCtes,
+      d AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+      p AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        FROM d)
+      SELECT doc_id, lang, n_tokens, tokens_before,
+             tokens_before // ${Sampling.ShardTokenBudget} AS shard_id
+      FROM p""",
+
     "quality_topk_sample" -> s"""WITH $textCtes, $qualityCtes,
       r AS (SELECT lang, doc_id, quality_score,
                    CAST(row_number() OVER (PARTITION BY lang
@@ -459,24 +518,30 @@ object OracleSql {
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
 
-    "embedding_ann_ivf" -> s"""WITH $embCtes,
-      cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
-                WHERE vec_id % ${Similarity.CentroidMod} = ${Similarity.CentroidRem}),
-      scored_cells AS (
-        SELECT n.vec_id, n.v, n.n2, c.c_id,
-               list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> n.v[k]*c.cv[k]))
-                 / (sqrt(n.n2) * sqrt(c.cn2)) AS ccos
-        FROM n CROSS JOIN cents c),
-      assigned AS (
-        SELECT vec_id, v, n2, c_id AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
-          FROM scored_cells) WHERE rn = 1),
+    "embedding_ann_ivf" -> s"""WITH $embCtes, $ivfAssignCtes,
       q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
             WHERE vec_id % ${Similarity.QueryMod} = 0),
       s AS (SELECT q.q_id, a.vec_id,
                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*a.v[k]))
                      / (sqrt(q.qn2) * sqrt(a.n2)) AS cos
             FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+      FROM r WHERE rank <= ${Similarity.TopK}""",
+
+    "embedding_ann_pq" -> s"""WITH $embCtes, $ivfAssignCtes,
+      enc AS (
+        SELECT vec_id, cell,
+               list_value(${(0 until Similarity.PqSubspaces).map(m => s"code_$m").mkString(", ")}) AS codes
+        FROM (SELECT vec_id, cell,
+                     ${(0 until Similarity.PqSubspaces).map(m => s"${pqCodeSql(m)} AS code_$m").mkString(",\n                     ")}
+              FROM assigned)),
+      codedn AS (SELECT vec_id, cell, codes, ${pqReconN2Sql("codes")} AS rn2 FROM enc),
+      q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
+            WHERE vec_id % ${Similarity.QueryMod} = 0),
+      s AS (SELECT q.q_id, c.vec_id,
+                   (${pqAdcSql("q.qv", "c.codes")}) / (sqrt(q.qn2) * sqrt(c.rn2)) AS cos
+            FROM q JOIN codedn c ON c.cell = q.cell AND c.vec_id <> q.q_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",

@@ -43,6 +43,7 @@ object SparkEntry {
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
     "quality_topk_sample" -> (Sampling.qualityTopkSample(_, _)),
+    "shard_pack" -> (Sampling.shardPack(_, _)),
     // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)
@@ -56,6 +57,7 @@ object SparkEntry {
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
     "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),
     "embedding_ann_ivf" -> (Similarity.embeddingAnnIvf(_, _)),
+    "embedding_ann_pq" -> (Similarity.embeddingAnnPq(_, _)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage

@@ -116,7 +116,133 @@ object VectorOps {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Deterministic product-quantization codebook component for
+    * (subspace m, codeword k, 0-based sub-dim d): the same Knuth-hash →
+    * [-0.5, 0.5) unit used by [[SrpBucket]]'s planes, over a seeded flat
+    * index so codebooks and hyperplanes are decorrelated. At real scale
+    * codebooks come from k-means; a deterministic synthetic codebook keeps
+    * the DuckDB oracle twin exact (same trade as the IVF subsample
+    * centroids). */
+  def pqCodeword(seed: Long, numCodewords: Int, subDim: Int,
+                 m: Int, k: Int, d: Int): Double = {
+    val flat = (m.toLong * numCodewords + k) * subDim + d + 1
+    val u = ((seed + flat) * 2654435761L) % 4294967296L
+    u.toDouble / 4294967296.0 - 0.5
+  }
+
+  /** pq_encode(array<double>) -> array<long>: per subspace, the index of
+    * the L2-nearest codeword (sequential distance fold in dim order,
+    * strict < so ties keep the smallest k — `list_position(l, list_min(l))`
+    * in the oracle). */
+  case class PqEncode(child: Expression, numSub: Int, numCodewords: Int,
+                      subDim: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkElem(child.dataType, "pq_encode")
+    @transient private lazy val g = getter(child.dataType)
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val bound = v.numElements()
+      val codes = new Array[Long](numSub)
+      var m = 0
+      while (m < numSub) {
+        var best = 0L
+        var bestDist = Double.MaxValue
+        var k = 0
+        while (k < numCodewords) {
+          var acc = 0d
+          var d = 0
+          while (d < subDim) {
+            val i = m * subDim + d
+            val x = (if (i < bound) g(v, i) else 0d) -
+              pqCodeword(seed, numCodewords, subDim, m, k, d)
+            acc += x * x
+            d += 1
+          }
+          if (acc < bestDist) { bestDist = acc; best = k }
+          k += 1
+        }
+        codes(m) = best
+        m += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** pq_adc_dot(array<double> query, array<long> codes) -> double:
+    * asymmetric-distance dot product of the raw query against the
+    * codeword-reconstructed vector, accumulated in flat dim order (one
+    * accumulator, subspace-major) — the order the oracle's
+    * generate_series(1, dim) fold uses. */
+  case class PqAdcDot(left: Expression, right: Expression, numSub: Int,
+                      numCodewords: Int, subDim: Int, seed: Long)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkElem(left.dataType, "pq_adc_dot")
+    @transient private lazy val gl = getter(left.dataType)
+    override protected def nullSafeEval(q: Any, c: Any): Any = {
+      val qv = q.asInstanceOf[ArrayData]
+      val codes = c.asInstanceOf[ArrayData]
+      val bound = qv.numElements()
+      var acc = 0d
+      var m = 0
+      while (m < numSub) {
+        val k = codes.getLong(m).toInt
+        var d = 0
+        while (d < subDim) {
+          val i = m * subDim + d
+          if (i < bound)
+            acc += gl(qv, i) * pqCodeword(seed, numCodewords, subDim, m, k, d)
+          d += 1
+        }
+        m += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** pq_recon_n2(array<long> codes) -> double: squared norm of the
+    * codeword-reconstructed vector, same flat accumulation order. */
+  case class PqReconN2(child: Expression, numSub: Int, numCodewords: Int,
+                       subDim: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(c: Any): Any = {
+      val codes = c.asInstanceOf[ArrayData]
+      var acc = 0d
+      var m = 0
+      while (m < numSub) {
+        val k = codes.getLong(m).toInt
+        var d = 0
+        while (d < subDim) {
+          val w = pqCodeword(seed, numCodewords, subDim, m, k, d)
+          acc += w * w
+          d += 1
+        }
+        m += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def pq_encode(v: Column, numSub: Int, numCodewords: Int, subDim: Int,
+                seed: Long): Column =
+    column(PqEncode(expression(v), numSub, numCodewords, subDim, seed))
+  def pq_adc_dot(q: Column, codes: Column, numSub: Int, numCodewords: Int,
+                 subDim: Int, seed: Long): Column =
+    column(PqAdcDot(expression(q), expression(codes), numSub, numCodewords,
+      subDim, seed))
+  def pq_recon_n2(codes: Column, numSub: Int, numCodewords: Int, subDim: Int,
+                  seed: Long): Column =
+    column(PqReconN2(expression(codes), numSub, numCodewords, subDim, seed))
 
   def srp_bucket(v: Column, numPlanes: Int, dim: Int): Column =
     column(SrpBucket(expression(v), numPlanes, dim))

@@ -84,6 +84,30 @@ object Sampling {
         (col("bucket") < col("keep_below")).as("sampled"))
   }
 
+  /** Token budget per training shard — sized so every testdata SF packs
+    * several shards per language; shared with the generated oracle SQL. */
+  val ShardTokenBudget = 2000L
+
+  /** Pack documents into fixed-token-budget training shards, per language:
+    * shard_id = floor(cumulative tokens of preceding docs / budget) in
+    * (lang, doc_id) order — exactly the broker's segment-rotation rule
+    * (`partition.rs:117-127`) applied to the pipeline domain, and computed
+    * by the same scale-safe two-phase prefix operator
+    * ([[graft.plans.OrderedIndex]]): no per-language window funnel, full
+    * task parallelism, O(tasks × languages) driver prefix-sum. The output
+    * is the writer's plan — at production scale it feeds
+    * `repartition(shard_id)` + `write` to produce size-balanced training
+    * files. */
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.plans.OrderedIndex.withExclusivePrefix(
+        d, Seq("lang"), Seq("doc_id"), Some("n_tokens"), "tokens_before")
+      .withColumn("shard_id",
+        floor(col("tokens_before") / lit(ShardTokenBudget)).cast("long"))
+  }
+
   /** Per-language top-k documents by composite quality score (the
     * "curate the best docs per stratum" sampler): reuses the
     * [[graft.functions.TopK]] bounded aggregate, so map-side combine caps

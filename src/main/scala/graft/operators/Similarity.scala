@@ -161,6 +161,45 @@ object Similarity {
     rankTopK(scored)
   }
 
+  // ---- Product quantization (IVF+PQ — the 100 TB memory path) ----
+  /** 8 subspaces × 8 dims, 16 codewords each: a 64-float vector compresses
+    * to 8 small integers (256 B → 8 B per vector at billions of rows — the
+    * reason IVF+PQ is the standard billion-scale ANN layout). Codebooks
+    * are deterministic synthetic points (same Knuth-hash unit as the SRP
+    * planes, seeded apart) so the oracle twin is exact; production swaps
+    * in k-means codebooks without touching the plan. */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodebookSize = 16
+  val PqSeed = 100003L
+
+  /** IVF+PQ approximate top-k: candidates come from the query's IVF cell
+    * (equi-join, like [[embeddingAnnIvf]]), but the probe side carries
+    * ONLY (vec_id, cell, 8 PQ codes, reconstructed norm) — the raw
+    * vectors are projected away after encoding, so at scale the search
+    * structure is ~1/30 the corpus size and usually memory-resident.
+    * Scoring is asymmetric (ADC): the raw query vector against each
+    * candidate's codeword reconstruction; ranking on the unrounded
+    * approximate cosine with vec_id tie-break. */
+  def embeddingAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = cellAssignment(spark, sfDir)
+    val coded = assigned
+      .withColumn("codes", graft.functions.VectorOps.pq_encode(
+        col("v"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed))
+      .withColumn("rn2", graft.functions.VectorOps.pq_recon_n2(
+        col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed))
+      .select(col("vec_id"), col("cell"), col("codes"), col("rn2"))
+    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("q_cell"))
+    val scored = coded.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorOps.pq_adc_dot(
+        col("qv"), col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed)
+        / (sqrt(col("qn2")) * sqrt(col("rn2"))))
+    rankTopK(scored)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
   def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {

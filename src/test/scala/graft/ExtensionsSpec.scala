@@ -29,6 +29,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Double]("n") === 25.0) // squared norm (self dot)
 
+    // PQ functions agree with the Column-API kernels on a tiny vector
+    val vec = (1 to 16).map(i => i / 16.0)
+    val vecSql = vec.map(x => s"${x}D").mkString("array(", ",", ")")
+    val pq = s.sql(s"""
+      SELECT pq_encode($vecSql, 2, 4, 8, 7L) AS codes,
+             pq_adc_dot($vecSql, pq_encode($vecSql, 2, 4, 8, 7L), 2, 4, 8, 7L) AS adc,
+             pq_recon_n2(pq_encode($vecSql, 2, 4, 8, 7L), 2, 4, 8, 7L) AS rn2
+    """).head()
+    val codes = pq.getAs[scala.collection.Seq[Long]]("codes").toSeq
+    assert(codes.length === 2)
+    assert(codes.forall(c => c >= 0 && c < 4))
+    // reference recompute with the shared codeword function
+    val expCodes = (0 until 2).map { m =>
+      (0 until 4).minBy { k =>
+        (0 until 8).map { d =>
+          val x = vec(m * 8 + d) - graft.functions.VectorOps.pqCodeword(7L, 4, 8, m, k, d)
+          x * x
+        }.sum
+      }.toLong
+    }
+    assert(codes === expCodes)
+    val expRn2 = (0 until 2).flatMap(m => (0 until 8).map(d =>
+      graft.functions.VectorOps.pqCodeword(7L, 4, 8, m, expCodes(m).toInt, d)))
+      .foldLeft(0d)((a, w) => a + w * w)
+    assert(math.abs(pq.getAs[Double]("rn2") - expRn2) < 1e-12)
+
     // FLOAT arrays through the SQL surface (the stored embedding type):
     // reading float-backed ArrayData as double returns stride-garbage, so
     // the kernels must branch on the declared element type

@@ -175,6 +175,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter($"c_exact" =!= $"c_ann").count() === 0)
   }
 
+  test("IVF+PQ: codes bounded, cosine bounded, ranks dense, deterministic") {
+    val enc = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("codes", graft.functions.VectorOps.pq_encode(
+        col("v"), Similarity.PqSubspaces, Similarity.PqCodebookSize,
+        Similarity.PqSubDim, Similarity.PqSeed))
+      .select(col("vec_id"), explode(col("codes")).as("code"))
+    assert(enc.filter(
+      col("code") < 0 || col("code") >= Similarity.PqCodebookSize).count() === 0)
+    val t = Similarity.embeddingAnnPq(spark, sf).cache()
+    assert(t.filter(col("cos_sim") < -1.000001 || col("cos_sim") > 1.000001)
+      .count() === 0)
+    val ranks = t.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"))
+    assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
+    assert(t.filter(col("q_id") === col("vec_id")).count() === 0)
+    // deterministic: re-running produces the identical result set
+    val t2 = Similarity.embeddingAnnPq(spark, sf)
+    assert(t.exceptAll(t2).count() === 0)
+  }
+
   test("HLL sketch stays within its error bound against the exact count") {
     val rows = TextAnalysis.approxUserCount(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -54,6 +54,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shard_pack agrees with the window formulation and rotates like segments") {
+    val got = Sampling.shardPack(spark, sf).cache()
+    val want = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum("n_tokens").over(
+          Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id",
+        floor($"tokens_before" / Sampling.ShardTokenBudget).cast("long"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // shards are dense from 0 within each language and non-decreasing in
+    // doc order (the segment-rotation invariant)
+    val perLang = got.groupBy("lang").agg(
+      min("shard_id").as("mn"), max("shard_id").as("mx"),
+      countDistinct("shard_id").as("n"))
+    assert(perLang.filter($"mn" =!= 0 || $"n" =!= $"mx" + 1).count() === 0)
+    // at least one language actually rotates at this budget
+    assert(got.filter($"shard_id" > 0).count() > 0)
+  }
+
   test("quality_topk_sample agrees with the window formulation") {
     val got = Sampling.qualityTopkSample(spark, sf)
       .select("lang", "qrank", "doc_id", "quality_score")
