@@ -176,12 +176,25 @@ object VectorOps {
     * codeword-reconstructed vector, accumulated in flat dim order (one
     * accumulator, subspace-major) — the order the oracle's
     * generate_series(1, dim) fold uses. */
+  /** The codes argument must be array<long> (pq_encode output) — on the
+    * SQL-registered surface an unchecked double array would be
+    * bit-reinterpreted by getLong into garbage codes. */
+  private def checkCodes(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<bigint> codes (pq_encode output), got ${other.simpleString}")
+    }
+
   case class PqAdcDot(left: Expression, right: Expression, numSub: Int,
                       numCodewords: Int, subDim: Int, seed: Long)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
-      checkElem(left.dataType, "pq_adc_dot")
+      Seq(checkElem(left.dataType, "pq_adc_dot"),
+        checkCodes(right.dataType, "pq_adc_dot"))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
     @transient private lazy val gl = getter(left.dataType)
     override protected def nullSafeEval(q: Any, c: Any): Any = {
       val qv = q.asInstanceOf[ArrayData]
@@ -189,7 +202,8 @@ object VectorOps {
       val bound = qv.numElements()
       var acc = 0d
       var m = 0
-      while (m < numSub) {
+      val mBound = math.min(numSub, codes.numElements())
+      while (m < mBound) {
         val k = codes.getLong(m).toInt
         var d = 0
         while (d < subDim) {
@@ -212,11 +226,14 @@ object VectorOps {
                        subDim: Int, seed: Long)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkCodes(child.dataType, "pq_recon_n2")
     override protected def nullSafeEval(c: Any): Any = {
       val codes = c.asInstanceOf[ArrayData]
       var acc = 0d
       var m = 0
-      while (m < numSub) {
+      val mBound = math.min(numSub, codes.numElements())
+      while (m < mBound) {
         val k = codes.getLong(m).toInt
         var d = 0
         while (d < subDim) {

@@ -152,7 +152,16 @@ object Dedup {
       pairsCache(k).unpersist(blocking = false)
       pairsCache.remove(k)
     }
+    val residue = loopResidue.filter(_._1 eq spark)
+    residue.foreach(_._2.unpersist(blocking = false))
+    loopResidue --= residue
   }
+
+  /** Final persisted frames of past distributed fixpoint runs — the loop's
+    * result must stay cached while the caller consumes it, so it can't be
+    * unpersisted inside the loop; [[clearCaches]] reclaims them. */
+  private val loopResidue =
+    scala.collection.mutable.Buffer.empty[(SparkSession, DataFrame)]
 
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     verifiedPairs(spark, sfDir)
@@ -243,7 +252,7 @@ object Dedup {
     // broadcast hint only on the bounded path — the distributed path's
     // mapping can exceed broadcast size, so let AQE decide there
     val comp =
-      if (nPairs <= localLimit) broadcast(localComponents(spark, pairs))
+      if (nPairs <= localLimit) broadcast(localComponents(spark, pairs, nPairs))
       else distributedComponents(spark, pairs, nPairs)
     docs(spark, sfDir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -255,9 +264,29 @@ object Dedup {
   /** Driver union-find with min-member relabeling: path-halving find,
     * union by attaching the larger root id under the smaller, so the
     * representative of every set is its minimum member — exactly the
-    * transitive-min label the distributed fixpoint converges to. */
-  private def localComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    * transitive-min label the distributed fixpoint converges to.
+    *
+    * Edges arrive as per-partition PRIMITIVE long arrays packed executor-
+    * side (one job, no per-partition job latency like toLocalIterator),
+    * so driver heap at the 5M-edge limit is the ~80 MB the limit is sized
+    * against — never 5M boxed Rows. */
+  private def localComponents(spark: SparkSession, pairs: DataFrame,
+                              nPairs: Long): DataFrame = {
+    val packed: Array[(Array[Long], Array[Long])] =
+      pairs.queryExecution.toRdd.mapPartitions { it =>
+        val pa = new scala.collection.mutable.ArrayBuilder.ofLong
+        val pb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => pa += r.getLong(0); pb += r.getLong(1) }
+        Iterator((pa.result(), pb.result()))
+      }.collect()
+    val total = packed.iterator.map(_._1.length).sum
+    val as = new Array[Long](total); val bs = new Array[Long](total)
+    var off = 0
+    packed.foreach { case (pa, pb) =>
+      System.arraycopy(pa, 0, as, off, pa.length)
+      System.arraycopy(pb, 0, bs, off, pb.length)
+      off += pa.length
+    }
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -268,16 +297,31 @@ object Dedup {
       }
       r
     }
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
+    var i = 0
+    while (i < as.length) {
+      val ra = find(as(i)); val rb = find(bs(i))
       if (ra != rb) {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
+      i += 1
     }
-    val vertices = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    val mapping = vertices.map(v => (v, find(v)))
+    // distinct vertices via one primitive sort + in-place dedupe
+    val all = new Array[Long](as.length * 2)
+    System.arraycopy(as, 0, all, 0, as.length)
+    System.arraycopy(bs, 0, all, as.length, bs.length)
+    java.util.Arrays.sort(all)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val mapping = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { mapping(i) = (all(i), find(all(i))); i += 1 }
     import spark.implicits._
-    spark.createDataset(mapping.toSeq).toDF("doc_id", "comp")
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(mapping))
+      .toDF("doc_id", "comp")
   }
 
   /** Distributed min-label fixpoint with pointer jumping; see
@@ -303,11 +347,15 @@ object Dedup {
     try {
       spark.conf.set(confKey, loopParts)
       // seed with min(self, direct neighbors) — one aggregation, and
-      // depth-1 duplicate cliques converge on the first probe
-      var c = edges.groupBy("u").agg(min("v").as("mv"))
+      // depth-1 duplicate cliques converge on the first probe.
+      // `persisted` is always the ACTUAL .persist() handle (unpersist on a
+      // projection of it would not match the cache entry); `c` is the
+      // (doc_id, comp) view the next round builds on.
+      var persisted = edges.groupBy("u").agg(min("v").as("mv"))
         .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
         .persist(lvl)
-      c.count()
+      persisted.count()
+      var c = persisted
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
@@ -329,12 +377,20 @@ object Dedup {
           .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
             least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
           .persist(lvl)
+        // materialize EVERY partition of `next` before dropping the old
+        // round: the convergence probe alone is executeTake(1), which
+        // caches only the partitions it touched — unpersisting the old
+        // round then would leave later rounds recomputing uncached
+        // partitions through the whole unpersisted lineage chain
+        // (O(rounds²) shuffle work)
+        next.count()
         converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
-        val old = c
+        persisted.unpersist(blocking = false)
+        persisted = next
         c = next.select("doc_id", "comp")
-        old.unpersist(blocking = false)
         iter += 1
       }
+      pairsCache.synchronized { loopResidue += ((spark, persisted)) }
       c
     } finally spark.conf.set(confKey, prevParts)
   }

@@ -68,21 +68,31 @@ object Sampling {
         round(col("rate_raw"), 6).as("sample_rate"))
   }
 
+  /** The plan reduced to its decision columns: (lang, keep_below) with
+    * keep_below = floor(rate·buckets). ONE definition shared by the batch
+    * and streaming samplers so the threshold rule cannot drift. */
+  def samplePlan(spark: SparkSession, sfDir: String): DataFrame =
+    sourceMixPlan(spark, sfDir)
+      .select(col("lang"),
+        floor(col("sample_rate") * SampleBuckets).cast("long").as("keep_below"))
+
+  /** Apply the deterministic decision to any doc frame (batch or stream):
+    * stable salted hash bucket in [0, buckets), kept iff bucket <
+    * keep_below for the row's language. Adds bucket/keep_below/sampled. */
+  def applySampleDecision(docRows: DataFrame, plan: DataFrame): DataFrame =
+    docRows
+      .withColumn("bucket",
+        Dedup.hash32(concat(lit(SampleSalt), col("doc_id"))) % SampleBuckets)
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("sampled", col("bucket") < col("keep_below"))
+
   /** Deterministic stratified sample applying [[sourceMixPlan]]'s rates:
     * every document gets a stable hash bucket in [0, 10⁴) and is kept iff
     * bucket < floor(rate·10⁴) for its language. Per-doc decision output so
     * the oracle checks the whole decision, not just survivor counts. */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val plan = sourceMixPlan(spark, sfDir)
-      .select(col("lang"),
-        floor(col("sample_rate") * SampleBuckets).cast("long").as("keep_below"))
-    docs(spark, sfDir)
-      .withColumn("bucket",
-        Dedup.hash32(concat(lit(SampleSalt), col("doc_id"))) % SampleBuckets)
-      .join(broadcast(plan), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        (col("bucket") < col("keep_below")).as("sampled"))
-  }
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    applySampleDecision(docs(spark, sfDir), samplePlan(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sampled"))
 
   /** Token budget per training shard — sized so every testdata SF packs
     * several shards per language; shared with the generated oracle SQL. */
@@ -122,10 +132,18 @@ object Sampling {
     TextAnalysis.textStats(spark, sfDir)
       .groupBy("lang")
       .agg(graft.functions.TopK.top_k_structs(
-        struct((-col("quality_score")).as("neg_qs"),
-          col("doc_id").as("doc_id")), QualityTopK).as("top"))
+        struct(
+          // a NULL score (empty text → 0/0 → NULL on both engines) must
+          // rank LAST like the oracle's ORDER BY ... DESC (DuckDB defaults
+          // NULLS LAST), but the struct's natural ordering puts NULL
+          // first-ascending — so sort on a null-coalesced key and carry
+          // the real score as payload
+          coalesce(-col("quality_score"), lit(Double.PositiveInfinity))
+            .as("neg_qs"),
+          col("doc_id").as("doc_id"),
+          col("quality_score").as("qs")), QualityTopK).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("qrank"),
         col("s.doc_id").as("doc_id"),
-        (-col("s.neg_qs")).cast("double").as("quality_score"))
+        col("s.qs").cast("double").as("quality_score"))
 }

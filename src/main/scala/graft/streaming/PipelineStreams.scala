@@ -43,17 +43,7 @@ object PipelineStreams {
     * bucket predicate, so a document sampled in a re-run, a backfill, or
     * the batch path is sampled here too. */
   def stratifiedSampleStream(spark: SparkSession, docs: DataFrame,
-                             planSfDir: String): DataFrame = {
-    val plan = graft.operators.Sampling.sourceMixPlan(spark, planSfDir)
-      .select(col("lang"),
-        floor(col("sample_rate") * graft.operators.Sampling.SampleBuckets)
-          .cast("long").as("keep_below"))
-    docs
-      .withColumn("bucket",
-        graft.operators.Dedup.hash32(
-          concat(lit(graft.operators.Sampling.SampleSalt), col("doc_id")))
-          % graft.operators.Sampling.SampleBuckets)
-      .join(broadcast(plan), Seq("lang"))
-      .withColumn("sampled", col("bucket") < col("keep_below"))
-  }
+                             planSfDir: String): DataFrame =
+    graft.operators.Sampling.applySampleDecision(
+      docs, graft.operators.Sampling.samplePlan(spark, planSfDir))
 }
