@@ -66,6 +66,10 @@ object GraftFunctions {
     fn("simhash16", "simhash16(array<long>) - 16-bit SimHash") {
       a => TextHashes.SimHash16(a.head)
     },
+    fn("mod_filter_stats",
+      "mod_filter_stats(array<long>, mod) - count/min/max/sum of elements = 0 (mod m)") {
+      a => TextHashes.ModFilterStats(a(0), intLit(a(1), "mod"))
+    },
     fn("dot_seq", "dot_seq(array<float|double>, array) - dot product") {
       a => VectorOps.DotSeq(a(0), a(1))
     },

@@ -169,6 +169,46 @@ object TextHashes {
       copy(left = l, right = r)
   }
 
+  /** mod_filter_stats(array<long>, mod) -> struct(n_fp, fp_min, fp_max,
+    * fp_sum): count/min/max/sum of the elements ≡ 0 (mod `mod`) in ONE
+    * pass — identical values to the declarative
+    * `filter(hs, h -> h % mod = 0)` followed by size / array_min /
+    * array_max / aggregate(…, 0L, +), each of which is an interpreted
+    * per-element lambda. min/max are NULL on an empty sample (as
+    * array_min/array_max would be); sum is 0 (as the aggregate's seed). */
+  case class ModFilterStats(child: Expression, mod: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(mod > 0, "mod must be positive")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_fp", LongType, nullable = false),
+      StructField("fp_min", LongType, nullable = true),
+      StructField("fp_max", LongType, nullable = true),
+      StructField("fp_sum", LongType, nullable = false)))
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var cnt = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val h = a.getLong(i)
+        if (h % mod == 0) {
+          cnt += 1
+          if (h < mn) mn = h
+          if (h > mx) mx = h
+          sum += h
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cnt, if (cnt == 0) null else mn, if (cnt == 0) null else mx,
+          sum))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** stopword_hits(array<string>) -> array<long>: per language-table count
     * of tokens present in that table — one pass over tokens with hashed
     * membership, same counts as `size(filter(tokens, t -> t IN (...)))`
@@ -206,6 +246,8 @@ object TextHashes {
     column(JaccardLong(expression(a), expression(b)))
   def char_grams_distinct(c: Column, n: Int): Column =
     column(CharGramsDistinct(expression(c), n))
+  def mod_filter_stats(c: Column, mod: Int): Column =
+    column(ModFilterStats(expression(c), mod))
   def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     column(MinHashSigs(expression(c), as, bs, prime))
   def simhash16(c: Column): Column = column(SimHash16(expression(c)))

@@ -485,11 +485,11 @@ object Dedup {
       .withColumn("grams",
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 5))
       .withColumn("hs", graft.functions.TextHashes.hash32_array(col("grams")))
-      .withColumn("fps", filter(col("hs"), h => h % 8 === 0))
+      // one-pass sample stats kernel — same values as the declarative
+      // filter(h % 8 = 0) + size/array_min/array_max/aggregate chain,
+      // without four more interpreted per-element lambda passes
+      .withColumn("st", graft.functions.TextHashes.mod_filter_stats(col("hs"), 8))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
-        size(col("fps")).cast("long").as("n_fp"),
-        array_min(col("fps")).as("fp_min"),
-        array_max(col("fps")).as("fp_max"),
-        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+        col("st.n_fp"), col("st.fp_min"), col("st.fp_max"), col("st.fp_sum"))
 }
