@@ -555,6 +555,25 @@ object OracleSql {
       SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
       FROM p WHERE cos >= ${Similarity.NearDupCosine}""",
 
+    "embedding_dedup_keep" -> s"""WITH RECURSIVE $embCtes,
+      b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
+      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> x.v[k]*y.v[k]))
+                     / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      nd AS (SELECT vec_a, vec_b FROM p WHERE cos >= ${Similarity.NearDupCosine}),
+      und AS (SELECT vec_a AS u, vec_b AS w FROM nd
+              UNION ALL SELECT vec_b, vec_a FROM nd),
+      reach(u, lbl) AS (
+        SELECT DISTINCT u, u FROM und
+        UNION
+        SELECT und.u, r.lbl FROM und JOIN reach r ON und.w = r.u),
+      comp AS (SELECT u AS vec_id, min(lbl) AS component_id
+               FROM reach GROUP BY u)
+      SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS component_id,
+             (COALESCE(c.component_id, e.vec_id) = e.vec_id) AS is_kept
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id""",
+
     "multimodal_features" -> s"""WITH $textCtes,
       h AS (SELECT doc_id,
                    CAST(octet_length(encode(ntext)) AS BIGINT) AS media_bytes,

@@ -247,18 +247,32 @@ object Dedup {
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedPairs(spark, sfDir).select("doc_a", "doc_b")
     val nPairs = pairs.count() // cache read: pairs is persist-once
-    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
-      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
-    // broadcast hint only on the bounded path — the distributed path's
-    // mapping can exceed broadcast size, so let AQE decide there
-    val comp =
-      if (nPairs <= localLimit) broadcast(localComponents(spark, pairs, nPairs))
-      else distributedComponents(spark, pairs, nPairs)
+    val comp = componentsOf(spark, pairs, nPairs)
     docs(spark, sfDir).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("component_id"))
       .withColumn("is_kept", col("component_id") === col("doc_id"))
+  }
+
+  /** Connected components (transitive-min label) over ANY verified
+    * near-dup pair frame — exposed for every dedup family (word-shingle
+    * MinHash here, embedding cosine in `Similarity.embeddingDedupKeep`).
+    * Input: two long id columns (any names, normalized positionally);
+    * `nPairs` is the frame's exact row count (callers have it from their
+    * persist-once caches). Output: (doc_id, comp) for pair-involved ids
+    * only — the caller stamps singletons with a left join. Both paths
+    * fully materialize their result before returning, so the caller may
+    * release the pairs frame afterwards. */
+  def componentsOf(spark: SparkSession, pairsRaw: DataFrame,
+                   nPairs: Long): DataFrame = {
+    val pairs = pairsRaw.toDF("doc_a", "doc_b")
+    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    // broadcast hint only on the bounded path — the distributed path's
+    // mapping can exceed broadcast size, so let AQE decide there
+    if (nPairs <= localLimit) broadcast(localComponents(spark, pairs, nPairs))
+    else distributedComponents(spark, pairs, nPairs)
   }
 
   /** Driver union-find with min-member relabeling: path-halving find,

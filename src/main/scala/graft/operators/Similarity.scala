@@ -161,6 +161,29 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Embedding-level dedup keep policy: connected components over the
+    * verified cosine near-dup pairs (the embedding twin of
+    * `dedup_components` — same generalized union-find/fixpoint machinery,
+    * [[graft.operators.Dedup.componentsOf]]), so semantic-duplicate
+    * CHAINS collapse to one kept vector per component (min vec_id).
+    * The full embedding table is only touched by the singleton-stamping
+    * left join. */
+  def embeddingDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = embeddingNearDup(spark, sfDir).select("vec_a", "vec_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pairs.count()
+    // componentsOf fully materializes before returning, so the pairs
+    // frame can be released as soon as it does
+    val comp = graft.operators.Dedup.componentsOf(spark, pairs, n)
+      .toDF("vec_id", "comp")
+    pairs.unpersist(blocking = false)
+    emb(spark, sfDir).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component_id"))
+      .withColumn("is_kept", col("component_id") === col("vec_id"))
+  }
+
   // ---- Product quantization (IVF+PQ — the 100 TB memory path) ----
   /** 8 subspaces × 8 dims, 16 codewords each: a 64-float vector compresses
     * to 8 small integers (256 B → 8 B per vector at billions of rows — the

@@ -175,6 +175,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter($"c_exact" =!= $"c_ann").count() === 0)
   }
 
+  test("embedding_dedup_keep: components match the brute-force closure over near-dup pairs") {
+    val keep = Similarity.embeddingDedupKeep(spark, sf).cache()
+    val pairs = Similarity.embeddingNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { v =>
+      if (!label.contains(v)) {
+        val queue = scala.collection.mutable.Queue(v)
+        val seen = scala.collection.mutable.Set(v)
+        while (queue.nonEmpty) adj(queue.dequeue()).foreach(n =>
+          if (seen.add(n)) queue.enqueue(n))
+        val m = seen.min
+        seen.foreach(label(_) = m)
+      }
+    }
+    val got = keep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    label.foreach { case (v, m) =>
+      assert(got(v)._1 === m, s"vec $v")
+      assert(got(v)._2 === (v == m), s"vec $v kept")
+    }
+    got.foreach { case (v, (m, kept)) =>
+      if (!label.contains(v)) { assert(m === v); assert(kept) }
+    }
+  }
+
   test("IVF+PQ: codes bounded, cosine bounded, ranks dense, deterministic") {
     val enc = graft.sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
