@@ -17,6 +17,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc session confs for plan experiments, e.g.
+    // SPARK_GRAFT_CONF=spark.graft.components.localEdgeLimit=0
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val named = args.toSeq.filterNot(_ == "-exec")
     val names = if (named.nonEmpty) named else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>

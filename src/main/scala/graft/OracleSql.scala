@@ -180,6 +180,10 @@ object OracleSql {
     s"list_sum(list_transform($rec, x -> x*x))"
   }
 
+  /** SQL twin of Curation.docHash — 32-bit md5 hash of the decimal id. */
+  private def docHashSql(col: String): String =
+    s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
+
   val all: Map[String, String] = Map(
 
     "offset_assignment" -> s"""WITH $logCtes
@@ -421,6 +425,110 @@ object OracleSql {
       SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
              (COALESCE(c.component_id, d.doc_id) = d.doc_id) AS is_kept
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
+    "quality_filter" -> {
+      import graft.operators.Curation._
+      val inList = allStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $textCtes,
+      q AS (SELECT doc_id, n_chars_norm,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT) AS stop_hits,
+              CAST(list_max(map_values(list_aggregate(toks, 'histogram'))) AS BIGINT) AS max_tok_freq
+            FROM tok),
+      r AS (SELECT *,
+              n_chars_norm - (n_words - 1) AS chars_only,
+              (n_words >= $QfMinWords AND n_words <= $QfMaxWords) AS pass_word_count,
+              (n_chars_norm - (n_words - 1) >= $QfMinAvgLen * n_words
+               AND n_chars_norm - (n_words - 1) <= $QfMaxAvgLen * n_words) AS pass_word_len,
+              stop_hits * $QfStopDen >= n_words AS pass_stopword,
+              max_tok_freq * $QfRepDen <= n_words AS pass_repetition
+            FROM q),
+      f AS (SELECT *, CAST(4 - CAST(pass_word_count AS INT) - CAST(pass_word_len AS INT)
+                 - CAST(pass_stopword AS INT) - CAST(pass_repetition AS INT) AS BIGINT) AS n_failed
+            FROM r)
+      SELECT doc_id, n_words, stop_hits, max_tok_freq, pass_word_count,
+             pass_word_len, pass_stopword, pass_repetition, n_failed,
+             n_failed = 0 AS is_kept
+      FROM f"""
+    },
+
+    "decontaminate" -> {
+      import graft.operators.Curation._
+      val n = DecontamGramLen
+      s"""WITH $textCtes,
+      sp AS (SELECT doc_id, toks, ${docHashSql("doc_id")} % $DecontamEvalMod = 0 AS is_eval FROM tok),
+      g5 AS (SELECT doc_id, is_eval,
+               CASE WHEN len(toks) >= $n THEN
+                 list_distinct(list_transform(
+                   list_transform(generate_series(1, len(toks) - ${n - 1}),
+                     i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')),
+                   g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)))
+               ELSE [] END AS hg
+             FROM sp),
+      eg AS (SELECT DISTINCT unnest(hg) AS g FROM g5 WHERE is_eval),
+      tg AS (SELECT doc_id, unnest(hg) AS g FROM g5 WHERE NOT is_eval),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM tg JOIN eg USING (g) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_grams_hit,
+             COALESCE(h.n, 0) = 0 AS is_clean
+      FROM sp s LEFT JOIN hits h ON s.doc_id = h.doc_id
+      WHERE NOT s.is_eval"""
+    },
+
+    "pii_scrub" -> {
+      import graft.operators.Curation._
+      s"""WITH h AS (SELECT doc_id, text, ${docHashSql("doc_id")} % 4 AS hb FROM documents),
+      aug AS (SELECT doc_id,
+                CASE hb
+                  WHEN 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                              || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') || ' today'
+                  WHEN 2 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                              || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                              || '.' || CAST(doc_id * 5 % 256 AS VARCHAR) || ' up'
+                  ELSE text END AS aug_text
+              FROM h),
+      s AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(aug_text, '$EmailPattern')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(aug_text, '$IpPattern')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(aug_text, '$PhonePattern')) AS BIGINT) AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(aug_text,
+                '$EmailPattern', '<EMAIL>', 'g'),
+                '$IpPattern', '<IP>', 'g'),
+                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
+            FROM aug)
+      SELECT doc_id, n_emails, n_phones, n_ips,
+             n_emails + n_ips + n_phones AS n_pii,
+             CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+             md5(scrubbed) AS scrub_hash
+      FROM s"""
+    },
+
+    "incremental_dedup" -> {
+      import graft.operators.Curation._
+      val m = IncrBatchMod
+      s"""WITH $textCtes, $dedupCtes,
+      spl AS (SELECT doc_id, sha256(ntext) AS th,
+                ${docHashSql("doc_id")} % $m = 0 AS in_batch
+              FROM norm),
+      bh AS (SELECT DISTINCT th FROM spl WHERE NOT in_batch),
+      ex AS (SELECT DISTINCT s.doc_id FROM spl s JOIN bh ON s.th = bh.th
+             WHERE s.in_batch),
+      nd AS (SELECT DISTINCT doc_id FROM (
+               SELECT doc_a AS doc_id FROM nd_pairs
+               WHERE ${docHashSql("doc_a")} % $m = 0 AND ${docHashSql("doc_b")} % $m <> 0
+               UNION ALL
+               SELECT doc_b FROM nd_pairs
+               WHERE ${docHashSql("doc_b")} % $m = 0 AND ${docHashSql("doc_a")} % $m <> 0)),
+      res AS (SELECT s.doc_id, (e.doc_id IS NOT NULL) AS is_exact_dup,
+                     (n.doc_id IS NOT NULL) AS is_near_dup
+              FROM spl s LEFT JOIN ex e ON s.doc_id = e.doc_id
+                         LEFT JOIN nd n ON s.doc_id = n.doc_id
+              WHERE s.in_batch)
+      SELECT doc_id, is_exact_dup, is_near_dup,
+             (NOT is_exact_dup AND NOT is_near_dup) AS is_accepted
+      FROM res"""
+    },
 
     "simhash_fingerprint" -> {
       val sums = (0 until 16).map(j =>

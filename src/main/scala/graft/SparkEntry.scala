@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BrokerOps, Dedup, MultiModal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BrokerOps, Curation, Dedup, MultiModal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,11 @@ object SparkEntry {
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
     "quality_topk_sample" -> (Sampling.qualityTopkSample(_, _)),
     "shard_pack" -> (Sampling.shardPack(_, _)),
+    // corpus curation (quality rules, decontamination, PII, incremental)
+    "quality_filter" -> (Curation.qualityFilter(_, _)),
+    "decontaminate" -> (Curation.decontaminate(_, _)),
+    "pii_scrub" -> (Curation.piiScrub(_, _)),
+    "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
     // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)

@@ -237,6 +237,70 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** max_count(array<string>) -> long: multiplicity of the most frequent
+    * element, 0 for an empty array — one hashed pass, same value as the
+    * explode → groupBy(count) → max chain (and DuckDB's
+    * `list_max(map_values(list_aggregate(toks, 'histogram')))`) without
+    * the two shuffles. Powers the repetition quality rule. */
+  case class MaxCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val counts =
+        new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      var best = 0L
+      var i = 0
+      while (i < n) {
+        val c = counts.computeIfAbsent(a.getUTF8String(i), _ => new Array[Long](1))
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+        i += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** word_grams_hashed(array<string>, n) -> array<long>: md5_32 of every
+    * space-joined word n-gram, distinct, first-occurrence order; empty
+    * array when fewer than n tokens. Identical value set to the DuckDB
+    * `list_distinct(list_transform(<n-gram strings>, g -> CAST('0x' ||
+    * substr(md5(g),1,8) AS BIGINT)))` twin (hash-then-distinct on both
+    * sides, so a hash collision collapses identically). */
+  case class WordGramsHashed(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, "n must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val total = a.numElements() - n + 1
+      if (total <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+          j += 1
+        }
+        seen.add(md5_32(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString).getBytes))
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
@@ -251,4 +315,7 @@ object TextHashes {
   def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     column(MinHashSigs(expression(c), as, bs, prime))
   def simhash16(c: Column): Column = column(SimHash16(expression(c)))
+  def max_count(c: Column): Column = column(MaxCount(expression(c)))
+  def word_grams_hashed(c: Column, n: Int): Column =
+    column(WordGramsHashed(expression(c), n))
 }

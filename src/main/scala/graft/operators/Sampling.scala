@@ -49,13 +49,13 @@ object Sampling {
       .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
-    // the window-over-() runs on the ≤dozens-row aggregate, not the corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    perLang
-      .withColumn("tot_docs", sum("n_docs").over(w))
-      .withColumn("tot_tokens", sum("n_tokens").over(w))
-      .withColumn("n_langs", count(lit(1)).over(w))
+    // corpus totals via a broadcast 1-row aggregate instead of a global
+    // window: same values, but no single-partition WindowExec (and no
+    // bench-tail WARN) even on the tiny per-language frame
+    val totals = perLang.agg(
+      sum("n_docs").as("tot_docs"), sum("n_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
       .withColumn("doc_share",
         round(col("n_docs").cast("double") / col("tot_docs"), 6))
       .withColumn("tok_share",

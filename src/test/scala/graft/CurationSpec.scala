@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup}
+import graft.operators.TextAnalysis.tokens
+
+/** Invariant tests for the corpus-curation block (the oracle pins exact
+  * values at sf0.01; these pin semantic contracts and cross-check the
+  * imperative kernels against declarative Spark on sf0.001). */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("quality_filter: is_kept iff all four rules pass, n_failed consistent") {
+    val q = Curation.qualityFilter(spark, sf).cache()
+    val bad = q.filter(
+      $"is_kept" =!= ($"pass_word_count" && $"pass_word_len" &&
+        $"pass_stopword" && $"pass_repetition") ||
+        $"n_failed" =!= (lit(4) - $"pass_word_count".cast("int")
+          - $"pass_word_len".cast("int") - $"pass_stopword".cast("int")
+          - $"pass_repetition".cast("int")))
+    assert(bad.count() === 0)
+    assert(q.count() > 0)
+  }
+
+  test("max_count kernel matches explode → groupBy → max") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+    val kernel = d.select($"doc_id",
+      graft.functions.TextHashes.max_count($"toks").as("mf"))
+    val declarative = d.select($"doc_id", explode($"toks").as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max($"c").as("mf2"))
+    assert(kernel.join(declarative, "doc_id")
+      .filter($"mf" =!= $"mf2").count() === 0)
+  }
+
+  test("decontaminate matches a declarative brute-force gram overlap") {
+    val n = Curation.DecontamGramLen
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("is_eval",
+        Curation.docHash($"doc_id") % Curation.DecontamEvalMod === 0)
+      // declarative twin of WordGramsHashed: sequence is DESCENDING when
+      // stop < start, hence the size guard
+      .withColumn("grams", when(size($"toks") >= n,
+        array_distinct(transform(sequence(lit(1), size($"toks") - (n - 1)),
+          i => graft.operators.Dedup.hash32(
+            array_join(slice($"toks", i, lit(n)), " ")))))
+        .otherwise(array().cast("array<bigint>")))
+    val evalGrams = d.filter($"is_eval")
+      .select(explode($"grams").as("g")).distinct()
+    val expected = d.filter(!$"is_eval")
+      .select($"doc_id", explode($"grams").as("g"))
+      .join(evalGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("exp_hits"))
+    val got = Curation.decontaminate(spark, sf)
+    val joined = got.join(expected, Seq("doc_id"), "left").cache()
+    assert(joined.filter(
+      $"n_eval_grams_hit" =!= coalesce($"exp_hits", lit(0L))).count() === 0)
+    assert(got.count() ===
+      d.filter(!$"is_eval").count()) // one row per train doc
+  }
+
+  test("pii_scrub: scrubbed text has zero residual matches, counts match plant") {
+    val scr = Curation.scrubPii(
+      Curation.withPlantedPii(graft.sources.Tables.load(spark, sf, "documents")),
+      "aug_text").cache()
+    val residual = scr.filter(
+      size(regexp_extract_all($"scrubbed", lit(Curation.EmailPattern), lit(0))) > 0 ||
+        size(regexp_extract_all($"scrubbed", lit(Curation.PhonePattern), lit(0))) > 0 ||
+        size(regexp_extract_all($"scrubbed", lit(Curation.IpPattern), lit(0))) > 0)
+    assert(residual.count() === 0)
+    // each planted bucket yields exactly one PII item of its type
+    val byBucket = scr
+      .withColumn("b", Curation.docHash($"doc_id") % 4)
+      .filter(
+        ($"b" === 0 && ($"n_emails" =!= 1 || $"n_phones" =!= 0 || $"n_ips" =!= 0)) ||
+          ($"b" === 1 && ($"n_phones" =!= 1 || $"n_emails" =!= 0 || $"n_ips" =!= 0)) ||
+          ($"b" === 2 && ($"n_ips" =!= 1 || $"n_emails" =!= 0 || $"n_phones" =!= 0)) ||
+          ($"b" === 3 && $"n_pii" =!= 0))
+    assert(byBucket.count() === 0)
+  }
+
+  test("incremental_dedup: flags agree with the verified pair table") {
+    val r = Curation.incrementalDedup(spark, sf).cache()
+    val isBatch = (c: org.apache.spark.sql.Column) =>
+      Curation.docHash(c) % Curation.IncrBatchMod === 0
+    // every batch doc appears exactly once
+    assert(r.groupBy("doc_id").count().filter($"count" > 1).count() === 0)
+    assert(r.filter(!isBatch($"doc_id")).count() === 0)
+    // near flags = batch ids adjacent to a base id in verifiedPairs
+    val pairs = Dedup.verifiedPairs(spark, sf)
+    val expectedNear = pairs.filter(isBatch($"doc_a") && !isBatch($"doc_b"))
+      .select($"doc_a".as("doc_id"))
+      .union(pairs.filter(isBatch($"doc_b") && !isBatch($"doc_a"))
+        .select($"doc_b".as("doc_id")))
+      .distinct()
+    val gotNear = r.filter($"is_near_dup").select("doc_id")
+    assert(gotNear.exceptAll(expectedNear).count() === 0)
+    assert(expectedNear.exceptAll(gotNear).count() === 0)
+    // accepted = neither flag
+    assert(r.filter($"is_accepted" === ($"is_exact_dup" || $"is_near_dup"))
+      .count() === 0)
+  }
+}
