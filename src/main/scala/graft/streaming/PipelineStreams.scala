@@ -46,4 +46,94 @@ object PipelineStreams {
                              planSfDir: String): DataFrame =
     graft.operators.Sampling.applySampleDecision(
       docs, graft.operators.Sampling.samplePlan(spark, planSfDir))
+
+  /** Streaming quality gate: the batch `quality_filter` rules as a
+    * stateless per-row predicate on a document stream — the ingest-time
+    * shape (filter at the firehose, before anything is stored). Same
+    * integer-exact thresholds and the same one-pass kernels as the batch
+    * op, so a doc passes here iff it passes the batch filter. Emits the
+    * rule flags so downstream can route rejects for audit instead of
+    * dropping them. */
+  def qualityFilterStream(docs: DataFrame): DataFrame = {
+    import graft.operators.Curation._
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_chars_norm",
+        length(TextAnalysis.normText(col("text"))).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("chars_only", col("n_chars_norm") - (col("n_words") - 1))
+      .withColumn("stop_hits", element_at(
+        graft.functions.TextHashes.stopword_hits(col("toks"),
+          Seq(allStopwords)), 1))
+      .withColumn("max_tok_freq",
+        graft.functions.TextHashes.max_count(col("toks")))
+      .withColumn("pass_word_count",
+        col("n_words") >= QfMinWords && col("n_words") <= QfMaxWords)
+      .withColumn("pass_word_len",
+        col("chars_only") >= col("n_words") * QfMinAvgLen &&
+          col("chars_only") <= col("n_words") * QfMaxAvgLen)
+      .withColumn("pass_stopword",
+        col("stop_hits") * QfStopDen >= col("n_words"))
+      .withColumn("pass_repetition",
+        col("max_tok_freq") * QfRepDen <= col("n_words"))
+      .withColumn("is_kept", col("pass_word_count") && col("pass_word_len") &&
+        col("pass_stopword") && col("pass_repetition"))
+      .drop("toks", "chars_only")
+  }
+
+  /** Streaming PII scrub: stateless per-row redaction with the batch
+    * patterns and scrub order ([[graft.operators.Curation.scrubPii]]
+    * applied to the raw `text` column) — the other mandatory ingest-time
+    * gate. No state, no shuffle; runs at stream scan speed. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.scrubPii(docs, "text")
+      .drop("scrubbed")
+
+  /** Streaming decontamination (report form): per-doc count of word
+    * 5-grams shared with the eval holdout of a reference corpus. The
+    * eval gram set is a batch table broadcast into the stream
+    * (stream-static join, like the sample plan); the gram kernel and
+    * hash are the batch op's, so a doc flagged in a backfill is flagged
+    * here too. Uses the stream's one allowed aggregation (per-doc hit
+    * count, update mode); for a stateless pass/drop gate use
+    * [[decontaminateGateStream]]. */
+  def decontaminateStream(spark: SparkSession, docs: DataFrame,
+                          planSfDir: String): DataFrame = {
+    import graft.operators.Curation._
+    val evalGrams = graft.sources.Tables.load(spark, planSfDir, "documents")
+      .filter(docHash(col("doc_id")) % DecontamEvalMod === 0)
+      .select(explode(graft.functions.TextHashes.word_grams_hashed(
+        TextAnalysis.tokens(col("text")), DecontamGramLen)).as("g"))
+      .distinct()
+    docs
+      .select(col("doc_id"), explode(graft.functions.TextHashes
+        .word_grams_hashed(TextAnalysis.tokens(col("text")),
+          DecontamGramLen)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams_hit"))
+  }
+
+  /** The gate form of decontamination: pass through only stream docs with
+    * NO eval-gram overlap. The eval holdout is benchmark-sized by
+    * construction, so its gram hashes are collected ONCE at query
+    * construction and checked per row (`arrays_overlap` against a
+    * literal set) — fully stateless, append-mode, no join and no
+    * aggregation state in the stream at all. */
+  def decontaminateGateStream(spark: SparkSession, docs: DataFrame,
+                              planSfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation._
+    val evalGrams: Array[Long] =
+      graft.sources.Tables.load(spark, planSfDir, "documents")
+        .filter(docHash(col("doc_id")) % DecontamEvalMod === 0)
+        .select(explode(graft.functions.TextHashes.word_grams_hashed(
+          TextAnalysis.tokens(col("text")), DecontamGramLen)).as("g"))
+        .distinct().as[Long].collect()
+    docs
+      .withColumn("hg", graft.functions.TextHashes.word_grams_hashed(
+        TextAnalysis.tokens(col("text")), DecontamGramLen))
+      .filter(!arrays_overlap(col("hg"),
+        typedLit(evalGrams.toSeq)))
+      .drop("hg")
+  }
 }

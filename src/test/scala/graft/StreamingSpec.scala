@@ -252,4 +252,79 @@ class StreamingSpec extends AnyFunSuite {
       got.foreach { case (id, s) => assert(s === batch(id), s"doc $id") }
     } finally q.stop()
   }
+
+  private def realDocs(sf: String, n: Int) = {
+    import graft.streaming.PipelineStreams.StreamDoc
+    graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").limit(n).collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp(0L)))
+  }
+
+  test("streaming quality filter makes the exact batch decision per doc") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Curation.qualityFilter(spark, sf)
+      .select("doc_id", "is_kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.qualityFilterStream(input.toDF())
+      .writeStream.format("memory").queryName("squal")
+      .outputMode("append").start()
+    try {
+      input.addData(realDocs(sf, 40).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("squal").select("doc_id", "is_kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.size === 40)
+      got.foreach { case (id, k) => assert(k === batch(id), s"doc $id") }
+    } finally q.stop()
+  }
+
+  test("streaming decontamination gate drops exactly the batch-contaminated docs") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val batchClean = graft.operators.Curation.decontaminate(spark, sf)
+      .select("doc_id", "is_clean").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // stream only train docs (the gate's input in production is new data;
+    // eval docs would trivially self-collide)
+    val trainDocs = realDocs(sf, 1000).filter(d => batchClean.contains(d.doc_id))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.decontaminateGateStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      input.addData(trainDocs.toSeq)
+      q.processAllAvailable()
+      val passed = spark.table("sdecon").select("doc_id").as[Long].collect().toSet
+      val expected = trainDocs.map(_.doc_id).filter(batchClean).toSet
+      assert(passed === expected)
+    } finally q.stop()
+  }
+
+  test("streaming PII scrub counts and redacts like the batch op") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.piiScrubStream(input.toDF())
+      .writeStream.format("memory").queryName("spii")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, "en", "mail me at bob@example.org or 555-123-4567",
+          new java.sql.Timestamp(0L)),
+        StreamDoc(2, "en", "server 10.0.0.1 is fine",
+          new java.sql.Timestamp(0L)),
+        StreamDoc(3, "en", "nothing sensitive here",
+          new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("spii")
+        .select("doc_id", "n_emails", "n_phones", "n_ips").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got(1L) === ((1L, 1L, 0L)))
+      assert(got(2L) === ((0L, 0L, 1L)))
+      assert(got(3L) === ((0L, 0L, 0L)))
+    } finally q.stop()
+  }
 }
