@@ -184,6 +184,65 @@ object OracleSql {
   private def docHashSql(col: String): String =
     s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
 
+  /** Quality-rule CTEs (q → r with per-rule pass flags), generated from
+    * the same Curation constants as the Spark side; shared by
+    * quality_filter and curate_corpus. Builds on textCtes' `tok`. */
+  private val qfRuleCtes: String = {
+    import graft.operators.Curation._
+    val inList = allStopwords.map(w => s"'$w'").mkString(", ")
+    s"""q AS (SELECT doc_id, n_chars_norm,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT) AS stop_hits,
+              CAST(list_max(map_values(list_aggregate(toks, 'histogram'))) AS BIGINT) AS max_tok_freq
+            FROM tok),
+      r AS (SELECT *,
+              n_chars_norm - (n_words - 1) AS chars_only,
+              (n_words >= $QfMinWords AND n_words <= $QfMaxWords) AS pass_word_count,
+              (n_chars_norm - (n_words - 1) >= $QfMinAvgLen * n_words
+               AND n_chars_norm - (n_words - 1) <= $QfMaxAvgLen * n_words) AS pass_word_len,
+              stop_hits * $QfStopDen >= n_words AS pass_stopword,
+              max_tok_freq * $QfRepDen <= n_words AS pass_repetition
+            FROM q)"""
+  }
+
+  /** Decontamination CTEs (sp → g5 → eg/tg → hits), shared by
+    * decontaminate and curate_corpus. Builds on textCtes' `tok`. */
+  private val deconCtes: String = {
+    import graft.operators.Curation._
+    val n = DecontamGramLen
+    s"""sp AS (SELECT doc_id, toks, ${docHashSql("doc_id")} % $DecontamEvalMod = 0 AS is_eval FROM tok),
+      g5 AS (SELECT doc_id, is_eval,
+               CASE WHEN len(toks) >= $n THEN
+                 list_distinct(list_transform(
+                   list_transform(generate_series(1, len(toks) - ${n - 1}),
+                     i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')),
+                   g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)))
+               ELSE [] END AS hg
+             FROM sp),
+      eg AS (SELECT DISTINCT unnest(hg) AS g FROM g5 WHERE is_eval),
+      tg AS (SELECT doc_id, unnest(hg) AS g FROM g5 WHERE NOT is_eval),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM tg JOIN eg USING (g) GROUP BY doc_id)"""
+  }
+
+  /** Stratified-sampling CTEs (per/tot → plan → b), shared by
+    * stratified_sample and curate_corpus. Standalone over documents. */
+  private val sampleCtes: String = {
+    import graft.operators.{Sampling => S}
+    s"""per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+                     CAST(count(*) AS BIGINT) AS n_langs FROM per),
+      splan AS (
+        SELECT lang,
+               CAST(floor(round(least(1.0, (CAST(tot_docs AS DOUBLE) / n_langs) / n_docs), 6) * ${S.SampleBuckets}) AS BIGINT) AS keep_below
+        FROM per, tot),
+      sb AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('${S.SampleSalt}' || doc_id), 1, 8) AS BIGINT) % ${S.SampleBuckets} AS bucket
+        FROM documents)"""
+  }
+
   val all: Map[String, String] = Map(
 
     "offset_assignment" -> s"""WITH $logCtes
@@ -360,21 +419,9 @@ object OracleSql {
              round(least(1.0, (CAST(tot_docs AS DOUBLE) / n_langs) / n_docs), 6) AS sample_rate
       FROM per, tot""",
 
-    "stratified_sample" -> s"""WITH
-      per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-              FROM documents GROUP BY lang),
-      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
-                     CAST(count(*) AS BIGINT) AS n_langs FROM per),
-      plan AS (
-        SELECT lang,
-               CAST(floor(round(least(1.0, (CAST(tot_docs AS DOUBLE) / n_langs) / n_docs), 6) * ${Sampling.SampleBuckets}) AS BIGINT) AS keep_below
-        FROM per, tot),
-      b AS (
-        SELECT doc_id, lang,
-               CAST('0x' || substr(md5('${Sampling.SampleSalt}' || doc_id), 1, 8) AS BIGINT) % ${Sampling.SampleBuckets} AS bucket
-        FROM documents)
-      SELECT b.doc_id, b.lang, b.bucket, b.bucket < p.keep_below AS sampled
-      FROM b JOIN plan p USING (lang)""",
+    "stratified_sample" -> s"""WITH $sampleCtes
+      SELECT sb.doc_id, sb.lang, sb.bucket, sb.bucket < p.keep_below AS sampled
+      FROM sb JOIN splan p USING (lang)""",
 
     "shard_pack" -> s"""WITH $textCtes,
       d AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
@@ -426,54 +473,53 @@ object OracleSql {
              (COALESCE(c.component_id, d.doc_id) = d.doc_id) AS is_kept
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
 
-    "quality_filter" -> {
-      import graft.operators.Curation._
-      val inList = allStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH $textCtes,
-      q AS (SELECT doc_id, n_chars_norm,
-              CAST(len(toks) AS BIGINT) AS n_words,
-              CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT) AS stop_hits,
-              CAST(list_max(map_values(list_aggregate(toks, 'histogram'))) AS BIGINT) AS max_tok_freq
-            FROM tok),
-      r AS (SELECT *,
-              n_chars_norm - (n_words - 1) AS chars_only,
-              (n_words >= $QfMinWords AND n_words <= $QfMaxWords) AS pass_word_count,
-              (n_chars_norm - (n_words - 1) >= $QfMinAvgLen * n_words
-               AND n_chars_norm - (n_words - 1) <= $QfMaxAvgLen * n_words) AS pass_word_len,
-              stop_hits * $QfStopDen >= n_words AS pass_stopword,
-              max_tok_freq * $QfRepDen <= n_words AS pass_repetition
-            FROM q),
+    "quality_filter" -> s"""WITH $textCtes,
+      $qfRuleCtes,
       f AS (SELECT *, CAST(4 - CAST(pass_word_count AS INT) - CAST(pass_word_len AS INT)
                  - CAST(pass_stopword AS INT) - CAST(pass_repetition AS INT) AS BIGINT) AS n_failed
             FROM r)
       SELECT doc_id, n_words, stop_hits, max_tok_freq, pass_word_count,
              pass_word_len, pass_stopword, pass_repetition, n_failed,
              n_failed = 0 AS is_kept
-      FROM f"""
-    },
+      FROM f""",
 
-    "decontaminate" -> {
-      import graft.operators.Curation._
-      val n = DecontamGramLen
-      s"""WITH $textCtes,
-      sp AS (SELECT doc_id, toks, ${docHashSql("doc_id")} % $DecontamEvalMod = 0 AS is_eval FROM tok),
-      g5 AS (SELECT doc_id, is_eval,
-               CASE WHEN len(toks) >= $n THEN
-                 list_distinct(list_transform(
-                   list_transform(generate_series(1, len(toks) - ${n - 1}),
-                     i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')),
-                   g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)))
-               ELSE [] END AS hg
-             FROM sp),
-      eg AS (SELECT DISTINCT unnest(hg) AS g FROM g5 WHERE is_eval),
-      tg AS (SELECT doc_id, unnest(hg) AS g FROM g5 WHERE NOT is_eval),
-      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-               FROM tg JOIN eg USING (g) GROUP BY doc_id)
+    "decontaminate" -> s"""WITH $textCtes,
+      $deconCtes
       SELECT s.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_grams_hit,
              COALESCE(h.n, 0) = 0 AS is_clean
       FROM sp s LEFT JOIN hits h ON s.doc_id = h.doc_id
-      WHERE NOT s.is_eval"""
-    },
+      WHERE NOT s.is_eval""",
+
+    "curate_corpus" -> s"""WITH $textCtes, $dedupCtes,
+      $qfRuleCtes,
+      $deconCtes,
+      $sampleCtes,
+      contam AS (SELECT DISTINCT doc_id FROM hits WHERE n > 0),
+      dropped AS (SELECT DISTINCT doc_b AS doc_id FROM nd_pairs),
+      samp AS (SELECT sb.doc_id, sb.bucket < p.keep_below AS sampled
+               FROM sb JOIN splan p USING (lang)),
+      dec AS (SELECT r.doc_id,
+                (r.pass_word_count AND r.pass_word_len AND r.pass_stopword
+                 AND r.pass_repetition) AS pass_quality,
+                sp.is_eval,
+                (c.doc_id IS NOT NULL) AS is_contaminated,
+                (dr.doc_id IS NOT NULL) AS is_duplicate,
+                s.sampled AS is_sampled
+              FROM r JOIN sp ON r.doc_id = sp.doc_id
+                     JOIN samp s ON r.doc_id = s.doc_id
+                     LEFT JOIN contam c ON r.doc_id = c.doc_id
+                     LEFT JOIN dropped dr ON r.doc_id = dr.doc_id)
+      SELECT doc_id, pass_quality, is_eval, is_contaminated, is_duplicate,
+             is_sampled,
+             CASE WHEN is_eval THEN 'eval_holdout'
+                  WHEN NOT pass_quality THEN 'quality'
+                  WHEN is_contaminated THEN 'contaminated'
+                  WHEN is_duplicate THEN 'duplicate'
+                  WHEN NOT is_sampled THEN 'sampled_out'
+                  ELSE 'kept' END AS drop_reason,
+             (NOT is_eval AND pass_quality AND NOT is_contaminated
+              AND NOT is_duplicate AND is_sampled) AS final_kept
+      FROM dec""",
 
     "pii_scrub" -> {
       import graft.operators.Curation._

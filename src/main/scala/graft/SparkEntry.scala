@@ -49,6 +49,7 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontaminate(_, _)),
     "pii_scrub" -> (Curation.piiScrub(_, _)),
     "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
+    "curate_corpus" -> (Curation.curateCorpus(_, _)),
     // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)

@@ -69,16 +69,14 @@ object Curation {
     * CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT). */
   def docHash(c: Column): Column = Dedup.hash32(c.cast("string"))
 
-  /** Gopher-style quality filter: four cheap rules per document —
-    * word-count bounds, mean-word-length bounds, minimum stopword ratio,
-    * maximum single-token repetition share — each reported as its own
-    * flag plus the combined keep decision. The repetition rule uses the
-    * one-pass [[graft.functions.TextHashes.MaxCount]] kernel instead of
-    * an explode → groupBy → max chain (no shuffle; the whole operator is
-    * a narrow projection). */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .withColumn("toks", tokens(col("text")))
+  /** Add the four quality-rule flag columns (plus their measured inputs)
+    * to any doc frame — ONE definition shared by the batch filter, the
+    * streaming gate, and the composed pipeline so the rules cannot
+    * drift. Narrow projection; the repetition rule uses the one-pass
+    * [[graft.functions.TextHashes.MaxCount]] kernel instead of an
+    * explode → groupBy → max chain. */
+  def qualityFlags(d: DataFrame): DataFrame =
+    d.withColumn("toks", tokens(col("text")))
       .withColumn("n_chars_norm", length(normText(col("text"))).cast("long"))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("chars_only", col("n_chars_norm") - (col("n_words") - 1))
@@ -94,6 +92,13 @@ object Curation {
           col("chars_only") <= col("n_words") * QfMaxAvgLen)
       .withColumn("pass_stopword", col("stop_hits") * QfStopDen >= col("n_words"))
       .withColumn("pass_repetition", col("max_tok_freq") * QfRepDen <= col("n_words"))
+
+  /** Gopher-style quality filter: four cheap rules per document —
+    * word-count bounds, mean-word-length bounds, minimum stopword ratio,
+    * maximum single-token repetition share — each reported as its own
+    * flag plus the combined keep decision. Zero shuffles. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    qualityFlags(docs(spark, sfDir))
       .withColumn("n_failed", (lit(4)
         - col("pass_word_count").cast("int") - col("pass_word_len").cast("int")
         - col("pass_stopword").cast("int") - col("pass_repetition").cast("int"))
@@ -225,5 +230,49 @@ object Curation {
         coalesce(col("exact_dup"), lit(false)).as("is_exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("is_near_dup"))
       .withColumn("is_accepted", !col("is_exact_dup") && !col("is_near_dup"))
+  }
+
+  /** The whole curation pipeline as ONE per-doc decision: eval-holdout
+    * exclusion → quality rules → decontamination → near-dup keep-first →
+    * stratified sampling, with the first failing stage as the drop
+    * reason (fixed precedence, mirrored in the oracle's CASE).
+    *
+    * Plan shape (the 100 TB composition): quality flags, the eval split,
+    * and the sample bucket are all narrow expressions fused into a
+    * SINGLE corpus scan, and the sample plan is a broadcast join — the
+    * only other inputs are two SMALL derived sets joined by doc_id (the
+    * near-dup drop list from the persist-once pair table and the
+    * contaminated-doc list, both slivers of the corpus by construction).
+    * The corpus is never shuffled by this query except those two
+    * doc_id joins, which AQE broadcasts at real-world sizes. */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = qualityFlags(docs(spark, sfDir))
+      .withColumn("pass_quality", col("pass_word_count") &&
+        col("pass_word_len") && col("pass_stopword") && col("pass_repetition"))
+      .withColumn("is_eval", docHash(col("doc_id")) % DecontamEvalMod === 0)
+    val sampled = Sampling.applySampleDecision(
+      flagged, Sampling.samplePlan(spark, sfDir))
+    val dupDrop = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup", lit(true))
+    val contam = decontaminate(spark, sfDir)
+      .filter(!col("is_clean")).select(col("doc_id"))
+      .withColumn("contam", lit(true))
+    sampled
+      .join(dupDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_contaminated", coalesce(col("contam"), lit(false)))
+      .withColumn("is_duplicate", coalesce(col("dup"), lit(false)))
+      .withColumn("drop_reason",
+        when(col("is_eval"), lit("eval_holdout"))
+          .when(!col("pass_quality"), lit("quality"))
+          .when(col("is_contaminated"), lit("contaminated"))
+          .when(col("is_duplicate"), lit("duplicate"))
+          .when(!col("sampled"), lit("sampled_out"))
+          .otherwise(lit("kept")))
+      .withColumn("final_kept", col("drop_reason") === "kept")
+      .select(col("doc_id"), col("pass_quality"), col("is_eval"),
+        col("is_contaminated"), col("is_duplicate"),
+        col("sampled").as("is_sampled"), col("final_kept"), col("drop_reason"))
   }
 }

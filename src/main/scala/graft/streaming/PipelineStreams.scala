@@ -54,32 +54,11 @@ object PipelineStreams {
     * op, so a doc passes here iff it passes the batch filter. Emits the
     * rule flags so downstream can route rejects for audit instead of
     * dropping them. */
-  def qualityFilterStream(docs: DataFrame): DataFrame = {
-    import graft.operators.Curation._
-    docs
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .withColumn("n_chars_norm",
-        length(TextAnalysis.normText(col("text"))).cast("long"))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("chars_only", col("n_chars_norm") - (col("n_words") - 1))
-      .withColumn("stop_hits", element_at(
-        graft.functions.TextHashes.stopword_hits(col("toks"),
-          Seq(allStopwords)), 1))
-      .withColumn("max_tok_freq",
-        graft.functions.TextHashes.max_count(col("toks")))
-      .withColumn("pass_word_count",
-        col("n_words") >= QfMinWords && col("n_words") <= QfMaxWords)
-      .withColumn("pass_word_len",
-        col("chars_only") >= col("n_words") * QfMinAvgLen &&
-          col("chars_only") <= col("n_words") * QfMaxAvgLen)
-      .withColumn("pass_stopword",
-        col("stop_hits") * QfStopDen >= col("n_words"))
-      .withColumn("pass_repetition",
-        col("max_tok_freq") * QfRepDen <= col("n_words"))
+  def qualityFilterStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.qualityFlags(docs)
       .withColumn("is_kept", col("pass_word_count") && col("pass_word_len") &&
         col("pass_stopword") && col("pass_repetition"))
       .drop("toks", "chars_only")
-  }
 
   /** Streaming PII scrub: stateless per-row redaction with the batch
     * patterns and scrub order ([[graft.operators.Curation.scrubPii]]

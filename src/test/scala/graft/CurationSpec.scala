@@ -108,4 +108,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r.filter($"is_accepted" === ($"is_exact_dup" || $"is_near_dup"))
       .count() === 0)
   }
+
+  test("curate_corpus: drop_reason follows stage precedence, final_kept consistent") {
+    val c = Curation.curateCorpus(spark, sf).cache()
+    val expectedReason = when($"is_eval", "eval_holdout")
+      .when(!$"pass_quality", "quality")
+      .when($"is_contaminated", "contaminated")
+      .when($"is_duplicate", "duplicate")
+      .when(!$"is_sampled", "sampled_out")
+      .otherwise("kept")
+    assert(c.filter($"drop_reason" =!= expectedReason).count() === 0)
+    assert(c.filter($"final_kept" =!= ($"drop_reason" === "kept")).count() === 0)
+    // one row per corpus doc
+    assert(c.count() ===
+      graft.sources.Tables.load(spark, sf, "documents").count())
+    // stage flags agree with the standalone operators
+    val qf = Curation.qualityFilter(spark, sf)
+      .select($"doc_id", $"is_kept".as("exp_q"))
+    assert(c.join(qf, "doc_id").filter($"pass_quality" =!= $"exp_q")
+      .count() === 0)
+    val ss = graft.operators.Sampling.stratifiedSample(spark, sf)
+      .select($"doc_id", $"sampled".as("exp_s"))
+    assert(c.join(ss, "doc_id").filter($"is_sampled" =!= $"exp_s")
+      .count() === 0)
+  }
 }
