@@ -109,6 +109,22 @@ class CurationSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("narrow curation ops plan with zero exchanges; decontaminate broadcasts eval grams") {
+    // quality_filter and pii_scrub must stay single-scan narrow
+    // projections — an Exchange appearing here is a scale regression
+    Seq(Curation.qualityFilter(spark, sf), Curation.piiScrub(spark, sf))
+      .foreach { d =>
+        val plan = d.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), plan.take(1200))
+      }
+    // decontaminate's corpus side probes a broadcast eval gram set — a
+    // SortMergeJoin against the gram set would shuffle the corpus
+    val dplan = Curation.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dplan.contains("BroadcastHashJoin"), dplan.take(1200))
+    assert(!dplan.contains("SortMergeJoin"), dplan.take(1200))
+  }
+
   test("curate_corpus: drop_reason follows stage precedence, final_kept consistent") {
     val c = Curation.curateCorpus(spark, sf).cache()
     val expectedReason = when($"is_eval", "eval_holdout")
