@@ -342,71 +342,75 @@ object Dedup {
     * [[dedupComponents]] for when this path is taken. */
   private def distributedComponents(
       spark: SparkSession, pairs: DataFrame, nPairs: Long): DataFrame = {
+    // Size the LOOP's shuffle parallelism to the measured pair count
+    // (~100k edges per task) with EXPLICIT repartition(nParts, key) on the
+    // loop frames — never by mutating the session's
+    // spark.sql.shuffle.partitions, which a concurrent planner on the same
+    // session would silently inherit. The explicit hash partitioning also
+    // co-locates the loop's joins: edges is persisted once keyed by `v`
+    // and every round's label frame comes back keyed by `doc_id` at the
+    // same partition count, so the neighbor join needs no fresh exchange.
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nPairs / 100000L + 1L)).toInt
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
-    // Size the LOOP's shuffle parallelism to the measured pair count:
-    // ~100k edges per task; restored after the loop so the final
-    // corpus-wide join runs at full parallelism. CAVEAT: the sizing works
-    // by temporarily setting the session's spark.sql.shuffle.partitions —
-    // queries planned CONCURRENTLY on the same session during the (short)
-    // loop would pick it up; run this operator from a dedicated session in
-    // multi-tenant drivers.
-    val loopParts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      nPairs / 100000L + 1L)).toString
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(confKey)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    try {
-      spark.conf.set(confKey, loopParts)
-      // seed with min(self, direct neighbors) — one aggregation, and
-      // depth-1 duplicate cliques converge on the first probe.
-      // `persisted` is always the ACTUAL .persist() handle (unpersist on a
-      // projection of it would not match the cache entry); `c` is the
-      // (doc_id, comp) view the next round builds on.
-      var persisted = edges.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
+      .repartition(nParts, col("v"))
+      .persist(lvl) // shuffled once, read every round; released below
+    // seed with min(self, direct neighbors) — one aggregation, and
+    // depth-1 duplicate cliques converge on the first probe.
+    // `persisted` is always the ACTUAL .persist() handle (unpersist on a
+    // projection of it would not match the cache entry); `c` is the
+    // (doc_id, comp) view the next round builds on.
+    var persisted = edges.repartition(nParts, col("u"))
+      .groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
+      .repartition(nParts, col("doc_id"))
+      .persist(lvl)
+    persisted.count()
+    var c = persisted
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      // newcomp(u) = min(comp(u), min over neighbors v of comp(v),
+      // comp(comp(u))) — the last term is pointer-jumping shortcutting
+      // (labels are always component members, so following them stays
+      // in-component and roughly halves rounds on chains); prev value
+      // rides along so the convergence probe is a narrow filter on the
+      // persisted frame — no extra join, no shuffle
+      val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
+        .select(col("u"), col("cv.comp").as("vc"))
+        .repartition(nParts, col("u"))
+        .groupBy("u").agg(min("vc").as("nbmin"))
+        .join(c.as("cs"), col("u") === col("cs.doc_id"))
+        .select(col("cs.doc_id").as("doc_id"),
+          col("cs.comp").as("prev_comp"),
+          least(col("cs.comp"), col("nbmin")).as("c1"))
+        .as("m")
+        .repartition(nParts, col("prev_comp"))
+        .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
+        .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
+          least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
+        .repartition(nParts, col("doc_id"))
         .persist(lvl)
-      persisted.count()
-      var c = persisted
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        // newcomp(u) = min(comp(u), min over neighbors v of comp(v),
-        // comp(comp(u))) — the last term is pointer-jumping shortcutting
-        // (labels are always component members, so following them stays
-        // in-component and roughly halves rounds on chains); prev value
-        // rides along so the convergence probe is a narrow filter on the
-        // persisted frame — no extra join, no shuffle
-        val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
-          .select(col("u"), col("cv.comp").as("vc"))
-          .groupBy("u").agg(min("vc").as("nbmin"))
-          .join(c.as("cs"), col("u") === col("cs.doc_id"))
-          .select(col("cs.doc_id").as("doc_id"),
-            col("cs.comp").as("prev_comp"),
-            least(col("cs.comp"), col("nbmin")).as("c1"))
-          .as("m")
-          .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
-          .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
-            least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
-          .persist(lvl)
-        // materialize EVERY partition of `next` before dropping the old
-        // round: the convergence probe alone is executeTake(1), which
-        // caches only the partitions it touched — unpersisting the old
-        // round then would leave later rounds recomputing uncached
-        // partitions through the whole unpersisted lineage chain
-        // (O(rounds²) shuffle work)
-        next.count()
-        converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
-        persisted.unpersist(blocking = false)
-        persisted = next
-        c = next.select("doc_id", "comp")
-        iter += 1
-      }
-      pairsCache.synchronized { loopResidue += ((spark, persisted)) }
-      c
-    } finally spark.conf.set(confKey, prevParts)
+      // materialize EVERY partition of `next` before dropping the old
+      // round: the convergence probe alone is executeTake(1), which
+      // caches only the partitions it touched — unpersisting the old
+      // round then would leave later rounds recomputing uncached
+      // partitions through the whole unpersisted lineage chain
+      // (O(rounds²) shuffle work)
+      next.count()
+      converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
+      persisted.unpersist(blocking = false)
+      persisted = next
+      c = next.select("doc_id", "comp")
+      iter += 1
+    }
+    edges.unpersist(blocking = false) // c is fully materialized above
+    pairsCache.synchronized { loopResidue += ((spark, persisted)) }
+    c
   }
 
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is

@@ -92,14 +92,24 @@ object PipelineStreams {
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams_hit"))
   }
 
+  /** Hard cap on the eval gram literal [[decontaminateGateStream]] will
+    * embed in its plan: 1M longs ≈ 8 MB — the most a per-row literal-set
+    * probe should ever carry. Above it the gate refuses and points the
+    * caller at the join-based [[decontaminateStream]]. */
+  val GateMaxEvalGrams: Int = 1000000
+
   /** The gate form of decontamination: pass through only stream docs with
     * NO eval-gram overlap. The eval holdout is benchmark-sized by
     * construction, so its gram hashes are collected ONCE at query
     * construction and checked per row (`arrays_overlap` against a
     * literal set) — fully stateless, append-mode, no join and no
-    * aggregation state in the stream at all. */
+    * aggregation state in the stream at all. Guarded: a holdout whose
+    * gram set exceeds [[GateMaxEvalGrams]] would make every row scan a
+    * multi-MB plan literal, so the gate fails fast with a pointer to the
+    * broadcast-join form instead of silently degrading. */
   def decontaminateGateStream(spark: SparkSession, docs: DataFrame,
-                              planSfDir: String): DataFrame = {
+                              planSfDir: String,
+                              maxEvalGrams: Int = GateMaxEvalGrams): DataFrame = {
     import spark.implicits._
     import graft.operators.Curation._
     val evalGrams: Array[Long] =
@@ -107,7 +117,12 @@ object PipelineStreams {
         .filter(docHash(col("doc_id")) % DecontamEvalMod === 0)
         .select(explode(graft.functions.TextHashes.word_grams_hashed(
           TextAnalysis.tokens(col("text")), DecontamGramLen)).as("g"))
-        .distinct().as[Long].collect()
+        .distinct().limit(maxEvalGrams + 1).as[Long].collect()
+    require(evalGrams.length <= maxEvalGrams,
+      s"decontaminateGateStream: eval holdout produced more than " +
+        s"$maxEvalGrams distinct gram hashes; embedding that as a plan " +
+        s"literal would bloat every task. Use decontaminateStream " +
+        s"(broadcast-join form) for large holdouts.")
     docs
       .withColumn("hg", graft.functions.TextHashes.word_grams_hashed(
         TextAnalysis.tokens(col("text")), DecontamGramLen))

@@ -62,10 +62,14 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "component_id", "is_kept").cache()
     // distributed fixpoint path, forced by a zero edge limit
     spark.conf.set(key, "0")
+    val shufflePartsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val dist =
       try Dedup.dedupComponents(spark, sf)
         .select("doc_id", "component_id", "is_kept").cache()
       finally spark.conf.unset(key)
+    // the loop sizes its own frames with explicit repartition — the
+    // session-global shuffle conf must come back (and stay) untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === shufflePartsBefore)
     assert(local.exceptAll(dist).count() === 0)
     assert(dist.exceptAll(local).count() === 0)
     // brute-force transitive closure on the driver (pairs are tiny at sf0.001)

@@ -303,6 +303,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination gate refuses a holdout larger than the literal cap") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val input = MemoryStream[StreamDoc](spark)
+    val e = intercept[IllegalArgumentException] {
+      PipelineStreams.decontaminateGateStream(
+        spark, input.toDF(), "/root/testdata/sf0.001", maxEvalGrams = 5)
+    }
+    assert(e.getMessage.contains("decontaminateStream"))
+  }
+
   test("streaming PII scrub counts and redacts like the batch op") {
     import graft.streaming.PipelineStreams.StreamDoc
     val input = MemoryStream[StreamDoc](spark)
