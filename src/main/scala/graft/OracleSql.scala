@@ -243,7 +243,7 @@ object OracleSql {
         FROM documents)"""
   }
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "offset_assignment" -> s"""WITH $logCtes
       SELECT event_id, part_id, msg_offset FROM log""",
@@ -857,4 +857,38 @@ object OracleSql {
              CAST(click_value AS DOUBLE) AS click_value
       FROM w WHERE event_type = 'purchase'"""
   )
+
+  /** ann_recall: recall@k of each approximate method against the exact
+    * top-k, composed by embedding the four already-green embedding query
+    * TEXTS as subqueries — ground truth and methods cannot drift from the
+    * rows the driver checks. Ks/methods come from the same Similarity
+    * constants as the Spark side. */
+  private val annRecallSql: String = {
+    val kVals = Similarity.RecallKs.map(k => s"($k)").mkString(",")
+    val mVals = Similarity.RecallMethods.map(m => s"('$m')").mkString(",")
+    s"""WITH exact AS (
+        SELECT q_id, vec_id, "rank" AS e_rank FROM (${base("embedding_topk")})),
+      approx AS (
+        SELECT 'lsh' AS method, q_id, vec_id, "rank" AS a_rank
+        FROM (${base("embedding_ann_lsh")})
+        UNION ALL
+        SELECT 'ivf', q_id, vec_id, "rank" FROM (${base("embedding_ann_ivf")})
+        UNION ALL
+        SELECT 'pq', q_id, vec_id, "rank" FROM (${base("embedding_ann_pq")})),
+      ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $kVals) t(k)),
+      hits AS (SELECT method, k, CAST(count(*) AS BIGINT) AS n_hit
+               FROM approx a JOIN exact e USING (q_id, vec_id)
+               JOIN ks ON a.a_rank <= ks.k AND e.e_rank <= ks.k
+               GROUP BY method, k),
+      denom AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+                FROM exact JOIN ks ON exact.e_rank <= ks.k GROUP BY k),
+      grid AS (SELECT m.method, ks.k FROM (VALUES $mVals) m(method), ks)
+      SELECT g.method, g.k, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             d.n_exact,
+             round(COALESCE(h.n_hit, 0) / CAST(d.n_exact AS DOUBLE), 6) AS recall
+      FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.k = h.k
+      JOIN denom d ON g.k = d.k"""
+  }
+
+  val all: Map[String, String] = base + ("ann_recall" -> annRecallSql)
 }

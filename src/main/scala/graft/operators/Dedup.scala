@@ -126,7 +126,7 @@ object Dedup {
     * REGENERATED testdata at the same path invalidates instead of
     * silently serving stale pairs (same scheme as
     * LogTable.ensureMaterialized). */
-  private def cacheKey(sfDir: String, variant: String): String = {
+  private[operators] def cacheKey(sfDir: String, variant: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val parts: Seq[java.io.File] =
       if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)

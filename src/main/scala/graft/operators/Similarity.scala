@@ -223,6 +223,50 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Recall cut-offs measured by [[annRecall]] (shared with the oracle
+    * SQL generator). */
+  val RecallKs: Seq[Int] = Seq(1, 5, 10)
+  val RecallMethods: Seq[String] = Seq("ivf", "lsh", "pq")
+
+  /** Recall@k of every approximate method against [[embeddingTopK]]'s
+    * exact ground truth — the measurement that turns the ANN family's
+    * hash-green "plan parity" rows into a quality number (round-5 verdict
+    * #1). recall@k = |approx∩exact within rank ≤ k| / |exact within
+    * rank ≤ k|, pooled over all queries.
+    *
+    * Pure relational over the four result sets: the exact baseline is the
+    * denominator, each method's top-k joins it on (q_id, vec_id), and a
+    * tiny (method × k) literal grid keeps methods that find NOTHING at a
+    * cut-off visible as recall 0 instead of a missing row. Scale: the
+    * result sets are Q×k-sized (queries × 10), so everything after the
+    * sub-queries is sliver-sized; the grid joins are broadcast literals. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val exact = embeddingTopK(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("e_rank"))
+    val approx = Seq(
+      "lsh" -> embeddingAnnLsh(spark, sfDir),
+      "ivf" -> embeddingAnnIvf(spark, sfDir),
+      "pq" -> embeddingAnnPq(spark, sfDir))
+      .map { case (m, d) =>
+        d.select(lit(m).as("method"), col("q_id"), col("vec_id"),
+          col("rank").as("a_rank"))
+      }.reduce(_ union _)
+    val ks = broadcast(RecallKs.toDF("k").select(col("k").cast("long").as("k")))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"))
+      .join(ks, col("a_rank") <= col("k") && col("e_rank") <= col("k"))
+      .groupBy("method", "k").agg(count(lit(1)).as("n_hit"))
+    val denom = exact.join(ks, col("e_rank") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_exact"))
+    val grid = RecallMethods.toDF("method").crossJoin(ks)
+    grid.join(hits, Seq("method", "k"), "left")
+      .join(denom, Seq("k"))
+      .select(col("method"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
   def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
