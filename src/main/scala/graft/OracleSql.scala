@@ -50,6 +50,30 @@ object OracleSql {
       SELECT part_id, 'billing' AS grp, high_off AS committed FROM wm
     )"""
 
+  /** Multi-topic log CTEs — SQL twin of LogModel.toTopicLog plus the
+    * topic-AGNOSTIC committed-offset synthesis (the reference offset store
+    * is group -> partition -> offset with no topic key,
+    * `offset_tracker.rs:6-10`, so committed offsets derive from the
+    * partition's global high watermark across ALL topics). */
+  val topicLagCtes: String = s"""
+    tbase AS (
+      SELECT e.* REPLACE (CAST(ts AS TIMESTAMP) AS ts),
+             ${topicOfSql("event_type")} AS topic,
+             (${portableHashSql("user_id")}) % $NumPartitions AS part_id
+      FROM events e),
+    tlog AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY topic, part_id ORDER BY ts, event_id) - 1 AS BIGINT) AS msg_offset
+      FROM tbase),
+    thw AS (SELECT topic, part_id, max(msg_offset) AS high_off
+            FROM tlog GROUP BY topic, part_id),
+    gw AS (SELECT *, CAST(SUM(high_off + 1) OVER (PARTITION BY part_id) - 1 AS BIGINT) AS g_high
+           FROM thw),
+    tlag AS (
+      SELECT 'analytics' AS grp, topic, part_id,
+             CAST(floor(g_high / 2) AS BIGINT) AS committed, high_off FROM gw
+      UNION ALL
+      SELECT 'billing', topic, part_id, g_high, high_off FROM gw)"""
+
   /** Text-normalization CTEs — SQL twin of graft.operators.TextAnalysis. */
   val textCtes: String = """
     norm AS (
@@ -280,6 +304,20 @@ object OracleSql {
              greatest(w.high_off - c.committed, 0) AS lag,
              CAST(SUM(greatest(w.high_off - c.committed, 0)) OVER (PARTITION BY c.grp) AS BIGINT) AS total_lag
       FROM committed c JOIN wm w USING (part_id)""",
+
+    "consumer_lag_multi_topic" -> s"""WITH $topicLagCtes
+      SELECT grp, topic, part_id, committed, high_off,
+             greatest(high_off - committed, 0) AS lag,
+             CAST(SUM(greatest(high_off - committed, 0)) OVER (PARTITION BY grp) AS BIGINT) AS total_lag
+      FROM tlag""",
+
+    "consumer_lag_topic_filter" -> s"""WITH $topicLagCtes
+      SELECT grp, topic, part_id, committed, high_off,
+             greatest(high_off - committed, 0) AS lag,
+             CAST(SUM(greatest(high_off - committed, 0)) OVER (PARTITION BY grp) AS BIGINT) AS total_lag
+      FROM tlag
+      WHERE topic IN (${graft.operators.BrokerOps.TopicFilterExample
+        .map(t => s"'$t'").mkString(", ")})""",
 
     "lag_alerts" -> s"""WITH $logCtes,
       lag_rows AS (

@@ -27,6 +27,9 @@ object SparkEntry {
     "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
     "consumer_lag" -> (BrokerOps.consumerLag(_, _)),
     "consumer_lag_materialized" -> (BrokerOps.consumerLagMaterialized(_, _)),
+    "consumer_lag_multi_topic" -> (BrokerOps.consumerLagMultiTopic(_, _)),
+    "consumer_lag_topic_filter" -> ((s, dir) => BrokerOps.consumerLagMultiTopic(
+      s, dir, Some(BrokerOps.TopicFilterExample))),
     "partition_health" -> (BrokerOps.partitionHealth(_, _)),
     "segment_assignment" -> (BrokerOps.segmentAssignment(_, _)),
     "consume_from_offset" -> (BrokerOps.consumeFromOffset(_, _)),

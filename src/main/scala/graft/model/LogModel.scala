@@ -131,6 +131,37 @@ object LogModel {
       .withColumn("segment_id",
         floor(col("bytes_before") / lit(segMaxBytes)).cast("long"))
 
+  /** Topic assignment for the MULTI-topic log model: the event stream
+    * routed to three topics by type (clicks / purchases / activity), the
+    * batch analog of producers writing to different topics on one broker.
+    * Shared with the generated oracle SQL via [[topicOfSql]]. */
+  def topicOf(eventType: Column): Column =
+    when(eventType === "click", "clicks")
+      .when(eventType === "purchase", "purchases")
+      .otherwise("activity")
+
+  /** SQL twin of [[topicOf]] (`e` = event_type expression). */
+  def topicOfSql(e: String): String =
+    s"CASE WHEN $e = 'click' THEN 'clicks' WHEN $e = 'purchase' " +
+      s"THEN 'purchases' ELSE 'activity' END"
+
+  /** events → MULTI-topic log: same key-hash partitioner per topic
+    * (reference `topic.rs:76-93` — each Topic owns its partitions, so
+    * partition ids repeat across topics), offsets dense per
+    * (topic, partition). Same two-phase grouped prefix as [[toLog]], just
+    * with `topic` in the grouping key — still one range shuffle at full
+    * parallelism. */
+  def toTopicLog(events: DataFrame, n: Int = NumPartitions): DataFrame = {
+    val withPart = events
+      .withColumn("topic", topicOf(col("event_type")))
+      .withColumn("mkey", col("user_id").cast("string"))
+      .withColumn("part_id",
+        pmod(portableHash(col("user_id")), lit(n.toLong)).cast("long"))
+    graft.plans.OrderedIndex.withExclusivePrefix(
+      withPart, Seq("topic", "part_id"), Seq("ts", "event_id"), None,
+      "msg_offset")
+  }
+
   /** Watermark triple per partition (reference `partition.rs:172-178`):
     * low = first retained offset, high = last written offset,
     * log_end = next offset to be written. */

@@ -88,6 +88,61 @@ object BrokerOps {
         sum("lag").over(Window.partitionBy("grp")).as("total_lag"))
   }
 
+  /** O2 — multi-topic consumer lag with the reference's optional topic
+    * list (`log_engine.rs:181-224`): `topics = None` checks ALL topics
+    * (`log_engine.rs:192-197`), `Some(list)` checks only the named ones,
+    * silently skipping names the broker doesn't have (the reference's
+    * `if let Some(topic) = self.topics.get(...)`). One row per
+    * (group, topic, partition) + per-group rollup over the SELECTED
+    * topics, mirroring the response tuple
+    * (topic, partition, committed, high_watermark, lag).
+    *
+    * Reference quirk preserved: the offset store is
+    * `group -> partition -> offset` with NO topic key
+    * (`offset_tracker.rs:6-10`), so ONE committed offset per (group,
+    * partition) applies to every topic's partition p. We synthesize that
+    * state from the partition's global high watermark across all topics
+    * (= Σ per-topic log_end − 1), with the same analytics-half /
+    * billing-full rule as the single-topic model — and compute it over
+    * ALL topics even when a filter is passed, because asking about fewer
+    * topics doesn't change the group's stored state.
+    *
+    * Scale: one scan + one grouped-prefix pass; everything after the
+    * (topic, partition) watermark aggregate operates on a
+    * topics×partitions-row frame (window, explode, rollup — all tiny). */
+  /** Topic list for the oracle-checked Some(...) path of
+    * [[consumerLagMultiTopic]] — includes a topic the broker does NOT
+    * have, pinning the reference's skip-unknown behavior. Shared with the
+    * generated oracle SQL. */
+  val TopicFilterExample: Seq[String] = Seq("clicks", "purchases", "ghost_topic")
+
+  def consumerLagMultiTopic(spark: SparkSession, sfDir: String,
+                            topics: Option[Seq[String]] = None): DataFrame = {
+    val hwAll = LogModel.toTopicLog(events(spark, sfDir))
+      .groupBy("topic", "part_id")
+      .agg(max("msg_offset").as("high_off"))
+    val withGlobal = hwAll.withColumn("g_high",
+      sum(col("high_off") + 1).over(Window.partitionBy("part_id")) - 1)
+    val entries = array(
+      struct(lit("analytics").as("grp"),
+        floor(col("g_high") / 2).cast("long").as("committed")),
+      struct(lit("billing").as("grp"), col("g_high").as("committed")))
+    val lagRows = withGlobal
+      .select(col("topic"), col("part_id"), col("high_off"),
+        explode(entries).as("c"))
+      .select(col("c.grp").as("grp"), col("topic"), col("part_id"),
+        col("c.committed").as("committed"), col("high_off"))
+    val selected = topics match {
+      case Some(ts) => lagRows.filter(col("topic").isin(ts: _*))
+      case None => lagRows
+    }
+    selected
+      .withColumn("lag", greatest(col("high_off") - col("committed"), lit(0L)))
+      .select(col("grp"), col("topic"), col("part_id"), col("committed"),
+        col("high_off"), col("lag"),
+        sum("lag").over(Window.partitionBy("grp")).as("total_lag"))
+  }
+
   /** O4 — monitor alerting: per-group total lag classified against the
     * reference monitor's thresholds (`flyq-client/examples/monitor.rs:79-85`:
     * total_lag > 1000 → warn, > 100 → notice). */

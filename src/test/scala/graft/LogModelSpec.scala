@@ -78,6 +78,50 @@ class LogModelSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-topic lag: all-topics default, topic filter, skip-unknown, shared committed state") {
+    val all = BrokerOps.consumerLagMultiTopic(spark, sf).collect()
+    // every (grp, topic, part) cell present; topics are the three routes
+    assert(all.map(_.getAs[String]("topic")).toSet ===
+      Set("activity", "clicks", "purchases"))
+    // committed offsets are topic-AGNOSTIC (offset_tracker.rs:6-10): one
+    // value per (grp, part), equal across topics, and equal to the
+    // single-topic model's committed state (same partitioner, global high)
+    val single = BrokerOps.consumerLag(spark, sf).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("part_id")) ->
+        r.getAs[Long]("committed")).toMap
+    all.foreach { r =>
+      val k = (r.getAs[String]("grp"), r.getAs[Long]("part_id"))
+      assert(r.getAs[Long]("committed") === single(k), s"$k")
+      // saturating lag
+      assert(r.getAs[Long]("lag") ===
+        math.max(r.getAs[Long]("high_off") - r.getAs[Long]("committed"), 0L))
+    }
+    // per-group rollup sums the SELECTED rows
+    all.groupBy(_.getAs[String]("grp")).foreach { case (g, rows) =>
+      assert(rows.map(_.getAs[Long]("total_lag")).toSet ===
+        Set(rows.map(_.getAs[Long]("lag")).sum), s"group $g")
+    }
+    // Some(list): only named topics, unknown names silently skipped
+    // (log_engine.rs:199-201), rollup recomputed over the selection
+    val filtered = BrokerOps.consumerLagMultiTopic(
+      spark, sf, Some(BrokerOps.TopicFilterExample)).collect()
+    assert(filtered.map(_.getAs[String]("topic")).toSet ===
+      Set("clicks", "purchases"))
+    val allKeyed = all.map(r => (r.getAs[String]("grp"),
+      r.getAs[String]("topic"), r.getAs[Long]("part_id")) ->
+      (r.getAs[Long]("committed"), r.getAs[Long]("high_off"),
+        r.getAs[Long]("lag"))).toMap
+    filtered.groupBy(_.getAs[String]("grp")).foreach { case (g, rows) =>
+      rows.foreach { r =>
+        val k = (g, r.getAs[String]("topic"), r.getAs[Long]("part_id"))
+        assert(allKeyed(k) === ((r.getAs[Long]("committed"),
+          r.getAs[Long]("high_off"), r.getAs[Long]("lag"))), s"$k")
+      }
+      assert(rows.map(_.getAs[Long]("total_lag")).toSet ===
+        Set(rows.map(_.getAs[Long]("lag")).sum), s"group $g filtered")
+    }
+  }
+
   test("consume_with_group returns the record at the committed offset") {
     val rows = BrokerOps.consumeWithGroup(spark, sf).collect()
     rows.foreach { r =>
