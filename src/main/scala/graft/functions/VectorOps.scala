@@ -130,17 +130,32 @@ object VectorOps {
     u.toDouble / 4294967296.0 - 0.5
   }
 
+  /** Codeword lookup: an explicit TRAINED codebook when given (flat
+    * layout `[(m*numCodewords + k)*subDim + d]` — 8×16×8 doubles = 8 KB,
+    * embedded in the plan and shipped with the task closure like any
+    * literal), else the deterministic synthetic generator the oracle twin
+    * mirrors. Swapping books never changes the plan shape — the
+    * k-means-vs-synthetic trade lives entirely in this lookup. */
+  private def codewordFn(book: Option[Array[Double]], seed: Long,
+                         numCodewords: Int, subDim: Int): (Int, Int, Int) => Double =
+    book match {
+      case Some(b) => (m, k, d) => b((m * numCodewords + k) * subDim + d)
+      case None => (m, k, d) => pqCodeword(seed, numCodewords, subDim, m, k, d)
+    }
+
   /** pq_encode(array<double>) -> array<long>: per subspace, the index of
     * the L2-nearest codeword (sequential distance fold in dim order,
     * strict < so ties keep the smallest k — `list_position(l, list_min(l))`
     * in the oracle). */
   case class PqEncode(child: Expression, numSub: Int, numCodewords: Int,
-                      subDim: Int, seed: Long)
+                      subDim: Int, seed: Long,
+                      book: Option[Array[Double]] = None)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       checkElem(child.dataType, "pq_encode")
     @transient private lazy val g = getter(child.dataType)
+    @transient private lazy val cw = codewordFn(book, seed, numCodewords, subDim)
     override protected def nullSafeEval(a: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
       val bound = v.numElements()
@@ -155,8 +170,7 @@ object VectorOps {
           var d = 0
           while (d < subDim) {
             val i = m * subDim + d
-            val x = (if (i < bound) g(v, i) else 0d) -
-              pqCodeword(seed, numCodewords, subDim, m, k, d)
+            val x = (if (i < bound) g(v, i) else 0d) - cw(m, k, d)
             acc += x * x
             d += 1
           }
@@ -187,7 +201,8 @@ object VectorOps {
     }
 
   case class PqAdcDot(left: Expression, right: Expression, numSub: Int,
-                      numCodewords: Int, subDim: Int, seed: Long)
+                      numCodewords: Int, subDim: Int, seed: Long,
+                      book: Option[Array[Double]] = None)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -196,6 +211,7 @@ object VectorOps {
         .find(_ != TypeCheckResult.TypeCheckSuccess)
         .getOrElse(TypeCheckResult.TypeCheckSuccess)
     @transient private lazy val gl = getter(left.dataType)
+    @transient private lazy val cw = codewordFn(book, seed, numCodewords, subDim)
     override protected def nullSafeEval(q: Any, c: Any): Any = {
       val qv = q.asInstanceOf[ArrayData]
       val codes = c.asInstanceOf[ArrayData]
@@ -209,7 +225,7 @@ object VectorOps {
         while (d < subDim) {
           val i = m * subDim + d
           if (i < bound)
-            acc += gl(qv, i) * pqCodeword(seed, numCodewords, subDim, m, k, d)
+            acc += gl(qv, i) * cw(m, k, d)
           d += 1
         }
         m += 1
@@ -223,11 +239,13 @@ object VectorOps {
   /** pq_recon_n2(array<long> codes) -> double: squared norm of the
     * codeword-reconstructed vector, same flat accumulation order. */
   case class PqReconN2(child: Expression, numSub: Int, numCodewords: Int,
-                       subDim: Int, seed: Long)
+                       subDim: Int, seed: Long,
+                       book: Option[Array[Double]] = None)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       checkCodes(child.dataType, "pq_recon_n2")
+    @transient private lazy val cw = codewordFn(book, seed, numCodewords, subDim)
     override protected def nullSafeEval(c: Any): Any = {
       val codes = c.asInstanceOf[ArrayData]
       var acc = 0d
@@ -237,7 +255,7 @@ object VectorOps {
         val k = codes.getLong(m).toInt
         var d = 0
         while (d < subDim) {
-          val w = pqCodeword(seed, numCodewords, subDim, m, k, d)
+          val w = cw(m, k, d)
           acc += w * w
           d += 1
         }
@@ -251,15 +269,17 @@ object VectorOps {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def pq_encode(v: Column, numSub: Int, numCodewords: Int, subDim: Int,
-                seed: Long): Column =
-    column(PqEncode(expression(v), numSub, numCodewords, subDim, seed))
+                seed: Long, book: Option[Array[Double]] = None): Column =
+    column(PqEncode(expression(v), numSub, numCodewords, subDim, seed, book))
   def pq_adc_dot(q: Column, codes: Column, numSub: Int, numCodewords: Int,
-                 subDim: Int, seed: Long): Column =
+                 subDim: Int, seed: Long,
+                 book: Option[Array[Double]] = None): Column =
     column(PqAdcDot(expression(q), expression(codes), numSub, numCodewords,
-      subDim, seed))
+      subDim, seed, book))
   def pq_recon_n2(codes: Column, numSub: Int, numCodewords: Int, subDim: Int,
-                  seed: Long): Column =
-    column(PqReconN2(expression(codes), numSub, numCodewords, subDim, seed))
+                  seed: Long, book: Option[Array[Double]] = None): Column =
+    column(PqReconN2(expression(codes), numSub, numCodewords, subDim, seed,
+      book))
 
   def srp_bucket(v: Column, numPlanes: Int, dim: Int): Column =
     column(SrpBucket(expression(v), numPlanes, dim))

@@ -204,13 +204,14 @@ object Similarity {
     * Scoring is asymmetric (ADC): the raw query vector against each
     * candidate's codeword reconstruction; ranking on the unrounded
     * approximate cosine with vec_id tie-break. */
-  def embeddingAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingAnnPq(spark: SparkSession, sfDir: String,
+                     book: Option[Array[Double]] = None): DataFrame = {
     val assigned = cellAssignment(spark, sfDir)
     val coded = assigned
       .withColumn("codes", graft.functions.VectorOps.pq_encode(
-        col("v"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed))
+        col("v"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed, book))
       .withColumn("rn2", graft.functions.VectorOps.pq_recon_n2(
-        col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed))
+        col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed, book))
       .select(col("vec_id"), col("cell"), col("codes"), col("rn2"))
     val q = assigned.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -218,9 +219,71 @@ object Similarity {
     val scored = coded.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorOps.pq_adc_dot(
-        col("qv"), col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed)
+        col("qv"), col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed,
+        book)
         / (sqrt(col("qn2")) * sqrt(col("rn2"))))
     rankTopK(scored)
+  }
+
+  /** The synthetic codebook as an explicit flat array — passing
+    * `Some(syntheticPqBook)` to [[embeddingAnnPq]] must be bit-identical
+    * to passing `None` (pinned by spec), proving the trained-book path is
+    * a pure codebook swap with no plan or arithmetic change. */
+  def syntheticPqBook: Array[Double] = {
+    val b = new Array[Double](PqSubspaces * PqCodebookSize * PqSubDim)
+    for (m <- 0 until PqSubspaces; k <- 0 until PqCodebookSize;
+         d <- 0 until PqSubDim)
+      b((m * PqCodebookSize + k) * PqSubDim + d) =
+        graft.functions.VectorOps.pqCodeword(PqSeed, PqCodebookSize, PqSubDim,
+          m, k, d)
+    b
+  }
+
+  /** Lloyd's k-means PQ codebooks over the corpus subvectors — the
+    * production replacement for the synthetic codebook (round-5 verdict
+    * #4; Jégou et al.'s PQ trains exactly this way, public knowledge).
+    *
+    * Distributed shape: each iteration is ONE corpus pass — the
+    * assignment step reuses the [[graft.functions.VectorOps.PqEncode]]
+    * kernel with the current book (nearest codeword per subspace), the
+    * update step is a partial-aggregable groupBy over
+    * (subspace, code, dim) averaging subvector components — at most
+    * numSub × numCodewords × subDim = 1024 groups, collected to the
+    * driver to form the next book (the classic tiny-model / big-data
+    * k-means split; at 100 TB you train on a bounded sample, which is
+    * what `sampleMod` expresses). Deterministic init from the synthetic
+    * book + fixed iteration count; empty clusters keep their previous
+    * codeword. Float-sum ordering across partitions can differ at the
+    * ulp level between runs — ranking-insensitive for recall (spec
+    * asserts floors, not hashes). */
+  def trainPqCodebooks(spark: SparkSession, sfDir: String, iters: Int = 6,
+                       sampleMod: Int = 1): Array[Double] = {
+    var book = syntheticPqBook
+    val vecs = vectors(spark, sfDir)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val updates = vecs
+          .withColumn("codes", graft.functions.VectorOps.pq_encode(
+            col("v"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed,
+            Some(book)))
+          .select(col("v"), posexplode(col("codes")).as(Seq("m", "code")))
+          .select(col("m"), col("code"),
+            posexplode(slice(col("v"), col("m") * PqSubDim + 1,
+              lit(PqSubDim))).as(Seq("d", "x")))
+          .groupBy("m", "code", "d").agg(avg("x").as("cx"))
+          .collect()
+        val next = book.clone()
+        updates.foreach { r =>
+          val m = r.getInt(0); val k = r.getLong(1).toInt; val d = r.getInt(2)
+          next((m * PqCodebookSize + k) * PqSubDim + d) = r.getDouble(3)
+        }
+        book = next
+      }
+      book
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Recall cut-offs measured by [[annRecall]] (shared with the oracle

@@ -256,6 +256,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(at10("pq") >= 0.07, s"pq@10 ${at10("pq")}")
   }
 
+  test("k-means PQ codebooks: pure swap, trained recall not below synthetic") {
+    // the explicit synthetic book must be BIT-IDENTICAL to the default
+    // generator path — proves the trained-book seam changes nothing but
+    // the codeword values
+    val syn = Similarity.embeddingAnnPq(spark, sf).cache()
+    val synExplicit = Similarity.embeddingAnnPq(
+      spark, sf, Some(Similarity.syntheticPqBook))
+    assert(syn.exceptAll(synExplicit).count() === 0)
+    assert(synExplicit.exceptAll(syn).count() === 0)
+    // recall@10 vs the exact ground truth: Lloyd's must not LOWER recall
+    // (measured on this data: synthetic 0.14, trained 0.22)
+    val exact = Similarity.embeddingTopK(spark, sf)
+      .select("q_id", "vec_id").cache()
+    val nExact = exact.count()
+    def recall10(d: org.apache.spark.sql.DataFrame): Double =
+      d.select("q_id", "vec_id").join(exact, Seq("q_id", "vec_id"))
+        .count().toDouble / nExact
+    val trainedBook = Similarity.trainPqCodebooks(spark, sf)
+    val rSyn = recall10(syn)
+    val rTrained = recall10(
+      Similarity.embeddingAnnPq(spark, sf, Some(trainedBook)))
+    info(s"recall@10 synthetic=$rSyn trained=$rTrained")
+    assert(rTrained >= rSyn,
+      s"trained codebooks lowered recall: $rTrained < $rSyn")
+  }
+
   test("HLL sketch stays within its error bound against the exact count") {
     val rows = TextAnalysis.approxUserCount(spark, sf).collect()
     assert(rows.nonEmpty)
