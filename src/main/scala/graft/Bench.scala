@@ -100,6 +100,10 @@ object Bench {
     try w.write(qs) finally w.close()
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"sf":"$sfDir"}""")
+    // release the session-scoped persist-once artifacts (verified pairs,
+    // n-gram signatures, inverted index) before retiring the session
+    graft.operators.Dedup.clearCaches(spark)
+    graft.operators.TextAnalysis.clearCaches(spark)
     spark.stop()
   }
 }

@@ -317,7 +317,7 @@ object OracleSql {
              CAST(SUM(greatest(high_off - committed, 0)) OVER (PARTITION BY grp) AS BIGINT) AS total_lag
       FROM tlag
       WHERE topic IN (${graft.operators.BrokerOps.TopicFilterExample
-        .map(t => s"'$t'").mkString(", ")})""",
+        .map(t => s"'${t.replace("'", "''")}'").mkString(", ")})""",
 
     "lag_alerts" -> s"""WITH $logCtes,
       lag_rows AS (

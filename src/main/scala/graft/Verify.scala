@@ -37,6 +37,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.Dedup.clearCaches(spark)
+    graft.operators.TextAnalysis.clearCaches(spark)
     spark.stop()
   }
 }

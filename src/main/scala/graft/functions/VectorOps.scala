@@ -135,13 +135,27 @@ object VectorOps {
     * embedded in the plan and shipped with the task closure like any
     * literal), else the deterministic synthetic generator the oracle twin
     * mirrors. Swapping books never changes the plan shape — the
-    * k-means-vs-synthetic trade lives entirely in this lookup. */
-  private def codewordFn(book: Option[Array[Double]], seed: Long,
+    * k-means-vs-synthetic trade lives entirely in this lookup.
+    *
+    * The expression field is an `IndexedSeq`, not a raw `Array`: case-class
+    * equality on Array is reference-based, which would stop
+    * `semanticEquals` / exchange reuse from firing on two plans built from
+    * equal-content books (round-6 ADVICE). The seq's backing array is
+    * extracted once here so the per-element hot loop stays unboxed. */
+  private def codewordFn(book: Option[IndexedSeq[Double]], seed: Long,
                          numCodewords: Int, subDim: Int): (Int, Int, Int) => Double =
     book match {
-      case Some(b) => (m, k, d) => b((m * numCodewords + k) * subDim + d)
+      case Some(b) =>
+        val arr = b.toArray
+        (m, k, d) => arr((m * numCodewords + k) * subDim + d)
       case None => (m, k, d) => pqCodeword(seed, numCodewords, subDim, m, k, d)
     }
+
+  /** Zero-copy structural-equality wrapper for a caller-supplied book. The
+    * caller must not mutate the array afterwards (trained books are frozen
+    * once training returns). */
+  private def wrapBook(book: Option[Array[Double]]): Option[IndexedSeq[Double]] =
+    book.map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_))
 
   /** pq_encode(array<double>) -> array<long>: per subspace, the index of
     * the L2-nearest codeword (sequential distance fold in dim order,
@@ -149,7 +163,7 @@ object VectorOps {
     * in the oracle). */
   case class PqEncode(child: Expression, numSub: Int, numCodewords: Int,
                       subDim: Int, seed: Long,
-                      book: Option[Array[Double]] = None)
+                      book: Option[IndexedSeq[Double]] = None)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
@@ -202,7 +216,7 @@ object VectorOps {
 
   case class PqAdcDot(left: Expression, right: Expression, numSub: Int,
                       numCodewords: Int, subDim: Int, seed: Long,
-                      book: Option[Array[Double]] = None)
+                      book: Option[IndexedSeq[Double]] = None)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -240,7 +254,7 @@ object VectorOps {
     * codeword-reconstructed vector, same flat accumulation order. */
   case class PqReconN2(child: Expression, numSub: Int, numCodewords: Int,
                        subDim: Int, seed: Long,
-                       book: Option[Array[Double]] = None)
+                       book: Option[IndexedSeq[Double]] = None)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -270,16 +284,17 @@ object VectorOps {
 
   def pq_encode(v: Column, numSub: Int, numCodewords: Int, subDim: Int,
                 seed: Long, book: Option[Array[Double]] = None): Column =
-    column(PqEncode(expression(v), numSub, numCodewords, subDim, seed, book))
+    column(PqEncode(expression(v), numSub, numCodewords, subDim, seed,
+      wrapBook(book)))
   def pq_adc_dot(q: Column, codes: Column, numSub: Int, numCodewords: Int,
                  subDim: Int, seed: Long,
                  book: Option[Array[Double]] = None): Column =
     column(PqAdcDot(expression(q), expression(codes), numSub, numCodewords,
-      subDim, seed, book))
+      subDim, seed, wrapBook(book)))
   def pq_recon_n2(codes: Column, numSub: Int, numCodewords: Int, subDim: Int,
                   seed: Long, book: Option[Array[Double]] = None): Column =
     column(PqReconN2(expression(codes), numSub, numCodewords, subDim, seed,
-      book))
+      wrapBook(book)))
 
   def srp_bucket(v: Column, numPlanes: Int, dim: Int): Column =
     column(SrpBucket(expression(v), numPlanes, dim))

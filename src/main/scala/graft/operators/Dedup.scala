@@ -135,12 +135,32 @@ object Dedup {
     s"$sfDir#$variant#$fp"
   }
 
+  /** getOrElseUpdate with STALE-FINGERPRINT EVICTION: before inserting,
+    * any entry for the same (session, sfDir, variant) whose fingerprint no
+    * longer matches is unpersisted and dropped — regenerated testdata under
+    * a live session releases the old blocks instead of pinning both copies
+    * (MEMORY_AND_DISK) for the session's lifetime. Callers must hold no
+    * other reference to the evicted frame (all consumers re-resolve
+    * through this lookup). */
+  private[operators] def getOrUpdateEvicting(
+      cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      spark: SparkSession, sfDir: String, variant: String)(
+      build: => DataFrame): DataFrame = cache.synchronized {
+    val key = cacheKey(sfDir, variant)
+    val prefix = s"$sfDir#$variant#"
+    cache.keys
+      .filter(k => (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != key)
+      .toSeq.foreach { k =>
+        cache(k).unpersist(blocking = false)
+        cache.remove(k)
+      }
+    cache.getOrElseUpdate((spark, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((spark, cacheKey(sfDir, "pairs")),
-        computeMinhashPairs(spark, sfDir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "pairs")(
+      computeMinhashPairs(spark, sfDir))
 
   /** Unpersist and drop every cached intermediate for `spark` — call when
     * a session's input files changed or the session is being retired (the
@@ -445,18 +465,15 @@ object Dedup {
     * twice inside the query (band signatures + Jaccard verify) — same
     * persist-the-signature-table pattern as [[verifiedPairs]]. */
   private def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((spark, cacheKey(sfDir, "ngrams")),
-        docs(spark, sfDir).select(
-            col("doc_id"), col("lang"),
-            normText(col("text")).as("ntext"))
-          .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
-          .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
-          .withColumn("hgs", graft.functions.TextHashes.hash32_array(
-            graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
-          .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "ngrams")(
+      docs(spark, sfDir).select(
+          col("doc_id"), col("lang"),
+          normText(col("text")).as("ntext"))
+        .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
+        .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
+        .withColumn("hgs", graft.functions.TextHashes.hash32_array(
+          graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
+        .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs")))
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val g = ngramDocs(spark, sfDir)

@@ -8,12 +8,16 @@ import graft.operators.TextAnalysis.normText
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted in distributed batches.
   *
-  * The container has no image/audio libraries, so the decode step is a
-  * clearly-marked STUB (`FakeDecoder` — a deterministic function of the
-  * bytes' content hash); everything Spark-side is real and tested: the
-  * binary schema, the typed `Dataset` pipeline, per-partition batched
-  * decoding (`mapPartitions` — the Scala analog of `mapInPandas` batches),
-  * and the downstream relational features.
+  * Decoding is pluggable behind [[MultiModal.Decoder]]: [[ImageIoDecoder]]
+  * is a REAL header-only image decode via the JVM's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — the formats the stdlib ships codecs for);
+  * [[FakeDecoder]] is a clearly-marked deterministic STUB (a function of
+  * the bytes' content hash) standing in for the codecs this container
+  * lacks (video/audio), and is what the oracle-checked query uses so the
+  * end-to-end plumbing stays hash-verifiable. Everything Spark-side is
+  * real and tested: the binary schema, the typed `Dataset` pipeline,
+  * per-partition batched decoding (`mapPartitions` — the Scala analog of
+  * `mapInPandas` batches), and the downstream relational features.
   *
   * Scale posture: decode is a narrow per-partition pass (no shuffle); the
   * binary payloads never move except the initial scan. Partition sizing is
@@ -29,8 +33,38 @@ object MultiModal {
                            width: Int, height: Int, n_frames: Int)
 
   /** Decoder contract: payload bytes → (width, height, frames).
-    * A real deployment plugs ImageIO / ffmpeg here. */
+    * [[ImageIoDecoder]] covers the formats the JVM ships codecs for
+    * (PNG/JPEG/GIF/BMP); a real deployment plugs ffmpeg-style codecs here
+    * for video/audio. */
   type Decoder = Array[Byte] => (Int, Int, Int)
+
+  /** REAL image decode via `javax.imageio` (JVM stdlib — no new
+    * dependencies): reads width/height from the image HEADER only
+    * (`ImageReader.getWidth/getHeight`, not a full pixel decode — at 100 TB
+    * the metadata pass must not pay the raster cost), `n_frames` = the
+    * reader's image count (GIF animations report their frame count; still
+    * formats report 1). Serializable by construction (a static-method
+    * closure), so it rides the same `mapPartitions` batch as [[FakeDecoder]].
+    * Undecodable bytes fail loudly — silently fabricated dimensions would
+    * poison every downstream feature. */
+  val ImageIoDecoder: Decoder = { bytes =>
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"no ImageIO codec for payload (${bytes.length} bytes)")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        // allowSearch=false keeps this header-only for streaming formats;
+        // -1 means "unknown without a full scan" -> report 1 frame
+        val n = r.getNumImages(false)
+        (r.getWidth(0), r.getHeight(0), if (n > 0) n else 1)
+      } finally r.dispose()
+    } finally in.close()
+  }
 
   /** STUB decode — deterministic fake derived from a 32-bit content hash
     * (matches the SQL feature derivation below so the plumbing is

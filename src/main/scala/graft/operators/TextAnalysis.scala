@@ -118,15 +118,11 @@ object TextAnalysis {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   def termCounts(spark: SparkSession, sfDir: String): DataFrame =
-    termCountsCache.synchronized {
-      termCountsCache.getOrElseUpdate(
-        (spark, Dedup.cacheKey(sfDir, "term_counts")),
-        docs(spark, sfDir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("term_count"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    Dedup.getOrUpdateEvicting(termCountsCache, spark, sfDir, "term_counts")(
+      docs(spark, sfDir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("term_count")))
 
   /** Unpersist and drop the cached inverted-index artifacts for `spark`
     * (input files changed / session retiring) — twin of

@@ -278,8 +278,12 @@ class PipelineSpec extends AnyFunSuite {
     val rTrained = recall10(
       Similarity.embeddingAnnPq(spark, sf, Some(trainedBook)))
     info(s"recall@10 synthetic=$rSyn trained=$rTrained")
-    assert(rTrained >= rSyn,
-      s"trained codebooks lowered recall: $rTrained < $rSyn")
+    // small tolerance: trainPqCodebooks' partial sums are partition-order
+    // dependent at the ulp level, so a tie-adjacent codeword flip could
+    // legitimately move recall a hair — a strict >= would be flaky, not a
+    // regression signal (round-6 ADVICE)
+    assert(rTrained >= rSyn - 0.02,
+      s"trained codebooks lowered recall: $rTrained < $rSyn - 0.02")
   }
 
   test("HLL sketch stays within its error bound against the exact count") {
@@ -328,5 +332,39 @@ class PipelineSpec extends AnyFunSuite {
         $"fake_height" =!= $"h" || $"est_frames" =!= $"f")
     assert(bad.count() === 0)
     assert(decoded.count() === q.count())
+  }
+
+  test("ImageIoDecoder decodes real PNG and JPEG bytes distributed") {
+    // real image payloads, generated with the same stdlib the decoder
+    // uses — dimensions derived from the id so every row checks a
+    // different header
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val media = spark.createDataset((1L to 40L).map { id =>
+      val fmt = if (id % 2 == 0) "png" else "jpg"
+      MediaRecord(id, fmt, imageBytes(16 + id.toInt, 9 + 2 * id.toInt, fmt))
+    })
+    val feats = MultiModal.decodeFeatures(media, MultiModal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 40)
+    feats.foreach { f =>
+      assert(f.width === 16 + f.media_id.toInt, s"width of ${f.media_id}")
+      assert(f.height === 9 + 2 * f.media_id.toInt, s"height of ${f.media_id}")
+      assert(f.n_frames === 1)
+      assert(f.bytes > 0)
+    }
+    // undecodable payloads fail loudly, not with fabricated dimensions
+    val junk = spark.createDataset(Seq(
+      MediaRecord(99L, "junk", Array[Byte](1, 2, 3, 4))))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeFeatures(junk, MultiModal.ImageIoDecoder).collect()
+    }
+    assert(err.getMessage != null)
   }
 }
