@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Background maintenance loop — the Spark-side analog of the reference's
+  * runtime tasks (`flyq-server/src/runtime/mod.rs:21-40` spawns them;
+  * `runtime/flush.rs:75-108` is the cleanup loop): tick every
+  * `cleanup_interval` (reference default 60 s, `config.rs:31`), run
+  * retention over every partition of every topic, and on shutdown run ONE
+  * final pass before exiting (the `shutdown_rx` select arm).
+  *
+  * Differences by design:
+  *  - the reference walks in-memory partition handles; here each pass
+  *    re-DISCOVERS topics from storage (M4), so topics created after the
+  *    runner started are picked up — there is no registration step.
+  *  - a failing topic logs and does not kill the loop (reference:
+  *    `tracing::warn!` per partition, loop continues).
+  *  - the tick is a monitor wait, and tests drive it with [[Runner.tick]]
+  *    (a manual clock) instead of real time — the production path and the
+  *    spec path run the identical pass code.
+  *
+  * Scale shape: each pass is [[Retention.compact]] per topic — segment
+  * stats distributed, only the tiny decision table on the driver — so the
+  * loop itself does no data-sized work.
+  */
+object Maintenance {
+
+  /** Default tick, mirroring the reference's `cleanup_interval`
+    * (`config.rs:31`). */
+  val DefaultIntervalMs: Long = 60000L
+
+  /** Topic names under `baseDir` (directories named `topic_<name>`),
+    * via the Hadoop FS so any Spark-reachable storage works. */
+  def discoverTopics(spark: SparkSession, baseDir: String): Seq[String] = {
+    val glob = new Path(s"$baseDir/topic_*")
+    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+    val hits = fs.globStatus(glob)
+    if (hits == null) Seq.empty
+    else hits.toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName.stripPrefix("topic_")).sorted
+  }
+
+  /** One maintenance pass result. */
+  case class Pass(decisions: Map[String, Seq[Retention.SegmentDecision]],
+                  errors: Map[String, String])
+
+  /** The periodic runner. `start()` it, `close()` it (close blocks until
+    * the final shutdown pass completes — the reference's "Flushing before
+    * exit" semantics). `nowMs` is the retention clock (None = newest
+    * record timestamp, the deterministic default shared with
+    * [[Retention.plan]]). */
+  final class Runner(spark: SparkSession, baseDir: String,
+                     intervalMs: Long = DefaultIntervalMs,
+                     retentionMs: Long =
+                       graft.model.LogModel.RetentionDays * 86400000L,
+                     retentionBytes: Long =
+                       graft.model.LogModel.RetentionBytes,
+                     nowMs: () => Option[Long] = () => None)
+      extends AutoCloseable {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+
+    private val lock = new Object
+    private var pendingTicks = 0
+    @volatile private var shuttingDown = false
+    private val passes = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile private var last: Pass = Pass(Map.empty, Map.empty)
+
+    /** Completed passes (including the final shutdown pass). */
+    def passCount: Long = passes.get()
+
+    /** Result of the most recent completed pass. */
+    def lastPass: Pass = last
+
+    /** Manual clock: schedule one pass now (tests; ops "run it now"). */
+    def tick(): Unit = lock.synchronized {
+      pendingTicks += 1
+      lock.notifyAll()
+    }
+
+    /** One synchronous pass over every discovered topic. Public so a
+      * caller without the background thread (e.g. a driver-managed cron)
+      * can reuse the exact loop body. */
+    def runOnce(): Pass = {
+      val results = Map.newBuilder[String, Seq[Retention.SegmentDecision]]
+      val errors = Map.newBuilder[String, String]
+      discoverTopics(spark, baseDir).foreach { t =>
+        try results += t -> Retention.compact(spark, baseDir, t,
+          retentionMs, retentionBytes, nowMs())
+        catch { case e: Exception => // loop survives a bad topic
+          errors += t -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+      val p = Pass(results.result(), errors.result())
+      last = p
+      passes.incrementAndGet()
+      p
+    }
+
+    /** Wait for a tick (manual or interval elapse). False = shut down. */
+    private def awaitTick(): Boolean = lock.synchronized {
+      if (pendingTicks == 0 && !shuttingDown) lock.wait(intervalMs)
+      if (shuttingDown) false
+      else {
+        if (pendingTicks > 0) pendingTicks -= 1
+        true // interval elapse (or a spurious wake) counts as a tick —
+             // the pass is idempotent, an early tick is harmless
+      }
+    }
+
+    private val thread = new Thread(() => {
+      while (awaitTick()) runOnce()
+      runOnce(): Unit // final pass on shutdown (flush.rs:101-105)
+    }, "graft-maintenance")
+    thread.setDaemon(true)
+
+    def start(): this.type = { thread.start(); this }
+
+    override def close(): Unit = {
+      lock.synchronized {
+        shuttingDown = true
+        lock.notifyAll()
+      }
+      if (thread.isAlive) thread.join(120000)
+    }
+  }
+}
