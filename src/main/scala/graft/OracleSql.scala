@@ -634,6 +634,49 @@ object OracleSql {
       FROM fp"""
     },
 
+    "dedup_simhash_pairs" -> {
+      // every constant below comes from Dedup's Sim* definitions — the
+      // blocked-candidate generation and the verify are regenerated from
+      // the same source the DataFrame side uses
+      def sums(src: String, pre: String) = (0 until 32).map(j =>
+        s"COALESCE(list_sum(list_transform($src, h -> ((h >> $j) & 1) * 2 - 1)), 0) AS $pre$j")
+        .mkString(",\n               ")
+      def fpSum(pre: String) = (0 until 32).map(j =>
+        s"(CASE WHEN $pre$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val blocks = (0 until 6).map { i =>
+        val half = if (i < 3) "sh_lo" else "sh_hi"
+        val pos = i % 3
+        s"($half >> ${Dedup.SimBlockShifts(pos)}) & ${(1L << Dedup.SimBlockBits(pos)) - 1}"
+      }.mkString(", ")
+      val combos = Dedup.SimBlockCombos.zipWithIndex.map { case (c, j) =>
+        s"{'j': $j, 'k': (bs[${c(0) + 1}] << 22) + (bs[${c(1) + 1}] << 11) + bs[${c(2) + 1}]}"
+      }.mkString(",\n                 ")
+      s"""WITH $textCtes,
+      words AS (SELECT doc_id, list_distinct(toks) AS ws FROM tok),
+      filt AS (SELECT doc_id, ws FROM words WHERE len(ws) >= ${Dedup.MinWords}),
+      hw AS (SELECT doc_id,
+             list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hws,
+             list_transform(ws, w -> CAST('0x' || substr(md5(w), 9, 8) AS BIGINT)) AS hws2
+             FROM filt),
+      sums AS (SELECT doc_id,
+               ${sums("hws", "lo")},
+               ${sums("hws2", "hi")}
+               FROM hw),
+      fp AS (SELECT doc_id, CAST(${fpSum("lo")} AS BIGINT) AS sh_lo,
+                    CAST(${fpSum("hi")} AS BIGINT) AS sh_hi FROM sums),
+      blk AS (SELECT doc_id, sh_lo, sh_hi, [$blocks] AS bs FROM fp),
+      keys AS (SELECT doc_id, sh_lo, sh_hi, combo.j AS combo_j, combo.k AS combo_key
+               FROM blk, UNNEST([$combos]) AS t(combo)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(CAST(xor(a.sh_lo, b.sh_lo) AS BIGINT)) +
+                      bit_count(CAST(xor(a.sh_hi, b.sh_hi) AS BIGINT)) AS BIGINT) AS hamming
+               FROM keys a JOIN keys b
+                 ON a.combo_j = b.combo_j AND a.combo_key = b.combo_key
+                AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand
+      WHERE hamming <= ${Dedup.SimHammingMax}"""
+    },
+
     "ngram_jaccard" -> {
       // LSH-band CTEs generated from the SAME constants as Dedup.ngramJaccard.
       val sigExprs = (0 until Dedup.NumHashes).map { i =>

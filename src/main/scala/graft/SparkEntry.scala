@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
     "dedup_components" -> (Dedup.dedupComponents(_, _)),
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs(_, _)),
     "ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),

@@ -24,25 +24,36 @@ object TextHashes {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First 4 bytes of md5(bytes) as an unsigned 32-bit value. */
-  def md5_32(bytes: Array[Byte]): Long = {
+  /** 4 bytes of md5(bytes) starting at `off` as an unsigned 32-bit value.
+    * `off` 0 = the first 8 hex chars (the ubiquitous hash32); `off` 4 =
+    * hex chars 9-16 — an INDEPENDENT 32-bit family from the same digest,
+    * used where two decorrelated hashes of the same token are needed
+    * (e.g. the two halves of the 64-bit SimHash). */
+  def md5_32_at(bytes: Array[Byte], off: Int): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(bytes)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
   }
 
-  /** hash32_array(array<string>) -> array<long>: md5_32 per element. */
-  case class Hash32Array(child: Expression)
+  /** First 4 bytes of md5(bytes) as an unsigned 32-bit value. */
+  def md5_32(bytes: Array[Byte]): Long = md5_32_at(bytes, 0)
+
+  /** hash32_array(array<string>) -> array<long>: md5_32_at per element.
+    * `byteOffset` 0 (default) is the standard hash32 family; 4 selects the
+    * independent second family (digest bytes 4-7 = hex chars 9-16). */
+  case class Hash32Array(child: Expression, byteOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
+    require(byteOffset >= 0 && byteOffset <= 12,
+      s"byteOffset must address 4 bytes inside the 16-byte md5, got $byteOffset")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
       val a = arr.asInstanceOf[ArrayData]
       val out = new Array[Long](a.numElements())
       var i = 0
       while (i < out.length) {
-        out(i) = md5_32(a.getUTF8String(i).getBytes)
+        out(i) = md5_32_at(a.getUTF8String(i).getBytes, byteOffset)
         i += 1
       }
       new GenericArrayData(out)
@@ -108,6 +119,86 @@ object TextHashes {
         j += 1
       }
       fp
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** simhash_bits(array<long>, bits) -> long: [[SimHash16]] generalized to
+    * any width up to 32 — bit j of the fingerprint is the sign of
+    * Σ_elements (±1 by bit j of the element hash). Two 32-bit fingerprints
+    * over independent hash families form the 64-bit SimHash without ever
+    * touching the BIGINT sign bit on either engine. */
+  case class SimHashBits(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(arr: Any): Any = {
+      val h = arr.asInstanceOf[ArrayData]
+      val counts = new Array[Long](bits)
+      var i = 0
+      val n = h.numElements()
+      while (i < n) {
+        val hv = h.getLong(i)
+        var j = 0
+        while (j < bits) {
+          counts(j) += ((hv >> j) & 1L) * 2 - 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < bits) {
+        if (counts(j) > 0) fp |= 1L << j
+        j += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** simhash64(array<string>) -> struct<sh_lo, sh_hi>: both 32-bit halves
+    * of the 64-bit SimHash in ONE pass — each element is md5-digested
+    * once and both 4-byte windows (bytes 0-3 and 4-7) feed their half's
+    * 32 sign counters. Value-identical to `simhash_bits(hash32_array(ws),
+    * 32)` + `simhash_bits(hash32_array_at(ws, 4), 32)` at half the digest
+    * cost and without materializing the two hash arrays. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("sh_lo", LongType, nullable = false),
+      StructField("sh_hi", LongType, nullable = false)))
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val counts = new Array[Long](64) // 0-31 lo, 32-63 hi
+      val md = digests.get()
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        md.reset()
+        val d = md.digest(a.getUTF8String(i).getBytes)
+        val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          counts(j) += ((lo >> j) & 1L) * 2 - 1
+          counts(j + 32) += ((hi >> j) & 1L) * 2 - 1
+          j += 1
+        }
+        i += 1
+      }
+      var shLo = 0L
+      var shHi = 0L
+      var j = 0
+      while (j < 32) {
+        if (counts(j) > 0) shLo |= 1L << j
+        if (counts(j + 32) > 0) shHi |= 1L << j
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](shLo, shHi))
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -304,6 +395,8 @@ object TextHashes {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
+  def hash32_array_at(c: Column, byteOffset: Int): Column =
+    column(Hash32Array(expression(c), byteOffset))
   def stopword_hits(c: Column, tables: Seq[Seq[String]]): Column =
     column(StopwordHits(expression(c), tables))
   def jaccard_long(a: Column, b: Column): Column =
@@ -315,6 +408,9 @@ object TextHashes {
   def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     column(MinHashSigs(expression(c), as, bs, prime))
   def simhash16(c: Column): Column = column(SimHash16(expression(c)))
+  def simhash_bits(c: Column, bits: Int): Column =
+    column(SimHashBits(expression(c), bits))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def max_count(c: Column): Column = column(MaxCount(expression(c)))
   def word_grams_hashed(c: Column, n: Int): Column =
     column(WordGramsHashed(expression(c), n))

@@ -25,8 +25,8 @@ import graft.operators.TextAnalysis.{normText, tokens}
   *
   * Every rule/threshold below is evaluated INTEGER-exactly on both
   * engines (ratio r ≥ p/q rewritten as r_num * q ≥ p * r_den), so the
-  * keep/drop decisions cannot drift across Spark and the DuckDB oracle;
-  * the reported double ratios are display-only (round 6).
+  * keep/drop decisions cannot drift across Spark and the DuckDB oracle —
+  * the outputs surface the raw integer counts, never derived floats.
   */
 object Curation {
 

@@ -443,6 +443,75 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
       .select(col("doc_id"), col("simhash"), col("n_same_fp"))
 
+  // ---- SimHash Hamming-distance near-dup (Manku/Google-style blocked
+  //      candidate generation) ----
+  /** Max Hamming distance for a near-dup pair (the classic web-dedup
+    * setting: 3 of 64 bits). */
+  val SimHammingMax = 3
+  /** Each 32-bit fingerprint half splits into 3 blocks at these shifts
+    * with these widths: bits [0,11), [11,22), [22,32). */
+  val SimBlockShifts = Seq(0, 11, 22)
+  val SimBlockBits = Seq(11, 11, 10)
+  /** All C(6,3)=20 block triples. Pigeonhole: ≤3 differing bits leave ≥3
+    * of the 6 blocks untouched, so every qualifying pair collides on at
+    * least one triple. Deterministic order — the oracle SQL is generated
+    * from this same list. */
+  val SimBlockCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  /** (doc_id, sh_lo, sh_hi): the 64-bit SimHash as two 32-bit halves over
+    * INDEPENDENT hash families of the same distinct word set (md5 bytes
+    * 0-3 and 4-7) — two positive BIGINTs instead of one sign-entangled
+    * 64-bit value, so the block/xor arithmetic is identical on both
+    * engines. */
+  private def simhash64(spark: SparkSession, sfDir: String): DataFrame =
+    docWords(spark, sfDir)
+      .filter(size(col("ws")) >= MinWords) // empty set → fp 0 hot bucket
+      .withColumn("sh", graft.functions.TextHashes.simhash64(col("ws")))
+      .select(col("doc_id"),
+        col("sh.sh_lo").as("sh_lo"), col("sh.sh_hi").as("sh_hi"))
+
+  /** Verified SimHash near-dup pairs (doc_a < doc_b, hamming ≤
+    * [[SimHammingMax]] over the 64-bit fingerprint).
+    *
+    * Scale: candidates equi-join on (combo_j, combo_key) where combo_key
+    * concatenates THREE blocks (~32 bits of key entropy) — the
+    * Manku-style design: with 4 single 16-bit blocks the expected random
+    * collisions are 4·n²/2^16 (quadratic blowup at corpus scale), with 20
+    * block-triples they are 20·n²/2^33 — the key space grows with the
+    * combination, not the block. 20 exploded rows per doc is the storage
+    * cost, the same trade the published simhash dedup pipeline makes.
+    * Residual verify is two xor+bit_count ops, integer-exact on both
+    * engines. */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhash64(spark, sfDir)
+    def block(i: Int): Column = {
+      val half = if (i < 3) col("sh_lo") else col("sh_hi")
+      val pos = i % 3
+      shiftright(half, SimBlockShifts(pos))
+        .bitwiseAND((1L << SimBlockBits(pos)) - 1)
+    }
+    val keys = array(SimBlockCombos.zipWithIndex.map { case (c, j) =>
+      struct(lit(j).as("combo_j"),
+        (shiftleft(block(c(0)), 22) + shiftleft(block(c(1)), 11) +
+          block(c(2))).as("combo_key"))
+    }: _*)
+    val e = fp.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        explode(keys).as("k"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("k.combo_j").as("combo_j"), col("k.combo_key").as("combo_key"))
+    e.as("a").join(e.as("b"),
+        col("a.combo_j") === col("b.combo_j") &&
+          col("a.combo_key") === col("b.combo_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
+          bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= SimHammingMax)
+      .distinct() // a pair may collide on several triples
+  }
+
   /** Character 3-gram Jaccard near-dup pairs, LSH-banded.
     *
     * Candidate generation is MinHash LSH over the hashed 3-gram set (8

@@ -44,6 +44,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(identical.exceptAll(found).count() === 0)
   }
 
+  test("simhash hamming pairs: ordered, bounded, and exhaustive for identical word sets") {
+    val p = Dedup.dedupSimhashPairs(spark, sf).cache()
+    assert(p.filter($"doc_a" >= $"doc_b").count() === 0)
+    assert(p.filter($"hamming" > Dedup.SimHammingMax || $"hamming" < 0).count() === 0)
+    assert(p.groupBy("doc_a", "doc_b").count().filter($"count" > 1).count() === 0)
+    // identical distinct word sets → identical 64-bit fingerprint →
+    // collide on EVERY block triple with hamming 0: recall there is exact,
+    // not probabilistic (the pigeonhole guarantee degenerates to equality)
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        array_join(array_sort(array_distinct(TextAnalysis.tokens($"text"))), " ").as("wkey"))
+      .filter(org.apache.spark.sql.functions.length($"wkey") > 0)
+    val identical = words.as("a").join(words.as("b"),
+        $"a.wkey" === $"b.wkey" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    assert(identical.count() > 0) // the corpus must actually exercise this
+    val zero = p.filter($"hamming" === 0).select("doc_a", "doc_b")
+    assert(identical.exceptAll(zero).count() === 0)
+
+    // the fused one-digest kernel must be value-identical to the
+    // two-kernel composition it replaces
+    import graft.functions.TextHashes
+    val w = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("ws"))
+      .filter(size($"ws") >= Dedup.MinWords)
+    val fused = w.select($"doc_id", TextHashes.simhash64($"ws").as("sh"))
+      .select($"doc_id", $"sh.sh_lo".as("lo"), $"sh.sh_hi".as("hi"))
+    val composed = w.select($"doc_id",
+      TextHashes.simhash_bits(TextHashes.hash32_array($"ws"), 32).as("lo"),
+      TextHashes.simhash_bits(TextHashes.hash32_array_at($"ws", 4), 32).as("hi"))
+    assert(fused.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(fused).count() === 0)
+  }
+
   test("dedup_similar_keep drops exactly the docs appearing as doc_b") {
     val pairs = Dedup.dedupMinhashPairs(spark, sf)
     val keep = Dedup.dedupSimilarKeep(spark, sf).cache()
