@@ -319,6 +319,13 @@ object OracleSql {
       WHERE topic IN (${graft.operators.BrokerOps.TopicFilterExample
         .map(t => s"'${t.replace("'", "''")}'").mkString(", ")})""",
 
+    "log_compaction" -> s"""WITH $logCtes
+      SELECT part_id, mkey, max(msg_offset) AS last_off,
+             arg_max(event_id, msg_offset) AS last_event,
+             CAST(count(*) AS BIGINT) AS n_versions,
+             CAST(sum(record_size) - arg_max(record_size, msg_offset) AS BIGINT) AS dirty_bytes
+      FROM log GROUP BY part_id, mkey""",
+
     "lag_alerts" -> s"""WITH $logCtes,
       lag_rows AS (
         SELECT c.grp, CAST(SUM(greatest(w.high_off - c.committed, 0)) AS BIGINT) AS total_lag

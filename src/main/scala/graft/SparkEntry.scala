@@ -26,6 +26,7 @@ object SparkEntry {
     "round_robin" -> (BrokerOps.roundRobin(_, _)),
     "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
     "consumer_lag" -> (BrokerOps.consumerLag(_, _)),
+    "log_compaction" -> (BrokerOps.logCompaction(_, _)),
     "consumer_lag_materialized" -> (BrokerOps.consumerLagMaterialized(_, _)),
     "consumer_lag_multi_topic" -> (BrokerOps.consumerLagMultiTopic(_, _)),
     "consumer_lag_topic_filter" -> ((s, dir) => BrokerOps.consumerLagMultiTopic(

@@ -56,6 +56,26 @@ object BrokerOps {
   def watermarkQuery(spark: SparkSession, sfDir: String): DataFrame =
     watermarks(log(spark, sfDir))
 
+  /** Kafka-style KEY compaction decision (beyond-reference extension —
+    * the reference retains by time/size only): per (part_id, mkey) the
+    * record with the highest offset survives; older versions are "dirty"
+    * and reclaimable. Output is the per-key decision table: surviving
+    * offset/event, version count, and the bytes a compactor would free.
+    *
+    * Scale: ONE partial-aggregable shuffle on (part_id, mkey) — max /
+    * max_by / count / sum all combine map-side, so the exchange carries
+    * one row per distinct key per map task, not the log. Keys are
+    * hash-routed to a single partition by construction, so the grouping
+    * key is the log's own locality. */
+  def logCompaction(spark: SparkSession, sfDir: String): DataFrame =
+    log(spark, sfDir).groupBy("part_id", "mkey").agg(
+      max("msg_offset").as("last_off"),
+      max_by(col("event_id"), col("msg_offset")).as("last_event"),
+      count(lit(1)).as("n_versions"),
+      (sum("record_size") -
+        max_by(col("record_size"), col("msg_offset"))).cast("long")
+        .as("dirty_bytes"))
+
   /** O2 — consumer lag (FLAGSHIP): per-(group, partition) lag =
     * max(high_watermark - committed, 0), plus per-group total.
     * Reference `log_engine.rs:181-224` (saturating_sub at :209) — its one

@@ -459,17 +459,51 @@ object Dedup {
   val SimBlockCombos: Seq[Seq[Int]] =
     (0 until 6).combinations(3).map(_.toSeq).toSeq
 
-  /** (doc_id, sh_lo, sh_hi): the 64-bit SimHash as two 32-bit halves over
-    * INDEPENDENT hash families of the same distinct word set (md5 bytes
-    * 0-3 and 4-7) — two positive BIGINTs instead of one sign-entangled
-    * 64-bit value, so the block/xor arithmetic is identical on both
-    * engines. */
-  private def simhash64(spark: SparkSession, sfDir: String): DataFrame =
-    docWords(spark, sfDir)
+  /** Adds (sh_lo, sh_hi) to any frame with a `text` column: the 64-bit
+    * SimHash as two 32-bit halves over INDEPENDENT hash families of the
+    * distinct word set (md5 bytes 0-3 and 4-7) — two positive BIGINTs
+    * instead of one sign-entangled 64-bit value, so the block/xor
+    * arithmetic is identical on both engines. Narrow (no shuffle), so it
+    * applies to streams too ([[graft.streaming.PipelineStreams]]). */
+  private[graft] def withSimhash64(df: DataFrame): DataFrame =
+    df.withColumn("ws", array_distinct(tokens(col("text"))))
       .filter(size(col("ws")) >= MinWords) // empty set → fp 0 hot bucket
       .withColumn("sh", graft.functions.TextHashes.simhash64(col("ws")))
-      .select(col("doc_id"),
-        col("sh.sh_lo").as("sh_lo"), col("sh.sh_hi").as("sh_hi"))
+      .withColumn("sh_lo", col("sh.sh_lo"))
+      .withColumn("sh_hi", col("sh.sh_hi"))
+      .drop("ws", "sh")
+
+  private def simhash64(spark: SparkSession, sfDir: String): DataFrame =
+    withSimhash64(docs(spark, sfDir))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"))
+
+  /** Explodes a fingerprinted frame into its 20 (combo_j, combo_key)
+    * block-triple rows (all other columns ride along) — the shared
+    * candidate-index shape for the batch pair query and the streaming
+    * probe. */
+  private[graft] def simhashBlockKeys(fp: DataFrame): DataFrame = {
+    def block(i: Int): Column = {
+      val half = if (i < 3) col("sh_lo") else col("sh_hi")
+      val pos = i % 3
+      shiftright(half, SimBlockShifts(pos))
+        .bitwiseAND((1L << SimBlockBits(pos)) - 1)
+    }
+    val keys = array(SimBlockCombos.zipWithIndex.map { case (c, j) =>
+      struct(lit(j).as("combo_j"),
+        (shiftleft(block(c(0)), 22) + shiftleft(block(c(1)), 11) +
+          block(c(2))).as("combo_key"))
+    }: _*)
+    fp.withColumn("k", explode(keys))
+      .withColumn("combo_j", col("k.combo_j"))
+      .withColumn("combo_key", col("k.combo_key"))
+      .drop("k")
+  }
+
+  /** Hamming distance between two (lo, hi) fingerprint pairs. */
+  private[graft] def hamming64(aLo: Column, aHi: Column,
+                               bLo: Column, bHi: Column): Column =
+    (bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi)))
+      .cast("long")
 
   /** Verified SimHash near-dup pairs (doc_a < doc_b, hamming ≤
     * [[SimHammingMax]] over the 64-bit fingerprint).
@@ -484,30 +518,14 @@ object Dedup {
     * Residual verify is two xor+bit_count ops, integer-exact on both
     * engines. */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = simhash64(spark, sfDir)
-    def block(i: Int): Column = {
-      val half = if (i < 3) col("sh_lo") else col("sh_hi")
-      val pos = i % 3
-      shiftright(half, SimBlockShifts(pos))
-        .bitwiseAND((1L << SimBlockBits(pos)) - 1)
-    }
-    val keys = array(SimBlockCombos.zipWithIndex.map { case (c, j) =>
-      struct(lit(j).as("combo_j"),
-        (shiftleft(block(c(0)), 22) + shiftleft(block(c(1)), 11) +
-          block(c(2))).as("combo_key"))
-    }: _*)
-    val e = fp.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-        explode(keys).as("k"))
-      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-        col("k.combo_j").as("combo_j"), col("k.combo_key").as("combo_key"))
+    val e = simhashBlockKeys(simhash64(spark, sfDir))
     e.as("a").join(e.as("b"),
         col("a.combo_j") === col("b.combo_j") &&
           col("a.combo_key") === col("b.combo_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
-          bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))))
-          .cast("long").as("hamming"))
+        hamming64(col("a.sh_lo"), col("a.sh_hi"),
+          col("b.sh_lo"), col("b.sh_hi")).as("hamming"))
       .filter(col("hamming") <= SimHammingMax)
       .distinct() // a pair may collide on several triples
   }

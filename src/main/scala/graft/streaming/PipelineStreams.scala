@@ -92,6 +92,45 @@ object PipelineStreams {
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams_hit"))
   }
 
+  /** Streaming SimHash near-dup detection against a STATIC base corpus —
+    * the ingest-time shape of `dedup_simhash_pairs` (the batch analog of
+    * `incremental_dedup`'s near-dup layer, but with Hamming semantics):
+    * each incoming doc is fingerprinted (narrow, the batch kernel),
+    * exploded to its 20 block-triple keys, and equi-joined stream-static
+    * against the base corpus's exploded key index; survivors of the
+    * Hamming ≤ [[graft.operators.Dedup.SimHammingMax]] verify are rolled
+    * up per doc (the stream's one allowed aggregation, update mode —
+    * same trade as [[decontaminateStream]]).
+    *
+    * Output: (doc_id, n_collisions, example_base_doc). `n_collisions`
+    * counts (base doc, block triple) collision EVIDENCE — a base doc
+    * colliding on several triples counts several times (distinct
+    * aggregation is unsupported on streams); any row at all means "this
+    * doc has a near-dup in the base", which is the gate decision, and
+    * the batch pair query gives exact multiplicities downstream.
+    *
+    * Scale: the static index is 20 rows per base doc; the join is equi on
+    * (combo_j, combo_key), so each micro-batch probes, never scans, the
+    * base. */
+  def simhashNearDupStream(spark: SparkSession, docs: DataFrame,
+                           baseSfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val base = Dedup.simhashBlockKeys(Dedup.withSimhash64(
+        graft.sources.Tables.load(spark, baseSfDir, "documents"))
+        .select(col("doc_id"), col("sh_lo"), col("sh_hi")))
+      .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
+        col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
+    Dedup.simhashBlockKeys(Dedup.withSimhash64(docs))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("combo_j"), col("combo_key"))
+      .join(base, Seq("combo_j", "combo_key"))
+      .filter(Dedup.hamming64(col("sh_lo"), col("sh_hi"),
+        col("base_lo"), col("base_hi")) <= Dedup.SimHammingMax)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"),
+        min("base_id").as("example_base_doc"))
+  }
+
   /** Hard cap on the eval gram literal [[decontaminateGateStream]] will
     * embed in its plan: 1M longs ≈ 8 MB — the most a per-row literal-set
     * probe should ever carry. Above it the gate refuses and points the

@@ -303,6 +303,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup flags docs with a base-corpus duplicate") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // a real base doc's text under a NEW id → hamming 0 vs its base twin,
+    // collides on every block triple, must be flagged
+    val twin = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").limit(1).collect()(0).getString(0)
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.simhashNearDupStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("ssim")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamDoc(900001, "en", twin, new java.sql.Timestamp(0L)),
+        StreamDoc(900002, "en",
+          "zqxgl vorptak wibblum cranxo deftig yulmar pezzik",
+          new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("ssim")
+        .select("doc_id", "n_collisions", "example_base_doc").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.contains(900001L), "identical doc must be flagged")
+      // identical fingerprints collide on all 20 triples with at least
+      // one base doc
+      assert(got(900001L)._1 >= 20L)
+      assert(!got.contains(900002L), "gibberish doc must not be flagged")
+    } finally q.stop()
+  }
+
   test("decontamination gate refuses a holdout larger than the literal cap") {
     import graft.streaming.PipelineStreams.StreamDoc
     val input = MemoryStream[StreamDoc](spark)
