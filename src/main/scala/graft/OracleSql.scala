@@ -451,6 +451,51 @@ object OracleSql {
       SELECT doc_id, term_rank, term, term_count, doc_freq
       FROM ranked WHERE term_rank <= ${TextAnalysis.TopTermsK}""",
 
+    // BM25 over the inverted index: arithmetic written with the SAME
+    // operand order/associativity as Search.bm25Search so every double is
+    // bit-identical (IEEE +,*,/ are correctly rounded; ln is evaluated on
+    // one corpus-constant argument per query term).
+    "bm25_search" -> {
+      import graft.operators.Search._
+      val terms = BmQueryTerms
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN df END) AS df_$i"
+      }.mkString(",\n               ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN term_count END) AS tf_$i"
+      }.mkString(",\n               ")
+      val partials = terms.indices.map { i =>
+        s"""CASE WHEN tf_$i IS NOT NULL THEN
+             ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+               * ((tf_$i * ${BmK1 + 1}) / (tf_$i + $BmK1 * (${1 - BmB} + $BmB * (dl / (total_len / CAST(n_docs AS DOUBLE))))))
+             ELSE 0.0 END"""
+      }.mkString(" + ")
+      s"""WITH $textCtes,
+      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
+             FROM ex GROUP BY doc_id, term),
+      dlen AS (SELECT doc_id, CAST(sum(term_count) AS BIGINT) AS dl
+               FROM tc GROUP BY doc_id),
+      corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+      dfs AS (SELECT $dfCols
+              FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tc WHERE term IN ($termList) GROUP BY term)),
+      m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               $tfCols
+            FROM tc WHERE term IN ($termList) GROUP BY doc_id),
+      scored AS (
+        SELECT m.doc_id, m.n_hit_terms, dlen.dl,
+               round($partials, 6) AS score
+        FROM m JOIN dlen USING (doc_id), corpus, dfs),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS srank
+            FROM scored)
+      SELECT srank, doc_id, n_hit_terms, dl, score
+      FROM r WHERE srank <= $BmTopK"""
+    },
+
     "source_mix_plan" -> s"""WITH $textCtes,
       per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(len(toks)) AS BIGINT) AS n_tokens
@@ -565,6 +610,81 @@ object OracleSql {
              (NOT is_eval AND pass_quality AND NOT is_contaminated
               AND NOT is_duplicate AND is_sampled) AS final_kept
       FROM dec""",
+
+    // Gopher repetition rules: the Spark side is the one-pass
+    // repetition_stats kernel; this twin is the declarative
+    // explode → group → window chain. Flags cross-multiplied so every
+    // threshold comparison is integer-exact; display ratios are double
+    // divisions of exact integers.
+    "quality_repetition" -> {
+      import graft.operators.Curation._
+      s"""WITH $textCtes,
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               j -> array_to_string(toks[j:j+1], ' '))) AS g
+             FROM tok),
+      bgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+              FROM bg GROUP BY doc_id, g),
+      bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id),
+      btop AS (SELECT doc_id, g AS top_bigram, c AS top_bigram_count
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, g ASC) AS rn FROM bgc)
+               WHERE rn = 1),
+      g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+               j -> array_to_string(toks[j:j+4], ' '))) AS g
+             FROM tok),
+      g5c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+              FROM g5 GROUP BY doc_id, g),
+      fstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+                       CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_5gram_occ
+                FROM g5c GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+             bt.top_bigram,
+             COALESCE(bt.top_bigram_count, 0) AS top_bigram_count,
+             COALESCE(fs.n_5grams, 0) AS n_5grams,
+             COALESCE(fs.dup_5gram_occ, 0) AS dup_5gram_occ,
+             round(COALESCE(bt.top_bigram_count, 0) / CAST(NULLIF(COALESCE(bs.n_bigrams, 0), 0) AS DOUBLE), 6) AS top_bigram_frac,
+             round(COALESCE(fs.dup_5gram_occ, 0) / CAST(NULLIF(COALESCE(fs.n_5grams, 0), 0) AS DOUBLE), 6) AS dup_5gram_frac,
+             (NOT (COALESCE(bt.top_bigram_count, 0) * 100 > $RepTopBigramPct * COALESCE(bs.n_bigrams, 0))
+              AND NOT (COALESCE(fs.dup_5gram_occ, 0) * 100 > $RepDup5GramPct * COALESCE(fs.n_5grams, 0))) AS pass_repetition
+      FROM documents d
+      LEFT JOIN bstat bs ON d.doc_id = bs.doc_id
+      LEFT JOIN btop bt ON d.doc_id = bt.doc_id
+      LEFT JOIN fstat fs ON d.doc_id = fs.doc_id"""
+    },
+
+    // C4-style cross-corpus span dedup over fixed word chunks; chunks
+    // join on md5(chunk) on both engines, reconstruction verified by
+    // md5 of the ordered surviving text.
+    "line_dedup" -> {
+      import graft.operators.Curation._
+      val C = LineChunkWords
+      s"""WITH $textCtes,
+      c AS (SELECT doc_id, unnest(list_transform(
+               range(0, CAST((len(toks) + ${C - 1}) // $C AS BIGINT)),
+               j -> struct_pack(cid := j,
+                 chunk := array_to_string(toks[(j*$C+1):least((j+1)*$C, len(toks))], ' ')))) AS s
+            FROM tok),
+      ch AS (SELECT doc_id, s.cid AS cid, s.chunk AS chunk, md5(s.chunk) AS h FROM c),
+      boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                                FROM ch GROUP BY h)
+                 WHERE nd >= $LineDupMinDocs),
+      kept AS (SELECT ch.doc_id, ch.cid, ch.chunk
+               FROM ch LEFT JOIN boiler b ON ch.h = b.h
+               WHERE b.h IS NULL),
+      k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_chunks,
+                   string_agg(chunk, ' ' ORDER BY cid) AS kept_text
+            FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM ch GROUP BY doc_id)
+      SELECT t.doc_id, t.n_chunks,
+             t.n_chunks - COALESCE(k.n_kept_chunks, 0) AS n_dup_chunks,
+             CASE WHEN k.kept_text IS NULL OR k.kept_text = '' THEN 0
+                  ELSE CAST(len(string_split(k.kept_text, ' ')) AS BIGINT)
+                  END AS n_kept_words,
+             md5(COALESCE(k.kept_text, '')) AS kept_hash
+      FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id"""
+    },
 
     "pii_scrub" -> {
       import graft.operators.Curation._

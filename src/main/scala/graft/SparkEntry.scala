@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{BrokerOps, Curation, Dedup, MultiModal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BrokerOps, Curation, Dedup, MultiModal, Relational, Sampling, Search, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
     "top_terms" -> (TextAnalysis.topTerms(_, _)),
+    "bm25_search" -> (Search.bm25Search(_, _)),
     // corpus composition (training-mix planning + deterministic sampling)
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
@@ -54,6 +55,8 @@ object SparkEntry {
     "pii_scrub" -> (Curation.piiScrub(_, _)),
     "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
     "curate_corpus" -> (Curation.curateCorpus(_, _)),
+    "quality_repetition" -> (Curation.qualityRepetition(_, _)),
+    "line_dedup" -> (Curation.lineDedup(_, _)),
     // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
     // dedup / similarity / multimodal (north-star extension block)

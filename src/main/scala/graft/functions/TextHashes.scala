@@ -392,6 +392,77 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** repetition_stats(array<string>) -> struct(n_bigrams, top_bigram,
+    * top_bigram_count, n_5grams, dup_5gram_occ): the Gopher-style
+    * repetition signals in ONE pass over the token array — overlapping
+    * word bigrams and 5-grams counted per document, the most frequent
+    * bigram (ties broken by the lexicographically SMALLEST gram, matching
+    * `ORDER BY cnt DESC, gram ASC`), and the number of 5-gram occurrences
+    * whose gram appears more than once. Values identical to the
+    * explode → groupBy → window chain without any shuffle at all:
+    * repetition is a per-document property, so at 100 TB this runs at
+    * scan speed inside the corpus pass instead of pushing every gram of
+    * every document through an exchange. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("top_bigram", StringType, nullable = true),
+      StructField("top_bigram_count", LongType, nullable = false),
+      StructField("n_5grams", LongType, nullable = false),
+      StructField("dup_5gram_occ", LongType, nullable = false)))
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      def gram(i: Int, w: Int): org.apache.spark.unsafe.types.UTF8String = {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+          j += 1
+        }
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      }
+      // bigrams
+      val big = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      val nBigrams = math.max(n - 1, 0)
+      var i = 0
+      while (i < nBigrams) {
+        big.computeIfAbsent(gram(i, 2), _ => new Array[Long](1))(0) += 1
+        i += 1
+      }
+      var topG: org.apache.spark.unsafe.types.UTF8String = null
+      var topC = 0L
+      val bit = big.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val c = e.getValue()(0)
+        if (c > topC || (c == topC && topG != null &&
+            e.getKey.compareTo(topG) < 0)) {
+          topC = c; topG = e.getKey
+        }
+      }
+      // 5-grams
+      val five = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      val n5 = math.max(n - 4, 0)
+      i = 0
+      while (i < n5) {
+        five.computeIfAbsent(gram(i, 5), _ => new Array[Long](1))(0) += 1
+        i += 1
+      }
+      var dupOcc = 0L
+      val fit = five.values().iterator()
+      while (fit.hasNext) {
+        val c = fit.next()(0)
+        if (c > 1) dupOcc += c
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nBigrams.toLong, topG, topC, n5.toLong, dupOcc))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
@@ -412,6 +483,8 @@ object TextHashes {
     column(SimHashBits(expression(c), bits))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def max_count(c: Column): Column = column(MaxCount(expression(c)))
+  def repetition_stats(c: Column): Column =
+    column(RepetitionStats(expression(c)))
   def word_grams_hashed(c: Column, n: Int): Column =
     column(WordGramsHashed(expression(c), n))
 }

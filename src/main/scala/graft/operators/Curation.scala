@@ -275,4 +275,106 @@ object Curation {
         col("is_contaminated"), col("is_duplicate"),
         col("sampled").as("is_sampled"), col("final_kept"), col("drop_reason"))
   }
+
+  // ----- Gopher repetition rules (beyond the single-token max_count) -----
+
+  /** Most-frequent-bigram share threshold: top_bigram_count/n_bigrams
+    * ≤ 18% (Gopher's top-2-gram rule), evaluated integer-exactly as
+    * `top·100 ≤ 18·n`. */
+  val RepTopBigramPct = 18L
+  /** Duplicate-5-gram occupancy threshold: occurrences of 5-grams that
+    * repeat within the doc ≤ 30% of all 5-gram occurrences (Gopher's
+    * dup-5-gram rule), evaluated as `occ·100 ≤ 30·n`. */
+  val RepDup5GramPct = 30L
+
+  /** Gopher-style REPETITION quality signals per document: the most
+    * frequent word bigram and its share of all bigram slots, and the
+    * share of 5-gram occurrences that are within-doc repeats. Both flags
+    * are integer-exact (`·100` cross-multiplication); the display ratios
+    * are double divisions of exact integers, identical on both engines.
+    *
+    * Scale: the whole query is ONE corpus scan — the
+    * [[graft.functions.TextHashes.repetition_stats]] kernel counts both
+    * gram families per row, so no gram ever reaches an exchange (the
+    * oracle's explode → groupBy → window chain would shuffle ~n_words
+    * rows per document, ~100× the corpus bytes at 5-gram width). */
+  def qualityRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextHashes.repetition_stats(
+          TextAnalysis.tokens(col("text"))).as("rs"))
+      .select(col("doc_id"), col("rs.n_bigrams").as("n_bigrams"),
+        col("rs.top_bigram").as("top_bigram"),
+        col("rs.top_bigram_count").as("top_bigram_count"),
+        col("rs.n_5grams").as("n_5grams"),
+        col("rs.dup_5gram_occ").as("dup_5gram_occ"))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_count") /
+          when(col("n_bigrams") === 0, lit(null))
+            .otherwise(col("n_bigrams")).cast("double"), 6))
+      .withColumn("dup_5gram_frac",
+        round(col("dup_5gram_occ") /
+          when(col("n_5grams") === 0, lit(null))
+            .otherwise(col("n_5grams")).cast("double"), 6))
+      .withColumn("pass_repetition",
+        !(col("top_bigram_count") * 100 > lit(RepTopBigramPct) * col("n_bigrams")) &&
+          !(col("dup_5gram_occ") * 100 > lit(RepDup5GramPct) * col("n_5grams")))
+
+  // ----- C4-style cross-corpus span (line) dedup -----
+
+  /** "Line" granularity for corpus-level span dedup: the synthetic docs
+    * are single-line word salad, so fixed 5-word non-overlapping chunks
+    * stand in for C4's newline-delimited lines. */
+  val LineChunkWords = 5
+  /** A chunk is boilerplate when it appears in ≥ 2 distinct documents. */
+  val LineDupMinDocs = 2L
+
+  /** C4-style repeated-span removal: split every document into
+    * [[LineChunkWords]]-word chunks, count DISTINCT documents per chunk
+    * across the corpus, drop every chunk that [[LineDupMinDocs]]-or-more
+    * documents share, and reassemble the surviving text in order. The
+    * output verifies the full reconstruction (md5 of the kept text), the
+    * chunk accounting, and the surviving word count — all integer/string
+    * exact.
+    *
+    * Scale: chunks join on their md5 hash, never the chunk text (the
+    * shuffle carries 32-byte keys, not spans); the distinct-doc count is
+    * partial-aggregable; the boilerplate set is a sliver of the chunk
+    * space (only cross-doc repeats) so the anti-join's build side is
+    * small; reassembly groups by doc_id — each group is one document's
+    * own chunks, never corpus-sized. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = LineChunkWords
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val chunks = toks
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L), ((size(col("toks")) + C - 1) / C).cast("long") - 1),
+          j => concat_ws(" ", slice(col("toks"), (j * C + 1).cast("int"), lit(C)))))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val boiler = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= LineDupMinDocs)
+      .select("h")
+    val kept = chunks.join(boiler, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          s => s("chunk")), " ").as("kept_text"))
+    // total chunk count is pure arithmetic on the token array — no third
+    // evaluation of the chunk explode
+    toks.select(col("doc_id"),
+        ((size(col("toks")) + C - 1) / C).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept_chunks"), lit(0L)))
+          .as("n_dup_chunks"),
+        when(col("kept_text").isNull || col("kept_text") === "", lit(0L))
+          .otherwise(size(split(col("kept_text"), " ")).cast("long"))
+          .as("n_kept_words"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
+  }
 }

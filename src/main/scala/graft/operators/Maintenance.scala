@@ -43,20 +43,25 @@ object Maintenance {
 
   /** One maintenance pass result. */
   case class Pass(decisions: Map[String, Seq[Retention.SegmentDecision]],
-                  errors: Map[String, String])
+                  errors: Map[String, String],
+                  compactions: Map[String, Seq[Compaction.SegmentOutcome]] =
+                    Map.empty)
 
   /** The periodic runner. `start()` it, `close()` it (close blocks until
     * the final shutdown pass completes — the reference's "Flushing before
     * exit" semantics). `nowMs` is the retention clock (None = newest
     * record timestamp, the deterministic default shared with
-    * [[Retention.plan]]). */
+    * [[Retention.plan]]). `keyCompaction` additionally runs the Kafka-style
+    * [[Compaction.compactKeys]] cleaner each pass (after retention, so
+    * freshly-evicted segments are never rewritten first). */
   final class Runner(spark: SparkSession, baseDir: String,
                      intervalMs: Long = DefaultIntervalMs,
                      retentionMs: Long =
                        graft.model.LogModel.RetentionDays * 86400000L,
                      retentionBytes: Long =
                        graft.model.LogModel.RetentionBytes,
-                     nowMs: () => Option[Long] = () => None)
+                     nowMs: () => Option[Long] = () => None,
+                     keyCompaction: Boolean = false)
       extends AutoCloseable {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
 
@@ -83,15 +88,19 @@ object Maintenance {
       * can reuse the exact loop body. */
     def runOnce(): Pass = {
       val results = Map.newBuilder[String, Seq[Retention.SegmentDecision]]
+      val compactions = Map.newBuilder[String, Seq[Compaction.SegmentOutcome]]
       val errors = Map.newBuilder[String, String]
       discoverTopics(spark, baseDir).foreach { t =>
-        try results += t -> Retention.compact(spark, baseDir, t,
-          retentionMs, retentionBytes, nowMs())
-        catch { case e: Exception => // loop survives a bad topic
+        try {
+          results += t -> Retention.compact(spark, baseDir, t,
+            retentionMs, retentionBytes, nowMs())
+          if (keyCompaction)
+            compactions += t -> Compaction.compactKeys(spark, baseDir, t)
+        } catch { case e: Exception => // loop survives a bad topic
           errors += t -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         }
       }
-      val p = Pass(results.result(), errors.result())
+      val p = Pass(results.result(), errors.result(), compactions.result())
       last = p
       passes.incrementAndGet()
       p

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over the corpus — the consumer workload the
+  * persist-once inverted-index artifact ([[TextAnalysis.termCounts]])
+  * exists for: probe the (doc_id, term, term_count) postings on the query
+  * terms, score the matched documents with BM25 (Robertson/Spärck Jones;
+  * the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))` idf form that stays
+  * positive for every df), return the top-k.
+  *
+  * Cross-engine float parity: every arithmetic step is written with the
+  * SAME operand order and associativity as the DuckDB twin — IEEE
+  * +,*,/ are correctly rounded, so both engines produce bit-identical
+  * doubles there; `ln` is evaluated on only one argument per query term
+  * (a function of the corpus-constant (N, df)), and the per-term partial
+  * scores are summed in fixed query-term order before the shared
+  * `round(·, 6)`.
+  *
+  * Scale shape: the candidate set is the union of the query terms'
+  * posting lists (a sliver of the corpus for selective queries), pivoted
+  * per document by a partial-aggregable groupBy; doc lengths come from
+  * the same artifact; (N, total_len) and the per-term document
+  * frequencies are 1-row broadcast crossJoins (the [[Sampling]] totals
+  * pattern). The final top-k is a TakeOrderedAndProject over candidates
+  * only — the full corpus is never scored, sorted, or shuffled.
+  */
+object Search {
+
+  /** Fixed example query: one selective term (`dup` — planted in the
+    * near-duplicate docs, df ≈ 5% of the corpus) and two common ones, so
+    * the idf weighting visibly drives the ranking. */
+  val BmQueryTerms: Seq[String] = Seq("dup", "spark", "merge")
+  val BmK1 = 1.2
+  val BmB = 0.75
+  val BmTopK = 10
+
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = TextAnalysis.termCounts(spark, sfDir)
+    val terms = BmQueryTerms
+    val dl = tc.groupBy("doc_id")
+      .agg(sum("term_count").cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("long").as("total_len"))
+    val dfExprs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("df"))).as(s"df_$i")
+    }
+    val dfs = tc.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(dfExprs.head, dfExprs.tail: _*)
+    val matched = tc.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        terms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("term_count"))).as(s"tf_$i")
+        }: _*)
+
+    // avgdl and the per-term BM25 partials — operand order mirrored
+    // token-for-token by OracleSql.bm25 so the doubles are bit-identical
+    val avgdl = col("total_len") / col("n_docs").cast("double")
+    def partial(i: Int): Column = {
+      val tf = col(s"tf_$i")
+      val dfT = col(s"df_$i")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      when(tf.isNotNull,
+        idf * ((tf * lit(BmK1 + 1)) /
+          (tf + lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val score = terms.indices.map(partial)
+      .reduceLeft[Column]((a, b) => a + b)
+
+    matched
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(dfs))
+      .withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+      .withColumn("srank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("srank"), col("doc_id"), col("n_hit_terms").cast("long"),
+        col("dl"), col("score"))
+  }
+}

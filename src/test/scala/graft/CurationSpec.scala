@@ -148,4 +148,100 @@ class CurationSpec extends AnyFunSuite {
     assert(c.join(ss, "doc_id").filter($"is_sampled" =!= $"exp_s")
       .count() === 0)
   }
+
+  test("repetition_stats kernel matches the declarative gram chain") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+    val kernel = d.select($"doc_id",
+      graft.functions.TextHashes.repetition_stats($"toks").as("rs"))
+      .select($"doc_id", $"rs.n_bigrams".as("nb"), $"rs.top_bigram".as("tg"),
+        $"rs.top_bigram_count".as("tc"), $"rs.n_5grams".as("n5"),
+        $"rs.dup_5gram_occ".as("d5"))
+    def grams(w: Int) = d.select($"doc_id", explode(
+      transform(sequence(lit(0), size($"toks") - w),
+        i => concat_ws(" ", slice($"toks", (i + 1).cast("int"), lit(w)))))
+      .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val big = grams(2).withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy($"c".desc, $"g")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("nb2"),
+        max(when($"rn" === 1, $"g")).as("tg2"),
+        max(when($"rn" === 1, $"c")).as("tc2"))
+    val five = grams(5).groupBy("doc_id")
+      .agg(sum("c").as("n52"),
+        coalesce(sum(when($"c" > 1, $"c")), lit(0L)).as("d52"))
+    val joined = kernel.join(big, "doc_id").join(five, "doc_id")
+    assert(joined.filter($"nb" =!= $"nb2" || $"tg" =!= $"tg2" ||
+      $"tc" =!= $"tc2" || $"n5" =!= $"n52" || $"d5" =!= $"d52").count() === 0)
+    assert(joined.count() > 0)
+  }
+
+  test("repetition_stats edge cases: tie-break and short docs") {
+    def stats(words: String*) = Seq(words).toDF("toks")
+      .select(graft.functions.TextHashes.repetition_stats($"toks").as("rs"))
+      .select($"rs.*").collect().head
+    // "b a" and "a b" each occur once → tie broken to smallest gram
+    val tie = stats("b", "a", "b")
+    assert(tie.getAs[String]("top_bigram") === "a b")
+    assert(tie.getAs[Long]("top_bigram_count") === 1L)
+    assert(tie.getAs[Long]("n_bigrams") === 2L)
+    // repeated bigram wins over lexicographic order
+    val rep = stats("z", "z", "z", "a", "b")
+    assert(rep.getAs[String]("top_bigram") === "z z")
+    assert(rep.getAs[Long]("top_bigram_count") === 2L)
+    // fewer than 5 tokens → no 5-grams; fewer than 2 → no bigrams
+    assert(rep.getAs[Long]("n_5grams") === 1L)
+    assert(rep.getAs[Long]("dup_5gram_occ") === 0L)
+    val one = stats("solo")
+    assert(one.getAs[Long]("n_bigrams") === 0L)
+    assert(one.isNullAt(one.fieldIndex("top_bigram")))
+    assert(one.getAs[Long]("top_bigram_count") === 0L)
+    // duplicated 5-grams counted with multiplicity
+    val d5 = stats("a", "b", "c", "d", "e", "a", "b", "c", "d", "e", "a",
+      "b", "c", "d", "e")
+    assert(d5.getAs[Long]("dup_5gram_occ") > 0L)
+  }
+
+  test("line_dedup: chunk accounting consistent, shared spans removed, unique docs intact") {
+    val ld = Curation.lineDedup(spark, sf).cache()
+    // accounting: kept + dup = total, kept words ≤ chunk words
+    assert(ld.filter($"n_dup_chunks" < 0 || $"n_dup_chunks" > $"n_chunks")
+      .count() === 0)
+    // a doc with zero dup chunks reconstructs to its full normalized text
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        graft.operators.TextAnalysis.normText($"text").as("ntext"))
+    val intact = ld.filter($"n_dup_chunks" === 0).join(d, "doc_id")
+    assert(intact.filter(md5($"ntext") =!= $"kept_hash").count() === 0)
+    // near-dup docs (minhash pairs) must lose at least one shared chunk
+    val pairs = Dedup.dedupMinhashPairs(spark, sf)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val dupDocs = ld.join(pairs, "doc_id")
+    if (dupDocs.count() > 0)
+      assert(dupDocs.filter($"n_dup_chunks" > 0).count() > 0)
+  }
+
+  test("bm25_search: ranked output, selective term dominates") {
+    val r = graft.operators.Search.bm25Search(spark, sf).cache()
+    val rows = r.collect()
+    assert(rows.length > 0 && rows.length <= graft.operators.Search.BmTopK)
+    // srank is 1..n in score-desc order
+    assert(rows.map(_.getAs[Long]("srank")).toSeq ===
+      (1L to rows.length).toSeq)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.forall(_ > 0.0))
+    // docs containing the selective term 'dup' outrank those without it
+    // whenever any are present (idf dominance)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(array_contains($"toks", "dup"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    if (d.nonEmpty && rows.exists(r => d(r.getAs[Long]("doc_id")))) {
+      val top = rows.head.getAs[Long]("doc_id")
+      assert(d(top))
+    }
+  }
 }

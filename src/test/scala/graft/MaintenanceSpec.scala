@@ -104,4 +104,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(p2.decisions("ok").forall(_.keep))
     runner.close()
   }
+
+  test("keyCompaction pass runs the log cleaner after retention") {
+    val dir = Files.createTempDirectory("flyq-maint-compact").toString
+    // fresh keyed topic: duplicate keys across two non-active segments
+    SegmentFiles.writeSegment(dir, "kc", 0, Seq(
+      Record(0, Now, b("a"), b("v1")), Record(1, Now, b("b"), b("v1"))))
+    SegmentFiles.writeSegment(dir, "kc", 0, Seq(
+      Record(2, Now, b("a"), b("v2")), Record(3, Now, b("b"), b("v2"))))
+    SegmentFiles.writeSegment(dir, "kc", 0, Seq(
+      Record(4, Now, b("c"), b("active"))))
+    val runner = new Maintenance.Runner(spark, dir,
+      intervalMs = 3600L * 1000,
+      retentionMs = 365 * DAY, retentionBytes = Long.MaxValue,
+      nowMs = () => Some(Now), keyCompaction = true)
+    val p = runner.runOnce()
+    assert(p.errors.isEmpty)
+    // segment 0 fully shadowed by segment 2 → deleted by the cleaner
+    assert(p.compactions("kc").map(o => (o.baseOff, o.action)) ===
+      Seq((0L, "delete"), (2L, "keep")))
+    assert(logs(dir, "kc").size === 2)
+    val offs = SegmentFiles.readTopic(spark, dir, "kc")
+      .select("msg_offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offs === Seq(2L, 3L, 4L))
+    // without the flag, no compaction runs
+    val plain = new Maintenance.Runner(spark, dir,
+      intervalMs = 3600L * 1000, retentionMs = 365 * DAY,
+      retentionBytes = Long.MaxValue, nowMs = () => Some(Now))
+    assert(plain.runOnce().compactions.isEmpty)
+    runner.close(); plain.close()
+  }
 }
