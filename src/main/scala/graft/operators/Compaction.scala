@@ -87,14 +87,19 @@ object Compaction {
       segList.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
 
     // compaction scope: all records, so the active segment's records DO
-    // shadow older versions — but only non-active segments are rewritten
+    // shadow older versions — but only non-active segments are rewritten.
+    // Segment-set predicates are broadcast anti/semi-joins on a
+    // (#segments)-row frame, NOT literal CASE chains: a 100 TB topic has
+    // thousands of segments and a thousand-node when-chain is a
+    // plan-sized expression the optimizer has to walk per rule.
+    import spark.implicits._
+    val activeDf = broadcast(
+      activeBase.toSeq.toDF("part_id", "base_off"))
+    def dropActive(df: DataFrame): DataFrame =
+      df.join(activeDf, Seq("part_id", "base_off"), "left_anti")
     val recs = SegmentFiles.readTopic(spark, baseDir, topic)
-    val activeExpr = activeBase.foldLeft(lit(false)) { case (acc, (p, b)) =>
-      when(col("part_id") === p && col("base_off") === b, lit(true))
-        .otherwise(acc)
-    }
-    val nonActive = recs.filter(!activeExpr)
-    val survivors = survivorFrame(recs).filter(!activeExpr)
+    val nonActive = dropActive(recs)
+    val survivors = dropActive(survivorFrame(recs))
 
     // per-segment decision table (#segments rows — tiny): equal counts
     // means the survivor subset is the whole segment, so skip the rewrite
@@ -115,13 +120,11 @@ object Compaction {
     val toDelete = decisions.filter { case (_, (_, a)) => a == 0 }.keySet
 
     if (toRewrite.nonEmpty) {
-      val rewriteExpr = toRewrite.foldLeft(lit(false)) { case (acc, (p, b)) =>
-        when(col("part_id") === p && col("base_off") === b, lit(true))
-          .otherwise(acc)
-      }
+      val rewriteDf = broadcast(
+        toRewrite.toSeq.toDF("part_id", "base_off"))
       val confB = broadcastHadoopConf(spark)
       val paths = pathOf // serializable capture, not the outer method
-      survivors.filter(rewriteExpr)
+      survivors.join(rewriteDf, Seq("part_id", "base_off"), "left_semi")
         .repartition(col("part_id"), col("base_off"))
         .sortWithinPartitions("part_id", "base_off", "msg_offset")
         .select("part_id", "base_off", "msg_offset", "ts_ms", "mkey",

@@ -131,6 +131,53 @@ object PipelineStreams {
         min("base_id").as("example_base_doc"))
   }
 
+  /** Streaming line (span) dedup against a STATIC base corpus — the
+    * ingest-time shape of the batch `line_dedup`: boilerplate chunks are
+    * learned ONCE from the base corpus (chunks shared by ≥
+    * [[graft.operators.Curation.LineDupMinDocs]] base docs), and every
+    * incoming doc's chunks are scrubbed against that set. Chunks
+    * equi-join on their md5 hash (stream-static, the static side is the
+    * boilerplate sliver); the per-doc rebuild is the stream's one
+    * allowed aggregation (update mode), reassembling surviving chunks in
+    * order exactly like the batch op, so `kept_hash` here equals the
+    * batch `kept_hash` for the same text whenever the base corpus's
+    * boilerplate set contains the corpus-wide duplicates.
+    *
+    * Chunks NEW in the stream are not deduped against each other (that
+    * would need unbounded chunk state); the batch pass downstream
+    * reconciles stream-vs-stream spans — the same lambda split as
+    * [[exactDedupStream]]'s horizon trade. */
+  def lineDedupStream(spark: SparkSession, docs: DataFrame,
+                      baseSfDir: String): DataFrame = {
+    import graft.operators.Curation.{LineChunkWords => C, LineDupMinDocs}
+    def chunked(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L),
+            ((size(col("toks")) + C - 1) / C).cast("long") - 1),
+          j => concat_ws(" ", slice(col("toks"), (j * C + 1).cast("int"),
+            lit(C)))))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val boiler = chunked(
+        graft.sources.Tables.load(spark, baseSfDir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      .groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= LineDupMinDocs)
+      .select("h")
+    chunked(docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks")))
+      .join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          s => s("chunk")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_kept_chunks"),
+        size(split(col("kept_text"), " ")).cast("long").as("n_kept_words"),
+        md5(col("kept_text")).as("kept_hash"))
+  }
+
   /** Hard cap on the eval gram literal [[decontaminateGateStream]] will
     * embed in its plan: 1M longs ≈ 8 MB — the most a per-row literal-set
     * probe should ever carry. Above it the gate refuses and points the

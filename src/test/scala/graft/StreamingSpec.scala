@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup scrubs base-corpus boilerplate, keeps fresh text") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // batch result over the SAME corpus gives the expected per-doc kept
+    // state for a replayed base doc
+    val batch = graft.operators.Curation.lineDedup(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept_words"), r.getAs[String]("kept_hash")))).toMap
+    val replayed = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        .isin(batch.filter(_._2._1 > 0).keys.toSeq.take(1).map(Long.box): _*))
+      .select("doc_id", "text").collect()
+    assert(replayed.nonEmpty)
+    val (baseId, baseText) = (replayed(0).getLong(0), replayed(0).getString(1))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.lineDedupStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sline")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamDoc(baseId, "en", baseText, new java.sql.Timestamp(0L)),
+        StreamDoc(900102, "en",
+          "zqxgl vorptak wibblum cranxo deftig yulmar pezzik quang brix",
+          new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("sline")
+        .select("doc_id", "n_kept_words", "kept_hash").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // the replayed base doc scrubs to the batch op's kept state: its
+      // own chunks are in the boilerplate set only where ≥2 base docs
+      // share them, so stream output == batch output for that doc
+      assert(got(baseId) === batch(baseId))
+      // fresh gibberish shares no 5-word chunk with the base → intact
+      assert(got(900102L)._1 === 9L)
+    } finally q.stop()
+  }
+
   test("decontamination gate refuses a holdout larger than the literal cap") {
     import graft.streaming.PipelineStreams.StreamDoc
     val input = MemoryStream[StreamDoc](spark)
