@@ -204,6 +204,32 @@ class CurationSpec extends AnyFunSuite {
     assert(d5.getAs[Long]("dup_5gram_occ") > 0L)
   }
 
+  test("property: repetition_stats matches a plain-Scala reference on random docs (seeded)") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(31))(vocab(rnd.nextInt(vocab.size))))
+    }
+    def expected(toks: Seq[String]) = {
+      def grams(w: Int) = toks.sliding(w).filter(_.size == w)
+        .map(_.mkString(" ")).toSeq
+      val bg = grams(2)
+      val top = bg.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }.headOption
+      val g5 = grams(5).groupBy(identity).view.mapValues(_.size)
+      (bg.size.toLong, top.map(_._1).orNull, top.map(_._2.toLong).getOrElse(0L),
+        g5.values.sum.toLong, g5.values.filter(_ > 1).sum.toLong)
+    }
+    val got = docs.toDF("id", "toks")
+      .select($"id", graft.functions.TextHashes.repetition_stats($"toks").as("rs"))
+      .select($"id", $"rs.*").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[String]("top_bigram"),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    docs.foreach { case (id, toks) =>
+      assert(got(id) === expected(toks), s"doc $id toks=$toks")
+    }
+  }
+
   test("line_dedup: chunk accounting consistent, shared spans removed, unique docs intact") {
     val ld = Curation.lineDedup(spark, sf).cache()
     // accounting: kept + dup = total, kept words ≤ chunk words
