@@ -99,8 +99,21 @@ object Compaction {
       df.join(activeDf, Seq("part_id", "base_off"), "left_anti")
     val recs = SegmentFiles.readTopic(spark, baseDir, topic)
     val nonActive = dropActive(recs)
+    // persisted for the job's duration: the winner shuffle + semi-join is
+    // the expensive stage, and both the decision counts and the rewrite
+    // job consume it — without the persist it would run twice
     val survivors = dropActive(survivorFrame(recs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try compactWith(spark, nonActive, survivors, activeBase, segList)
+    finally survivors.unpersist(blocking = false)
+  }
 
+  private def compactWith(spark: SparkSession, nonActive: DataFrame,
+                          survivors: DataFrame,
+                          activeBase: Map[Long, Long],
+                          segList: Array[(Long, Long, String)])
+      : Seq[SegmentOutcome] = {
+    import spark.implicits._
     // per-segment decision table (#segments rows — tiny): equal counts
     // means the survivor subset is the whole segment, so skip the rewrite
     val before = nonActive.groupBy("part_id", "base_off")
