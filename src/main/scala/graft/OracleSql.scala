@@ -457,7 +457,9 @@ object OracleSql {
     // one corpus-constant argument per query term).
     "bm25_search" -> {
       import graft.operators.Search._
-      val terms = BmQueryTerms
+      // same escaping rule as TopicFilterExample's interpolation: a query
+      // term containing a quote must not silently break the oracle SQL
+      val terms = BmQueryTerms.map(_.replace("'", "''"))
       val termList = terms.map(t => s"'$t'").mkString(", ")
       val dfCols = terms.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN df END) AS df_$i"

@@ -25,8 +25,11 @@ import graft.operators.TextAnalysis.{normText, tokens}
   *
   * Every rule/threshold below is evaluated INTEGER-exactly on both
   * engines (ratio r ≥ p/q rewritten as r_num * q ≥ p * r_den), so the
-  * keep/drop decisions cannot drift across Spark and the DuckDB oracle —
-  * the outputs surface the raw integer counts, never derived floats.
+  * keep/drop decisions cannot drift across Spark and the DuckDB oracle.
+  * Outputs surface the raw integer counts; where a ratio is emitted at
+  * all (the `quality_repetition` display fracs) it is a rounded double
+  * DIVISION of exact integers — bit-identical cross-engine — and never
+  * feeds a decision.
   */
 object Curation {
 
@@ -343,38 +346,56 @@ object Curation {
     * space (only cross-doc repeats) so the anti-join's build side is
     * small; reassembly groups by doc_id — each group is one document's
     * own chunks, never corpus-sized. */
-  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, chunk_id, chunk, h) rows: the [[LineChunkWords]]-word
+    * non-overlapping chunks of a `(doc_id, toks)` frame, hashed — the ONE
+    * home of the chunking rule, shared by [[lineDedup]], the streaming
+    * twin ([[graft.streaming.PipelineStreams.lineDedupStream]]), and
+    * (via generated SQL constants) the oracle. */
+  def chunkFrame(toks: DataFrame): DataFrame = {
     val C = LineChunkWords
-    val toks = docs(spark, sfDir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    val chunks = toks
+    toks
       .select(col("doc_id"), posexplode(
         transform(
           sequence(lit(0L), ((size(col("toks")) + C - 1) / C).cast("long") - 1),
           j => concat_ws(" ", slice(col("toks"), (j * C + 1).cast("int"), lit(C)))))
         .as(Seq("chunk_id", "chunk")))
       .withColumn("h", md5(col("chunk")))
+  }
+
+  /** Per-doc ordered reassembly of surviving chunk rows:
+    * (doc_id, n_kept_chunks, kept_text). */
+  def rebuildKept(kept: DataFrame): DataFrame = kept
+    .groupBy("doc_id")
+    .agg(count(lit(1)).as("n_kept_chunks"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+        s => s("chunk")), " ").as("kept_text"))
+
+  /** Word count of a reassembled text, with the empty-text guard (a NULL
+    * or empty rebuild is zero words — `split("")` would report one). */
+  def keptWords(keptText: Column): Column =
+    when(keptText.isNull || keptText === "", lit(0L))
+      .otherwise(size(split(keptText, " ")).cast("long"))
+
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val chunks = chunkFrame(toks)
     val boiler = chunks.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= LineDupMinDocs)
       .select("h")
-    val kept = chunks.join(boiler, Seq("h"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept_chunks"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
-          s => s("chunk")), " ").as("kept_text"))
+    val kept = rebuildKept(chunks.join(boiler, Seq("h"), "left_anti"))
     // total chunk count is pure arithmetic on the token array — no third
     // evaluation of the chunk explode
     toks.select(col("doc_id"),
-        ((size(col("toks")) + C - 1) / C).cast("long").as("n_chunks"))
+        ((size(col("toks")) + LineChunkWords - 1) / LineChunkWords)
+          .cast("long").as("n_chunks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept_chunks"), lit(0L)))
           .as("n_dup_chunks"),
-        when(col("kept_text").isNull || col("kept_text") === "", lit(0L))
-          .otherwise(size(split(col("kept_text"), " ")).cast("long"))
-          .as("n_kept_words"),
+        keptWords(col("kept_text")).as("n_kept_words"),
         md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
   }
 }

@@ -90,7 +90,18 @@ object Maintenance {
       val results = Map.newBuilder[String, Seq[Retention.SegmentDecision]]
       val compactions = Map.newBuilder[String, Seq[Compaction.SegmentOutcome]]
       val errors = Map.newBuilder[String, String]
-      discoverTopics(spark, baseDir).foreach { t =>
+      // discovery failures are a pass-level error, not a thread killer: an
+      // exception escaping runOnce would silently end the loop (and skip
+      // the final shutdown pass) — the reference's cleanup task likewise
+      // warns and keeps ticking
+      val topics =
+        try discoverTopics(spark, baseDir)
+        catch { case e: Exception =>
+          errors += "<discover>" ->
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          Seq.empty
+        }
+      topics.foreach { t =>
         try {
           results += t -> Retention.compact(spark, baseDir, t,
             retentionMs, retentionBytes, nowMs())
@@ -118,19 +129,38 @@ object Maintenance {
     }
 
     private val thread = new Thread(() => {
-      while (awaitTick()) runOnce()
-      runOnce(): Unit // final pass on shutdown (flush.rs:101-105)
+      // belt to runOnce's braces: anything still escaping (fatal-ish
+      // runtime errors, a closed SparkSession on shutdown races) must not
+      // end the loop without trace or skip the final pass
+      while (awaitTick()) {
+        try runOnce()
+        catch { case e: Throwable =>
+          last = Pass(Map.empty,
+            Map("<pass>" -> s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+      // final pass on shutdown (flush.rs:101-105) — same belt, so close()
+      // always unblocks
+      try runOnce(): Unit
+      catch { case e: Throwable =>
+        last = Pass(Map.empty,
+          Map("<pass>" -> s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     }, "graft-maintenance")
     thread.setDaemon(true)
 
     def start(): this.type = { thread.start(); this }
 
+    /** Blocks until the final shutdown pass completes — the scaladoc'd
+      * flush-before-exit guarantee, so no bounded join that could return
+      * with a rewrite mid-flight. The thread is a daemon: a caller that
+      * genuinely must abandon a wedged pass can still exit the JVM. */
     override def close(): Unit = {
       lock.synchronized {
         shuttingDown = true
         lock.notifyAll()
       }
-      if (thread.isAlive) thread.join(120000)
+      if (thread.isAlive) thread.join()
     }
   }
 }

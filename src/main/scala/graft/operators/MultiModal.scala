@@ -58,9 +58,13 @@ object MultiModal {
       val r = readers.next()
       try {
         r.setInput(in)
-        // allowSearch=false keeps this header-only for streaming formats;
-        // -1 means "unknown without a full scan" -> report 1 frame
-        val n = r.getNumImages(false)
+        // allowSearch=true: multi-frame formats (GIF) only know their
+        // image count after walking the block structure, and with `false`
+        // they return -1 — which would silently report every animation as
+        // 1 frame. The walk parses headers of an ALREADY in-memory byte
+        // array; no raster is decoded, so the metadata pass still never
+        // pays the pixel cost.
+        val n = r.getNumImages(true)
         (r.getWidth(0), r.getHeight(0), if (n > 0) n else 1)
       } finally r.dispose()
     } finally in.close()

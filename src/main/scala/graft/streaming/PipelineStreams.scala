@@ -149,32 +149,19 @@ object PipelineStreams {
     * [[exactDedupStream]]'s horizon trade. */
   def lineDedupStream(spark: SparkSession, docs: DataFrame,
                       baseSfDir: String): DataFrame = {
-    import graft.operators.Curation.{LineChunkWords => C, LineDupMinDocs}
-    def chunked(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), posexplode(
-        transform(
-          sequence(lit(0L),
-            ((size(col("toks")) + C - 1) / C).cast("long") - 1),
-          j => concat_ws(" ", slice(col("toks"), (j * C + 1).cast("int"),
-            lit(C)))))
-        .as(Seq("chunk_id", "chunk")))
-      .withColumn("h", md5(col("chunk")))
-    val boiler = chunked(
+    import graft.operators.Curation
+    val boiler = Curation.chunkFrame(
         graft.sources.Tables.load(spark, baseSfDir, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
       .groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= LineDupMinDocs)
+      .filter(col("nd") >= Curation.LineDupMinDocs)
       .select("h")
-    chunked(docs.select(col("doc_id"),
-        TextAnalysis.tokens(col("text")).as("toks")))
-      .join(broadcast(boiler), Seq("h"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept_chunks"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
-          s => s("chunk")), " ").as("kept_text"))
+    Curation.rebuildKept(
+        Curation.chunkFrame(docs.select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("toks")))
+          .join(broadcast(boiler), Seq("h"), "left_anti"))
       .select(col("doc_id"), col("n_kept_chunks"),
-        size(split(col("kept_text"), " ")).cast("long").as("n_kept_words"),
+        Curation.keptWords(col("kept_text")).as("n_kept_words"),
         md5(col("kept_text")).as("kept_hash"))
   }
 

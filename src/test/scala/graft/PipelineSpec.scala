@@ -401,4 +401,26 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("ImageIoDecoder reports animated GIF frame counts") {
+    // build a real 3-frame animated GIF with the stdlib sequence writer
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    (0 until 3).foreach { i =>
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, i * 1000)
+      w.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "gif", out.toByteArray)))
+    val f = MultiModal.decodeFeatures(media, MultiModal.ImageIoDecoder)
+      .collect().head
+    assert((f.width, f.height, f.n_frames) === ((8, 6, 3)))
+  }
 }
