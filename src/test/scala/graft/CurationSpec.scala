@@ -249,6 +249,23 @@ class CurationSpec extends AnyFunSuite {
       assert(dupDocs.filter($"n_dup_chunks" > 0).count() > 0)
   }
 
+  test("plan: quality_repetition is a zero-shuffle single scan") {
+    val plan = Curation.qualityRepetition(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition kernel must not shuffle grams:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1)
+  }
+
+  test("plan: line_dedup evaluates the chunk explode at most twice") {
+    val plan = Curation.lineDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one explode feeds the boilerplate count, one the kept rebuild; the
+    // total-chunk branch is arithmetic on the token array (no Generate)
+    assert("Generate".r.findAllIn(plan).size <= 2,
+      s"chunk explode evaluated more than twice:\n$plan")
+  }
+
   test("bm25_search: ranked output, selective term dominates") {
     val r = graft.operators.Search.bm25Search(spark, sf).cache()
     val rows = r.collect()
