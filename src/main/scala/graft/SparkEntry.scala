@@ -57,8 +57,10 @@ object SparkEntry {
     "curate_corpus" -> (Curation.curateCorpus(_, _)),
     "quality_repetition" -> (Curation.qualityRepetition(_, _)),
     "line_dedup" -> (Curation.lineDedup(_, _)),
-    // sketch (no oracle twin — DuckDB's HLL differs; rows-only + spec bound)
+    // sketches (no oracle twins — DuckDB's HLL/quantile sketches differ;
+    // rows-only + spec-bounded rel_err)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),
+    "approx_value_percentiles" -> (TextAnalysis.approxValuePercentiles(_, _)),
     // dedup / similarity / multimodal (north-star extension block)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),

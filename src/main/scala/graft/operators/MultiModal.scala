@@ -96,6 +96,55 @@ object MultiModal {
     }
   }
 
+  /** Audio metadata a real decoder produces. `n_samples` = sample FRAMES
+    * (one per channel set); `duration_ms` derived from frames/rate. */
+  case class AudioFeatures(media_id: Long, kind: String, bytes: Long,
+                           sample_rate: Int, channels: Int, n_samples: Long,
+                           duration_ms: Long)
+
+  /** Audio decoder contract: payload bytes →
+    * (sample_rate, channels, sample_frames). */
+  type AudioDecoder = Array[Byte] => (Int, Int, Long)
+
+  /** REAL audio header decode via `javax.sound.sampled` (JVM stdlib, no
+    * new dependencies — the audio twin of [[ImageIoDecoder]]):
+    * `AudioSystem.getAudioFileFormat` parses the container header ONLY
+    * (WAV/AIFF/AU ship with the JDK), no PCM is decoded. Undecodable
+    * bytes fail loudly, same contract as the image path. The
+    * deterministic stub now stands in only for compressed codecs the JVM
+    * lacks (MP3/AAC/video containers). */
+  val WavDecoder: AudioDecoder = { bytes =>
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    val af = fmt.getFormat
+    (af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength.toLong)
+  }
+
+  /** STUB audio decode — deterministic fake from the content hash, same
+    * scheme as [[FakeDecoder]] (rate from a fixed public set, 1-2
+    * channels, length from the hash) for codecs the JVM can't parse. */
+  val FakeAudioDecoder: AudioDecoder = { bytes =>
+    val h = graft.functions.TextHashes.md5_32(bytes)
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    (rates((h % rates.length).toInt), (h / 7 % 2).toInt + 1,
+      1000L + h % 100000L)
+  }
+
+  /** Audio metadata pass: narrow per-partition decode, payloads never
+    * shuffle — identical scale shape to [[decodeFeatures]]. */
+  def decodeAudioFeatures(media: Dataset[MediaRecord],
+                          decoder: AudioDecoder = FakeAudioDecoder)
+      : Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (rate, ch, n) = decoder(r.payload)
+        AudioFeatures(r.media_id, r.kind, r.payload.length.toLong, rate, ch,
+          n, if (rate > 0) n * 1000L / rate else 0L)
+      }
+    }
+  }
+
   /** A sampled frame reference (video path): which frames a downstream
     * extractor should decode. */
   case class FrameRef(media_id: Long, frame_idx: Int, ts_ms: Long)

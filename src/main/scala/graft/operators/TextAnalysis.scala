@@ -188,4 +188,33 @@ object TextAnalysis {
       .withColumn("rel_err",
         round(abs(col("approx_users") - col("exact_users"))
           .cast("double") / col("exact_users"), 4))
+
+  /** Quantile targets for [[approxValuePercentiles]]. */
+  val PercentileQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Second sketch family (after HLL): Greenwald-Khanna approximate
+    * percentiles next to the exact ones, per event type, with measured
+    * relative error. No oracle twin (DuckDB's approximation is a
+    * different sketch) — rows-only + the PipelineSpec error bound, same
+    * deal as [[approxUserCount]]. At 100 TB the sketch is a
+    * partial-aggregable bounded-memory merge; the exact column needs the
+    * full per-group value multiset. */
+  def approxValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qArr = PercentileQs.map(_.toString).mkString(", ")
+    graft.sources.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr(s"percentile(value, array($qArr))").as("exact_p"),
+        expr(s"approx_percentile(value, array($qArr), 10000)").as("approx_p"))
+      .select(col("event_type"),
+        posexplode(arrays_zip(
+          typedLit(PercentileQs).as("q"),
+          col("exact_p"), col("approx_p"))).as(Seq("pos", "z")))
+      .select(col("event_type"), col("z.q").as("q"),
+        round(col("z.exact_p"), 6).as("exact_value"),
+        round(col("z.approx_p"), 6).as("approx_value"),
+        round(abs(col("z.approx_p") - col("z.exact_p")) /
+          abs(when(col("z.exact_p") === 0d, lit(null))
+            .otherwise(col("z.exact_p"))), 4).as("rel_err"))
+  }
 }

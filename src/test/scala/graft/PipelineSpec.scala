@@ -329,6 +329,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("GK percentile sketch honors its RANK guarantee against exact") {
+    val rows = TextAnalysis.approxValuePercentiles(spark, sf).collect()
+    assert(rows.length ===
+      5 * TextAnalysis.PercentileQs.length) // 5 event types × 3 quantiles
+    // GK's guarantee is rank-based, not value-based: the returned value's
+    // rank is within ε of the target. A value-relative bound would
+    // conflate that with interpolation semantics (exact `percentile`
+    // interpolates, the sketch returns a data value — a whole inter-value
+    // gap apart in a ~200-row group's tail). So assert containment in
+    // the exact [q-0.02, min(q+0.02, 1)] value envelope instead.
+    val qs = TextAnalysis.PercentileQs
+    val lo = qs.map(q => (q - 0.02).max(0.0)).mkString(", ")
+    val hi = qs.map(q => (q + 0.02).min(1.0)).mkString(", ")
+    val bounds = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(expr(s"percentile(value, array($lo))").as("blo"),
+        expr(s"percentile(value, array($hi))").as("bhi"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    rows.foreach { r =>
+      val i = qs.indexOf(r.getAs[Double]("q"))
+      val (blo, bhi) = bounds(r.getAs[String]("event_type"))
+      val v = r.getAs[Double]("approx_value")
+      assert(v >= blo(i) - 1e-9 && v <= bhi(i) + 1e-9,
+        s"(${r.getAs[String]("event_type")}, q=${qs(i)}): " +
+          s"$v outside [${blo(i)}, ${bhi(i)}]")
+    }
+  }
+
   test("frame sampling and resize planning ride the decoded features") {
     val media = graft.sources.Tables.load(spark, sf, "documents")
       .select($"doc_id", TextAnalysis.normText($"text").as("ntext"))
@@ -422,5 +452,32 @@ class PipelineSpec extends AnyFunSuite {
     val f = MultiModal.decodeFeatures(media, MultiModal.ImageIoDecoder)
       .collect().head
     assert((f.width, f.height, f.n_frames) === ((8, 6, 3)))
+  }
+
+  test("WavDecoder reads real WAV headers distributed") {
+    import javax.sound.sampled._
+    def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val af = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * af.getFrameSize)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "wav", wavBytes(8000f, 1, 1600)),   // 200 ms mono
+      MediaRecord(2L, "wav", wavBytes(44100f, 2, 44100)))) // 1 s stereo
+    val got = MultiModal.decodeAudioFeatures(media, MultiModal.WavDecoder)
+      .collect().sortBy(_.media_id)
+    assert(got.map(f => (f.sample_rate, f.channels, f.n_samples,
+      f.duration_ms)).toSeq ===
+      Seq((8000, 1, 1600L, 200L), (44100, 2, 44100L, 1000L)))
+    // undecodable payloads fail loudly, like the image path
+    val junk = spark.createDataset(Seq(
+      MediaRecord(9L, "mp3ish", Array[Byte](9, 9, 9, 9))))
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeAudioFeatures(junk, MultiModal.WavDecoder).collect()
+    }
   }
 }
