@@ -991,6 +991,20 @@ object OracleSql {
              count(DISTINCT user_id) AS n_users
       FROM ev GROUP BY 1, 2""",
 
+    // hopping windows: each event's two epoch-aligned 30-min-step hour
+    // windows, unnested from time_bucket (DuckDB's bucket origin
+    // 2000-01-03 is itself on the 30-min epoch grid, so buckets equal
+    // Spark's window() alignment)
+    "events_hopping" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      b AS (SELECT *, time_bucket(INTERVAL '30 minutes', ts) AS tb FROM ev),
+      w AS (SELECT *, unnest([tb - INTERVAL '30 minutes', tb]) AS win_start
+            FROM b)
+      SELECT win_start, win_start + INTERVAL '60 minutes' AS win_end,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2, 3""",
+
     "value_percentiles" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
       SELECT event_type, count(*) AS n_events,

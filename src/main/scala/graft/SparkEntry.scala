@@ -83,6 +83,7 @@ object SparkEntry {
     "q3_top_orders" -> (Relational.q3TopOrders(_, _)),
     "region_rollup" -> (Relational.regionRollup(_, _)),
     "events_hourly" -> (Relational.eventsHourly(_, _)),
+    "events_hopping" -> (Relational.eventsHopping(_, _)),
     "events_pivot" -> (Relational.eventsPivot(_, _)),
     "value_percentiles" -> (Relational.valuePercentiles(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),

@@ -85,6 +85,23 @@ object Relational {
           .cast("double").as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Hopping (sliding) window rollup: 1-hour windows every 30 minutes —
+    * each event lands in exactly two epoch-aligned windows via the
+    * built-in `window()` generator (a narrow 2-row explode fused into the
+    * scan, then one partial-aggregable groupBy on (window, type); the
+    * oracle twin unnests the same two bucket starts from
+    * `time_bucket`). At 100 TB the shuffle carries 2× the group rows of
+    * the tumbling query, never 2× the data. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Sessionization: per-user session boundaries where the gap to the
     * previous event exceeds 30 minutes (lag window + running sum), then
     * per-user session stats. The window shuffles by user_id — the natural
