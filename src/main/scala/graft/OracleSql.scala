@@ -995,8 +995,11 @@ object OracleSql {
     // windows, unnested from time_bucket (DuckDB's bucket origin
     // 2000-01-03 is itself on the 30-min epoch grid, so buckets equal
     // Spark's window() alignment)
+    // (ts IS NOT NULL mirrors Spark's window() generator, which drops
+    // NULL-timestamp rows; DuckDB would otherwise keep NULL-window groups)
     "events_hopping" -> """WITH ev AS (
-        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        WHERE ts IS NOT NULL),
       b AS (SELECT *, time_bucket(INTERVAL '30 minutes', ts) AS tb FROM ev),
       w AS (SELECT *, unnest([tb - INTERVAL '30 minutes', tb]) AS win_start
             FROM b)

@@ -117,6 +117,14 @@ object MultiModal {
     val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
       new java.io.ByteArrayInputStream(bytes))
     val af = fmt.getFormat
+    // AudioSystem reports NOT_SPECIFIED (-1) for streaming-style headers
+    // (e.g. AU with data size 0xffffffff); propagating it would emit
+    // fabricated negative counts — fail loudly like an unparseable header
+    if (fmt.getFrameLength < 0 || af.getSampleRate <= 0 || af.getChannels <= 0)
+      throw new IllegalArgumentException(
+        s"audio header lacks declared length/rate/channels " +
+          s"(frames=${fmt.getFrameLength}, rate=${af.getSampleRate}, " +
+          s"channels=${af.getChannels})")
     (af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength.toLong)
   }
 

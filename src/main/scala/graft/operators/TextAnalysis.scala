@@ -207,9 +207,9 @@ object TextAnalysis {
         expr(s"percentile(value, array($qArr))").as("exact_p"),
         expr(s"approx_percentile(value, array($qArr), 10000)").as("approx_p"))
       .select(col("event_type"),
-        posexplode(arrays_zip(
+        explode(arrays_zip(
           typedLit(PercentileQs).as("q"),
-          col("exact_p"), col("approx_p"))).as(Seq("pos", "z")))
+          col("exact_p"), col("approx_p"))).as("z"))
       .select(col("event_type"), col("z.q").as("q"),
         round(col("z.exact_p"), 6).as("exact_value"),
         round(col("z.approx_p"), 6).as("approx_value"),

@@ -231,7 +231,12 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("line_dedup: chunk accounting consistent, shared spans removed, unique docs intact") {
+    // cached for the multi-assertion reads below, UNPERSISTED at the end:
+    // a lingering cache entry would make the later plan-assertion test
+    // resolve its fresh frame through InMemoryRelation, whose printed
+    // plan double-counts the Generates
     val ld = Curation.lineDedup(spark, sf).cache()
+    try {
     // accounting: kept + dup = total, kept words ≤ chunk words
     assert(ld.filter($"n_dup_chunks" < 0 || $"n_dup_chunks" > $"n_chunks")
       .count() === 0)
@@ -247,6 +252,7 @@ class CurationSpec extends AnyFunSuite {
     val dupDocs = ld.join(pairs, "doc_id")
     if (dupDocs.count() > 0)
       assert(dupDocs.filter($"n_dup_chunks" > 0).count() > 0)
+    } finally ld.unpersist(blocking = true)
   }
 
   test("plan: quality_repetition is a zero-shuffle single scan") {
