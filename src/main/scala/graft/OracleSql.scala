@@ -451,6 +451,26 @@ object OracleSql {
       SELECT doc_id, term_rank, term, term_count, doc_freq
       FROM ranked WHERE term_rank <= ${TextAnalysis.TopTermsK}""",
 
+    "vocab_coverage" -> s"""WITH $textCtes,
+      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
+             FROM ex GROUP BY doc_id, term),
+      vf AS (SELECT term, CAST(sum(term_count) AS BIGINT) AS tf
+             FROM tc GROUP BY term),
+      voc AS (SELECT term FROM vf ORDER BY tf DESC, term ASC
+              LIMIT ${TextAnalysis.VocabSize}),
+      cov AS (SELECT tc.doc_id,
+                CAST(sum(tc.term_count) AS BIGINT) AS n_words,
+                CAST(COALESCE(sum(CASE WHEN v.term IS NOT NULL
+                  THEN tc.term_count END), 0) AS BIGINT) AS vocab_hits
+              FROM tc LEFT JOIN voc v ON tc.term = v.term
+              GROUP BY tc.doc_id)
+      SELECT doc_id, n_words, vocab_hits,
+             n_words - vocab_hits AS oov_words,
+             round(vocab_hits / CAST(n_words AS DOUBLE), 6) AS vocab_coverage,
+             vocab_hits * ${TextAnalysis.VocabCovDen} >= n_words AS pass_vocab
+      FROM cov""",
+
     // BM25 over the inverted index: arithmetic written with the SAME
     // operand order/associativity as Search.bm25Search so every double is
     // bit-identical (IEEE +,*,/ are correctly rounded; ln is evaluated on
@@ -1082,7 +1102,42 @@ object OracleSql {
       SELECT event_id AS purchase_id, user_id, click_id,
              epoch_ms(ts) - epoch_ms(click_ts) AS ms_since_click,
              CAST(click_value AS DOUBLE) AS click_value
-      FROM w WHERE event_type = 'purchase'"""
+      FROM w WHERE event_type = 'purchase'""",
+
+    // CDC merge (graft.operators.Merge): change-batch derivation and the
+    // full-outer apply, generated from the same bucket rules/constants.
+    "merge_upsert" -> s"""WITH
+      bk AS (SELECT *, ${docHashSql("c_custkey")} % 10 AS bucket FROM customer),
+      ch AS (
+        SELECT CASE WHEN bucket = 3
+                 THEN c_custkey + ${graft.operators.Merge.InsertKeyOffset}
+                 ELSE c_custkey END AS c_custkey,
+               CASE WHEN bucket = 0 THEN 'delete'
+                    WHEN bucket = 3 THEN 'insert'
+                    ELSE 'update' END AS op,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN 'Customer#INS' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS c_name,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN CAST(0 AS DECIMAL(12,2))
+                    ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DECIMAL(12,2))
+               END AS c_acctbal,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN 'NEW'
+                    ELSE 'REBALANCED' END AS c_mktsegment
+        FROM bk WHERE bucket <= 3),
+      b AS (SELECT c_custkey, c_name,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+            FROM customer)
+      SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
+             CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE b.c_name END AS c_name,
+             CAST(CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS DOUBLE) AS c_acctbal,
+             CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+             CASE WHEN ch.op = 'update' THEN 'updated'
+                  WHEN ch.op = 'insert' THEN 'inserted'
+                  ELSE 'base' END AS src
+      FROM b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
+      WHERE ch.op IS NULL OR ch.op <> 'delete'"""
   )
 
   /** ann_recall: recall@k of each approximate method against the exact

@@ -43,6 +43,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
     "top_terms" -> (TextAnalysis.topTerms(_, _)),
+    "vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "bm25_search" -> (Search.bm25Search(_, _)),
     // corpus composition (training-mix planning + deterministic sampling)
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "order_priority_rank" -> (Relational.orderPriorityRank(_, _)),
     "repeat_customers" -> (Relational.repeatCustomers(_, _)),
     "asof_click_purchase" -> (Relational.asofClickPurchase(_, _)),
+    "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )
 
   /** DuckDB twins for the driver's correctness gate. Keys must be a subset

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC-style MERGE (upsert/delete) — apply a change batch to a base
+  * table in one pass: `delete` removes the keyed row, `update` replaces
+  * the payload columns, `insert` adds a new row. The shape every
+  * incremental ingestion pipeline needs when the corpus is maintained as
+  * periodically-merged snapshots rather than rewritten from scratch.
+  *
+  * Scale posture (100 TB): ONE equi shuffle — a full-outer join on the
+  * key; the change batch is ingest-sized (≪ base) so AQE broadcasts it
+  * and the base never moves; with both sides bucketed by the key the
+  * join is co-located and shuffle-free. No windows, no driver state.
+  */
+object Merge {
+
+  /** Apply a change batch to `base`. `changes` carries the key column, an
+    * `op` column ('insert' | 'update' | 'delete'), and the same payload
+    * columns as `base` (NULL payload on deletes). At most one change per
+    * key (enforce upstream — last-write-wins compaction of a change log
+    * is a groupBy max_by on ingest sequence, not this operator's job).
+    * Output adds `src`: 'base' (untouched), 'updated', or 'inserted'. */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+                   payload: Seq[String]): DataFrame = {
+    val b = payload.foldLeft(base.select(col(key) +: payload.map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"b_$c")
+    }.withColumn("in_base", lit(true))
+    val ch = payload.foldLeft(changes.select(
+      col(key) +: col("op") +: payload.map(col): _*)) { (d, c) =>
+      d.withColumnRenamed(c, s"c_$c")
+    }
+    b.join(ch, Seq(key), "full")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col(key) +:
+        payload.map(c => when(col("op").isNotNull, col(s"c_$c"))
+          .otherwise(col(s"b_$c")).as(c)) :+
+        when(col("op") === "update", lit("updated"))
+          .when(col("op") === "insert", lit("inserted"))
+          .otherwise(lit("base")).as("src"): _*)
+  }
+
+  /** The benched/oracled instance: a deterministic change batch over
+    * `customer` derived from the doc-hash of the key (bucket 0 → delete,
+    * 1-2 → update with a +1000.00 balance adjustment and a re-segment,
+    * 3 → insert of a new key offset by [[InsertKeyOffset]]), applied with
+    * [[applyChanges]]. All payload math is exact (integer-derived doubles
+    * rounded to 2), so the merged snapshot hashes identically on both
+    * engines. */
+  val InsertKeyOffset = 1000000L
+
+  def changeBatch(base: DataFrame): DataFrame = {
+    val bucket = Curation.docHash(col("c_custkey")) % 10
+    base
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") <= 3)
+      .select(
+        when(col("bucket") === 3, col("c_custkey") + InsertKeyOffset)
+          .otherwise(col("c_custkey")).as("c_custkey"),
+        when(col("bucket") === 0, lit("delete"))
+          .when(col("bucket") === 3, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        when(col("bucket") === 0, lit(null).cast("string"))
+          .when(col("bucket") === 3,
+            concat(lit("Customer#INS"), col("c_custkey").cast("string")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("bucket") === 0, lit(null).cast("decimal(12,2)"))
+          .when(col("bucket") === 3, lit(0).cast("decimal(12,2)"))
+          .otherwise((col("c_acctbal").cast("decimal(12,2)") + 1000)
+            .cast("decimal(12,2)")).as("c_acctbal"),
+        when(col("bucket") === 0, lit(null).cast("string"))
+          .when(col("bucket") === 3, lit("NEW"))
+          .otherwise(lit("REBALANCED")).as("c_mktsegment"))
+  }
+
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Tables.load(spark, sfDir, "customer")
+      .withColumn("c_acctbal", col("c_acctbal").cast("decimal(12,2)"))
+    applyChanges(base, changeBatch(base), "c_custkey",
+      Seq("c_name", "c_acctbal", "c_mktsegment"))
+      // decimal math above, double at the surface: the stringified scales
+      // would differ across engines ('1.6' vs '1.60') — verify gotcha
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+  }
+}

@@ -217,4 +217,44 @@ object TextAnalysis {
           abs(when(col("z.exact_p") === 0d, lit(null))
             .otherwise(col("z.exact_p"))), 4).as("rel_err"))
   }
+
+  /** Vocabulary size for [[vocabCoverage]] — the corpus' top-V terms by
+    * total occurrences (ties broken lexicographically, integer-exact on
+    * both engines). Small on the word-salad testdata (31 distinct terms)
+    * so coverage actually varies; at real scale V is the tokenizer-vocab
+    * budget (tens of thousands). */
+  val VocabSize = 10
+  /** Pass when vocab term occurrences cover ≥ 1/3 of the doc's tokens,
+    * evaluated integer-exactly as hits·3 ≥ n_words. */
+  val VocabCovDen = 3L
+
+  /** Vocabulary coverage per document: what fraction of a doc's token
+    * occurrences fall inside the corpus' top-[[VocabSize]] vocabulary —
+    * the tokenizer-fit signal a training pipeline uses to drop documents
+    * a fixed vocab would shred into rare-token soup.
+    *
+    * Scale: both sides derive from the persist-once [[termCounts]]
+    * inverted-index artifact. The vocabulary is a vocab-sized partial
+    * aggregation capped by a distributed TakeOrdered (never a
+    * single-partition window), broadcast to the per-doc side; the only
+    * corpus-sized exchange is the doc_id rollup, which is
+    * partial-aggregable. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = termCounts(spark, sfDir)
+    val vocab = tc.groupBy("term")
+      .agg(sum("term_count").as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(VocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    tc.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum("term_count").as("n_words"),
+        coalesce(sum(when(col("in_vocab"), col("term_count"))), lit(0L))
+          .as("vocab_hits"))
+      .select(col("doc_id"), col("n_words"), col("vocab_hits"),
+        (col("n_words") - col("vocab_hits")).as("oov_words"),
+        round(col("vocab_hits") / col("n_words").cast("double"), 6)
+          .as("vocab_coverage"),
+        (col("vocab_hits") * VocabCovDen >= col("n_words")).as("pass_vocab"))
+  }
 }
