@@ -763,6 +763,53 @@ object OracleSql {
       FROM res"""
     },
 
+    // Bloom variant of exact-membership dedup on the bag-of-words
+    // canonical key: the bloom only prunes shuffle input, so the oracle
+    // is the PLAIN exact-membership semi-join.
+    "bloom_dedup" -> {
+      import graft.operators.Curation._
+      s"""WITH $textCtes,
+      spl AS (SELECT doc_id,
+                sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS th,
+                ${docHashSql("doc_id")} % $IncrBatchMod = 0 AS in_batch
+              FROM tok),
+      bh AS (SELECT DISTINCT th FROM spl WHERE NOT in_batch)
+      SELECT s.doc_id, (bh.th IS NOT NULL) AS is_exact_dup
+      FROM spl s LEFT JOIN bh ON s.th = bh.th
+      WHERE s.in_batch"""
+    },
+
+    // Bigram-LM quality scoring: per-bigram-TYPE log-probs quantized to
+    // integer micro-nats (floor(ln(cb/cu)·1e6)) so all downstream sums and
+    // threshold tests are exact integer arithmetic on both engines.
+    "lm_bigram_score" -> {
+      import graft.operators.LangModel._
+      s"""WITH $textCtes,
+      bgo AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM tok WHERE len(toks) >= 2),
+      model AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb
+                FROM bgo GROUP BY bg),
+      m2 AS (SELECT bg, cb, string_split(bg, ' ')[1] AS w1 FROM model),
+      ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM m2 GROUP BY w1),
+      lp AS (SELECT bg,
+               CAST(floor(ln(CAST(cb AS DOUBLE) / cu) * $LmMicro) AS BIGINT) AS lp_micro
+             FROM m2 JOIN ctx USING (w1)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(lp_micro) AS BIGINT) AS lm_micro_sum
+              FROM bgo JOIN lp USING (bg) GROUP BY doc_id)
+      SELECT t.doc_id,
+             COALESCE(a.n_bigrams, 0) AS n_bigrams,
+             COALESCE(a.lm_micro_sum, 0) AS lm_micro_sum,
+             round(CAST(a.lm_micro_sum AS DOUBLE) / $LmMicro
+                   / NULLIF(a.n_bigrams, 0), 6) AS lm_avg_nats,
+             (COALESCE(a.n_bigrams, 0) > 0 AND
+              COALESCE(a.lm_micro_sum, 0) >= $PassAvgMicroNats * COALESCE(a.n_bigrams, 0))
+               AS pass_lm
+      FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
+    },
+
     "simhash_fingerprint" -> {
       val sums = (0 until 16).map(j =>
         s"COALESCE(list_sum(list_transform(hws, h -> ((h >> $j) & 1) * 2 - 1)), 0) AS b$j")

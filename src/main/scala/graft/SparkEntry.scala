@@ -55,6 +55,8 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontaminate(_, _)),
     "pii_scrub" -> (Curation.piiScrub(_, _)),
     "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
+    "bloom_dedup" -> (Curation.bloomDedup(_, _)),
+    "lm_bigram_score" -> (graft.operators.LangModel.lmBigramScore(_, _)),
     "curate_corpus" -> (Curation.curateCorpus(_, _)),
     "quality_repetition" -> (Curation.qualityRepetition(_, _)),
     "line_dedup" -> (Curation.lineDedup(_, _)),

@@ -235,6 +235,71 @@ object Curation {
       .withColumn("is_accepted", !col("is_exact_dup") && !col("is_near_dup"))
   }
 
+  /** False-positive rate for the batch-side bloom prefilter. */
+  val BloomFpp = 0.01
+
+  /** Bloom-prefiltered membership flag — the 100 TB shape for "which of
+    * these batch keys already exist in the huge base". The batch's key
+    * set is folded into a driver-built bloom filter (batch-sized — the
+    * SMALL side by definition of incremental ingest), shipped as a
+    * literal, and the corpus-sized BASE scan is prefiltered map-side with
+    * Catalyst's native `BloomFilterMightContain` (codegen'd, the same
+    * expression AQE runtime filters inject). Only surviving base keys
+    * (true matches + fpp·|base| false positives) reach the exchange; the
+    * exact join on the full key then removes the false positives, so the
+    * RESULT is exact — the bloom changes shuffle bytes, never answers.
+    * Two driver actions run on the batch side (count + bloom build);
+    * both touch only the small side.
+    *
+    * Returns `batch` + `flagCol` (true = the key exists in `base`).
+    *
+    * Reference analog: the same decide-membership-before-touching-data
+    * role as the sparse segment index probe on reads
+    * (`segment.rs:156-179`). */
+  def bloomSemiFlag(batch: DataFrame, base: DataFrame, key: String,
+                    flagCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val hashed = batch.select(xxhash64(col(key)).as("h"))
+    val bloom = hashed.stat.bloomFilter("h",
+      math.max(hashed.count(), 1L), BloomFpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b)
+      b.toByteArray
+    }
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col(key)))))
+    val candidates = base.filter(mightContain)
+      .select(col(key)).distinct()
+      .withColumn(flagCol, lit(true))
+    batch.join(candidates, Seq(key), "left")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
+
+  /** Bag-of-words canonical signature: sha256 over the sorted distinct
+    * word set — the aggressive-canonicalization exact-dedup key under
+    * which word-shuffled near-identical documents collide (the corpus has
+    * no byte-identical duplicates, but it HAS word-shuffle duplicates —
+    * the same family the MinHash smoke tests pin). */
+  def wordSetHash(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
+
+  /** Bloom-prefiltered incremental dedup on the [[wordSetHash]] canonical
+    * key: same batch/base split as [[incrementalDedup]], answered with
+    * [[bloomSemiFlag]] so the base side never shuffles more than true
+    * duplicates + the bloom's false-positive sliver. */
+  def bloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSplit = docs(spark, sfDir)
+      .select(col("doc_id"), wordSetHash(col("text")).as("th"))
+      .withColumn("in_batch", docHash(col("doc_id")) % IncrBatchMod === 0)
+    bloomSemiFlag(
+      withSplit.filter(col("in_batch")).select("doc_id", "th"),
+      withSplit.filter(!col("in_batch")).select("doc_id", "th"),
+      "th", "is_exact_dup")
+      .select(col("doc_id"), col("is_exact_dup"))
+  }
+
   /** The whole curation pipeline as ONE per-doc decision: eval-holdout
     * exclusion → quality rules → decontamination → near-dup keep-first →
     * stratified sampling, with the first failing stage as the drop

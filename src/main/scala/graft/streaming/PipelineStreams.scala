@@ -20,6 +20,10 @@ object PipelineStreams {
   case class StreamDoc(doc_id: Long, lang: String, text: String,
                        event_ts: java.sql.Timestamp)
 
+  /** Typed row for event streams (tests / MemoryStream drivers). */
+  case class StreamEvent(event_id: Long, user_id: Long,
+                         ts: java.sql.Timestamp, value: Double)
+
   /** Streaming exact dedup: same content identity as the batch
     * `dedup_exact` (sha256 of the canonically normalized text), with
     * duplicates suppressed inside the event-time watermark horizon via
@@ -202,5 +206,112 @@ object PipelineStreams {
       .filter(!arrays_overlap(col("hg"),
         typedLit(evalGrams.toSeq)))
       .drop("hg")
+  }
+
+  /** Streaming bigram-LM quality scoring against a model trained ONCE on
+    * a static reference corpus ([[graft.operators.LangModel.lmModel]]) —
+    * the CCNet shape: the LM is fit to the corpus you trust, the stream
+    * is the corpus you're filtering. Incoming docs explode to bigram
+    * occurrences, stream-static join the (broadcast, bigram-type-sized)
+    * model, and roll up per doc (the stream's one allowed aggregation,
+    * update mode — same trade as [[decontaminateStream]]).
+    *
+    * Bigrams the reference model never saw score the flat
+    * [[OovMicroNats]] penalty (a left join's null), so novel-transition
+    * word salad is pushed below the pass threshold instead of silently
+    * dropped from the sum. Flags use the same integer-exact threshold as
+    * the batch op. */
+  val OovMicroNats: Long = -10000000L // -10 nats, well below any MLE bigram
+
+  def lmScoreStream(spark: SparkSession, docs: DataFrame,
+                    modelSfDir: String): DataFrame = {
+    import graft.operators.LangModel
+    val lp = LangModel.lmModel(spark, modelSfDir)
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(LangModel.bigramsOf(col("toks"))).as("bg"))
+      .join(broadcast(lp), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("lp_micro"), lit(OovMicroNats))).as("lm_micro_sum"))
+      .withColumn("pass_lm", col("n_bigrams") > 0 &&
+        col("lm_micro_sum") >= lit(LangModel.PassAvgMicroNats) * col("n_bigrams"))
+  }
+
+  /** Hard cap on the bloom literal [[bloomGateStream]] embeds: 32 MB of
+    * filter bits covers ~27M base keys at the 1% default fpp. Above it
+    * the gate refuses and points at the stream-static join form
+    * ([[simhashNearDupStream]]-style exact probe) — a bigger literal
+    * would bloat every task binary. */
+  val GateMaxBloomBytes: Int = 32 << 20
+
+  /** Streaming ingest dedup gate: flag stream docs whose canonical
+    * bag-of-words hash ([[graft.operators.Curation.wordSetHash]]) is
+    * PROBABLY already in the accepted base corpus. The base's key set is
+    * folded once into a bloom filter and checked per row with Catalyst's
+    * `BloomFilterMightContain` — fully stateless, append-mode, no join
+    * and no state in the stream at all.
+    *
+    * The bloom answers "maybe" with ~[[graft.operators.Curation.BloomFpp]]
+    * false positives, so the gate EMITS `maybe_dup` rather than dropping:
+    * route flagged docs to the exact downstream check (the batch
+    * [[graft.operators.Curation.bloomDedup]] confirms against the real
+    * key table); pass-through docs are definitively clean (a bloom never
+    * false-negatives). */
+  def bloomGateStream(spark: SparkSession, docs: DataFrame,
+                      baseSfDir: String,
+                      maxBloomBytes: Int = GateMaxBloomBytes): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.operators.Curation
+    val baseKeys = graft.sources.Tables.load(spark, baseSfDir, "documents")
+      .select(xxhash64(Curation.wordSetHash(col("text"))).as("h"))
+    val bloom = baseKeys.stat.bloomFilter("h",
+      math.max(baseKeys.count(), 1L), Curation.BloomFpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b)
+      b.toByteArray
+    }
+    require(bytes.length <= maxBloomBytes,
+      s"bloomGateStream: base corpus bloom is ${bytes.length} bytes " +
+        s"(> $maxBloomBytes); embedding it as a plan literal would bloat " +
+        s"every task. Use a stream-static join against the base key table " +
+        s"for corpora this large.")
+    docs.withColumn("maybe_dup", Bridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(Curation.wordSetHash(col("text")))))))
+  }
+
+  /** Stream-stream click→purchase attribution: purchases join clicks of
+    * the SAME user whose event time falls in the [[attributionHorizon]]
+    * before the purchase — Spark's watermarked interval join, the
+    * streaming shape of the batch `asof_click_purchase`. Both sides need
+    * event-time columns; watermarks bound the join state (clicks are
+    * retained only while a matching purchase could still arrive).
+    *
+    * Emits ALL candidate (purchase, click) attributions in the window —
+    * a stream-stream join cannot pick "the latest" without a second
+    * (update-mode) max_by rollup downstream, while the batch as-of query
+    * answers exact last-click attribution; this emits the evidence
+    * stream. */
+  def clickAttributionStream(clicks: DataFrame, purchases: DataFrame,
+                             attributionHorizon: String = "1 hour",
+                             watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionHorizon"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("ms_since_click"), col("click_value"))
   }
 }

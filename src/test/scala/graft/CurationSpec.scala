@@ -293,4 +293,34 @@ class CurationSpec extends AnyFunSuite {
       assert(d(top))
     }
   }
+
+  test("bloomSemiFlag: exact membership semantics on synthetic keys") {
+    val batch = Seq("a", "b", "c").toDF("k")
+    val base = Seq("b", "c", "c", "d").toDF("k")
+    val out = Curation.bloomSemiFlag(batch, base, "k", "hit")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out === Map("a" -> false, "b" -> true, "c" -> true))
+    // batch row count is preserved (left join, no dup explosion from the
+    // base side's repeated keys)
+    assert(Curation.bloomSemiFlag(batch, base, "k", "hit").count() === 3)
+  }
+
+  test("bloom_dedup: equals the plain semi-join, bloom sits in the base scan") {
+    val withSplit = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", Curation.wordSetHash($"text").as("th"))
+      .withColumn("in_batch",
+        Curation.docHash($"doc_id") % Curation.IncrBatchMod === 0)
+    val plain = withSplit.filter($"in_batch").as("s")
+      .join(withSplit.filter(!$"in_batch").select("th").distinct().as("b"),
+        Seq("th"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Curation.bloomDedup(spark, sf).cache()
+    assert(out.filter($"is_exact_dup").collect()
+      .map(_.getLong(0)).toSet === plain)
+    assert(plain.nonEmpty, "testdata should have cross-split word-set dups")
+    // the bloom prefilter must be in the executed plan (base-side scan)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(1500))
+    out.unpersist()
+  }
 }

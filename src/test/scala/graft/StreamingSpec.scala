@@ -403,4 +403,87 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(3L) === ((0L, 0L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming LM score matches the batch scorer; unseen bigrams take the OOV penalty") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.LangModel.lmBigramScore(spark, sf)
+      .select("doc_id", "n_bigrams", "lm_micro_sum", "pass_lm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val corpusDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").limit(20).collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp(0L)))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.lmScoreStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("slm")
+      .outputMode("update").start()
+    try {
+      input.addData(corpusDocs.toSeq :+
+        StreamDoc(999999L, "en", "zzqx qxzz zzqx", new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("slm")
+        .select("doc_id", "n_bigrams", "lm_micro_sum", "pass_lm").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      // corpus docs score IDENTICALLY to the batch op (same model, no OOV)
+      corpusDocs.foreach { d =>
+        assert(got(d.doc_id) === batch(d.doc_id), s"doc ${d.doc_id}")
+      }
+      // both bigrams of the salad doc are unseen → flat OOV penalty, fail
+      assert(got(999999L) ===
+        ((2L, 2L * PipelineStreams.OovMicroNats, false)))
+    } finally q.stop()
+  }
+
+  test("streaming bloom gate flags base word-set dups even reordered; novel docs pass") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val baseText = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").head().getString(0)
+    // same word SET as a base doc, different order → canonical hash match
+    val shuffled = baseText.trim.toLowerCase.split("\\s+").reverse.mkString(" ")
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.bloomGateStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sbloom")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "en", shuffled, new java.sql.Timestamp(0L)),
+        StreamDoc(2L, "en", "qqa qqb qqc qqd qqe", new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("sbloom").select("doc_id", "maybe_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got(1L) === true) // blooms never false-negative
+      // deterministic for the fixed base corpus (1% fpp, fixed hash seed)
+      assert(got(2L) === false)
+    } finally q.stop()
+  }
+
+  test("stream-stream click→purchase attribution joins only inside the horizon") {
+    import graft.streaming.PipelineStreams.StreamEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val clicks = MemoryStream[StreamEvent](spark)
+    val purchases = MemoryStream[StreamEvent](spark)
+    val q = PipelineStreams.clickAttributionStream(
+        clicks.toDF(), purchases.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sattr")
+      .outputMode("append").start()
+    try {
+      // user 1: click 10 inside the horizon, click 11 outside it;
+      // user 2: purchase with no click at all
+      clicks.addData(
+        StreamEvent(10L, 1L, ts(100), 5.0),
+        StreamEvent(11L, 1L, ts(10), 7.0))
+      purchases.addData(
+        StreamEvent(20L, 1L, ts(130), 42.0),
+        StreamEvent(21L, 2L, ts(130), 43.0))
+      q.processAllAvailable()
+      val rows = spark.table("sattr")
+        .select("purchase_id", "user_id", "click_id", "ms_since_click")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq((20L, 1L, 10L, 30L * 60000L)))
+    } finally q.stop()
+  }
 }
