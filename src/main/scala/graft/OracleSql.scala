@@ -977,6 +977,34 @@ object OracleSql {
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
 
+    // One Lloyd iteration from the IVF seed cells. Centroid dims are
+    // ratios of exact integer sums (floor(v·2^20) quantization) — see
+    // Similarity.KmQuantScale — so no cross-row float aggregation exists
+    // on either engine; dots/norms are the usual sequential folds.
+    "kmeans_refine" -> s"""WITH $embCtes, $ivfAssignCtes,
+      aq AS (SELECT vec_id, cell,
+               list_transform(v, x -> CAST(floor(x * ${Similarity.KmQuantScale}.0) AS BIGINT)) AS qv
+             FROM assigned),
+      ks AS (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS k),
+      csum AS (SELECT cell, k, CAST(sum(qv[k]) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM aq, ks GROUP BY cell, k),
+      cents2 AS (SELECT cell AS c_id,
+                        list(s / (cnt * ${Similarity.KmQuantScale}.0) ORDER BY k) AS cv
+                 FROM csum GROUP BY cell),
+      cn AS (SELECT c_id, cv,
+                    list_sum(list_transform(cv, x -> x*x)) AS cn2
+             FROM cents2),
+      resc AS (SELECT a.vec_id, a.cell AS cell0, c.c_id,
+                 list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                   kk -> a.v[kk] * c.cv[kk])) / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+               FROM assigned a CROSS JOIN cn c),
+      pick AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id) AS rn FROM resc)
+      SELECT vec_id, cell0, c_id AS cell1, (cell0 <> c_id) AS moved,
+             round(ccos, 6) AS cos_to_centroid
+      FROM pick WHERE rn = 1""",
+
     "embedding_near_dup" -> s"""WITH $embCtes,
       b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
       p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -80,6 +80,7 @@ object SparkEntry {
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "embedding_dedup_keep" -> (Similarity.embeddingDedupKeep(_, _)),
     "ann_recall" -> (Similarity.annRecall(_, _)),
+    "kmeans_refine" -> (Similarity.kmeansRefine(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),

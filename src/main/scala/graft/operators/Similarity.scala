@@ -184,6 +184,58 @@ object Similarity {
       .withColumn("is_kept", col("component_id") === col("vec_id"))
   }
 
+  // ---- k-means refinement (semantic clustering over embeddings) ----
+
+  /** Component quantization scale (2^20) for the centroid accumulator:
+    * per-dim sums are taken over floor(v[k]·2^20) INTEGERS, so the
+    * cross-row aggregation — the one place a float sum's order would
+    * differ between Spark's partial aggregation and the oracle's scan —
+    * is exact and order-independent. The centroid dim is then the ratio
+    * of two exact integers (one double division, identical on both
+    * engines); everything after runs through the same sequential-fold
+    * dot/norm kernels as every other embedding op. Quantization error is
+    * ≤ 2^-20 per component — three orders below the testdata's float32
+    * input resolution. */
+  val KmQuantScale = 1048576L
+
+  /** One Lloyd iteration of k-means over the embedding corpus, seeded by
+    * the deterministic IVF cells ([[cellAssignment]]): recompute each
+    * cell's mean centroid, reassign every vector to its nearest new
+    * centroid (cosine argmax, ties to the lower cell id). The semantic-
+    * clustering primitive (SemDeDup-style corpus organization) expressed
+    * so the oracle can replay it exactly — see [[KmQuantScale]].
+    *
+    * Scale: one partial-aggregable groupBy(cell) with Dim integer sums
+    * (K·Dim cells×dims output — centroid-table-sized), centroids
+    * broadcast back for the N×K rescore (same shape as the IVF
+    * assignment), per-vec argmax via a K-row window partition. Iterating
+    * = repeating this stage; nothing is driver-resident but the K×Dim
+    * centroid table. */
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = cellAssignment(spark, sfDir) // vec_id, v, n2, cell
+    val qv = assigned.withColumn("qv",
+      transform(col("v"), x => floor(x * lit(KmQuantScale.toDouble))))
+    val sums = qv.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      (1 to Dim).map(k => sum(element_at(col("qv"), k)).as(s"s$k")): _*)
+    val cents = sums.select(
+        col("cell").as("c_id"),
+        array((1 to Dim).map(k =>
+          col(s"s$k") / (col("n") * lit(KmQuantScale.toDouble))): _*).as("cv"))
+      .withColumn("cn2", graft.functions.VectorOps.norm2_seq(col("cv")))
+    assigned.select(col("vec_id"), col("v"), col("n2"),
+        col("cell").as("cell0"))
+      .join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell0"), col("c_id").as("cell1"),
+        (col("cell0") =!= col("c_id")).as("moved"),
+        round(col("ccos"), 6).as("cos_to_centroid"))
+  }
+
   // ---- Product quantization (IVF+PQ — the 100 TB memory path) ----
   /** 8 subspaces × 8 dims, 16 codewords each: a 64-float vector compresses
     * to 8 small integers (256 B → 8 B per vector at billions of rows — the

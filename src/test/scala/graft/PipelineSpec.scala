@@ -480,4 +480,20 @@ class PipelineSpec extends AnyFunSuite {
       MultiModal.decodeAudioFeatures(junk, MultiModal.WavDecoder).collect()
     }
   }
+
+  test("kmeans_refine: total assignment, seed-set cells, consistent move flags") {
+    val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    val r = Similarity.kmeansRefine(spark, sf).cache()
+    assert(r.count() === nVecs)
+    assert(r.select("vec_id").distinct().count() === nVecs)
+    // both assignments live in the deterministic seed-cell id space
+    val seedPred = ($"cell1" % Similarity.CentroidMod) === Similarity.CentroidRem
+    assert(r.filter(!seedPred).count() === 0)
+    assert(r.filter($"moved" =!= ($"cell0" =!= $"cell1")).count() === 0)
+    assert(r.filter($"cos_to_centroid" < -1 || $"cos_to_centroid" > 1).count() === 0)
+    // a refinement step refines: some vectors move, most don't
+    val moved = r.filter($"moved").count()
+    assert(moved > 0 && moved < nVecs / 2, s"moved=$moved")
+    r.unpersist()
+  }
 }
