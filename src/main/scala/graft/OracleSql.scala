@@ -1247,5 +1247,55 @@ object OracleSql {
       JOIN denom d ON g.k = d.k"""
   }
 
-  val all: Map[String, String] = base + ("ann_recall" -> annRecallSql)
+  /** cluster_purity: label purity of the refined k-means cells, composed
+    * by embedding the already-green kmeans_refine TEXT as a subquery
+    * (annRecall pattern — the assignment the purity is measured on cannot
+    * drift from the rows the driver checks). */
+  private val clusterPuritySql: String = s"""WITH
+      asg AS (SELECT vec_id, cell1 AS cell FROM (${base("kmeans_refine")})),
+      cl AS (SELECT cell, CAST(label AS BIGINT) AS label,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM asg JOIN embeddings USING (vec_id)
+             GROUP BY cell, label),
+      top AS (SELECT cell, label AS majority_label, n AS n_majority,
+                     row_number() OVER (PARTITION BY cell
+                       ORDER BY n DESC, label) AS rn
+              FROM cl),
+      sz AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+                    CAST(count(*) AS BIGINT) AS n_labels
+             FROM cl GROUP BY cell)
+      SELECT s.cell, s.n_vecs, s.n_labels, t.majority_label, t.n_majority,
+             round(t.n_majority / CAST(s.n_vecs AS DOUBLE), 6) AS purity
+      FROM sz s JOIN top t ON s.cell = t.cell AND t.rn = 1"""
+
+  /** table_profile: generated per-column from the same ColSpec list the
+    * Spark side profiles, one UNION ALL branch per column. */
+  private val tableProfileSql: String = {
+    import graft.operators.Profile._
+    OrdersCols.map { c =>
+      // each column profiles through its SURFACED representation (double /
+      // string / ISO-formatted timestamp), matching the Spark melt
+      val v = c.kind match {
+        case "num" => s"CAST(${c.name} AS DOUBLE)"
+        case "str" => c.name
+        case "ts" => s"strftime(${c.name}, '%Y-%m-%d %H:%M:%S')"
+      }
+      val (mn, mx, ms, xs) =
+        if (c.kind == "num") ("min(v)", "max(v)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          "min(v)", "max(v)")
+      s"""SELECT '${c.name}' AS column_name,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+      FROM (SELECT $v AS v FROM orders)"""
+    }.mkString("\n      UNION ALL ")
+  }
+
+  val all: Map[String, String] = base +
+    ("ann_recall" -> annRecallSql) +
+    ("cluster_purity" -> clusterPuritySql) +
+    ("table_profile" -> tableProfileSql)
 }

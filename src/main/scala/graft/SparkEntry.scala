@@ -81,6 +81,8 @@ object SparkEntry {
     "embedding_dedup_keep" -> (Similarity.embeddingDedupKeep(_, _)),
     "ann_recall" -> (Similarity.annRecall(_, _)),
     "kmeans_refine" -> (Similarity.kmeansRefine(_, _)),
+    "cluster_purity" -> (Similarity.clusterPurity(_, _)),
+    "table_profile" -> (graft.operators.Profile.tableProfileOrders(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),

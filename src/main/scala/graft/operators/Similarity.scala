@@ -236,6 +236,36 @@ object Similarity {
         round(col("ccos"), 6).as("cos_to_centroid"))
   }
 
+  /** Clustering-quality evaluation: label purity of the refined k-means
+    * cells ([[kmeansRefine]]) against the embeddings' ground-truth
+    * `label` column — per cell: size, distinct labels, the majority label
+    * (ties to the lower label) and its share. The measurement row for the
+    * clustering family, like `ann_recall` is for the ANN family.
+    *
+    * Scale: two partial-aggregable groupBys over (cell, label) — a
+    * label-cardinality-bounded table — after the refine assignment. */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = kmeansRefine(spark, sfDir)
+      .select(col("vec_id"), col("cell1").as("cell"))
+    val lab = emb(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cl = assign.join(lab, Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    // sizes + majority as WINDOWS over the one aggregated (cell, label)
+    // table — a groupBy-and-join-back would re-evaluate the whole refine
+    // chain per consumer (the top_terms round-5 lesson); the window input
+    // is label-cardinality-bounded per cell, never corpus-sized
+    val w = Window.partitionBy("cell")
+    cl.withColumn("n_vecs", sum("n").over(w))
+      .withColumn("n_labels", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n") / col("n_vecs").cast("double"), 6).as("purity"))
+  }
+
   // ---- Product quantization (IVF+PQ — the 100 TB memory path) ----
   /** 8 subspaces × 8 dims, 16 codewords each: a 64-float vector compresses
     * to 8 small integers (256 B → 8 B per vector at billions of rows — the
