@@ -1179,6 +1179,46 @@ object OracleSql {
              CAST(click_value AS DOUBLE) AS click_value
       FROM w WHERE event_type = 'purchase'""",
 
+    // Funnel: step-chained min-timestamp CTEs (strict > between steps) —
+    // semantically equal to the Spark side's one-shuffle per-user fold.
+    "event_funnel" -> {
+      val steps = graft.operators.Relational.FunnelSteps
+      val w = graft.operators.Relational.FunnelWindow
+      val ctes = steps.zipWithIndex.map { case (s, i) =>
+        if (i == 0)
+          s"""u1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM ev
+              WHERE event_type = '$s' GROUP BY user_id)"""
+        else
+          s"""u${i + 1} AS (SELECT e.user_id, min(e.ts) AS t, any_value(u$i.t1) AS t1
+              FROM ev e JOIN u$i ON e.user_id = u$i.user_id
+              WHERE e.event_type = '$s' AND e.ts > u$i.t
+                AND e.ts <= u$i.t1 + INTERVAL $w
+              GROUP BY e.user_id)"""
+      }.mkString(",\n      ")
+      val rows = steps.zipWithIndex.map { case (s, i) =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS step_idx, '$s' AS step,
+            (SELECT CAST(count(*) AS BIGINT) FROM u${i + 1}) AS n_users"""
+      }.mkString("\n      UNION ALL ")
+      s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      $ctes
+      $rows"""
+    },
+
+    "cohort_retention" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      cohort AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_ts
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day_ts FROM ev)
+      SELECT strftime(cohort_ts, '%Y-%m-%d') AS cohort_day,
+             CAST(date_diff('day', cohort_ts, day_ts) AS BIGINT) AS days_since,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM cohort JOIN active USING (user_id)
+      WHERE day_ts >= cohort_ts
+      GROUP BY 1, 2""",
+
     // CDC merge (graft.operators.Merge): change-batch derivation and the
     // full-outer apply, generated from the same bucket rules/constants.
     "merge_upsert" -> s"""WITH

@@ -98,6 +98,8 @@ object SparkEntry {
     "order_priority_rank" -> (Relational.orderPriorityRank(_, _)),
     "repeat_customers" -> (Relational.repeatCustomers(_, _)),
     "asof_click_purchase" -> (Relational.asofClickPurchase(_, _)),
+    "event_funnel" -> (Relational.eventFunnel(_, _)),
+    "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )
 

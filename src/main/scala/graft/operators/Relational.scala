@@ -217,6 +217,89 @@ object Relational {
     * last-non-null over the (ts, event_id) total order. One shuffle by
     * user_id (the natural key) — the same plan shape an AsOfJoinExec would
     * produce, with no range-join explosion. */
+  /** Ordered funnel steps for [[eventFunnel]]. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+  /** Conversion window: every later step must land within this interval
+    * of the user's FIRST signup (first-touch attribution — the
+    * SQL-replayable funnel semantics; the testdata's users average ~2
+    * events/day, so a 3-day window yields a real step-by-step falloff —
+    * 150 → 105 → 57 → 21 at sf0.01 — instead of everyone converting
+    * eventually). */
+  val FunnelWindow = "3 day"
+
+  /** Funnel analysis: how many users complete each PREFIX of
+    * signup → view → click → purchase in strict chronological order,
+    * every step inside [[FunnelWindow]] of the first signup. The classic
+    * product-analytics rollup, here as the sequence-pattern operator the
+    * reference's event domain invites.
+    *
+    * Plan: ONE shuffle — per-user event lists are assembled with a
+    * partial-aggregable collect, and the whole strict-order state machine
+    * runs inside a single `aggregate()` fold per user (no self-join per
+    * step, no window). Per-user groups are user-activity-sized, never
+    * corpus-sized. The oracle twin is the equivalent step-chained
+    * min-timestamp CTE form; both use strict `>` between steps and `≤`
+    * against the window cap, so they agree on edge timestamps. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = t(spark, sfDir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val init = struct(lit(0).as("stage"),
+      lit(null).cast("timestamp").as("t"),
+      lit(null).cast("timestamp").as("t1"))
+    val folded = perUser.select(
+      aggregate(col("evs"), init, (acc, e) => {
+        val step = FunnelSteps.zipWithIndex.map { case (s, i) =>
+          val cond =
+            if (i == 0) acc("stage") === 0 && e("event_type") === s
+            else acc("stage") === i && e("event_type") === s &&
+              e("ts") > acc("t") &&
+              e("ts") <= acc("t1") + expr(s"INTERVAL $FunnelWindow")
+          val anchor = if (i == 0) e("ts") else acc("t1")
+          (cond, struct(lit(i + 1).as("stage"), e("ts").as("t"),
+            anchor.as("t1")))
+        }
+        step.foldRight(acc) { case ((cond, nxt), els) =>
+          when(cond, nxt).otherwise(els)
+        }
+      }).getField("stage").as("stage"))
+    val stageCounts = folded.groupBy("stage").agg(count(lit(1)).as("n"))
+    val steps = {
+      import spark.implicits._
+      FunnelSteps.zipWithIndex.map { case (s, i) => (i + 1L, s) }
+        .toDF("step_idx", "step")
+    }
+    steps.join(stageCounts, col("stage") >= col("step_idx"), "left")
+      .groupBy("step_idx", "step")
+      .agg(coalesce(sum("n"), lit(0L)).as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by the DAY of their first signup,
+    * counted on each subsequent day they produced ANY event — the
+    * product-analytics matrix behind every "day-N retention" chart
+    * (daily grain because the testdata spans one month).
+    *
+    * Plan: two user-keyed partial-aggregable aggregations (first-signup,
+    * distinct active days) and one user-keyed join; output is
+    * (cohorts × days)-sized. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_ts"))
+    val active = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day_ts")).distinct()
+    cohort.join(active, Seq("user_id"))
+      .filter(col("day_ts") >= col("cohort_ts"))
+      .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day_ts"), col("cohort_ts")).cast("long")
+          .as("days_since"))
+      .groupBy("cohort_day", "days_since")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)

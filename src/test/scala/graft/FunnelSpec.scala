@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Funnel + cohort-retention invariants, with the funnel fold
+  * cross-checked against an independent plain-Scala replay (the oracle
+  * pins exact values; this pins the state-machine semantics). */
+class FunnelSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("event_funnel matches a plain-Scala replay of the state machine") {
+    val windowMs = 3L * 24 * 3600 * 1000 // FunnelWindow = 3 day
+    assert(Relational.FunnelWindow === "3 day")
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val steps = Relational.FunnelSteps
+    val expected = events.groupBy(_._1).values.map { evs =>
+      var stage = 0
+      var t = 0L
+      var t1 = 0L
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, tpe) =>
+        if (stage < steps.length && tpe == steps(stage) &&
+            (stage == 0 || (ts > t && ts <= t1 + windowMs))) {
+          if (stage == 0) t1 = ts
+          t = ts
+          stage += 1
+        }
+      }
+      stage
+    }.toSeq
+    val want = (1 to steps.length)
+      .map(k => k.toLong -> expected.count(_ >= k).toLong).toMap
+    val got = Relational.eventFunnel(spark, sf)
+      .select("step_idx", "n_users").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the falloff is real on the testdata: strictly fewer users at the
+    // last step than the first, and the funnel is monotone
+    assert(got(steps.length.toLong) < got(1L))
+    (2 to steps.length).foreach(k => assert(got(k.toLong) <= got(k - 1L)))
+  }
+
+  test("cohort_retention: day-0 covers every signup user, matrix is sane") {
+    val r = Relational.cohortRetention(spark, sf).cache()
+    val signupUsers = graft.sources.Tables.load(spark, sf, "events")
+      .filter($"event_type" === "signup").select("user_id").distinct().count()
+    assert(r.filter($"days_since" === 0).agg(sum("n_users")).head().getLong(0)
+      === signupUsers)
+    assert(r.filter($"days_since" < 0 || $"n_users" < 1).count() === 0)
+    // multiple cohorts and multiple retention days exist at this SF
+    assert(r.select("cohort_day").distinct().count() > 1)
+    assert(r.select("days_since").distinct().count() > 1)
+    r.unpersist()
+  }
+}
