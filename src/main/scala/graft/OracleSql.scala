@@ -585,6 +585,17 @@ object OracleSql {
              (COALESCE(c.component_id, d.doc_id) = d.doc_id) AS is_kept
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
 
+    // Global seeded permutation: the oracle's single-partition row_number
+    // is exactly the funnel the Spark side's two-phase prefix operator
+    // replaces at scale.
+    "training_order" -> s"""WITH k AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('${Sampling.OrderSalt}' || doc_id), 1, 8) AS BIGINT) AS shuffle_key
+        FROM documents)
+      SELECT doc_id, shuffle_key,
+             CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_pos
+      FROM k""",
+
     "quality_filter" -> s"""WITH $textCtes,
       $qfRuleCtes,
       f AS (SELECT *, CAST(4 - CAST(pass_word_count AS INT) - CAST(pass_word_len AS INT)

@@ -50,6 +50,7 @@ object SparkEntry {
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
     "quality_topk_sample" -> (Sampling.qualityTopkSample(_, _)),
     "shard_pack" -> (Sampling.shardPack(_, _)),
+    "training_order" -> (Sampling.trainingOrder(_, _)),
     // corpus curation (quality rules, decontamination, PII, incremental)
     "quality_filter" -> (Curation.qualityFilter(_, _)),
     "decontaminate" -> (Curation.decontaminate(_, _)),

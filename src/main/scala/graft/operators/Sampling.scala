@@ -118,6 +118,30 @@ object Sampling {
         floor(col("tokens_before") / lit(ShardTokenBudget)).cast("long"))
   }
 
+  /** Salt for the deterministic training-order permutation (versioned so
+    * a reshuffle is an explicit salt bump, reproducible forever after). */
+  val OrderSalt = "order_v1|"
+
+  /** Deterministic global training-order shuffle: every document gets a
+    * stable position in a seeded permutation of the whole corpus — the
+    * data-ordering step before a training run (fixed seed → the exact
+    * epoch order reproduces across reruns, backfills, and engines).
+    *
+    * Scale: ordering by a salted hash is a RANGE shuffle, and the dense
+    * position comes from the same two-phase prefix operator as offset
+    * assignment ([[graft.plans.OrderedIndex]], no group columns = one
+    * global sequence) — full task parallelism, O(tasks) driver
+    * prefix-sum, NO single-partition row_number funnel. At production
+    * scale the positions feed `floor(pos / batch)` microbatch ids or the
+    * shard writer directly. */
+  def trainingOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"),
+        Dedup.hash32(concat(lit(OrderSalt), col("doc_id"))).as("shuffle_key"))
+    graft.plans.OrderedIndex.withExclusivePrefix(
+      d, Seq(), Seq("shuffle_key", "doc_id"), None, "shuffle_pos")
+  }
+
   /** Per-language top-k documents by composite quality score (the
     * "curate the best docs per stratum" sampler): reuses the
     * [[graft.functions.TopK]] bounded aggregate, so map-side combine caps

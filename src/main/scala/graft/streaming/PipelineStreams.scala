@@ -283,6 +283,24 @@ object PipelineStreams {
       Bridge.expression(xxhash64(Curation.wordSetHash(col("text")))))))
   }
 
+  /** Streaming sessionization: the batch `sessionize` 30-minute
+    * inactivity gap applied to a live event stream via Spark's NATIVE
+    * `session_window` (merging session state, watermark-bounded — the
+    * engine evicts a session once the watermark passes its close, so
+    * state is inactivity-bounded, not stream-length-bounded). Emits one
+    * row per CLOSED session in append mode — the batch query reports
+    * per-user totals; this emits each session as it finalizes. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream click→purchase attribution: purchases join clicks of
     * the SAME user whose event time falls in the [[attributionHorizon]]
     * before the purchase — Spark's watermarked interval join, the

@@ -55,6 +55,27 @@ class PrefixPlanSpec extends AnyFunSuite {
       ("b", 1L, 0L), ("b", 2L, 50L), ("c", 9L, 0L)))
   }
 
+  test("training_order: seeded permutation via the prefix operator, no window funnel") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.operators.Sampling.trainingOrder(spark, sf)
+    // positions are a dense 0-based permutation
+    val n = df.count()
+    assert(df.agg(min("shuffle_pos"), max("shuffle_pos"), countDistinct("shuffle_pos"))
+      .head() match { case r => r.getLong(0) == 0L && r.getLong(1) == n - 1 &&
+        r.getLong(2) == n })
+    // deterministic: a second construction yields the identical mapping
+    val a = df.select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Sampling.trainingOrder(spark, sf)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the plan is the custom prefix exec, not a single-partition Window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedPrefix"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
   test("order_priority_rank plan: partial top-k aggregate, no window over raw orders") {
     val plan = graft.operators.Relational
       .orderPriorityRank(spark, "/root/testdata/sf0.001")

@@ -461,6 +461,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows close on the 30-minute gap and report exact spans") {
+    import graft.streaming.PipelineStreams.StreamEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[StreamEvent](spark)
+    val q = PipelineStreams.sessionizeStream(input.toDF())
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0 and 10 min (one session), then 120 min (a
+      // second session); a far-future user-2 event advances the watermark
+      // past both closes so they finalize into the append sink
+      input.addData(
+        StreamEvent(1L, 1L, ts(0), 1.0),
+        StreamEvent(2L, 1L, ts(10), 2.0),
+        StreamEvent(3L, 1L, ts(120), 4.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(9L, 2L, ts(100000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssess")
+        .filter($"user_id" === 1L)
+        .select("session_start", "session_end", "n_events", "session_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getTimestamp(1).getTime / 60000L, r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      // session 1: [0, 10+30), 2 events; session 2: [120, 120+30), 1 event
+      assert(got.toSeq === Seq((0L, 40L, 2L, 3.0), (120L, 150L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream click→purchase attribution joins only inside the horizon") {
     import graft.streaming.PipelineStreams.StreamEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
