@@ -252,6 +252,9 @@ object Curation {
     * both touch only the small side.
     *
     * Returns `batch` + `flagCol` (true = the key exists in `base`).
+    * NULL keys flag false (a null equi-join key matches nothing; the
+    * bloom build skips nulls) — supply a sentinel upstream if null must
+    * mean something.
     *
     * Reference analog: the same decide-membership-before-touching-data
     * role as the sparse segment index probe on reads

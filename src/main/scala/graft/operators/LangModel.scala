@@ -75,7 +75,10 @@ object LangModel {
     val d = docs(spark, sfDir)
     val bgs = bigramOccurrences(d)
     val lp = lmModel(spark, sfDir)
-    val perDoc = bgs.join(broadcast(lp), Seq("bg"))
+    // no broadcast hint: AQE broadcasts the model when it's small (it is
+    // here), and a web-scale model (~10⁸ types) must be allowed to take
+    // the plain equi-shuffle instead of an OOM-forcing hint
+    val perDoc = bgs.join(lp, Seq("bg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("lm_micro_sum"))
     d.select(col("doc_id"))

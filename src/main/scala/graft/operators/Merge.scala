@@ -21,12 +21,18 @@ object Merge {
     * columns as `base` (NULL payload on deletes). At most one change per
     * key (enforce upstream — last-write-wins compaction of a change log
     * is a groupBy max_by on ingest sequence, not this operator's job).
-    * Output adds `src`: 'base' (untouched), 'updated', or 'inserted'. */
+    * Output adds `src`: 'base' (untouched), 'updated', or 'inserted'.
+    *
+    * Edge semantics are UPSERT-shaped, like SQL MERGE's WHEN [NOT]
+    * MATCHED arms collapsed to one rule: an 'update' whose key is absent
+    * from the base still lands (labeled 'updated'), an 'insert' whose key
+    * already exists replaces the payload (labeled 'inserted'), and a
+    * 'delete' of an absent key is a no-op. */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
                    payload: Seq[String]): DataFrame = {
     val b = payload.foldLeft(base.select(col(key) +: payload.map(col): _*)) {
       (d, c) => d.withColumnRenamed(c, s"b_$c")
-    }.withColumn("in_base", lit(true))
+    }
     val ch = payload.foldLeft(changes.select(
       col(key) +: col("op") +: payload.map(col): _*)) { (d, c) =>
       d.withColumnRenamed(c, s"c_$c")
