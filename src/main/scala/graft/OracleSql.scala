@@ -1190,6 +1190,34 @@ object OracleSql {
              CAST(click_value AS DOUBLE) AS click_value
       FROM w WHERE event_type = 'purchase'""",
 
+    // Anomaly z-test in exact integers: (n·x − S)² > z²·(n·Q − S²); the
+    // surfaced z is a display ratio of the same exact integers.
+    "hourly_anomalies" -> {
+      val z2 = graft.operators.Relational.AnomalyZ *
+        graft.operators.Relational.AnomalyZ
+      s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS q
+        FROM hourly GROUP BY 1),
+      j AS (
+        SELECT h.event_type, h.hour, h.n_events,
+               m.n_hours * h.n_events - m.s AS dev,
+               m.n_hours * m.q - m.s * m.s AS var_scaled
+        FROM hourly h JOIN m USING (event_type))
+      SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+             n_events,
+             dev * dev > $z2 * var_scaled AS is_anomaly,
+             round(dev / sqrt(CAST(NULLIF(var_scaled, 0) AS DOUBLE)), 4) AS z_score
+      FROM j"""
+    },
+
     // Funnel: step-chained min-timestamp CTEs (strict > between steps) —
     // semantically equal to the Spark side's one-shuffle per-user fold.
     "event_funnel" -> {

@@ -100,6 +100,7 @@ object SparkEntry {
     "repeat_customers" -> (Relational.repeatCustomers(_, _)),
     "asof_click_purchase" -> (Relational.asofClickPurchase(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
+    "hourly_anomalies" -> (Relational.hourlyAnomalies(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

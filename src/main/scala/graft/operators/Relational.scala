@@ -217,6 +217,50 @@ object Relational {
     * last-non-null over the (ts, event_id) total order. One shuffle by
     * user_id (the natural key) — the same plan shape an AsOfJoinExec would
     * produce, with no range-join explosion. */
+  /** Z-score threshold for [[hourlyAnomalies]] (|z| > 2). */
+  val AnomalyZ = 2L
+
+  /** Rate-anomaly detection over the event stream's hourly counts — the
+    * monitoring rollup behind every "traffic spike/drop" alert (the
+    * numeric sibling of the reference's threshold alerts,
+    * `monitor.rs:79-85`): per event type, hours whose count deviates
+    * from that type's mean by more than [[AnomalyZ]] population standard
+    * deviations.
+    *
+    * The z-test is evaluated EXACTLY in integers — counts are integers,
+    * so with S = Σx, Q = Σx², n = #hours:
+    * (x − S/n)² > z²·(nQ − S²)/n²  ⟺  (n·x − S)² > z²·(n·Q − S²),
+    * no float mean/variance ever computed for the DECISION (the surfaced
+    * z is a rounded display ratio of exact integers). Cross-engine this
+    * sidesteps float-aggregation order entirely.
+    *
+    * Plan: two partial-aggregable aggregations (hour counts, per-type
+    * moments) + a broadcast join of the type-count moments (one row per
+    * event type) back onto the hourly table. */
+  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = t(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+    hourly.join(broadcast(moments), Seq("event_type"))
+      .withColumn("dev", col("n_hours") * col("n_events") - col("s"))
+      .withColumn("var_scaled",
+        col("n_hours") * col("q") - col("s") * col("s"))
+      .withColumn("is_anomaly",
+        col("dev") * col("dev") > lit(AnomalyZ * AnomalyZ) * col("var_scaled"))
+      // z = (x − S/n)/σ = dev/√(nQ − S²); display only — the flag above
+      // is the exact integer form of the same comparison
+      .withColumn("z_score",
+        round(col("dev") / sqrt(when(col("var_scaled") === 0, lit(null))
+          .otherwise(col("var_scaled")).cast("double")), 4))
+      .select(col("event_type"), date_format(col("hour"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("n_events"), col("is_anomaly"), col("z_score"))
+  }
+
   /** Ordered funnel steps for [[eventFunnel]]. */
   val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
   /** Conversion window: every later step must land within this interval

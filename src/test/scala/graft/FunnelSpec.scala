@@ -48,6 +48,22 @@ class FunnelSpec extends AnyFunSuite {
     (2 to steps.length).foreach(k => assert(got(k.toLong) <= got(k - 1L)))
   }
 
+  test("hourly_anomalies: integer flag brackets the display z, counts conserve") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val a = Relational.hourlyAnomalies(spark, sf).cache()
+    // every event lands in exactly one (type, hour) cell
+    assert(a.agg(sum("n_events")).head().getLong(0) === ev.count())
+    // the exact integer decision agrees with the rounded display z up to
+    // rounding slack at the threshold
+    val zt = Relational.AnomalyZ.toDouble
+    assert(a.filter($"is_anomaly" && abs($"z_score") < zt - 0.001).count() === 0)
+    assert(a.filter(!$"is_anomaly" && abs($"z_score") > zt + 0.001).count() === 0)
+    // the testdata's uniform traffic still has tail hours on both sides
+    assert(a.filter($"is_anomaly").count() > 0)
+    assert(a.filter(!$"is_anomaly").count() > 0)
+    a.unpersist()
+  }
+
   test("cohort_retention: day-0 covers every signup user, matrix is sane") {
     val r = Relational.cohortRetention(spark, sf).cache()
     val signupUsers = graft.sources.Tables.load(spark, sf, "events")
