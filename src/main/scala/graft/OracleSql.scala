@@ -1016,6 +1016,34 @@ object OracleSql {
              round(ccos, 6) AS cos_to_centroid
       FROM pick WHERE rn = 1""",
 
+    // SQ8: per-dim exact min/max bounds, midpoint dequant, fold cosine.
+    "embedding_sq" -> {
+      val L = Similarity.SqLevels
+      s"""WITH $embCtes,
+      ks AS (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS k),
+      b AS (SELECT k, min(v[k]) AS mn, max(v[k]) AS mx FROM n, ks GROUP BY k),
+      bl AS (SELECT list(mn ORDER BY k) AS mn, list(mx ORDER BY k) AS mx FROM b),
+      enc AS (SELECT vec_id, v, n2, bl.mn, bl.mx,
+        list_transform(generate_series(1, ${Similarity.Dim}), kk ->
+          CASE WHEN bl.mx[kk] = bl.mn[kk] THEN 0
+               ELSE least(${L - 1}, greatest(0,
+                 CAST(floor((v[kk] - bl.mn[kk]) / (bl.mx[kk] - bl.mn[kk]) * ${L - 1}) AS BIGINT)))
+          END) AS codes
+        FROM n, bl),
+      rec AS (SELECT vec_id, v, n2, codes,
+        list_transform(generate_series(1, ${Similarity.Dim}), kk ->
+          mn[kk] + (codes[kk] + 0.5) * (mx[kk] - mn[kk]) / $L) AS recon
+        FROM enc)
+      SELECT vec_id,
+             CAST(codes[1] AS BIGINT) AS code_0,
+             CAST(codes[${Similarity.Dim}] AS BIGINT) AS code_${Similarity.Dim - 1},
+             round(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                     kk -> v[kk] * recon[kk]))
+               / (sqrt(n2) * sqrt(list_sum(list_transform(recon, x -> x*x)))), 6)
+               AS recon_cos
+      FROM rec"""
+    },
+
     "embedding_near_dup" -> s"""WITH $embCtes,
       b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
       p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_recall" -> (Similarity.annRecall(_, _)),
     "kmeans_refine" -> (Similarity.kmeansRefine(_, _)),
     "cluster_purity" -> (Similarity.clusterPurity(_, _)),
+    "embedding_sq" -> (Similarity.embeddingSq(_, _)),
     "table_profile" -> (graft.operators.Profile.tableProfileOrders(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage

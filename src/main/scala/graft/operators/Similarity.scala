@@ -266,6 +266,51 @@ object Similarity {
         round(col("n") / col("n_vecs").cast("double"), 6).as("purity"))
   }
 
+  // ---- Scalar quantization (SQ8 — the 4× in-memory compression) ----
+
+  /** Int8 scalar quantization of the embedding corpus with a measured
+    * reconstruction quality row per vector: per-dim global [min, max]
+    * (min/max are EXACT order-independent aggregations — no float-sum
+    * issue), each component encoded to floor((x−mn)/(mx−mn)·255) in
+    * [0, 255], decoded at the bucket midpoint, and the decoded vector
+    * scored against the original by cosine. The standard 4×-compression
+    * layout (FAISS SQ8) next to [[embeddingAnnPq]]'s 32×; the emitted
+    * recon_cos distribution is the accept/reject evidence for switching
+    * a corpus to the compressed layout.
+    *
+    * Scale: ONE partial-aggregable aggregation for the 2×Dim bounds
+    * (broadcast back as a 1-row frame), then a single narrow per-row
+    * pass; every per-row double op is the same sequential-fold kernel
+    * arithmetic as the rest of the embedding family. */
+  val SqLevels = 256
+
+  def embeddingSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vectors(spark, sfDir)
+    val bounds = n.agg(
+      array((1 to Dim).map(k => min(element_at(col("v"), k))): _*).as("mn"),
+      array((1 to Dim).map(k => max(element_at(col("v"), k))): _*).as("mx"))
+    n.join(broadcast(bounds))
+      .withColumn("codes",
+        zip_with(col("v"), zip_with(col("mn"), col("mx"),
+            (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, b) => when(b("mx") === b("mn"), lit(0L))
+            .otherwise(least(lit(SqLevels - 1), greatest(lit(0),
+              floor((x - b("mn")) / (b("mx") - b("mn")) * (SqLevels - 1)))))))
+      .withColumn("recon",
+        zip_with(col("codes"), zip_with(col("mn"), col("mx"),
+            (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (c, b) => b("mn") + (c.cast("double") + 0.5) *
+            (b("mx") - b("mn")) / SqLevels))
+      .withColumn("recon_cos",
+        round(dot(col("v"), col("recon")) /
+          (sqrt(col("n2")) * sqrt(graft.functions.VectorOps
+            .norm2_seq(col("recon")))), 6))
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).cast("long").as("code_0"),
+        element_at(col("codes"), Dim).cast("long").as(s"code_${Dim - 1}"),
+        col("recon_cos"))
+  }
+
   // ---- Product quantization (IVF+PQ — the 100 TB memory path) ----
   /** 8 subspaces × 8 dims, 16 codewords each: a 64-float vector compresses
     * to 8 small integers (256 B → 8 B per vector at billions of rows — the

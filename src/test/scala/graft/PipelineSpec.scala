@@ -481,6 +481,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_sq: codes in range, reconstruction nearly lossless") {
+    val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    val s = Similarity.embeddingSq(spark, sf).cache()
+    assert(s.count() === nVecs)
+    assert(s.filter($"code_0" < 0 || $"code_0" >= Similarity.SqLevels ||
+      $"code_63" < 0 || $"code_63" >= Similarity.SqLevels).count() === 0)
+    // 8-bit uniform quantization of unit-ish vectors: cosine to the
+    // original stays ≥ 0.999 (measured 0.9999 on the testdata)
+    assert(s.filter($"recon_cos" < 0.999).count() === 0)
+    s.unpersist()
+  }
+
   test("kmeans_refine: total assignment, seed-set cells, consistent move flags") {
     val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
     val r = Similarity.kmeansRefine(spark, sf).cache()
