@@ -204,6 +204,44 @@ object OracleSql {
     s"list_sum(list_transform($rec, x -> x*x))"
   }
 
+  /** N chained Lloyd iterations over the IVF seed assignment — one CTE
+    * block per iteration (quantized integer centroid sums → mean → fold
+    * rescore → argmax pick), reported as (cell0 = seed cell, cell1 =
+    * final cell). */
+  private def kmeansSql(iters: Int): String = {
+    val S = Similarity.KmQuantScale
+    val D = Similarity.Dim
+    val blocks = (1 to iters).map { i =>
+      val prev = if (i == 1) "assigned" else s"assigned_${i - 1}"
+      s"""aq_$i AS (SELECT vec_id, cell,
+             list_transform(v, x -> CAST(floor(x * $S.0) AS BIGINT)) AS qv
+           FROM $prev),
+      csum_$i AS (SELECT cell, k, CAST(sum(qv[k]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM aq_$i, ks GROUP BY cell, k),
+      cents_$i AS (SELECT cell AS c_id,
+             list(s / (cnt * $S.0) ORDER BY k) AS cv
+           FROM csum_$i GROUP BY cell),
+      cn_$i AS (SELECT c_id, cv,
+             list_sum(list_transform(cv, x -> x*x)) AS cn2 FROM cents_$i),
+      resc_$i AS (SELECT a.vec_id, a.v, a.n2, c.c_id,
+             list_sum(list_transform(generate_series(1, $D),
+               kk -> a.v[kk] * c.cv[kk])) / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+           FROM $prev a CROSS JOIN cn_$i c),
+      assigned_$i AS (SELECT vec_id, v, n2, c_id AS cell, ccos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, c_id) AS rn
+             FROM resc_$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH $embCtes, $ivfAssignCtes,
+      ks AS (SELECT unnest(generate_series(1, $D)) AS k),
+      $blocks
+      SELECT a0.vec_id, a0.cell AS cell0, af.cell AS cell1,
+             (a0.cell <> af.cell) AS moved,
+             round(af.ccos, 6) AS cos_to_centroid
+      FROM assigned a0 JOIN assigned_$iters af ON a0.vec_id = af.vec_id"""
+  }
+
   /** SQL twin of Curation.docHash — 32-bit md5 hash of the decimal id. */
   private def docHashSql(col: String): String =
     s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
@@ -988,33 +1026,14 @@ object OracleSql {
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
 
-    // One Lloyd iteration from the IVF seed cells. Centroid dims are
-    // ratios of exact integer sums (floor(v·2^20) quantization) — see
-    // Similarity.KmQuantScale — so no cross-row float aggregation exists
-    // on either engine; dots/norms are the usual sequential folds.
-    "kmeans_refine" -> s"""WITH $embCtes, $ivfAssignCtes,
-      aq AS (SELECT vec_id, cell,
-               list_transform(v, x -> CAST(floor(x * ${Similarity.KmQuantScale}.0) AS BIGINT)) AS qv
-             FROM assigned),
-      ks AS (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS k),
-      csum AS (SELECT cell, k, CAST(sum(qv[k]) AS BIGINT) AS s,
-                      CAST(count(*) AS BIGINT) AS cnt
-               FROM aq, ks GROUP BY cell, k),
-      cents2 AS (SELECT cell AS c_id,
-                        list(s / (cnt * ${Similarity.KmQuantScale}.0) ORDER BY k) AS cv
-                 FROM csum GROUP BY cell),
-      cn AS (SELECT c_id, cv,
-                    list_sum(list_transform(cv, x -> x*x)) AS cn2
-             FROM cents2),
-      resc AS (SELECT a.vec_id, a.cell AS cell0, c.c_id,
-                 list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
-                   kk -> a.v[kk] * c.cv[kk])) / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
-               FROM assigned a CROSS JOIN cn c),
-      pick AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                 ORDER BY ccos DESC, c_id) AS rn FROM resc)
-      SELECT vec_id, cell0, c_id AS cell1, (cell0 <> c_id) AS moved,
-             round(ccos, 6) AS cos_to_centroid
-      FROM pick WHERE rn = 1""",
+    // Lloyd iterations from the IVF seed cells, generated per iteration
+    // (kmeans_refine = 1, kmeans_iterate = KmIters — same generator, so
+    // the two cannot drift). Centroid dims are ratios of exact integer
+    // sums (floor(v·2^20) quantization, Similarity.KmQuantScale) — no
+    // cross-row float aggregation on either engine; dots/norms are the
+    // usual sequential folds.
+    "kmeans_refine" -> kmeansSql(1),
+    "kmeans_iterate" -> kmeansSql(Similarity.KmIters),
 
     // SQ8: per-dim exact min/max bounds, midpoint dequant, fold cosine.
     "embedding_sq" -> {

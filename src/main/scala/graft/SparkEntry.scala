@@ -82,6 +82,7 @@ object SparkEntry {
     "embedding_dedup_keep" -> (Similarity.embeddingDedupKeep(_, _)),
     "ann_recall" -> (Similarity.annRecall(_, _)),
     "kmeans_refine" -> (Similarity.kmeansRefine(_, _)),
+    "kmeans_iterate" -> ((s, d) => Similarity.kmeansIterate(s, d)),
     "cluster_purity" -> (Similarity.clusterPurity(_, _)),
     "embedding_sq" -> (Similarity.embeddingSq(_, _)),
     "table_profile" -> (graft.operators.Profile.tableProfileOrders(_, _)),

@@ -211,8 +211,9 @@ object Similarity {
     * assignment), per-vec argmax via a K-row window partition. Iterating
     * = repeating this stage; nothing is driver-resident but the K×Dim
     * centroid table. */
-  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = cellAssignment(spark, sfDir) // vec_id, v, n2, cell
+  /** One Lloyd step: (vec_id, v, n2, cell) → the same shape reassigned
+    * to the recomputed mean centroids, plus the winning `ccos`. */
+  private def lloydStep(assigned: DataFrame): DataFrame = {
     val qv = assigned.withColumn("qv",
       transform(col("v"), x => floor(x * lit(KmQuantScale.toDouble))))
     val sums = qv.groupBy("cell").agg(
@@ -223,17 +224,46 @@ object Similarity {
         array((1 to Dim).map(k =>
           col(s"s$k") / (col("n") * lit(KmQuantScale.toDouble))): _*).as("cv"))
       .withColumn("cn2", graft.functions.VectorOps.norm2_seq(col("cv")))
-    assigned.select(col("vec_id"), col("v"), col("n2"),
-        col("cell").as("cell0"))
+    assigned.select(col("vec_id"), col("v"), col("n2"), col("cell"))
       .join(broadcast(cents))
       .withColumn("ccos",
         dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell0"), col("c_id").as("cell1"),
-        (col("cell0") =!= col("c_id")).as("moved"),
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("c_id").as("cell"), col("ccos"))
+  }
+
+  /** (seed assignment, refined assignment) → the reported per-vec row. */
+  private def kmeansPresent(assigned: DataFrame,
+                            refined: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cell").as("cell0"))
+      .join(refined.select(col("vec_id"), col("cell").as("cell1"),
+        col("ccos")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell0"), col("cell1"),
+        (col("cell0") =!= col("cell1")).as("moved"),
         round(col("ccos"), 6).as("cos_to_centroid"))
+
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = cellAssignment(spark, sfDir) // vec_id, v, n2, cell
+    kmeansPresent(assigned, lloydStep(assigned))
+  }
+
+  /** Lloyd iterations for [[kmeansIterate]]. */
+  val KmIters = 3
+
+  /** [[KmIters]] Lloyd iterations from the IVF seed assignment — the
+    * converging form of [[kmeansRefine]]: iterating IS repeating the one
+    * aggregate-and-rescore stage, nothing else changes (the scale
+    * argument — per iteration, one K-bounded integer aggregation plus a
+    * broadcast rescore). Output matches kmeans_refine's shape with
+    * `cell1` = the final-iteration cell. */
+  def kmeansIterate(spark: SparkSession, sfDir: String,
+                    iters: Int = KmIters): DataFrame = {
+    val assigned = cellAssignment(spark, sfDir)
+    val refined = (1 to iters).foldLeft(assigned)((a, _) => lloydStep(a))
+    kmeansPresent(assigned, refined)
   }
 
   /** Clustering-quality evaluation: label purity of the refined k-means

@@ -493,6 +493,21 @@ class PipelineSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("kmeans_iterate: objective non-decreasing across Lloyd steps") {
+    def meanCos(iters: Int): Double = {
+      val rows = Similarity.kmeansIterate(spark, sf, iters)
+        .select("cos_to_centroid").collect().map(_.getDouble(0))
+      rows.sum / rows.length
+    }
+    val c1 = meanCos(1)
+    val c2 = meanCos(2)
+    val c3 = meanCos(3)
+    // spherical k-means: each step's reassignment + mean-centroid update
+    // cannot lower the mean cosine (2^-20 quantization → tiny tolerance)
+    assert(c2 >= c1 - 1e-6, s"$c1 -> $c2")
+    assert(c3 >= c2 - 1e-6, s"$c2 -> $c3")
+  }
+
   test("kmeans_refine: total assignment, seed-set cells, consistent move flags") {
     val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
     val r = Similarity.kmeansRefine(spark, sf).cache()
