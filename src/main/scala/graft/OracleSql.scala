@@ -1420,8 +1420,23 @@ object OracleSql {
     }.mkString("\n      UNION ALL ")
   }
 
+  /** curate_embeddings: the three already-green component query TEXTS
+    * joined on vec_id (annRecall pattern), plus the two derived flags. */
+  private val curateEmbeddingsSql: String = s"""WITH
+      d AS (SELECT vec_id, component_id, is_kept
+            FROM (${base("embedding_dedup_keep")})),
+      k AS (SELECT vec_id, cell1 AS cluster FROM (${base("kmeans_refine")})),
+      s AS (SELECT vec_id, recon_cos FROM (${base("embedding_sq")}))
+      SELECT d.vec_id, d.component_id, d.is_kept, k.cluster, s.recon_cos,
+             s.recon_cos >= ${Similarity.CurateSqMinCos} AS sq_ok,
+             (d.is_kept AND s.recon_cos >= ${Similarity.CurateSqMinCos})
+               AS final_kept
+      FROM d JOIN k ON d.vec_id = k.vec_id
+             JOIN s ON d.vec_id = s.vec_id"""
+
   val all: Map[String, String] = base +
     ("ann_recall" -> annRecallSql) +
     ("cluster_purity" -> clusterPuritySql) +
-    ("table_profile" -> tableProfileSql)
+    ("table_profile" -> tableProfileSql) +
+    ("curate_embeddings" -> curateEmbeddingsSql)
 }

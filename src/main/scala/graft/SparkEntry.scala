@@ -85,6 +85,7 @@ object SparkEntry {
     "kmeans_iterate" -> ((s, d) => Similarity.kmeansIterate(s, d)),
     "cluster_purity" -> (Similarity.clusterPurity(_, _)),
     "embedding_sq" -> (Similarity.embeddingSq(_, _)),
+    "curate_embeddings" -> (Similarity.curateEmbeddings(_, _)),
     "table_profile" -> (graft.operators.Profile.tableProfileOrders(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage

@@ -302,6 +302,27 @@ object Similarity {
         round(col("n") / col("n_vecs").cast("double"), 6).as("purity"))
   }
 
+  /** The vector-side `curate_corpus`: one per-vector decision frame
+    * composing the embedding pipeline — near-dup keep policy
+    * ([[embeddingDedupKeep]]), refined cluster ([[kmeansRefine]]), and
+    * SQ8 reconstruction quality ([[embeddingSq]]) — the frame an
+    * embedding store ships to its index builder (keep? which shard/
+    * cluster? safe to store compressed?).
+    *
+    * Scale: three vec_id-keyed equi-joins of already-scale-audited
+    * components; the composition adds no new shuffle shape. */
+  val CurateSqMinCos = 0.99
+
+  def curateEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingDedupKeep(spark, sfDir)
+      .select(col("vec_id"), col("component_id"), col("is_kept"))
+      .join(kmeansRefine(spark, sfDir)
+        .select(col("vec_id"), col("cell1").as("cluster")), Seq("vec_id"))
+      .join(embeddingSq(spark, sfDir)
+        .select(col("vec_id"), col("recon_cos")), Seq("vec_id"))
+      .withColumn("sq_ok", col("recon_cos") >= CurateSqMinCos)
+      .withColumn("final_kept", col("is_kept") && col("sq_ok"))
+
   // ---- Scalar quantization (SQ8 — the 4× in-memory compression) ----
 
   /** Int8 scalar quantization of the embedding corpus with a measured
