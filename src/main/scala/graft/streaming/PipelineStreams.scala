@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.operators.TextAnalysis
 
@@ -300,6 +301,53 @@ object PipelineStreams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
+
+  /** Streaming funnel: the batch `event_funnel` state machine as
+    * arbitrary stateful processing (`flatMapGroupsWithState`, the
+    * `KeyValueGroupedDataset` custom-state surface) — per-user state is
+    * (stage, last-step ts, anchor ts), and a row is EMITTED the moment a
+    * user advances a stage, so the downstream sees conversions live
+    * instead of recounting the corpus.
+    *
+    * Same rules as the batch fold: strict chronological order between
+    * steps, every step within [[graft.operators.Relational.FunnelWindow]]
+    * of the first signup. Events are sorted within each micro-batch;
+    * CROSS-batch out-of-order arrival is the documented trade (per-user
+    * event time is near-monotone at the source, and the batch funnel
+    * reconciles exactly — the usual lambda split). State is
+    * update-forever by default; pair with an idle timeout upstream if
+    * user cardinality is unbounded. */
+  case class FunnelEvent(event_id: Long, user_id: Long,
+                         ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(stage: Int, t: Long, t1: Long)
+  case class FunnelHit(user_id: Long, step_idx: Int, step: String,
+                       ts: java.sql.Timestamp)
+
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    import graft.operators.Relational.FunnelSteps
+    val windowMs = 3L * 24 * 3600 * 1000 // FunnelWindow = "3 day"
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ts = e.ts.getTime
+            if (st.stage < FunnelSteps.length &&
+                e.event_type == FunnelSteps(st.stage) &&
+                (st.stage == 0 || (ts > st.t && ts <= st.t1 + windowMs))) {
+              val anchor = if (st.stage == 0) ts else st.t1
+              st = FunnelState(st.stage + 1, ts, anchor)
+              hits += FunnelHit(user, st.stage,
+                FunnelSteps(st.stage - 1), e.ts)
+            }
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
 
   /** Stream-stream click→purchase attribution: purchases join clicks of
     * the SAME user whose event time falls in the [[attributionHorizon]]

@@ -498,6 +498,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming funnel advances per-user state across micro-batches") {
+    import graft.streaming.PipelineStreams.{FunnelEvent, FunnelHit}
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = PipelineStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 signs up and views; user 2 views WITHOUT a signup
+      input.addData(
+        FunnelEvent(1L, 1L, ts(0), "signup"),
+        FunnelEvent(2L, 1L, ts(5), "view"),
+        FunnelEvent(3L, 2L, ts(5), "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks (state carried over); a purchase OUTSIDE
+      // the 3-day window of the signup must NOT advance the funnel
+      input.addData(
+        FunnelEvent(4L, 1L, ts(10), "click"),
+        FunnelEvent(5L, 1L, ts(3L * 24 * 60 + 1), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("sfunnel")
+        .select("user_id", "step_idx", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got === Set(
+        (1L, 1, "signup"), (1L, 2, "view"), (1L, 3, "click")))
+    } finally q.stop()
+  }
+
   test("streaming session windows close on the 30-minute gap and report exact spans") {
     import graft.streaming.PipelineStreams.StreamEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
