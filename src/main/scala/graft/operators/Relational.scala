@@ -234,19 +234,20 @@ object Relational {
     * z is a rounded display ratio of exact integers). Cross-engine this
     * sidesteps float-aggregation order entirely.
     *
-    * Plan: two partial-aggregable aggregations (hour counts, per-type
-    * moments) + a broadcast join of the type-count moments (one row per
-    * event type) back onto the hourly table. */
+    * Plan: ONE partial-aggregable corpus aggregation (hour counts);
+    * the per-type moments are WINDOWS over the aggregated hourly table
+    * (hours × types — bounded, never corpus-sized), so the events scan
+    * runs once instead of once per consumer (the top_terms lesson). */
   def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = t(spark, sfDir, "events")
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
-    val moments = hourly.groupBy("event_type")
-      .agg(count(lit(1)).as("n_hours"),
-        sum("n_events").as("s"),
-        sum(col("n_events") * col("n_events")).as("q"))
-    hourly.join(broadcast(moments), Seq("event_type"))
+    val w = Window.partitionBy("event_type")
+    hourly
+      .withColumn("n_hours", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("q", sum(col("n_events") * col("n_events")).over(w))
       .withColumn("dev", col("n_hours") * col("n_events") - col("s"))
       .withColumn("var_scaled",
         col("n_hours") * col("q") - col("s") * col("s"))
