@@ -118,6 +118,35 @@ object Sampling {
         floor(col("tokens_before") / lit(ShardTokenBudget)).cast("long"))
   }
 
+  /** Execute [[shardPack]]'s plan: write the curated corpus to
+    * `outDir/lang=<l>/shard_id=<s>/` with EXACTLY ONE parquet file per
+    * shard — the size-balanced training-file layout the packer exists to
+    * produce (each shard ≈ [[ShardTokenBudget]] tokens, the unit a data
+    * loader streams).
+    *
+    * Scale: one hash repartition on the (lang, shard_id) write key —
+    * every shard's rows land in exactly one task, so `partitionBy`
+    * emits one file per shard directory with NO small-file spray (the
+    * default path would write up-to-#tasks files per shard) and no
+    * single-writer funnel: distinct shards write in parallel. Returns
+    * the (lang, shard_id, n_docs, n_tokens) manifest. */
+  def writeShards(spark: SparkSession, sfDir: String,
+                  outDir: String): DataFrame = {
+    val packed = shardPack(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+    packed
+      .repartition(col("lang"), col("shard_id"))
+      .write.mode("overwrite")
+      .partitionBy("lang", "shard_id")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      // partition-dir type inference reads shard_id back as INT
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
   /** Salt for the deterministic training-order permutation (versioned so
     * a reshuffle is an explicit salt bump, reproducible forever after). */
   val OrderSalt = "order_v1|"

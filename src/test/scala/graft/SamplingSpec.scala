@@ -109,4 +109,26 @@ class SamplingSpec extends AnyFunSuite {
       count(lit(1)).as("n"), min("term_rank").as("mn"), max("term_rank").as("mx"))
     assert(ranks.filter($"mn" =!= 1 || $"mx" =!= $"n").count() === 0)
   }
+
+  test("writeShards: one parquet file per shard, nothing lost on read-back") {
+    val out = java.nio.file.Files.createTempDirectory("shards_out").toString
+    val manifest = graft.operators.Sampling.writeShards(spark, sf, out).cache()
+    val plan = graft.operators.Sampling.shardPack(spark, sf)
+      .groupBy("lang", "shard_id").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // manifest matches the packer's plan exactly
+    val got = manifest.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === plan)
+    // exactly ONE data file inside every shard directory
+    plan.keys.foreach { case (lang, shard) =>
+      val dir = new java.io.File(s"$out/lang=$lang/shard_id=$shard")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$dir has ${files.length} files")
+    }
+    // full corpus survives the round trip
+    val total = spark.read.parquet(out).count()
+    assert(total === graft.sources.Tables.load(spark, sf, "documents").count())
+    manifest.unpersist()
+  }
 }
