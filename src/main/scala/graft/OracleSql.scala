@@ -1420,6 +1420,26 @@ object OracleSql {
     }.mkString("\n      UNION ALL ")
   }
 
+  /** dedup_threshold_sweep: the verified n-gram pair TEXT swept over the
+    * shared threshold list (annRecall pattern). */
+  private val thresholdSweepSql: String = {
+    val ts = Dedup.SweepThresholds.mkString(", ")
+    s"""WITH p AS (SELECT * FROM (${base("ngram_jaccard")})),
+      t AS (SELECT unnest([$ts]) AS threshold),
+      j AS (SELECT t.threshold, p.doc_a, p.doc_b
+            FROM t JOIN p ON p.ngram_jaccard >= t.threshold),
+      np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+             FROM j GROUP BY 1),
+      nd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs FROM (
+               SELECT DISTINCT threshold, d FROM (
+                 SELECT threshold, unnest([doc_a, doc_b]) AS d FROM j))
+             GROUP BY 1)
+      SELECT t.threshold,
+             COALESCE(np.n_pairs, 0) AS n_pairs,
+             COALESCE(nd.n_docs, 0) AS n_docs
+      FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)"""
+  }
+
   /** curate_embeddings: the three already-green component query TEXTS
     * joined on vec_id (annRecall pattern), plus the two derived flags. */
   private val curateEmbeddingsSql: String = s"""WITH
@@ -1438,5 +1458,6 @@ object OracleSql {
     ("ann_recall" -> annRecallSql) +
     ("cluster_purity" -> clusterPuritySql) +
     ("table_profile" -> tableProfileSql) +
-    ("curate_embeddings" -> curateEmbeddingsSql)
+    ("curate_embeddings" -> curateEmbeddingsSql) +
+    ("dedup_threshold_sweep" -> thresholdSweepSql)
 }

@@ -73,6 +73,7 @@ object SparkEntry {
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs(_, _)),
     "ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep(_, _)),
     "doc_fingerprint" -> (Dedup.docFingerprint(_, _)),
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
     "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),

@@ -593,6 +593,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("ngram_jaccard"))
   }
 
+  /** Sweep thresholds for [[dedupThresholdSweep]] — all at-or-above the
+    * n-gram banding design point (0.5), so LSH candidate recall is honest
+    * at every reported row (sweeping BELOW the banding target would
+    * undercount silently). */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Threshold-sensitivity measurement for the near-dup family: how many
+    * verified n-gram-Jaccard pairs (and how many distinct documents)
+    * survive at each candidate threshold — the tuning table you read
+    * before picking a production dedup threshold (the dedup analog of
+    * `ann_recall`).
+    *
+    * Scale: the pairs table is a near-dup SLIVER of the corpus by
+    * construction, so the thresholds × pairs crossJoin and the explode
+    * are bounded by |pairs|, never |corpus|. */
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir)
+    val t = SweepThresholds.toDF("threshold")
+    val j = t.crossJoin(pairs)
+      .filter(col("ngram_jaccard") >= col("threshold"))
+    val nPairs = j.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = j.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d")).distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    t.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Mod-p k-gram fingerprinting (Broder-style content sampling): hash all
     * distinct 5-char grams, keep those ≡ 0 (mod 8) as the document's
     * fingerprint sample; emit stable aggregates of the sample. Narrow

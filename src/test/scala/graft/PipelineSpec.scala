@@ -481,6 +481,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_threshold_sweep: monotone falloff, anchored at the pair table") {
+    val s = Dedup.dedupThresholdSweep(spark, sf)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(s.map(_._1).toSeq === Dedup.SweepThresholds)
+    // the base threshold row counts exactly the verified pair table
+    assert(s.head._2 === Dedup.ngramJaccard(spark, sf).count())
+    // raising the threshold can only shrink pairs and affected docs
+    s.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"$a -> $b")
+    }
+  }
+
   test("embedding_sq: codes in range, reconstruction nearly lossless") {
     val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
     val s = Similarity.embeddingSq(spark, sf).cache()
