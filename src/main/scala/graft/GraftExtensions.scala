@@ -46,7 +46,9 @@ object GraftFunctions {
   private def fn(name: String, usage: String)(
       builder: Seq[Expression] => Expression)
       : (String, ExpressionInfo, Seq[Expression] => Expression) =
-    (name, new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
+    // the full (non-deprecated) constructor: usage + empty extended fields
+    (name, new ExpressionInfo("graft.GraftFunctions", null, name, usage,
+      "", "", "", "", "", "", "built-in"),
       builder)
 
   /** Every custom function whose arguments are SQL-expressible.
