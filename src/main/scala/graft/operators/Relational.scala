@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,6 +238,26 @@ object Relational {
     * the per-type moments are WINDOWS over the aggregated hourly table
     * (hours × types — bounded, never corpus-sized), so the events scan
     * runs once instead of once per consumer (the top_terms lesson). */
+  /** Per-type hourly-count moments (n_hours, S = Σx, Q = Σx²) — the
+    * tiny history table the STREAMING anomaly gate broadcasts
+    * ([[graft.streaming.PipelineStreams.anomalyGateStream]]); values
+    * identical to the windows inside [[hourlyAnomalies]]. */
+  def hourlyMoments(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+
+  /** The integer-exact anomaly flag shared by the batch query and the
+    * streaming gate: (n·x − S)² > z²·(nQ − S²). */
+  def anomalyFlag(nEvents: Column, nHours: Column, s: Column,
+                  q: Column): Column = {
+    val dev = nHours * nEvents - s
+    dev * dev > lit(AnomalyZ * AnomalyZ) * (nHours * q - s * s)
+  }
+
   def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = t(spark, sfDir, "events")
       .groupBy(col("event_type"),
@@ -251,8 +271,8 @@ object Relational {
       .withColumn("dev", col("n_hours") * col("n_events") - col("s"))
       .withColumn("var_scaled",
         col("n_hours") * col("q") - col("s") * col("s"))
-      .withColumn("is_anomaly",
-        col("dev") * col("dev") > lit(AnomalyZ * AnomalyZ) * col("var_scaled"))
+      .withColumn("is_anomaly", anomalyFlag(col("n_events"),
+        col("n_hours"), col("s"), col("q")))
       // z = (x − S/n)/σ = dev/√(nQ − S²); display only — the flag above
       // is the exact integer form of the same comparison
       .withColumn("z_score",

@@ -302,6 +302,33 @@ object PipelineStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Live rate-anomaly gate: hourly event counts on the stream flagged
+    * against HISTORICAL per-type moments (the batch
+    * [[graft.operators.Relational.hourlyMoments]] table, broadcast) with
+    * the same integer-exact z-test as the batch `hourly_anomalies` —
+    * the monitor's push form (the numeric sibling of the reference's
+    * threshold alerts, `monitor.rs:54-85`): traffic spikes/drops surface
+    * as each live hour's count updates, without rescanning history.
+    *
+    * State: one windowed count per (type, open hour), watermark-evicted;
+    * the moments side is a K-row broadcast. Update mode (counts refine
+    * until the watermark closes the hour). */
+  def anomalyGateStream(spark: SparkSession, events: DataFrame,
+                        historySfDir: String,
+                        watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Relational
+    val moments = Relational.hourlyMoments(spark, historySfDir)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(moments), Seq("event_type"))
+      .select(col("event_type"), col("window.start").as("hour"),
+        col("n_events"),
+        Relational.anomalyFlag(col("n_events"), col("n_hours"),
+          col("s"), col("q")).as("is_anomaly"))
+  }
+
   /** Streaming funnel: the batch `event_funnel` state machine as
     * arbitrary stateful processing (`flatMapGroupsWithState`, the
     * `KeyValueGroupedDataset` custom-state surface) — per-user state is

@@ -498,6 +498,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming anomaly gate flags a burst hour against historical moments") {
+    import graft.streaming.PipelineStreams.StreamEvent
+    val sf = "/root/testdata/sf0.001"
+    // expected decision straight from the batch moments + shared rule
+    val m = graft.operators.Relational.hourlyMoments(spark, sf)
+      .filter($"event_type" === "click")
+      .head()
+    val (nHours, s, q) = (m.getLong(1), m.getLong(2), m.getLong(3))
+    def expectFlag(x: Long): Boolean = {
+      val dev = nHours * x - s
+      dev * dev > 4L * (nHours * q - s * s)
+    }
+    val typical = math.max(1L, s / nHours)
+    val burst = 50L * typical
+    assert(!expectFlag(typical) && expectFlag(burst), s"mean=$typical")
+    def ts(min: Long) = new java.sql.Timestamp(3600L * 60000 + min * 60000)
+    val input = MemoryStream[StreamEvent](spark)
+    val q2 = PipelineStreams.anomalyGateStream(spark, input.toDF()
+        .withColumn("event_type", lit("click")), sf)
+      .writeStream.format("memory").queryName("sanom")
+      .outputMode("update").start()
+    try {
+      // hour 1: a typical count; hour 2: a 50× burst
+      val hour1 = (1L to typical).map(i => StreamEvent(i, i, ts(i % 50), 0.0))
+      val hour2 = (1L to burst).map(i =>
+        StreamEvent(1000 + i, i, ts(60 + (i % 50)), 0.0))
+      input.addData(hour1 ++ hour2)
+      q2.processAllAvailable()
+      val got = spark.table("sanom")
+        .select("n_events", "is_anomaly").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got(typical) === false)
+      assert(got(burst) === true)
+    } finally q2.stop()
+  }
+
   test("streaming funnel advances per-user state across micro-batches") {
     import graft.streaming.PipelineStreams.{FunnelEvent, FunnelHit}
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
