@@ -291,6 +291,10 @@ object Relational {
     * 150 → 105 → 57 → 21 at sf0.01 — instead of everyone converting
     * eventually). */
   val FunnelWindow = "3 day"
+  /** [[FunnelWindow]] in milliseconds — the ONE home of the conversion
+    * window for imperative consumers (the streaming funnel state machine
+    * and the FunnelSpec replay). */
+  val FunnelWindowMs: Long = 3L * 24 * 3600 * 1000
 
   /** Funnel analysis: how many users complete each PREFIX of
     * signup → view → click → purchase in strict chronological order,

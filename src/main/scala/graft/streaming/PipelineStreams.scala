@@ -353,7 +353,7 @@ object PipelineStreams {
   def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     import graft.operators.Relational.FunnelSteps
-    val windowMs = 3L * 24 * 3600 * 1000 // FunnelWindow = "3 day"
+    val windowMs = graft.operators.Relational.FunnelWindowMs
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -16,8 +16,9 @@ class FunnelSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("event_funnel matches a plain-Scala replay of the state machine") {
-    val windowMs = 3L * 24 * 3600 * 1000 // FunnelWindow = 3 day
-    assert(Relational.FunnelWindow === "3 day")
+    val windowMs = Relational.FunnelWindowMs
+    assert(Relational.FunnelWindow === "3 day" &&
+      windowMs === 3L * 24 * 3600 * 1000)
     val events = graft.sources.Tables.load(spark, sf, "events")
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
