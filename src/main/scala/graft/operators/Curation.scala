@@ -264,8 +264,11 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
     val hashed = batch.select(xxhash64(col(key)).as("h"))
-    val bloom = hashed.stat.bloomFilter("h",
-      math.max(hashed.count(), 1L), BloomFpp)
+    val nKeys = hashed.count()
+    // empty input: BloomFilterAggregate yields NULL and stat.bloomFilter
+    // NPEs deserializing it — and an empty key set matches nothing anyway
+    if (nKeys == 0) return batch.withColumn(flagCol, lit(false))
+    val bloom = hashed.stat.bloomFilter("h", nKeys, BloomFpp)
     val bytes = {
       val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b)
       b.toByteArray

@@ -305,6 +305,15 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.bloomSemiFlag(batch, base, "k", "hit").count() === 3)
   }
 
+  test("bloomSemiFlag edge cases: empty batch, empty base") {
+    val someKeys = Seq("a", "b").toDF("k")
+    val noKeys = Seq.empty[String].toDF("k")
+    assert(Curation.bloomSemiFlag(noKeys, someKeys, "k", "hit").count() === 0)
+    val vsEmptyBase = Curation.bloomSemiFlag(someKeys, noKeys, "k", "hit")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(vsEmptyBase === Map("a" -> false, "b" -> false))
+  }
+
   test("bloom_dedup: equals the plain semi-join, bloom sits in the base scan") {
     val withSplit = graft.sources.Tables.load(spark, sf, "documents")
       .select($"doc_id", Curation.wordSetHash($"text").as("th"))

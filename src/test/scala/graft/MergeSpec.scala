@@ -54,6 +54,23 @@ class MergeSpec extends AnyFunSuite {
     ch.unpersist(); out.unpersist()
   }
 
+  test("applyChanges edge cases: empty batch is identity, absent-key update upserts") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val empty = Seq.empty[(Long, String, String, java.lang.Double)]
+      .toDF("k", "op", "name", "bal")
+    val same = Merge.applyChanges(base, empty, "k", Seq("name", "bal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(same === Set((1L, "a", 10.0, "base"), (2L, "b", 20.0, "base")))
+    // update of a key not in base lands (upsert), delete of absent key no-ops
+    val ch = Seq((9L, "update", "u", java.lang.Double.valueOf(1.0)),
+      (8L, "delete", null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Double])).toDF("k", "op", "name", "bal")
+    val out = Merge.applyChanges(base, ch, "k", Seq("name", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "base", 2L -> "base", 9L -> "updated"))
+  }
+
   test("merge_upsert plan: one join, change side broadcast at this scale") {
     val plan = Merge.mergeUpsert(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -35,6 +35,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getString(6) === "a" && s.getString(7) === "c")
   }
 
+  test("tableProfile edge cases: all-null column, single row") {
+    val df = Seq((Some(5L), None: Option[String]))
+      .toDF("num_col", "str_col")
+      .withColumn("str_col", lit(null).cast("string"))
+      .select("num_col", "str_col")
+    val p = Profile.tableProfile(df,
+      Seq(ColSpec("num_col", "num"), ColSpec("str_col", "str")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = p("str_col")
+    assert(s.getLong(1) === 1L && s.getLong(2) === 1L && s.getLong(3) === 0L)
+    assert(s.isNullAt(6) && s.isNullAt(7)) // min/max of nothing is null
+    val n = p("num_col")
+    assert(n.getLong(2) === 0L && n.getLong(3) === 1L)
+    assert(n.getDouble(4) === 5.0 && n.getDouble(5) === 5.0)
+  }
+
   test("tableProfile plan: one melt pass, no join and no multi-distinct Expand") {
     val qe = Profile.tableProfileOrders(spark, sf).queryExecution
     assert(!qe.optimizedPlan.toString.contains("Join"))
