@@ -104,6 +104,7 @@ object Bench {
     // n-gram signatures, inverted index) before retiring the session
     graft.operators.Dedup.clearCaches(spark)
     graft.operators.TextAnalysis.clearCaches(spark)
+    graft.operators.LangModel.clearCaches(spark)
     spark.stop()
   }
 }

@@ -1046,7 +1046,7 @@ object OracleSql {
         list_transform(generate_series(1, ${Similarity.Dim}), kk ->
           CASE WHEN bl.mx[kk] = bl.mn[kk] THEN 0
                ELSE least(${L - 1}, greatest(0,
-                 CAST(floor((v[kk] - bl.mn[kk]) / (bl.mx[kk] - bl.mn[kk]) * ${L - 1}) AS BIGINT)))
+                 CAST(floor((v[kk] - bl.mn[kk]) / (bl.mx[kk] - bl.mn[kk]) * $L) AS BIGINT)))
           END) AS codes
         FROM n, bl),
       rec AS (SELECT vec_id, v, n2, codes,
@@ -1237,31 +1237,43 @@ object OracleSql {
              CAST(click_value AS DOUBLE) AS click_value
       FROM w WHERE event_type = 'purchase'""",
 
-    // Anomaly z-test in exact integers: (n·x − S)² > z²·(n·Q − S²); the
-    // surfaced z is a display ratio of the same exact integers.
+    // Anomaly z-test over the zero-filled (type × calendar hour) grid,
+    // in exact HUGEINT (the Spark side uses DECIMAL(38,0) — both exact,
+    // so the flags agree; a BIGINT form would overflow at production
+    // rates): (n·x − S)² > z²·(n·Q − S²). The surfaced z is a display
+    // ratio of the same exact integers.
     "hourly_anomalies" -> {
       val z2 = graft.operators.Relational.AnomalyZ *
         graft.operators.Relational.AnomalyZ
       s"""WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-      hourly AS (
+      cnt AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
                CAST(count(*) AS BIGINT) AS n_events
         FROM ev GROUP BY 1, 2),
+      hrs AS (
+        SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+          date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS hour FROM ev),
+      grid AS (
+        SELECT t.event_type, h.hour, COALESCE(c.n_events, 0) AS n_events
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN hrs h
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hour = h.hour),
       m AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-               CAST(sum(n_events) AS BIGINT) AS s,
-               CAST(sum(n_events * n_events) AS BIGINT) AS q
-        FROM hourly GROUP BY 1),
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n_hours,
+               CAST(sum(n_events) AS HUGEINT) AS s,
+               CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
+        FROM grid GROUP BY 1),
       j AS (
-        SELECT h.event_type, h.hour, h.n_events,
-               m.n_hours * h.n_events - m.s AS dev,
+        SELECT g.event_type, g.hour, g.n_events,
+               m.n_hours * g.n_events - m.s AS dev,
                m.n_hours * m.q - m.s * m.s AS var_scaled
-        FROM hourly h JOIN m USING (event_type))
+        FROM grid g JOIN m USING (event_type))
       SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
              n_events,
              dev * dev > $z2 * var_scaled AS is_anomaly,
-             round(dev / sqrt(CAST(NULLIF(var_scaled, 0) AS DOUBLE)), 4) AS z_score
+             round(CAST(dev AS DOUBLE)
+               / sqrt(CAST(NULLIF(var_scaled, 0) AS DOUBLE)), 4) AS z_score
       FROM j"""
     },
 
@@ -1311,7 +1323,7 @@ object OracleSql {
       bk AS (SELECT *, ${docHashSql("c_custkey")} % 10 AS bucket FROM customer),
       ch AS (
         SELECT CASE WHEN bucket = 3
-                 THEN c_custkey + ${graft.operators.Merge.InsertKeyOffset}
+                 THEN -c_custkey - 1
                  ELSE c_custkey END AS c_custkey,
                CASE WHEN bucket = 0 THEN 'delete'
                     WHEN bucket = 3 THEN 'insert'

@@ -45,6 +45,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.clearCaches(spark)
     graft.operators.TextAnalysis.clearCaches(spark)
+    graft.operators.LangModel.clearCaches(spark)
     spark.stop()
   }
 }

@@ -259,29 +259,49 @@ object Curation {
     * Reference analog: the same decide-membership-before-touching-data
     * role as the sparse segment index probe on reads
     * (`segment.rs:156-179`). */
-  def bloomSemiFlag(batch: DataFrame, base: DataFrame, key: String,
-                    flagCol: String): DataFrame = {
+  /** Hard default cap on a bloom plan literal: 32 MB of filter bits
+    * covers ~27M keys at the 1% default fpp; anything bigger belongs in
+    * a join, not in every task's plan. */
+  val MaxBloomBytes: Int = 32 << 20
+
+  /** Build a `might_contain(<bloom literal>, xxhash64(keyCol))` Column
+    * over `keys` — THE one home of bloom-literal construction (batch
+    * prefilter + streaming gate). Returns None when `keys` is empty
+    * (BloomFilterAggregate yields NULL there and stat.bloomFilter NPEs
+    * deserializing it; an empty key set matches nothing anyway).
+    * Refuses to embed a literal above `maxBytes`. */
+  def bloomLiteral(keys: DataFrame, keyCol: String,
+                   maxBytes: Int = MaxBloomBytes): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
-    val hashed = batch.select(xxhash64(col(key)).as("h"))
+    val hashed = keys.select(xxhash64(col(keyCol)).as("h"))
     val nKeys = hashed.count()
-    // empty input: BloomFilterAggregate yields NULL and stat.bloomFilter
-    // NPEs deserializing it — and an empty key set matches nothing anyway
-    if (nKeys == 0) return batch.withColumn(flagCol, lit(false))
+    if (nKeys == 0) return None
     val bloom = hashed.stat.bloomFilter("h", nKeys, BloomFpp)
     val bytes = {
       val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b)
       b.toByteArray
     }
-    val mightContain = Bridge.column(BloomFilterMightContain(
+    require(bytes.length <= maxBytes,
+      s"bloomLiteral: filter for $nKeys keys is ${bytes.length} bytes " +
+        s"(> $maxBytes); embedding it as a plan literal would bloat every " +
+        s"task. Use a join against the key table for key sets this large.")
+    Some(Bridge.column(BloomFilterMightContain(
       Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-      Bridge.expression(xxhash64(col(key)))))
-    val candidates = base.filter(mightContain)
-      .select(col(key)).distinct()
-      .withColumn(flagCol, lit(true))
-    batch.join(candidates, Seq(key), "left")
-      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+      Bridge.expression(xxhash64(col(keyCol))))))
   }
+
+  def bloomSemiFlag(batch: DataFrame, base: DataFrame, key: String,
+                    flagCol: String): DataFrame =
+    bloomLiteral(batch, key) match {
+      case None => batch.withColumn(flagCol, lit(false))
+      case Some(mightContain) =>
+        val candidates = base.filter(mightContain)
+          .select(col(key)).distinct()
+          .withColumn(flagCol, lit(true))
+        batch.join(candidates, Seq(key), "left")
+          .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+    }
 
   /** Bag-of-words canonical signature: sha256 over the sorted distinct
     * word set — the aggressive-canonicalization exact-dedup key under

@@ -59,16 +59,37 @@ object LangModel {
     * TYPE, quantized to integer micro-nats. cb ≥ 1 by construction when
     * scoring the training corpus itself, so no smoothing term is needed;
     * a stream scored against this model handles unseen bigrams with the
-    * OOV penalty instead ([[graft.streaming.PipelineStreams.lmScoreStream]]). */
-  def lmModel(spark: SparkSession, sfDir: String): DataFrame = {
-    val model = bigramOccurrences(docs(spark, sfDir))
-      .groupBy("bg").agg(count(lit(1)).as("cb"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val ctx = model.groupBy("w1").agg(sum("cb").as("cu"))
-    model.join(ctx, Seq("w1"))
-      .select(col("bg"),
-        floor(log(col("cb").cast("double") / col("cu")) * LmMicro)
-          .as("lp_micro"))
+    * OOV penalty instead ([[graft.streaming.PipelineStreams.lmScoreStream]]).
+    *
+    * Session-scoped persist-once (the [[Dedup.verifiedPairs]] scheme):
+    * the model build is the query tree's SECOND full corpus tokenize +
+    * explode — without the persist the batch scorer scans the corpus
+    * twice per run, and the streaming gate rebuilds the model per
+    * restart. Multi-consumer by design (batch query, stream gate, every
+    * bench repeat); released via [[clearCaches]]. */
+  private val modelCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def lmModel(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(modelCache, spark, sfDir, "lm_model") {
+      val model = bigramOccurrences(docs(spark, sfDir))
+        .groupBy("bg").agg(count(lit(1)).as("cb"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val ctx = model.groupBy("w1").agg(sum("cb").as("cu"))
+      model.join(ctx, Seq("w1"))
+        .select(col("bg"),
+          floor(log(col("cb").cast("double") / col("cu")) * LmMicro)
+            .as("lp_micro"))
+    }
+
+  /** Unpersist and drop the cached LM models for `spark` — twin of
+    * [[Dedup.clearCaches]]. */
+  def clearCaches(spark: SparkSession): Unit = modelCache.synchronized {
+    val stale = modelCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      modelCache(k).unpersist(blocking = false)
+      modelCache.remove(k)
+    }
   }
 
   def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame = {

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * periodically-merged snapshots rather than rewritten from scratch.
   *
   * Scale posture (100 TB): ONE equi shuffle — a full-outer join on the
-  * key; the change batch is ingest-sized (≪ base) so AQE broadcasts it
-  * and the base never moves; with both sides bucketed by the key the
-  * join is co-located and shuffle-free. No windows, no driver state.
+  * key. Spark cannot broadcast a FULL OUTER join, so both sides hash-
+  * exchange once (the honest cost of one-pass merge-with-insert
+  * semantics); with base and batch bucketed by the key the join is
+  * co-located and shuffle-free, which is how a maintained snapshot
+  * should be laid out anyway. Callers who cannot bucket and whose
+  * batches carry no inserts can split delete/update into a broadcast
+  * left-anti + left join instead. No windows, no driver state.
   */
 object Merge {
 
@@ -50,11 +54,14 @@ object Merge {
   /** The benched/oracled instance: a deterministic change batch over
     * `customer` derived from the doc-hash of the key (bucket 0 → delete,
     * 1-2 → update with a +1000.00 balance adjustment and a re-segment,
-    * 3 → insert of a new key offset by [[InsertKeyOffset]]), applied with
-    * [[applyChanges]]. All payload math is exact (integer-derived doubles
-    * rounded to 2), so the merged snapshot hashes identically on both
-    * engines. */
-  val InsertKeyOffset = 1000000L
+    * 3 → insert of a new key). Insert keys live in the NEGATIVE key
+    * space (−k − 1): customer keys are positive at every TPC-H scale, so
+    * a synthetic insert can never collide with a base key — an additive
+    * offset would collide as soon as custkey exceeded it (sf ≥ 7),
+    * breaking applyChanges' one-change-per-key precondition. All payload
+    * math is exact decimals, so the merged snapshot hashes identically
+    * on both engines. */
+  def insertKey(k: Column): Column = -k - 1
 
   def changeBatch(base: DataFrame): DataFrame = {
     val bucket = Curation.docHash(col("c_custkey")) % 10
@@ -62,7 +69,7 @@ object Merge {
       .withColumn("bucket", bucket)
       .filter(col("bucket") <= 3)
       .select(
-        when(col("bucket") === 3, col("c_custkey") + InsertKeyOffset)
+        when(col("bucket") === 3, insertKey(col("c_custkey")))
           .otherwise(col("c_custkey")).as("c_custkey"),
         when(col("bucket") === 0, lit("delete"))
           .when(col("bucket") === 3, lit("insert"))

@@ -45,7 +45,7 @@ object Profile {
       struct(lit(c.name).as("column_name"),
         numV.as("num_val"), strV.as("str_val"))
     }: _*)).as("m")).select("m.*")
-    melted
+    val agg = melted
       .groupBy("column_name", "num_val", "str_val")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("column_name")
@@ -57,6 +57,20 @@ object Profile {
           lit(1))).as("n_distinct"),
         min("num_val").as("min_num"), max("num_val").as("max_num"),
         min("str_val").as("min_str"), max("str_val").as("max_str"))
+    // an EMPTY table must still profile as one row per column (n_rows=0,
+    // like the oracle's global aggregates) — the melt alone would lose
+    // the column list exactly when a data drop is empty
+    val colList = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      cols.map(_.name).toDF("column_name")
+    }
+    colList.join(agg, Seq("column_name"), "left")
+      .select(col("column_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
   /** The oracled instance: the full `orders` table profile. */

@@ -238,37 +238,65 @@ object Relational {
     * the per-type moments are WINDOWS over the aggregated hourly table
     * (hours × types — bounded, never corpus-sized), so the events scan
     * runs once instead of once per consumer (the top_terms lesson). */
-  /** Per-type hourly-count moments (n_hours, S = Σx, Q = Σx²) — the
-    * tiny history table the STREAMING anomaly gate broadcasts
-    * ([[graft.streaming.PipelineStreams.anomalyGateStream]]); values
-    * identical to the windows inside [[hourlyAnomalies]]. */
-  def hourlyMoments(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+  /** The full (event_type × calendar hour) count grid over the corpus's
+    * observation window, zero-filled — the anomaly queries grade EVERY
+    * hour, so a total outage (zero events — the severest "drop") gets a
+    * row and a flag instead of silently producing no row at all. */
+  def hourlyGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val cnt = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
+    val hours = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    ev.select("event_type").distinct()
+      .crossJoin(hours)
+      .join(cnt, Seq("event_type", "hour"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+  }
+
+  /** Per-type hourly-count moments (n_hours, S = Σx, Q = Σx²) over the
+    * zero-filled grid — the tiny history table the STREAMING anomaly
+    * gate broadcasts ([[graft.streaming.PipelineStreams
+    * .anomalyGateStream]]); values identical to the windows inside
+    * [[hourlyAnomalies]]. S and Q aggregate in DECIMAL: Q sums squares,
+    * which overflows Long at ~1e9 events/hour × a month of history. */
+  def hourlyMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val xD = col("n_events").cast("decimal(19,0)")
+    hourlyGrid(spark, sfDir)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_hours"), sum("n_events").as("s"),
-        sum(col("n_events") * col("n_events")).as("q"))
+      .agg(count(lit(1)).as("n_hours"), sum(xD).as("s"),
+        sum(xD * xD).as("q"))
+  }
 
   /** The integer-exact anomaly flag shared by the batch query and the
-    * streaming gate: (n·x − S)² > z²·(nQ − S²). */
+    * streaming gate: (n·x − S)² > z²·(nQ − S²), evaluated in DECIMAL —
+    * dev² reaches ~1e28 at production rates (1e6 events/hour × 720 h
+    * history spiking 10×), far past Long.MaxValue, where a Long form
+    * would wrap NEGATIVE and unflag exactly the largest spikes. The
+    * DuckDB twin runs the same arithmetic in HUGEINT; both are exact, so
+    * the booleans agree. */
   def anomalyFlag(nEvents: Column, nHours: Column, s: Column,
                   q: Column): Column = {
-    val dev = nHours * nEvents - s
-    dev * dev > lit(AnomalyZ * AnomalyZ) * (nHours * q - s * s)
+    val x = nEvents.cast("decimal(19,0)")
+    val n = nHours.cast("decimal(19,0)")
+    val sD = s.cast("decimal(38,0)")
+    val qD = q.cast("decimal(38,0)")
+    val dev = n * x - sD
+    dev * dev > lit(AnomalyZ * AnomalyZ) * (n * qD - sD * sD)
   }
 
   def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = t(spark, sfDir, "events")
-      .groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type")
-    hourly
+    val xD = col("n_events").cast("decimal(19,0)")
+    hourlyGrid(spark, sfDir)
       .withColumn("n_hours", count(lit(1)).over(w))
-      .withColumn("s", sum("n_events").over(w))
-      .withColumn("q", sum(col("n_events") * col("n_events")).over(w))
-      .withColumn("dev", col("n_hours") * col("n_events") - col("s"))
+      .withColumn("s", sum(xD).over(w))
+      .withColumn("q", sum(xD * xD).over(w))
+      .withColumn("dev",
+        col("n_hours").cast("decimal(19,0)") * xD - col("s"))
       .withColumn("var_scaled",
         col("n_hours") * col("q") - col("s") * col("s"))
       .withColumn("is_anomaly", anomalyFlag(col("n_events"),
@@ -276,8 +304,9 @@ object Relational {
       // z = (x − S/n)/σ = dev/√(nQ − S²); display only — the flag above
       // is the exact integer form of the same comparison
       .withColumn("z_score",
-        round(col("dev") / sqrt(when(col("var_scaled") === 0, lit(null))
-          .otherwise(col("var_scaled")).cast("double")), 4))
+        round(col("dev").cast("double") /
+          sqrt(when(col("var_scaled") === 0, lit(null))
+            .otherwise(col("var_scaled")).cast("double")), 4))
       .select(col("event_type"), date_format(col("hour"), "yyyy-MM-dd HH:mm:ss")
         .as("hour"), col("n_events"), col("is_anomaly"), col("z_score"))
   }

@@ -251,10 +251,8 @@ object Similarity {
         (col("cell0") =!= col("cell1")).as("moved"),
         round(col("ccos"), 6).as("cos_to_centroid"))
 
-  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = cellAssignment(spark, sfDir) // vec_id, v, n2, cell
-    kmeansPresent(assigned, lloydStep(assigned))
-  }
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansIterate(spark, sfDir, iters = 1)
 
   /** Lloyd iterations for [[kmeansIterate]]. */
   val KmIters = 3
@@ -347,12 +345,17 @@ object Similarity {
       array((1 to Dim).map(k => min(element_at(col("v"), k))): _*).as("mn"),
       array((1 to Dim).map(k => max(element_at(col("v"), k))): _*).as("mx"))
     n.join(broadcast(bounds))
+      // encode truncates u·256 (clamped to 255: only the exact max hits
+      // 256), so the 256 buckets are UNIFORM width (mx−mn)/256 and the
+      // decode's (c+0.5)/256 midpoint is the true bucket midpoint —
+      // a ×255 encode against a /256 decode would skew every
+      // reconstruction systematically low
       .withColumn("codes",
         zip_with(col("v"), zip_with(col("mn"), col("mx"),
             (a, b) => struct(a.as("mn"), b.as("mx"))),
           (x, b) => when(b("mx") === b("mn"), lit(0L))
             .otherwise(least(lit(SqLevels - 1), greatest(lit(0),
-              floor((x - b("mn")) / (b("mx") - b("mn")) * (SqLevels - 1)))))))
+              floor((x - b("mn")) / (b("mx") - b("mn")) * SqLevels))))))
       .withColumn("recon",
         zip_with(col("codes"), zip_with(col("mn"), col("mx"),
             (a, b) => struct(a.as("mn"), b.as("mx"))),

@@ -240,12 +240,13 @@ object PipelineStreams {
         col("lm_micro_sum") >= lit(LangModel.PassAvgMicroNats) * col("n_bigrams"))
   }
 
-  /** Hard cap on the bloom literal [[bloomGateStream]] embeds: 32 MB of
-    * filter bits covers ~27M base keys at the 1% default fpp. Above it
-    * the gate refuses and points at the stream-static join form
+  /** Hard cap on the bloom literal [[bloomGateStream]] embeds (the shared
+    * [[graft.operators.Curation.MaxBloomBytes]]): 32 MB of filter bits
+    * covers ~27M base keys at the 1% default fpp. Above it the gate
+    * refuses and points at the stream-static join form
     * ([[simhashNearDupStream]]-style exact probe) — a bigger literal
     * would bloat every task binary. */
-  val GateMaxBloomBytes: Int = 32 << 20
+  val GateMaxBloomBytes: Int = graft.operators.Curation.MaxBloomBytes
 
   /** Streaming ingest dedup gate: flag stream docs whose canonical
     * bag-of-words hash ([[graft.operators.Curation.wordSetHash]]) is
@@ -263,25 +264,19 @@ object PipelineStreams {
   def bloomGateStream(spark: SparkSession, docs: DataFrame,
                       baseSfDir: String,
                       maxBloomBytes: Int = GateMaxBloomBytes): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.Curation
     val baseKeys = graft.sources.Tables.load(spark, baseSfDir, "documents")
-      .select(xxhash64(Curation.wordSetHash(col("text"))).as("h"))
-    val bloom = baseKeys.stat.bloomFilter("h",
-      math.max(baseKeys.count(), 1L), Curation.BloomFpp)
-    val bytes = {
-      val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b)
-      b.toByteArray
+      .select(Curation.wordSetHash(col("text")).as("th"))
+    // shared construction (Curation.bloomLiteral) — one home for the
+    // serialize-and-wrap logic and the literal-size refusal; the probe
+    // Column references `th` unresolved, so it binds to the stream frame
+    Curation.bloomLiteral(baseKeys, "th", maxBloomBytes) match {
+      case None => docs.withColumn("maybe_dup", lit(false))
+      case Some(probe) =>
+        docs.withColumn("th", Curation.wordSetHash(col("text")))
+          .withColumn("maybe_dup", probe)
+          .drop("th")
     }
-    require(bytes.length <= maxBloomBytes,
-      s"bloomGateStream: base corpus bloom is ${bytes.length} bytes " +
-        s"(> $maxBloomBytes); embedding it as a plan literal would bloat " +
-        s"every task. Use a stream-static join against the base key table " +
-        s"for corpora this large.")
-    docs.withColumn("maybe_dup", Bridge.column(BloomFilterMightContain(
-      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-      Bridge.expression(xxhash64(Curation.wordSetHash(col("text")))))))
   }
 
   /** Streaming sessionization: the batch `sessionize` 30-minute
@@ -322,11 +317,14 @@ object PipelineStreams {
       .withWatermark("ts", watermark)
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"))
-      .join(broadcast(moments), Seq("event_type"))
+      // LEFT join: an event type with NO history is the most anomalous
+      // traffic there is — an inner join would silently drop it
+      .join(broadcast(moments), Seq("event_type"), "left")
       .select(col("event_type"), col("window.start").as("hour"),
         col("n_events"),
-        Relational.anomalyFlag(col("n_events"), col("n_hours"),
-          col("s"), col("q")).as("is_anomaly"))
+        when(col("n_hours").isNull, lit(true))
+          .otherwise(Relational.anomalyFlag(col("n_events"), col("n_hours"),
+            col("s"), col("q"))).as("is_anomaly"))
   }
 
   /** Streaming funnel: the batch `event_funnel` state machine as

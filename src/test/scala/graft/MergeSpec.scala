@@ -44,9 +44,9 @@ class MergeSpec extends AnyFunSuite {
     assert(bySrc.getOrElse("inserted", 0L) === byOp.getOrElse("insert", 0L))
     assert(out.count() === nBase - byOp.getOrElse("delete", 0L)
       + byOp.getOrElse("insert", 0L))
-    // every inserted key is outside the base key space; no deleted key survives
-    assert(out.filter($"src" === "inserted" &&
-      $"c_custkey" < Merge.InsertKeyOffset).count() === 0)
+    // every inserted key is outside the (positive) base key space; no
+    // deleted key survives
+    assert(out.filter($"src" === "inserted" && $"c_custkey" >= 0).count() === 0)
     val deleted = ch.filter($"op" === "delete").select("c_custkey")
     assert(out.join(deleted, Seq("c_custkey")).count() === 0)
     // keys are unique after the merge

@@ -51,12 +51,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(n.getDouble(4) === 5.0 && n.getDouble(5) === 5.0)
   }
 
-  test("tableProfile plan: one melt pass, no join and no multi-distinct Expand") {
+  test("tableProfile plan: one melt pass, no multi-distinct Expand, no shuffle join") {
     val qe = Profile.tableProfileOrders(spark, sf).queryExecution
-    assert(!qe.optimizedPlan.toString.contains("Join"))
+    // the only join is the column-list stamp (a local 6-row broadcast)
+    assert(!qe.executedPlan.toString.contains("SortMergeJoin"))
     // the multi-distinct rewrite would insert Expand; the melt must not
     assert(!qe.executedPlan.toString.contains("Expand"),
       qe.executedPlan.toString.take(1500))
+  }
+
+  test("tableProfile: an empty table still yields one zero row per column") {
+    val empty = spark.range(0).select(col("id").as("num_col"),
+      lit(null).cast("string").as("str_col"))
+    val p = Profile.tableProfile(empty,
+      Seq(ColSpec("num_col", "num"), ColSpec("str_col", "str")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("num_col", "str_col"))
+    p.values.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    }
   }
 
   test("cluster_purity: accounting ties out against the refine assignment") {

@@ -505,12 +505,15 @@ class StreamingSpec extends AnyFunSuite {
     val m = graft.operators.Relational.hourlyMoments(spark, sf)
       .filter($"event_type" === "click")
       .head()
-    val (nHours, s, q) = (m.getLong(1), m.getLong(2), m.getLong(3))
+    // s and q are DECIMAL(38,0) (overflow-proof at production rates)
+    val nHours = BigInt(m.getLong(1))
+    val s = m.getDecimal(2).toBigInteger: BigInt
+    val q = m.getDecimal(3).toBigInteger: BigInt
     def expectFlag(x: Long): Boolean = {
       val dev = nHours * x - s
-      dev * dev > 4L * (nHours * q - s * s)
+      dev * dev > 4 * (nHours * q - s * s)
     }
-    val typical = math.max(1L, s / nHours)
+    val typical = math.max(1L, (s / nHours).toLong)
     val burst = 50L * typical
     assert(!expectFlag(typical) && expectFlag(burst), s"mean=$typical")
     def ts(min: Long) = new java.sql.Timestamp(3600L * 60000 + min * 60000)
