@@ -1452,6 +1452,17 @@ object OracleSql {
       FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)"""
   }
 
+  /** curation_report: per-reason rollup of the composed curate_corpus
+    * TEXT (annRecall pattern). */
+  private val curationReportSql: String = s"""WITH
+      d AS (SELECT drop_reason FROM (${base("curate_corpus")})),
+      c AS (SELECT drop_reason, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c)
+      SELECT drop_reason, n_docs,
+             round(n_docs / CAST(n_total AS DOUBLE), 6) AS share
+      FROM c, tot"""
+
   /** curate_embeddings: the three already-green component query TEXTS
     * joined on vec_id (annRecall pattern), plus the two derived flags. */
   private val curateEmbeddingsSql: String = s"""WITH
@@ -1471,5 +1482,6 @@ object OracleSql {
     ("cluster_purity" -> clusterPuritySql) +
     ("table_profile" -> tableProfileSql) +
     ("curate_embeddings" -> curateEmbeddingsSql) +
-    ("dedup_threshold_sweep" -> thresholdSweepSql)
+    ("dedup_threshold_sweep" -> thresholdSweepSql) +
+    ("curation_report" -> curationReportSql)
 }

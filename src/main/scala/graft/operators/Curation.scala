@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis.{normText, tokens}
@@ -368,6 +369,20 @@ object Curation {
       .select(col("doc_id"), col("pass_quality"), col("is_eval"),
         col("is_contaminated"), col("is_duplicate"),
         col("sampled").as("is_sampled"), col("final_kept"), col("drop_reason"))
+  }
+
+  /** The curation DASHBOARD row: per drop-reason document counts and
+    * corpus shares from the composed [[curateCorpus]] decision — the
+    * one-glance funnel report a curation run publishes. Shares are
+    * display ratios of exact integers (reason count / corpus count). */
+  def curationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val decided = curateCorpus(spark, sfDir)
+    val w = Window.partitionBy(lit(1))
+    decided.groupBy("drop_reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum("n_docs").over(w))
+      .select(col("drop_reason"), col("n_docs"),
+        round(col("n_docs") / col("n_total").cast("double"), 6).as("share"))
   }
 
   // ----- Gopher repetition rules (beyond the single-token max_count) -----

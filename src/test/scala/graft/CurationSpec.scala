@@ -305,6 +305,16 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.bloomSemiFlag(batch, base, "k", "hit").count() === 3)
   }
 
+  test("curation_report: reasons partition the corpus, shares sum to 1") {
+    val r = Curation.curationReport(spark, sf).cache()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(r.agg(sum("n_docs")).head().getLong(0) === nDocs)
+    val shareSum = r.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    assert(r.filter($"drop_reason" === "kept").count() === 1)
+    r.unpersist()
+  }
+
   test("bloomSemiFlag edge cases: empty batch, empty base") {
     val someKeys = Seq("a", "b").toDF("k")
     val noKeys = Seq.empty[String].toDF("k")
