@@ -1452,6 +1452,26 @@ object OracleSql {
       FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)"""
   }
 
+  /** quality_signals: the four quality-family query TEXTS joined on
+    * doc_id (annRecall pattern). */
+  private val qualitySignalsSql: String = s"""WITH
+      g AS (SELECT doc_id, n_failed = 0 AS pass_gopher
+            FROM (${base("quality_filter")})),
+      r AS (SELECT doc_id, pass_repetition AS pass_rep_grams
+            FROM (${base("quality_repetition")})),
+      l AS (SELECT doc_id, pass_lm FROM (${base("lm_bigram_score")})),
+      v AS (SELECT doc_id, pass_vocab FROM (${base("vocab_coverage")}))
+      SELECT g.doc_id, g.pass_gopher, r.pass_rep_grams, l.pass_lm,
+             v.pass_vocab,
+             CAST(4 - CAST(g.pass_gopher AS INT) - CAST(r.pass_rep_grams AS INT)
+                  - CAST(l.pass_lm AS INT) - CAST(v.pass_vocab AS INT)
+               AS BIGINT) AS n_failed_families,
+             (g.pass_gopher AND r.pass_rep_grams AND l.pass_lm
+              AND v.pass_vocab) AS is_high_quality
+      FROM g JOIN r ON g.doc_id = r.doc_id
+             JOIN l ON g.doc_id = l.doc_id
+             JOIN v ON g.doc_id = v.doc_id"""
+
   /** curation_report: per-reason rollup of the composed curate_corpus
     * TEXT (annRecall pattern). */
   private val curationReportSql: String = s"""WITH
@@ -1483,5 +1503,6 @@ object OracleSql {
     ("table_profile" -> tableProfileSql) +
     ("curate_embeddings" -> curateEmbeddingsSql) +
     ("dedup_threshold_sweep" -> thresholdSweepSql) +
-    ("curation_report" -> curationReportSql)
+    ("curation_report" -> curationReportSql) +
+    ("quality_signals" -> qualitySignalsSql)
 }

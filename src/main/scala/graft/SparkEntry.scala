@@ -60,6 +60,7 @@ object SparkEntry {
     "lm_bigram_score" -> (graft.operators.LangModel.lmBigramScore(_, _)),
     "curate_corpus" -> (Curation.curateCorpus(_, _)),
     "curation_report" -> (Curation.curationReport(_, _)),
+    "quality_signals" -> (Curation.qualitySignals(_, _)),
     "quality_repetition" -> (Curation.qualityRepetition(_, _)),
     "line_dedup" -> (Curation.lineDedup(_, _)),
     // sketches (no oracle twins — DuckDB's HLL/quantile sketches differ;

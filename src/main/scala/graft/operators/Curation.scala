@@ -371,6 +371,36 @@ object Curation {
         col("sampled").as("is_sampled"), col("final_kept"), col("drop_reason"))
   }
 
+  /** The master per-document quality verdict: every quality family's
+    * pass flag in one frame — Gopher length/stopword/repetition rules
+    * ([[qualityFilter]]), the bigram-repetition pair
+    * ([[qualityRepetition]]), statistical-LM scoring
+    * ([[graft.operators.LangModel.lmBigramScore]]), and vocabulary
+    * coverage ([[graft.operators.TextAnalysis.vocabCoverage]]) — plus
+    * the failed-family count and the all-pass verdict. The production
+    * shape: signals computed independently, one doc_id-keyed join per
+    * family, routed downstream as a single decision row.
+    *
+    * Scale: four doc_id equi-joins of already-scale-audited per-doc
+    * frames; no new shuffle shape. */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val gopher = qualityFilter(spark, sfDir)
+      .select(col("doc_id"), (col("n_failed") === 0).as("pass_gopher"))
+    val rep = qualityRepetition(spark, sfDir)
+      .select(col("doc_id"), col("pass_repetition").as("pass_rep_grams"))
+    val lm = graft.operators.LangModel.lmBigramScore(spark, sfDir)
+      .select(col("doc_id"), col("pass_lm"))
+    val vocab = graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)
+      .select(col("doc_id"), col("pass_vocab"))
+    gopher.join(rep, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .join(vocab, Seq("doc_id"))
+      .withColumn("n_failed_families", (lit(4)
+        - col("pass_gopher").cast("int") - col("pass_rep_grams").cast("int")
+        - col("pass_lm").cast("int") - col("pass_vocab").cast("int"))
+        .cast("long"))
+      .withColumn("is_high_quality", col("n_failed_families") === 0)
+  }
+
   /** The curation DASHBOARD row: per drop-reason document counts and
     * corpus shares from the composed [[curateCorpus]] decision — the
     * one-glance funnel report a curation run publishes. Shares are

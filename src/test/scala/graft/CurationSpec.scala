@@ -305,6 +305,24 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.bloomSemiFlag(batch, base, "k", "hit").count() === 3)
   }
 
+  test("quality_signals: family flags tie out to their source queries") {
+    val s = Curation.qualitySignals(spark, sf).cache()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(s.count() === nDocs)
+    assert(s.filter($"is_high_quality" =!= ($"n_failed_families" === 0))
+      .count() === 0)
+    // each flag equals its source query's verdict for every doc
+    val g = Curation.qualityFilter(spark, sf)
+      .select($"doc_id", ($"n_failed" === 0).as("expect"))
+    assert(s.join(g, Seq("doc_id"))
+      .filter($"pass_gopher" =!= $"expect").count() === 0)
+    // the composed verdict is stricter than any single family
+    assert(s.filter($"is_high_quality").count() <=
+      s.filter($"pass_gopher").count())
+    assert(s.filter($"is_high_quality").count() > 0)
+    s.unpersist()
+  }
+
   test("curation_report: reasons partition the corpus, shares sum to 1") {
     val r = Curation.curationReport(spark, sf).cache()
     val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
