@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.LogModel._
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** DuckDB-runnable ANSI SQL twins of every oracle-checkable query in
   * SparkEntry.queries. Each statement must produce identical column names
@@ -267,6 +267,16 @@ object OracleSql {
             FROM q)"""
   }
 
+  /** Inverted-index CTEs (tok → ex → tc) — the SQL twin of the
+    * persist-once TextAnalysis.termCounts artifact; ONE definition shared
+    * by every posting-list consumer (top_terms, vocab_coverage,
+    * bm25_search, doc_similarity) so the tokenization-to-postings step
+    * cannot drift between them. Builds on textCtes' `tok`. */
+  private val tcCtes: String =
+    s"""ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
+             FROM ex GROUP BY doc_id, term)"""
+
   /** Decontamination CTEs (sp → g5 → eg/tg → hits), shared by
     * decontaminate and curate_corpus. Builds on textCtes' `tok`. */
   private val deconCtes: String = {
@@ -476,9 +486,7 @@ object OracleSql {
     // cannot drift; every sampling decision is integer-exact.
 
     "top_terms" -> s"""WITH $textCtes,
-      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
-             FROM ex GROUP BY doc_id, term),
+      $tcCtes,
       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
                 FROM tc GROUP BY term),
       ranked AS (
@@ -490,9 +498,7 @@ object OracleSql {
       FROM ranked WHERE term_rank <= ${TextAnalysis.TopTermsK}""",
 
     "vocab_coverage" -> s"""WITH $textCtes,
-      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
-             FROM ex GROUP BY doc_id, term),
+      $tcCtes,
       vf AS (SELECT term, CAST(sum(term_count) AS BIGINT) AS tf
              FROM tc GROUP BY term),
       voc AS (SELECT term FROM vf ORDER BY tf DESC, term ASC
@@ -532,9 +538,7 @@ object OracleSql {
              ELSE 0.0 END"""
       }.mkString(" + ")
       s"""WITH $textCtes,
-      ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-      tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count
-             FROM ex GROUP BY doc_id, term),
+      $tcCtes,
       dlen AS (SELECT doc_id, CAST(sum(term_count) AS BIGINT) AS dl
                FROM tc GROUP BY doc_id),
       corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -554,6 +558,53 @@ object OracleSql {
             FROM scored)
       SELECT srank, doc_id, n_hit_terms, dl, score
       FROM r WHERE srank <= $BmTopK"""
+    },
+
+    // All-pairs doc similarity over the postings: df band + pair
+    // aggregation are integer-exact; thresholds from the shared
+    // Search.Sim* constants.
+    "doc_similarity" -> {
+      import graft.operators.Search._
+      s"""WITH $textCtes,
+      $tcCtes,
+      banded AS (SELECT term FROM
+                   (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tc GROUP BY term)
+                 WHERE df >= $SimDfMin AND df <= $SimDfMax),
+      p AS (SELECT tc.* FROM tc JOIN banded USING (term)),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(count(*) AS BIGINT) AS n_shared_terms,
+                    CAST(sum(a.term_count * b.term_count) AS BIGINT) AS dot_weight
+             FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY dot_weight DESC, doc_a, doc_b)
+                 AS BIGINT) AS srank
+            FROM pr)
+      SELECT srank, doc_a, doc_b, n_shared_terms, dot_weight
+      FROM r WHERE srank <= $SimTopK"""
+    },
+
+    // Hot-key diagnostic: flag + salt count integer-exact; key_share is a
+    // display-only double division of exact integers.
+    "skew_report" -> {
+      import graft.operators.Skew._
+      s"""WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+                     FROM orders GROUP BY o_custkey),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+      j AS (SELECT c.o_custkey, c.cnt, t.n_keys, t.n_rows,
+               c.cnt * t.n_keys >= $SkewHotFactor * t.n_rows AS is_hot,
+               CASE WHEN c.cnt * t.n_keys >= $SkewHotFactor * t.n_rows
+                    THEN (c.cnt * t.n_keys + t.n_rows - 1) // t.n_rows
+                    ELSE 1 END AS recommended_salts
+            FROM c, t),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey)
+                 AS BIGINT) AS srank
+            FROM j)
+      SELECT srank, o_custkey, cnt,
+             round(cnt / CAST(n_rows AS DOUBLE), 6) AS key_share, is_hot,
+             CAST(recommended_salts AS BIGINT) AS recommended_salts
+      FROM r WHERE srank <= $SkewTopK"""
     },
 
     "source_mix_plan" -> s"""WITH $textCtes,
@@ -1090,6 +1141,24 @@ object OracleSql {
       SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS component_id,
              (COALESCE(c.component_id, e.vec_id) = e.vec_id) AS is_kept
       FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id""",
+
+    // Semantic decontamination: same holdout rule as the n-gram layer
+    // (docHashSql % DecontamEvalMod), exact cosine vs every eval vector
+    // (the sequential-fold dot proven bit-identical by embedding_topk),
+    // count/max are exact selections so the flags cannot drift.
+    "semantic_decontaminate" -> s"""WITH $embCtes,
+      sp AS (SELECT vec_id, ${docHashSql("vec_id")} % ${Curation.DecontamEvalMod} = 0 AS is_eval FROM n),
+      ev AS (SELECT n.v AS qv, n.n2 AS qn2 FROM n JOIN sp USING (vec_id) WHERE is_eval),
+      tr AS (SELECT n.vec_id AS doc_id, n.v, n.n2 FROM n JOIN sp USING (vec_id) WHERE NOT is_eval),
+      s AS (SELECT t.doc_id,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> t.v[k]*e.qv[k]))
+                     / (sqrt(t.n2) * sqrt(e.qn2)) AS cos
+            FROM tr t CROSS JOIN ev e)
+      SELECT doc_id,
+             CAST(count(*) FILTER (cos >= ${Curation.SemDecontamCosine}) AS BIGINT) AS n_eval_sem_hits,
+             round(max(cos), 6) AS max_eval_cos,
+             count(*) FILTER (cos >= ${Curation.SemDecontamCosine}) = 0 AS is_clean
+      FROM s GROUP BY doc_id""",
 
     "multimodal_features" -> s"""WITH $textCtes,
       h AS (SELECT doc_id,

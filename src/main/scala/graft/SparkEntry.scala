@@ -45,6 +45,7 @@ object SparkEntry {
     "top_terms" -> (TextAnalysis.topTerms(_, _)),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "bm25_search" -> (Search.bm25Search(_, _)),
+    "doc_similarity" -> (Search.docSimilarity(_, _)),
     // corpus composition (training-mix planning + deterministic sampling)
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
@@ -54,6 +55,7 @@ object SparkEntry {
     // corpus curation (quality rules, decontamination, PII, incremental)
     "quality_filter" -> (Curation.qualityFilter(_, _)),
     "decontaminate" -> (Curation.decontaminate(_, _)),
+    "semantic_decontaminate" -> (Curation.semanticDecontaminate(_, _)),
     "pii_scrub" -> (Curation.piiScrub(_, _)),
     "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
     "bloom_dedup" -> (Curation.bloomDedup(_, _)),
@@ -90,6 +92,7 @@ object SparkEntry {
     "embedding_sq" -> (Similarity.embeddingSq(_, _)),
     "curate_embeddings" -> (Similarity.curateEmbeddings(_, _)),
     "table_profile" -> (graft.operators.Profile.tableProfileOrders(_, _)),
+    "skew_report" -> (graft.operators.Skew.skewReport(_, _)),
     "multimodal_features" -> (MultiModal.multimodalFeatures(_, _)),
     // generic relational coverage
     "q1_pricing" -> (Relational.q1Pricing(_, _)),

@@ -145,6 +145,51 @@ object Curation {
       .withColumn("is_clean", col("n_eval_grams_hit") === 0)
   }
 
+  // ---- semantic (embedding-level) decontamination ----
+  /** Cosine threshold for semantic eval overlap — the embedding near-dup
+    * design point (0.35, the same operating point as
+    * [[Similarity.NearDupCosine]]); at sf0.01 it flags ~10% of train
+    * docs, a different (paraphrase-shaped) population than the literal
+    * 5-gram layer catches. */
+  val SemDecontamCosine = 0.35
+
+  /** Embedding-level decontamination — the SEMANTIC companion of the
+    * n-gram [[decontaminate]]: a train document is flagged when its
+    * embedding's cosine against ANY eval-holdout embedding reaches
+    * [[SemDecontamCosine]] (paraphrased eval leakage that shares no
+    * literal 5-gram). Same doc-id-hash holdout as the gram layer, so the
+    * two gates compose over one split; `embeddings.vec_id` IS the
+    * document id (the testdata tables are 1:1 by construction).
+    *
+    * Scale shape: the eval sliver (vectors + norms) is BROADCAST — the
+    * corpus side is one scan through a broadcast nested-loop with the
+    * sequential-fold dot kernel, then a partial-aggregable per-doc
+    * count/max. No corpus shuffle beyond the per-doc aggregate; cost is
+    * |corpus|·|eval| — the honest exact form while the holdout is
+    * benchmark-sized (the LSH-bucketed join is the recall<1 path if a
+    * holdout ever outgrows broadcast). */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", VectorOps.norm2_seq(col("v")))
+      .withColumn("is_eval", docHash(col("doc_id")) % DecontamEvalMod === 0)
+    val ev = n.filter(col("is_eval"))
+      .select(col("v").as("qv"), col("n2").as("qn2"))
+    n.filter(!col("is_eval"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", VectorOps.dot_seq(col("v"), col("qv"))
+        / (sqrt(col("n2")) * sqrt(col("qn2"))))
+      .groupBy("doc_id")
+      .agg(count(when(col("cos") >= SemDecontamCosine, lit(1)))
+          .as("n_eval_sem_hits"),
+        round(max(col("cos")), 6).as("max_eval_cos"))
+      .withColumn("is_clean", col("n_eval_sem_hits") === 0)
+      .select(col("doc_id"), col("n_eval_sem_hits"), col("max_eval_cos"),
+        col("is_clean"))
+  }
+
   // ---- PII scrubbing ----
   /** Detection patterns — deliberately simple, RE2-compatible (the oracle
     * runs them in DuckDB) and Java-compatible with identical semantics. */

@@ -85,4 +85,51 @@ object Search {
       .select(col("srank"), col("doc_id"), col("n_hit_terms").cast("long"),
         col("dl"), col("score"))
   }
+
+  // ---- all-pairs document similarity over the posting lists ----
+  /** Document-frequency band for similarity terms: hapax terms carry no
+    * pair signal (df < 2 can't co-occur) and stop-like terms (df > cap)
+    * are the quadratic hazard AND the least discriminative — pruning them
+    * is both the classic DISI cost bound and an idf argument. Cap = 10%
+    * of the sf0.01 corpus; at production scale the cap is an absolute
+    * posting-length bound, not a corpus fraction. */
+  val SimDfMin = 2L
+  val SimDfMax = 50L
+  val SimTopK = 20
+
+  /** Top-k most-similar document PAIRS via a posting-list self-join —
+    * the all-pairs similarity workload (related-documents /
+    * template-detection) expressed over the same persist-once inverted
+    * index as BM25. Similarity is the raw term-count dot product plus the
+    * shared-term count, both INTEGER-exact, so the ranking cannot drift
+    * cross-engine (no tf-idf doubles in the decision path).
+    *
+    * Scale shape: candidate pairs are generated per TERM (equi-join on
+    * the term key), so cost is Σ_term df² ≤ SimDfMax · Σ df — linear in
+    * corpus size for a fixed cap, never N². The pair aggregation is one
+    * partial-aggregable shuffle on (doc_a, doc_b); the final top-k is a
+    * TakeOrderedAndProject over the aggregated pairs. */
+  def docSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = TextAnalysis.termCounts(spark, sfDir)
+    val banded = tc.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= SimDfMin && col("df") <= SimDfMax)
+      .select("term")
+    val p = tc.join(banded, Seq("term"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("a.term_count") * col("b.term_count")).cast("long")
+          .as("dot_weight"))
+    pairs
+      .orderBy(col("dot_weight").desc, col("doc_a"), col("doc_b"))
+      .limit(SimTopK)
+      .withColumn("srank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("dot_weight").desc, col("doc_a"), col("doc_b")))
+          .cast("long"))
+      .select(col("srank"), col("doc_a"), col("doc_b"),
+        col("n_shared_terms"), col("dot_weight"))
+  }
 }

@@ -37,4 +37,44 @@ object Skew {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ---- hot-key diagnostic (the measurement that picks `salts`) ----
+  /** Hot threshold: a key is hot when its row count reaches
+    * SkewHotFactor × the mean rows-per-key — evaluated integer-exactly
+    * as cnt · n_keys ≥ factor · n_rows. */
+  val SkewHotFactor = 2L
+  val SkewTopK = 20
+
+  /** Join-key skew report over `orders.o_custkey` — the diagnostic you
+    * run BEFORE choosing between a plain shuffle join, AQE skew
+    * splitting, and [[saltedJoin]]: the top-k heaviest keys with their
+    * share of the table, the integer-exact hot flag, and the salt
+    * count that would level each hot key back to the mean
+    * (ceil(cnt / avg), the `salts` argument saltedJoin wants).
+    *
+    * Scale shape: ONE partial-aggregable groupBy on the join key
+    * (map-side combine collapses each partition to its distinct keys),
+    * a 1-row broadcast totals crossJoin, and a TakeOrderedAndProject —
+    * the full key set is never sorted or collected. */
+  def skewReport(spark: org.apache.spark.sql.SparkSession,
+                 sfDir: String): DataFrame = {
+    val c = graft.sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").cast("long").as("n_rows"))
+    c.crossJoin(broadcast(t))
+      .withColumn("is_hot",
+        col("cnt") * col("n_keys") >= lit(SkewHotFactor) * col("n_rows"))
+      .withColumn("recommended_salts", when(col("is_hot"),
+          expr("(cnt * n_keys + n_rows - 1) div n_rows"))
+        .otherwise(lit(1L)))
+      .orderBy(col("cnt").desc, col("o_custkey"))
+      .limit(SkewTopK)
+      .withColumn("srank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("o_custkey"))).cast("long"))
+      .select(col("srank"), col("o_custkey"), col("cnt"),
+        round(col("cnt") / col("n_rows"), 6).as("key_share"),
+        col("is_hot"), col("recommended_salts"))
+  }
 }

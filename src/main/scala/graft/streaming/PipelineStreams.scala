@@ -25,6 +25,9 @@ object PipelineStreams {
   case class StreamEvent(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, value: Double)
 
+  /** Typed row for embedding streams (tests / MemoryStream drivers). */
+  case class StreamVec(doc_id: Long, embedding: Array[Double])
+
   /** Streaming exact dedup: same content identity as the batch
     * `dedup_exact` (sha256 of the canonically normalized text), with
     * duplicates suppressed inside the event-time watermark horizon via
@@ -95,6 +98,41 @@ object PipelineStreams {
           DecontamGramLen)).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams_hit"))
+  }
+
+  /** Streaming SEMANTIC decontamination: incoming (doc_id, embedding)
+    * rows scored against the BROADCAST eval-holdout vectors of a
+    * reference corpus with the batch op's sequential-fold cosine —
+    * paraphrase-shaped eval leakage flagged at ingest time, where the
+    * n-gram gate is blind. Same split rule, threshold, and arithmetic as
+    * [[graft.operators.Curation.semanticDecontaminate]], so a vector
+    * flagged in a backfill is flagged here too.
+    *
+    * Shape: stream-static broadcast join on a constant key (the
+    * supported equi form of the |batch|·|eval| nested loop; the eval
+    * side is a holdout sliver by construction) + the stream's one
+    * aggregation (per-doc count/max, update mode). */
+  def semanticDecontaminateStream(spark: SparkSession, vecs: DataFrame,
+                                  planSfDir: String): DataFrame = {
+    import graft.operators.Curation._
+    import graft.functions.VectorOps
+    val ev = graft.sources.Tables.load(spark, planSfDir, "embeddings")
+      .filter(docHash(col("vec_id")) % DecontamEvalMod === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn2", VectorOps.norm2_seq(col("qv")))
+      .withColumn("jk", lit(1))
+    vecs
+      .select(col("doc_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", VectorOps.norm2_seq(col("v")))
+      .withColumn("jk", lit(1))
+      .join(broadcast(ev), Seq("jk"))
+      .withColumn("cos", VectorOps.dot_seq(col("v"), col("qv"))
+        / (sqrt(col("n2")) * sqrt(col("qn2"))))
+      .groupBy("doc_id")
+      .agg(count(when(col("cos") >= SemDecontamCosine, lit(1)))
+          .as("n_eval_sem_hits"),
+        round(max(col("cos")), 6).as("max_eval_cos"))
+      .withColumn("is_clean", col("n_eval_sem_hits") === 0)
   }
 
   /** Streaming SimHash near-dup detection against a STATIC base corpus —

@@ -360,4 +360,66 @@ class CurationSpec extends AnyFunSuite {
     assert(planStr.contains("might_contain"), planStr.take(1500))
     out.unpersist()
   }
+
+  test("semantic_decontaminate: matches a plain-Scala exact recomputation") {
+    import graft.operators.Curation
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        (Curation.docHash($"vec_id") % Curation.DecontamEvalMod === 0)
+          .as("is_eval"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getBoolean(2)))
+    val evalVs = emb.filter(_._3).map(_._2)
+    val train = emb.filterNot(_._3)
+    assert(evalVs.nonEmpty && train.nonEmpty)
+    // left-to-right double folds, the same arithmetic as the kernels
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def n2(a: Array[Double]): Double = dot(a, a)
+    val expected = train.map { case (id, v, _) =>
+      val cs = evalVs.map(q => dot(v, q) / (math.sqrt(n2(v)) * math.sqrt(n2(q))))
+      val hits = cs.count(_ >= Curation.SemDecontamCosine).toLong
+      id -> ((hits, BigDecimal(cs.max)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Curation.semanticDecontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_sem_hits"), r.getAs[Double]("max_eval_cos"),
+          r.getAs[Boolean]("is_clean"))))
+    assert(got.length === train.length)
+    got.foreach { case (id, (hits, maxCos, clean)) =>
+      val (eHits, eMax) = expected(id)
+      assert(hits === eHits, s"doc $id hits")
+      assert(math.abs(maxCos - eMax) < 1e-9, s"doc $id maxCos $maxCos vs $eMax")
+      assert(clean === (hits === 0L))
+    }
+  }
+
+  test("doc_similarity: ranked pairs match recomputation from the postings") {
+    import graft.operators.Search
+    val r = Search.docSimilarity(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= Search.SimTopK)
+    assert(r.map(_.getAs[Long]("srank")).toSeq === (1L to r.length).toSeq)
+    // independent recomputation: postings from the artifact, df band,
+    // all-pairs integer dot, same (weight desc, a, b) order
+    val tc = graft.operators.TextAnalysis.termCounts(spark, sf)
+      .collect().map(x => (x.getAs[String]("term"),
+        x.getAs[Long]("doc_id"), x.getAs[Long]("term_count")))
+    val byTerm = tc.groupBy(_._1).filter { case (_, ps) =>
+      ps.length >= Search.SimDfMin && ps.length <= Search.SimDfMax }
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((_, ps) <- byTerm; a <- ps; b <- ps if a._2 < b._2) {
+      val k = (a._2, b._2)
+      val (n, w) = acc.getOrElse(k, (0L, 0L))
+      acc(k) = (n + 1, w + a._3 * b._3)
+    }
+    val expTop = acc.toSeq
+      .sortBy { case ((a, b), (_, w)) => (-w, a, b) }.take(Search.SimTopK)
+      .map { case ((a, b), (n, w)) => (a, b, n, w) }
+    val gotTop = r.map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"),
+      x.getAs[Long]("n_shared_terms"), x.getAs[Long]("dot_weight"))).toSeq
+    assert(gotTop === expTop)
+  }
 }

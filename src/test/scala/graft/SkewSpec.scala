@@ -43,4 +43,32 @@ class SkewSpec extends AnyFunSuite {
       .select(countDistinct("__salt")).head().getLong(0)
     assert(spread === 8L)
   }
+
+  test("skew_report: hot flag and salt count consistent with recomputed counts") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Skew.skewReport(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= Skew.SkewTopK)
+    // srank is 1..n in cnt-desc order
+    assert(r.map(_.getAs[Long]("srank")).toSeq === (1L to r.length).toSeq)
+    val cnts = r.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+    // recompute totals independently
+    val byKey = graft.sources.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey").count().collect()
+      .map(x => x.getAs[Long]("o_custkey") -> x.getAs[Long]("count")).toMap
+    val nKeys = byKey.size.toLong
+    val nRows = byKey.values.sum
+    r.foreach { row =>
+      val cnt = row.getAs[Long]("cnt")
+      assert(cnt === byKey(row.getAs[Long]("o_custkey")))
+      val hot = cnt * nKeys >= Skew.SkewHotFactor * nRows
+      assert(row.getAs[Boolean]("is_hot") === hot)
+      val expSalts = if (hot) (cnt * nKeys + nRows - 1) / nRows else 1L
+      assert(row.getAs[Long]("recommended_salts") === expSalts)
+      val share = row.getAs[Double]("key_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // the report's top key is the true heaviest key
+    assert(cnts.head === byKey.values.max)
+  }
 }

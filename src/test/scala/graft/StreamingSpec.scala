@@ -281,6 +281,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination matches the batch decision per vector") {
+    import graft.streaming.PipelineStreams.StreamVec
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Curation.semanticDecontaminate(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_sem_hits"), r.getAs[Double]("max_eval_cos"),
+          r.getAs[Boolean]("is_clean")))).toMap
+    assert(batch.exists(!_._2._3) && batch.exists(_._2._3),
+      "testdata should have both flagged and clean train vectors")
+    // stream the train-side vectors (production input is new data; eval
+    // vectors would trivially self-match)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => StreamVec(r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter(v => batch.contains(v.doc_id))
+    val input = MemoryStream[StreamVec](spark)
+    val q = PipelineStreams.semanticDecontaminateStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("ssemdec")
+      .outputMode("update").start()
+    try {
+      input.addData(vecs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ssemdec").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_eval_sem_hits"), r.getAs[Double]("max_eval_cos"),
+            r.getAs[Boolean]("is_clean")))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate drops exactly the batch-contaminated docs") {
     import graft.streaming.PipelineStreams.StreamDoc
     val sf = "/root/testdata/sf0.001"
