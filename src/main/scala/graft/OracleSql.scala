@@ -1541,6 +1541,37 @@ object OracleSql {
              JOIN l ON g.doc_id = l.doc_id
              JOIN v ON g.doc_id = v.doc_id"""
 
+  /** lm_quality_buckets: CCNet-style per-language terciles of the LM
+    * score — composes the green lm_bigram_score text; the score is an
+    * integer quantization (floor division on the NEGATED non-negative
+    * sum, where `//` and Spark's `div` provably agree), boundaries cut
+    * on the cumulative histogram with 3·cum ≥ k·n cross-multiplication,
+    * assignment by integer comparison. */
+  private val lmQualityBucketsSql: String = s"""WITH
+      lm AS (SELECT doc_id, n_bigrams, lm_micro_sum
+             FROM (${base("lm_bigram_score")})),
+      s AS (SELECT lm.doc_id, d.lang,
+              CASE WHEN lm.n_bigrams > 0
+                   THEN -(((-lm.lm_micro_sum) * 1000) // lm.n_bigrams)
+              END AS score_q
+            FROM lm JOIN documents d USING (doc_id)),
+      h AS (SELECT lang, score_q, CAST(count(*) AS BIGINT) AS c
+            FROM s WHERE score_q IS NOT NULL GROUP BY lang, score_q),
+      cum AS (SELECT lang, score_q,
+                CAST(sum(c) OVER (PARTITION BY lang ORDER BY score_q) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM h),
+      th AS (SELECT lang,
+               min(CASE WHEN cum * 3 >= n THEN score_q END) AS t1,
+               min(CASE WHEN cum * 3 >= n * 2 THEN score_q END) AS t2
+             FROM cum GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.score_q,
+             CASE WHEN s.score_q IS NULL THEN 'unscored'
+                  WHEN s.score_q <= th.t1 THEN 'tail'
+                  WHEN s.score_q <= th.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+      FROM s LEFT JOIN th USING (lang)"""
+
   /** curation_report: per-reason rollup of the composed curate_corpus
     * TEXT (annRecall pattern). */
   private val curationReportSql: String = s"""WITH
@@ -1573,5 +1604,6 @@ object OracleSql {
     ("curate_embeddings" -> curateEmbeddingsSql) +
     ("dedup_threshold_sweep" -> thresholdSweepSql) +
     ("curation_report" -> curationReportSql) +
-    ("quality_signals" -> qualitySignalsSql)
+    ("quality_signals" -> qualitySignalsSql) +
+    ("lm_quality_buckets" -> lmQualityBucketsSql)
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "incremental_dedup" -> (Curation.incrementalDedup(_, _)),
     "bloom_dedup" -> (Curation.bloomDedup(_, _)),
     "lm_bigram_score" -> (graft.operators.LangModel.lmBigramScore(_, _)),
+    "lm_quality_buckets" -> (graft.operators.LangModel.lmQualityBuckets(_, _)),
     "curate_corpus" -> (Curation.curateCorpus(_, _)),
     "curation_report" -> (Curation.curationReport(_, _)),
     "quality_signals" -> (Curation.qualitySignals(_, _)),

@@ -114,4 +114,50 @@ object LangModel {
       .withColumn("pass_lm", col("n_bigrams") > 0 &&
         col("lm_micro_sum") >= lit(PassAvgMicroNats) * col("n_bigrams"))
   }
+
+  /** CCNet-style per-language quality buckets (Wenzek et al. 2019): each
+    * language's documents split into head / middle / tail TERCILES of the
+    * LM score distribution — the standard curriculum for choosing how
+    * much of each quality band enters training.
+    *
+    * Exactness: the per-doc score is quantized to an INTEGER
+    * (avg micro-nats × 1000, floor division on the NEGATED non-negative
+    * sum — `div`/`//` truncation only provably agrees cross-engine on
+    * non-negative operands); tercile boundaries are cut on the
+    * cumulative histogram with 3·cum ≥ k·n cross-multiplication, and
+    * bucket assignment is integer comparison against the boundary
+    * values. No float feeds any decision.
+    *
+    * Scale shape: the corpus side is ONE partial-aggregable groupBy on
+    * (lang, score_q) — the shuffle carries the score HISTOGRAM, whose
+    * size is bounded by distinct quantized scores, not rows. The
+    * cumulative window runs over that bounded grid (the
+    * hourly_anomalies moments pattern), thresholds broadcast back, and
+    * the final bucket label is a scan-speed predicate. No corpus-sized
+    * sort, no low-cardinality window funnel. */
+  def lmQualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = lmBigramScore(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("score_q", when(col("n_bigrams") > 0,
+        -expr("(-lm_micro_sum) * 1000 div n_bigrams")))
+      .select(col("doc_id"), col("lang"), col("score_q"))
+    val hist = s.filter(col("score_q").isNotNull)
+      .groupBy("lang", "score_q").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("lang").orderBy("score_q")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("score_q"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("score_q"))).as("t2"))
+    s.join(broadcast(th), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("score_q").isNull, lit("unscored"))
+          .when(col("score_q") <= col("t1"), lit("tail"))
+          .when(col("score_q") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .select(col("doc_id"), col("lang"), col("score_q"), col("bucket"))
+  }
 }

@@ -60,4 +60,36 @@ class LangModelSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(perDoc(1L) > perDoc(2L))
   }
+
+  test("lm_quality_buckets: tercile cuts match a plain-Scala recomputation") {
+    val rows = LangModel.lmQualityBuckets(spark, sf).collect().map { x =>
+      val si = x.fieldIndex("score_q")
+      (x.getAs[Long]("doc_id"), x.getAs[String]("lang"),
+        if (x.isNullAt(si)) None else Some(x.getLong(si)),
+        x.getAs[String]("bucket"))
+    }
+    assert(rows.nonEmpty)
+    rows.filter(_._3.isEmpty).foreach(x => assert(x._4 === "unscored"))
+    val scored = rows.filter(_._3.nonEmpty)
+    assert(scored.nonEmpty)
+    scored.groupBy(_._2).foreach { case (lang, ds) =>
+      val scores = ds.map(_._3.get).sorted
+      val n = scores.length.toLong
+      val distinct = scores.distinct
+      val t1 = distinct.find(s => scores.count(_ <= s) * 3L >= n).get
+      val t2 = distinct.find(s => scores.count(_ <= s) * 3L >= 2L * n).get
+      ds.foreach { case (id, _, s, b) =>
+        val exp =
+          if (s.get <= t1) "tail" else if (s.get <= t2) "middle" else "head"
+        assert(b === exp, s"doc $id lang $lang score ${s.get}")
+      }
+      // the cuts carve real terciles: each lower band holds ≥ its third
+      assert(scores.count(_ <= t1) * 3L >= n)
+      assert(scores.count(_ <= t2) * 3L >= 2L * n)
+      // and all three bands are non-degenerate when scores vary
+      if (distinct.length >= 3)
+        assert(Set("tail", "middle", "head").subsetOf(
+          ds.map(_._4).toSet), s"$lang missing a band")
+    }
+  }
 }
