@@ -1060,6 +1060,22 @@ object OracleSql {
       SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
       FROM r WHERE rank <= ${Similarity.TopK}""",
 
+    // Multi-probe IVF: corpus keeps its top-1 cell; the query side takes
+    // its IvfProbes best cells from the SAME scored_cells ranking, so the
+    // quantizer cannot drift from the single-probe entry.
+    "embedding_ann_ivf2" -> s"""WITH $embCtes, $ivfAssignCtes,
+      qp AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, c_id AS q_cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+               FROM scored_cells WHERE vec_id % ${Similarity.QueryMod} = 0)
+             WHERE rn <= ${Similarity.IvfProbes}),
+      s AS (SELECT q.q_id, a.vec_id,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*a.v[k]))
+                     / (sqrt(q.qn2) * sqrt(a.n2)) AS cos
+            FROM qp q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+      FROM r WHERE rank <= ${Similarity.TopK}""",
+
     "embedding_ann_pq" -> s"""WITH $embCtes, $ivfAssignCtes,
       enc AS (
         SELECT vec_id, cell,
@@ -1437,6 +1453,8 @@ object OracleSql {
         FROM (${base("embedding_ann_lsh")})
         UNION ALL
         SELECT 'ivf', q_id, vec_id, "rank" FROM (${base("embedding_ann_ivf")})
+        UNION ALL
+        SELECT 'ivf2', q_id, vec_id, "rank" FROM (${base("embedding_ann_ivf2")})
         UNION ALL
         SELECT 'pq', q_id, vec_id, "rank" FROM (${base("embedding_ann_pq")})),
       ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $kVals) t(k)),

@@ -83,6 +83,7 @@ object SparkEntry {
     "embedding_topk" -> (Similarity.embeddingTopK(_, _)),
     "embedding_ann_lsh" -> (Similarity.embeddingAnnLsh(_, _)),
     "embedding_ann_ivf" -> (Similarity.embeddingAnnIvf(_, _)),
+    "embedding_ann_ivf2" -> (Similarity.embeddingAnnIvfMultiprobe(_, _)),
     "embedding_ann_pq" -> (Similarity.embeddingAnnPq(_, _)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "embedding_dedup_keep" -> (Similarity.embeddingDedupKeep(_, _)),

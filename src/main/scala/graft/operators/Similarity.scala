@@ -165,6 +165,44 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Probe count for the multi-probe IVF variant — the standard
+    * recall-vs-candidates knob (FAISS `nprobe`). */
+  val IvfProbes = 2
+
+  /** Multi-probe IVF ANN: corpus vectors stay in their top-1 cell (the
+    * persist-once [[cellAssignment]] artifact is reused untouched); each
+    * QUERY probes its [[IvfProbes]] nearest cells, because a query near a
+    * cell boundary usually has true neighbors in the runner-up cell.
+    *
+    * Scale: probe fan-out multiplies only the BROADCAST query table
+    * (Q·P rows) — the corpus side still joins equi on its single cell id,
+    * and each candidate matches exactly one probe row (its own cell), so
+    * no dedup step exists. Candidate cost is P× single-probe, corpus
+    * scan cost unchanged. recall@k is provably ≥ single-probe at every k
+    * (candidate superset + rank monotonicity; asserted in PipelineSpec
+    * and measured by `ann_recall`'s ivf2 rows). */
+  def embeddingAnnIvfMultiprobe(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val n = vectors(spark, sfDir)
+    val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val probes = n.filter(col("vec_id") % QueryMod === 0)
+      .join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("c_id").as("q_cell"))
+    val scored = cellAssignment(spark, sfDir).join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    rankTopK(scored)
+  }
+
   /** Embedding-level dedup keep policy: connected components over the
     * verified cosine near-dup pairs (the embedding twin of
     * `dedup_components` — same generalized union-find/fixpoint machinery,
@@ -476,7 +514,7 @@ object Similarity {
   /** Recall cut-offs measured by [[annRecall]] (shared with the oracle
     * SQL generator). */
   val RecallKs: Seq[Int] = Seq(1, 5, 10)
-  val RecallMethods: Seq[String] = Seq("ivf", "lsh", "pq")
+  val RecallMethods: Seq[String] = Seq("ivf", "ivf2", "lsh", "pq")
 
   /** Recall@k of every approximate method against [[embeddingTopK]]'s
     * exact ground truth — the measurement that turns the ANN family's
@@ -497,6 +535,7 @@ object Similarity {
     val approx = Seq(
       "lsh" -> embeddingAnnLsh(spark, sfDir),
       "ivf" -> embeddingAnnIvf(spark, sfDir),
+      "ivf2" -> embeddingAnnIvfMultiprobe(spark, sfDir),
       "pq" -> embeddingAnnPq(spark, sfDir))
       .map { case (m, d) =>
         d.select(lit(m).as("method"), col("q_id"), col("vec_id"),

@@ -290,6 +290,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(at10("pq") >= 0.07, s"pq@10 ${at10("pq")}")
   }
 
+  test("multi-probe IVF: candidate superset, recall never below single-probe") {
+    // every single-probe result's (q_id, vec_id) also appears in the
+    // multi-probe candidate set's top-k UNLESS displaced by a strictly
+    // better candidate — so recall@k is monotone. Assert it measured.
+    val r = Similarity.annRecall(spark, sf).collect()
+      .map(x => (x.getAs[String]("method"), x.getAs[Long]("k")) ->
+        x.getAs[Long]("n_hit")).toMap
+    Similarity.RecallKs.foreach { k =>
+      assert(r(("ivf2", k.toLong)) >= r(("ivf", k.toLong)),
+        s"multi-probe recall@$k fell below single-probe")
+    }
+    // and the probe side really fans out: some query must rank results
+    // from a cell that is not its own top-1 cell
+    val own = Similarity.embeddingAnnIvf(spark, sf)
+      .select("q_id", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val multi = Similarity.embeddingAnnIvfMultiprobe(spark, sf)
+      .select("q_id", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert((multi -- own).nonEmpty,
+      "multi-probe found nothing beyond the single-probe cells")
+  }
+
   test("k-means PQ codebooks: pure swap, trained recall not below synthetic") {
     // the explicit synthetic book must be BIT-IDENTICAL to the default
     // generator path — proves the trained-book seam changes nothing but
