@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.LogModel._
-import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Relational, Sampling, Similarity, TextAnalysis}
 
 /** DuckDB-runnable ANSI SQL twins of every oracle-checkable query in
   * SparkEntry.queries. Each statement must produce identical column names
@@ -1263,6 +1263,30 @@ object OracleSql {
              count(*) FILTER (event_type = 'signup') AS n_signup,
              count(*) FILTER (event_type = 'error') AS n_error
       FROM ev GROUP BY 1""",
+
+    // json_props_rollup: same deterministic mangling (mod keys from
+    // Relational.Json*Mod), DuckDB's json_valid/json_extract standing in
+    // for Spark's PERMISSIVE from_json + corrupt-record column
+    "json_props_rollup" -> s"""WITH p AS (
+        SELECT event_type,
+               CASE WHEN event_id % 10 = ${Relational.JsonBadMod}
+                      THEN '{broken'
+                    WHEN event_id % 10 = ${Relational.JsonEmptyMod}
+                      THEN '{}'
+                    ELSE props END AS p
+        FROM events),
+      x AS (SELECT event_type, json_valid(p) AS ok,
+                   CASE WHEN json_valid(p)
+                        THEN CAST(json_extract(p, '$$.k') AS BIGINT) END AS k
+            FROM p)
+      SELECT event_type, count(*) AS n_events,
+             count(*) FILTER (NOT ok) AS n_bad,
+             count(*) FILTER (ok AND k IS NULL) AS n_missing_k,
+             count(k) AS n_k,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k,
+             count(DISTINCT k) AS n_distinct_k
+      FROM x GROUP BY event_type""",
 
     "sessionize" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),

@@ -112,6 +112,7 @@ object SparkEntry {
     "asof_click_purchase" -> (Relational.asofClickPurchase(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "hourly_anomalies" -> (Relational.hourlyAnomalies(_, _)),
+    "json_props_rollup" -> (Relational.jsonPropsRollup(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

@@ -398,6 +398,48 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Share of rows whose `props` payload is deterministically mangled /
+    * emptied by [[jsonPropsRollup]] (mod keys shared with the oracle SQL). */
+  val JsonBadMod = 7L
+  val JsonEmptyMod = 3L
+
+  /** Semi-structured schema-on-read over the events' JSON `props` column,
+    * with corrupt-record accounting — the ingest shape for event payloads
+    * that arrive as JSON strings. The synthetic corpus is 100% valid
+    * `{"k": N}`, so (like `pii_scrub`'s planted PII) the benched query
+    * deterministically mangles ~10% of payloads to `{broken` and empties
+    * another ~10% to `{}` IDENTICALLY on both engines, exercising all
+    * three parse outcomes: unparseable (captured via the PERMISSIVE
+    * corrupt-record column — `from_json` yields a struct of nulls for bad
+    * input, so NULL-ness of the struct itself is not the signal),
+    * parseable with the key absent, and parseable with a value.
+    *
+    * Plan: ONE scan — `from_json` with an explicit DDL schema parses each
+    * payload once (per-row Jackson work, the honest cost of schema-on-read;
+    * project the parsed struct, never re-parse per field) — then one
+    * partial-aggregable groupBy on event_type. The distinct-k count is the
+    * only expand; all measures are integer-exact. At 100 TB nothing
+    * shuffles but the 5-group aggregate. */
+  def jsonPropsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("p",
+        when(col("event_id") % 10 === JsonBadMod, lit("{broken"))
+          .when(col("event_id") % 10 === JsonEmptyMod, lit("{}"))
+          .otherwise(col("props")))
+      .withColumn("j", from_json(col("p"), "k LONG, _bad STRING",
+        Map("columnNameOfCorruptRecord" -> "_bad")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("j._bad")).as("n_bad"),
+        count(when(col("j._bad").isNull && col("j.k").isNull, lit(1)))
+          .as("n_missing_k"),
+        count(col("j.k")).as("n_k"),
+        sum(col("j.k")).as("sum_k"),
+        min(col("j.k")).as("min_k"),
+        max(col("j.k")).as("max_k"),
+        countDistinct(col("j.k")).as("n_distinct_k"))
+
   def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -77,4 +77,20 @@ class FunnelSpec extends AnyFunSuite {
     assert(r.select("days_since").distinct().count() > 1)
     r.unpersist()
   }
+
+  test("json_props_rollup: parse outcomes partition the events exactly") {
+    val r = Relational.jsonPropsRollup(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_events")
+      val bad = row.getAs[Long]("n_bad")
+      val miss = row.getAs[Long]("n_missing_k")
+      val k = row.getAs[Long]("n_k")
+      // the three outcomes are exhaustive and disjoint per event
+      assert(bad + miss + k === n, row.toString)
+      // the mangling really plants all three classes in every type
+      assert(bad > 0 && miss > 0 && k > 0, row.toString)
+      assert(row.getAs[Long]("min_k") <= row.getAs[Long]("max_k"))
+    }
+  }
 }
