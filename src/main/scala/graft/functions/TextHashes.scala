@@ -463,8 +463,32 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** nfc(string) -> string: Unicode canonical composition (NFC) via
+    * `java.text.Normalizer` — the canonicalization step before any
+    * cross-source text hashing ("e" + COMBINING ACUTE and precomposed
+    * "é" must fingerprint identically or cross-corpus dedup silently
+    * misses). Matches DuckDB's utf8proc `nfc_normalize`: both implement
+    * the Unicode-standard canonical composition, so NFC output is
+    * engine-independent. Fast path: `Normalizer.isNormalized` is a cheap
+    * scan that skips the rewrite for already-NFC text (the overwhelming
+    * majority of real corpora), keeping this near scan speed. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any): Any = {
+      val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val jstr = str.toString
+      if (java.text.Normalizer.isNormalized(jstr,
+          java.text.Normalizer.Form.NFC)) str
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(jstr, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
   def hash32_array(c: Column): Column = column(Hash32Array(expression(c)))
   def hash32_array_at(c: Column, byteOffset: Int): Column =
     column(Hash32Array(expression(c), byteOffset))

@@ -52,6 +52,45 @@ object TextAnalysis {
         col("distinct_ratio"), col("quality_score"))
   }
 
+  /** Unicode plants prepended per doc by [[normalizeText]], selected by
+    * doc_id % 4 (shared with the oracle SQL): decomposed e+COMBINING ACUTE
+    * and A+COMBINING RING (NFC composes them — the char count shrinks),
+    * precomposed É plus the ﬁ ligature (NFC preserves both: canonical
+    * composition is not NFKC compatibility folding), and the empty plant
+    * for the untouched-ASCII case. */
+  val NormPlants: Seq[String] =
+    Seq("Cafe\u0301 ", "A\u030Arhus ", "\u00C9lan \uFB01n ", "")
+
+  /** Unicode text normalization — the canonicalization pass a multi-source
+    * corpus needs BEFORE any hash-based dedup (the same word arrives
+    * precomposed from one crawl and decomposed from another; without NFC
+    * every downstream fingerprint silently treats them as different text):
+    * NFC-compose, unicode-aware lowercase, fold every non-letter/non-digit
+    * run (unicode classes, not ASCII) to one space, trim. The synthetic
+    * corpus is pure-ASCII word salad, so (as with `pii_scrub`'s planted
+    * PII) deterministic unicode plants are prepended identically on both
+    * engines; the md5 of the fully-normalized text is the verified output.
+    *
+    * Plan: single scan, zero shuffles — the NFC kernel ([[TextHashes
+    * .NfcNormalize]], with an isNormalized fast path so already-NFC text
+    * is not rewritten) and codegen'd lower/regexp/md5 run per row at scan
+    * speed. At 100 TB this is embarrassingly parallel. */
+  def normalizeText(spark: SparkSession, sfDir: String): DataFrame = {
+    val plant = element_at(
+      array(NormPlants.map(lit): _*),
+      (col("doc_id") % NormPlants.size + 1).cast("int"))
+    docs(spark, sfDir)
+      .withColumn("raw", concat(plant, col("text")))
+      .withColumn("nf", graft.functions.TextHashes.nfc(col("raw")))
+      .withColumn("folded",
+        trim(regexp_replace(lower(col("nf")), "[^\\p{L}\\p{N}]+", " ")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_chars_raw"),
+        length(col("nf")).cast("long").as("n_chars_nfc"),
+        length(col("folded")).cast("long").as("n_chars_norm"),
+        md5(col("folded")).as("norm_md5"))
+  }
+
   /** Token counting two ways: whitespace words and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation), plus a
     * crude byte-per-token estimate. */

@@ -559,4 +559,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(moved > 0 && moved < nVecs / 2, s"moved=$moved")
     r.unpersist()
   }
+
+  test("normalize_text: NFC composes decomposed plants, preserves ligatures") {
+    import graft.operators.TextAnalysis
+    // plant classes 0/1 are decomposed (combining marks) — NFC must
+    // shorten; class 2 is precomposed É + the ﬁ ligature — canonical
+    // composition must NOT touch either (NFC is not NFKC); class 3 is
+    // the empty plant (pure-ASCII corpus text, NFC is the identity)
+    val byClass = TextAnalysis.normalizeText(spark, sf)
+      .withColumn("cls", $"doc_id" % TextAnalysis.NormPlants.size)
+      .groupBy("cls")
+      .agg(sum(($"n_chars_raw" - $"n_chars_nfc")).as("shrunk"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("cls") ->
+        (r.getAs[Long]("shrunk"), r.getAs[Long]("n"))).toMap
+    assert(byClass(0L)._1 === byClass(0L)._2, s"class 0: $byClass")
+    assert(byClass(1L)._1 === byClass(1L)._2, s"class 1: $byClass")
+    assert(byClass(2L)._1 === 0L && byClass(3L)._1 === 0L, s"$byClass")
+    // the composed accented letters survive the unicode-class fold into
+    // the hashed text: two docs differing only in (planted) accents must
+    // produce different norm_md5 — the fold is \p{L}-aware, not ASCII
+    val kernel = graft.functions.TextHashes.nfc(lit("Cafe\u0301 \uFB01n"))
+    val one = spark.range(1).select(kernel.as("s")).head.getString(0)
+    assert(one === "Caf\u00E9 \uFB01n")
+  }
 }
