@@ -459,6 +459,29 @@ object OracleSql {
              round(nbytes / NULLIF(n_bpe_tokens, 0), 6) AS bytes_per_token
       FROM t""",
 
+    // normalize_text: the unicode plants are interpolated from the SAME
+    // Scala constants the Spark side prepends (TextAnalysis.NormPlants),
+    // so the two engines normalize byte-identical inputs; DuckDB's
+    // utf8proc nfc_normalize twins the Java Normalizer NFC kernel.
+    "normalize_text" -> {
+      val cases = TextAnalysis.NormPlants.zipWithIndex.map { case (p, i) =>
+        s"WHEN $i THEN '$p' || text"
+      }.mkString(" ")
+      s"""WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % ${TextAnalysis.NormPlants.size} $cases END AS raw
+        FROM documents),
+      n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nf FROM p),
+      f AS (SELECT doc_id, raw, nf,
+                   trim(regexp_replace(lower(nf), '[^\\p{L}\\p{N}]+', ' ', 'g'))
+                     AS folded FROM n)
+      SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+             CAST(length(nf) AS BIGINT) AS n_chars_nfc,
+             CAST(length(folded) AS BIGINT) AS n_chars_norm,
+             md5(folded) AS norm_md5
+      FROM f"""
+    },
+
     "lang_id_eval" -> s"""WITH $textCtes,
       h AS (
         SELECT doc_id, lang,
@@ -633,6 +656,27 @@ object OracleSql {
       SELECT doc_id, lang, n_tokens, tokens_before,
              tokens_before // ${Sampling.ShardTokenBudget} AS shard_id
       FROM p""",
+
+    // sequence_pack: the oracle pays the single-partition global window
+    // the two-phase prefix operator replaces
+    "sequence_pack" -> s"""WITH $textCtes,
+      d AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) + ${Sampling.SeqSepTokens}
+                     AS n_tok_sep
+            FROM tok),
+      p AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tok_sep) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        FROM d),
+      q AS (SELECT *,
+                   tokens_before // ${Sampling.SeqLen} AS first_seq,
+                   (tokens_before + n_tok_sep - 1) // ${Sampling.SeqLen}
+                     AS last_seq
+            FROM p)
+      SELECT doc_id, n_tok_sep, tokens_before, first_seq,
+             tokens_before % ${Sampling.SeqLen} AS seq_offset,
+             last_seq - first_seq + 1 AS seqs_spanned
+      FROM q""",
 
     "quality_topk_sample" -> s"""WITH $textCtes, $qualityCtes,
       r AS (SELECT lang, doc_id, quality_score,

@@ -113,6 +113,8 @@ object SparkEntry {
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "hourly_anomalies" -> (Relational.hourlyAnomalies(_, _)),
     "json_props_rollup" -> (Relational.jsonPropsRollup(_, _)),
+    "normalize_text" -> (TextAnalysis.normalizeText(_, _)),
+    "sequence_pack" -> (Sampling.sequencePack(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

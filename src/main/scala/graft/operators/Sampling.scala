@@ -171,6 +171,47 @@ object Sampling {
       d, Seq(), Seq("shuffle_key", "doc_id"), None, "shuffle_pos")
   }
 
+  /** Fixed sequence length for [[sequencePack]] (tokens per training
+    * sequence, the model's context window in this toy geometry) and the
+    * per-document EOS separator cost — shared with the oracle SQL. */
+  val SeqLen = 512L
+  val SeqSepTokens = 1L
+
+  /** GPT-style sequence packing: concatenate the corpus (one EOS
+    * separator after each document) and chunk the token stream into
+    * fixed-[[SeqLen]] training sequences — the zero-padding packing used
+    * for LLM pretraining (documents SPAN sequence boundaries; only the
+    * final sequence has tail padding). The per-doc output is the data
+    * loader's manifest: global token offset, first/last sequence id, the
+    * offset inside the first sequence, and how many sequences the doc
+    * spans. Deterministic in doc_id order; compose with [[trainingOrder]]
+    * upstream when a seeded shuffle should drive the concatenation order.
+    *
+    * This is NOT [[shardPack]]: shards are per-language FILE units a
+    * loader streams (docs never split); sequences are global SAMPLE units
+    * the model consumes (docs split at exact token boundaries).
+    *
+    * Scale: the global exclusive prefix comes from the same two-phase
+    * [[graft.plans.OrderedIndex]] operator as offset assignment — a range
+    * exchange on doc_id plus an O(tasks) driver prefix-sum, no
+    * single-partition window funnel; everything after the prefix is
+    * per-row integer arithmetic at scan speed. */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"),
+        (size(tokens(col("text"))).cast("long") + SeqSepTokens)
+          .as("n_tok_sep"))
+    graft.plans.OrderedIndex.withExclusivePrefix(
+        d, Seq(), Seq("doc_id"), Some("n_tok_sep"), "tokens_before")
+      .withColumn("first_seq", floor(col("tokens_before") / SeqLen))
+      .withColumn("last_seq",
+        floor((col("tokens_before") + col("n_tok_sep") - 1) / SeqLen))
+      .select(col("doc_id"), col("n_tok_sep"), col("tokens_before"),
+        col("first_seq"),
+        (col("tokens_before") % SeqLen).as("seq_offset"),
+        (col("last_seq") - col("first_seq") + 1).as("seqs_spanned"))
+  }
+
   /** Per-language top-k documents by composite quality score (the
     * "curate the best docs per stratum" sampler): reuses the
     * [[graft.functions.TopK]] bounded aggregate, so map-side combine caps

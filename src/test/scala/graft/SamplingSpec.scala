@@ -131,4 +131,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(total === graft.sources.Tables.load(spark, sf, "documents").count())
     manifest.unpersist()
   }
+
+  test("sequence_pack: contiguous token stream, exact chunk geometry") {
+    val r = Sampling.sequencePack(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(r.nonEmpty)
+    // the concatenated stream is gapless: each doc starts exactly where
+    // the previous one (plus its EOS) ended
+    var expectedOffset = 0L
+    r.foreach { row =>
+      assert(row.getAs[Long]("tokens_before") === expectedOffset,
+        s"doc ${row.getAs[Long]("doc_id")}")
+      expectedOffset += row.getAs[Long]("n_tok_sep")
+    }
+    r.foreach { row =>
+      val off = row.getAs[Long]("seq_offset")
+      val n = row.getAs[Long]("n_tok_sep")
+      val spans = row.getAs[Long]("seqs_spanned")
+      assert(off >= 0 && off < Sampling.SeqLen)
+      // chunk geometry: spans is exactly the number of SeqLen windows the
+      // doc's [off, off + n) token range touches
+      assert(spans === (off + n - 1) / Sampling.SeqLen + 1, row.toString)
+    }
+    // the packing must actually split docs across boundaries (that's the
+    // property distinguishing it from shard_pack's doc-aligned rotation)
+    assert(r.exists(_.getAs[Long]("seqs_spanned") > 1))
+  }
 }
