@@ -105,6 +105,7 @@ object Bench {
     graft.operators.Dedup.clearCaches(spark)
     graft.operators.TextAnalysis.clearCaches(spark)
     graft.operators.LangModel.clearCaches(spark)
+    graft.operators.Similarity.clearCaches(spark)
     spark.stop()
   }
 }

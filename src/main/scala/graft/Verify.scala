@@ -46,6 +46,7 @@ object Verify {
     graft.operators.Dedup.clearCaches(spark)
     graft.operators.TextAnalysis.clearCaches(spark)
     graft.operators.LangModel.clearCaches(spark)
+    graft.operators.Similarity.clearCaches(spark)
     spark.stop()
   }
 }

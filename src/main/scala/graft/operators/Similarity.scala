@@ -122,14 +122,31 @@ object Similarity {
   private val assignedCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Staleness fingerprint of the embeddings parquet (size + mtime of
+    * every part file) — keys every persist-once entry in this file. */
+  private def embFingerprint(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    java.lang.Long.toHexString(
+      parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
+  }
+
+  /** Release every persist-once artifact this object holds (centroid
+    * assignments, refined k-means assignments) — wired into the
+    * Verify/Bench teardown next to Dedup/TextAnalysis.clearCaches so a
+    * long-lived session can't accumulate stale persisted frames. */
+  def clearCaches(spark: SparkSession): Unit = assignedCache.synchronized {
+    val stale = assignedCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      assignedCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   private def cellAssignment(spark: SparkSession, sfDir: String): DataFrame =
     assignedCache.synchronized {
-      val src = new java.io.File(s"$sfDir/embeddings.parquet")
-      val parts: Seq[java.io.File] =
-        if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-        else Seq(src)
-      val fp = java.lang.Long.toHexString(
-        parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
+      val fp = embFingerprint(sfDir)
       assignedCache.getOrElseUpdate((spark, s"$sfDir#$fp"), {
         val n = vectors(spark, sfDir)
         val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
@@ -304,7 +321,28 @@ object Similarity {
   def kmeansIterate(spark: SparkSession, sfDir: String,
                     iters: Int = KmIters): DataFrame = {
     val assigned = cellAssignment(spark, sfDir)
-    val refined = (1 to iters).foldLeft(assigned)((a, _) => lloydStep(a))
+    // Persist-once per (input, iters): each Lloyd step's output feeds the
+    // NEXT step twice (the centroid aggregation and the rescore join), so
+    // an unpersisted chain re-evaluates step i 2^(iters-i) times — the
+    // iterative-algorithm shape MLlib also handles with per-iteration
+    // persist + materialize + unpersist-superseded. The final assignment
+    // stays persisted and is shared by kmeans_refine / cluster_purity /
+    // curate_embeddings (same consumers-of-one-artifact scheme as
+    // Dedup.verifiedPairs); clearCaches releases it.
+    val refined = assignedCache.synchronized {
+      val fp = embFingerprint(sfDir)
+      assignedCache.getOrElseUpdate((spark, s"$sfDir#$fp#it$iters"), {
+        var cur = assigned
+        (1 to iters).foreach { _ =>
+          val next = lloydStep(cur)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the superseded frame
+          if (cur ne assigned) cur.unpersist(blocking = false)
+          cur = next
+        }
+        cur
+      })
+    }
     kmeansPresent(assigned, refined)
   }
 
