@@ -68,6 +68,26 @@ object PipelineStreams {
         col("pass_stopword") && col("pass_repetition"))
       .drop("toks", "chars_only")
 
+  /** Streaming schema-on-read: the `json_props_rollup` parse as an
+    * ingest gate — each event's JSON payload is parsed ONCE with the
+    * same DDL schema + PERMISSIVE corrupt-record column as the batch
+    * query, and every row is tagged `ok` / `missing_key` / `bad` so the
+    * sink can route dead letters instead of dropping them (the
+    * dead-letter-queue shape). Stateless — no watermark, no state store;
+    * the parse is a per-row transform at ingest speed, and at production
+    * rates the only cost is the same per-row Jackson work the batch side
+    * pays. */
+  def jsonParseStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("j", from_json(col("props"), "k LONG, _bad STRING",
+        Map("columnNameOfCorruptRecord" -> "_bad")))
+      .withColumn("parse_status",
+        when(col("j._bad").isNotNull, lit("bad"))
+          .when(col("j.k").isNull, lit("missing_key"))
+          .otherwise(lit("ok")))
+      .select(col("event_id"), col("event_type"), col("j.k").as("k"),
+        col("parse_status"))
+
   /** Streaming PII scrub: stateless per-row redaction with the batch
     * patterns and scrub order ([[graft.operators.Curation.scrubPii]]
     * applied to the raw `text` column) — the other mandatory ingest-time

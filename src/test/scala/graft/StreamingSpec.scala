@@ -650,4 +650,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq((20L, 1L, 10L, 30L * 60000L)))
     } finally q.stop()
   }
+
+  test("streaming JSON parse routes ok / missing-key / dead-letter rows") {
+    import StreamingSpec.Ev
+    val input = MemoryStream[Ev](spark)
+    val q = PipelineStreams.jsonParseStream(input.toDF())
+      .writeStream.format("memory").queryName("jparse")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, "click", """{"k": 42}"""),
+        Ev(2, "view", "{}"),
+        Ev(3, "view", "{broken"),
+        Ev(4, "click", """{"other": 1}"""))
+      q.processAllAvailable()
+      val rows = spark.table("jparse")
+        .select("event_id", "k", "parse_status").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+        .toMap
+      assert(rows(1L) === (Some(42L), "ok"))
+      assert(rows(2L) === (None, "missing_key"))
+      assert(rows(3L) === (None, "bad"))
+      // present-but-other-key parses fine, target key absent
+      assert(rows(4L) === (None, "missing_key"))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  /** Raw ingest shape for the streaming JSON-parse gate test. */
+  case class Ev(event_id: Long, event_type: String, props: String)
 }
