@@ -1633,6 +1633,47 @@ object OracleSql {
     * sum, where `//` and Spark's `div` provably agree), boundaries cut
     * on the cumulative histogram with 3·cum ≥ k·n cross-multiplication,
     * assignment by integer comparison. */
+  /** centrality_keep: integer PageRank over the verified near-dup graph +
+    * per-component canonical pick. Composes the GREEN pair/component query
+    * texts as subqueries (the ann_recall scheme — graph and components
+    * cannot drift from the rows the driver checks); the per-iteration CTEs
+    * are generated from the same Dedup.Pr* constants as the Spark loop.
+    * All rank arithmetic is non-negative integer sums + `//` floor
+    * division, which agrees with Spark's truncating `div`. */
+  private val centralityKeepSql: String = {
+    val iterCtes = (1 to Dedup.PrIters).map { i =>
+      s"""s$i AS (
+        SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        FROM ed e JOIN r${i - 1} r ON e.src = r.doc_id
+                  JOIN deg d ON e.src = d.doc_id
+        GROUP BY e.dst),
+      r$i AS (
+        SELECT g.doc_id,
+               CAST(${Dedup.PrTeleport} + (${Dedup.PrDampNum} * COALESCE(s.s, 0)) // ${Dedup.PrDampDen} AS BIGINT) AS rank
+        FROM deg g LEFT JOIN s$i s ON g.doc_id = s.doc_id)"""
+    }.mkString(",\n      ")
+    s"""WITH pr AS (${base("dedup_minhash_pairs")}),
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+             UNION ALL
+             SELECT doc_b AS src, doc_a AS dst FROM pr),
+      deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+              FROM ed GROUP BY src),
+      r0 AS (SELECT doc_id, CAST(${Dedup.PrBase} AS BIGINT) AS rank
+             FROM deg),
+      $iterCtes,
+      comp AS (SELECT doc_id, component_id
+               FROM (${base("dedup_components")})),
+      ranked AS (
+        SELECT r.doc_id, c.component_id, d.deg AS degree, r.rank,
+               row_number() OVER (PARTITION BY c.component_id
+                                  ORDER BY r.rank DESC, r.doc_id) AS rn
+        FROM r${Dedup.PrIters} r
+             JOIN deg d ON r.doc_id = d.doc_id
+             JOIN comp c ON r.doc_id = c.doc_id)
+      SELECT doc_id, component_id, degree, rank, rn = 1 AS is_canonical
+      FROM ranked"""
+  }
+
   private val lmQualityBucketsSql: String = s"""WITH
       lm AS (SELECT doc_id, n_bigrams, lm_micro_sum
              FROM (${base("lm_bigram_score")})),
@@ -1691,5 +1732,6 @@ object OracleSql {
     ("dedup_threshold_sweep" -> thresholdSweepSql) +
     ("curation_report" -> curationReportSql) +
     ("quality_signals" -> qualitySignalsSql) +
-    ("lm_quality_buckets" -> lmQualityBucketsSql)
+    ("lm_quality_buckets" -> lmQualityBucketsSql) +
+    ("centrality_keep" -> centralityKeepSql)
 }

@@ -115,6 +115,7 @@ object SparkEntry {
     "json_props_rollup" -> (Relational.jsonPropsRollup(_, _)),
     "normalize_text" -> (TextAnalysis.normalizeText(_, _)),
     "sequence_pack" -> (Sampling.sequencePack(_, _)),
+    "centrality_keep" -> (Dedup.centralityKeep(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

@@ -275,6 +275,72 @@ object Dedup {
       .withColumn("is_kept", col("component_id") === col("doc_id"))
   }
 
+  // ---- centrality-based canonical keeper (PageRank over the dup graph) ----
+  /** Integer PageRank parameters, shared with the oracle SQL: ranks live
+    * in micro-units ([[PrBase]] = 1.0), damping 0.85 as the exact
+    * rational [[PrDampNum]]/[[PrDampDen]] with teleport
+    * (1-d)·[[PrBase]] = [[PrTeleport]]. All updates are integer sums and
+    * `div` truncations (non-negative throughout, so Spark's truncating
+    * `div` and DuckDB's flooring `//` provably agree — the
+    * lm_quality_buckets rule). */
+  val PrBase = 1000000L
+  val PrTeleport = 150000L
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+  val PrIters = 3
+
+  /** Centrality-based canonical keeper: [[PrIters]] PageRank iterations
+    * over the verified near-dup graph, then per duplicate component the
+    * HIGHEST-rank doc (ties to the lower doc_id) becomes the canonical
+    * representative. This upgrades the min-doc_id keep policy: the most
+    * densely-connected version of a duplicated document — the one most
+    * other variants point at — is the best exemplar to keep, exactly the
+    * "choose the canonical URL among mirrors" rule from web curation.
+    *
+    * Every node of the pair graph has degree ≥ 1 by construction, so
+    * there is no dangling-mass redistribution — the teleport term alone
+    * closes the update. Ranks are integer micro-units end to end: the
+    * per-iteration update is `teleport + (num · Σ rank div deg) div den`,
+    * deterministic under any shuffle order on both engines.
+    *
+    * Scale: the whole computation lives on the verified-pair SLIVER
+    * (persist-once [[verifiedPairs]]), never the corpus: 2|E| directed
+    * edges, [[PrIters]] joins+aggregations keyed on doc ids, then one
+    * window per component — whose size the dedup semantics bound (a
+    * component is a set of near-identical documents). */
+  def centralityKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+    val r0 = deg.select(col("doc_id"), lit(PrBase).as("rank"))
+    val rN = (1 to PrIters).foldLeft(r0) { (r, _) =>
+      val contrib = edges
+        .join(r.join(deg, Seq("doc_id"))
+            .select(col("doc_id").as("src"),
+              expr("rank div deg").as("give")),
+          Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("give")).as("s"))
+      deg.select(col("doc_id"))
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(PrTeleport) +
+            expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen"))
+            .as("rank"))
+    }
+    val comp = dedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id").orderBy(col("rank").desc, col("doc_id"))
+    rN.join(deg, Seq("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component_id"), col("deg").as("degree"),
+        col("rank"), col("is_canonical"))
+  }
+
   /** Connected components (transitive-min label) over ANY verified
     * near-dup pair frame — exposed for every dedup family (word-shingle
     * MinHash here, embedding cosine in `Similarity.embeddingDedupKeep`).

@@ -560,6 +560,33 @@ class PipelineSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("centrality_keep matches a plain-Scala integer PageRank replay") {
+    val pairs = Dedup.dedupMinhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> Dedup.PrBase).toMap
+    (1 to Dedup.PrIters).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v) => s(v) += rank(u) / deg(u) }
+      rank = deg.keys.map(v => v -> (Dedup.PrTeleport +
+        Dedup.PrDampNum * s(v) / Dedup.PrDampDen)).toMap
+    }
+    val got = Dedup.centralityKeep(spark, sf).cache()
+    val gotRank = got.select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRank.keySet === rank.keySet)
+    rank.foreach { case (v, r) => assert(gotRank(v) === r, s"doc $v") }
+    // exactly one canonical per component present in the graph
+    val perComp = got.groupBy("component_id")
+      .agg(sum(when($"is_canonical", 1).otherwise(0)).as("n_canon"))
+    assert(perComp.filter($"n_canon" =!= 1).count() === 0)
+    got.unpersist()
+  }
+
   test("normalize_text: NFC composes decomposed plants, preserves ligatures") {
     import graft.operators.TextAnalysis
     // plant classes 0/1 are decomposed (combining marks) — NFC must
