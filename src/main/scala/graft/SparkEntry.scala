@@ -116,6 +116,7 @@ object SparkEntry {
     "normalize_text" -> (TextAnalysis.normalizeText(_, _)),
     "sequence_pack" -> (Sampling.sequencePack(_, _)),
     "centrality_keep" -> (Dedup.centralityKeep(_, _)),
+    "approx_heavy_terms" -> (TextAnalysis.approxHeavyTerms(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

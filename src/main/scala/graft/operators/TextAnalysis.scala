@@ -163,6 +163,76 @@ object TextAnalysis {
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("term_count")))
 
+  /** Counter budget for the Misra-Gries heavy-terms sketch, and the
+    * deterministic weight skew planted into the token stream. The
+    * synthetic corpus is near-UNIFORM over a ~31-term vocabulary — with
+    * any k ≥ vocab the sketch never evicts (vacuous guarantee) and with
+    * any eviction-forcing k no term clears the support threshold (vacuous
+    * again). So, like `pii_scrub`'s planted PII, the stream is skewed
+    * identically on both sides: terms whose hash32 ≡ 0 (mod
+    * [[HeavySkewMod]]) carry [[HeavySkewBoost]]× weight. At k=12 the ~4
+    * boosted terms (~13% of the weighted mass each) are TRUE heavy
+    * hitters over the N/13 ≈ 7.7% threshold while 31 > 12 keeps eviction
+    * — and therefore real underestimates — active. */
+  val HeavyK = 12
+  val HeavySkewMod = 7
+  val HeavySkewBoost = 10L
+
+  /** Misra-Gries heavy-terms report — the third sketch family (HLL
+    * counts distincts, GK ranks quantiles, MG finds frequent items),
+    * verified the same way as `approx_value_percentiles`: the sketch runs
+    * next to the exact answer and the output row reports the measured
+    * guarantee verdict per language — every true heavy hitter (weight
+    * > N/(k+1), integer-exact cross-multiplication) must be caught, with
+    * underestimates bounded by the threshold.
+    *
+    * Scale: the sketch side is ONE partial-aggregable pass over the
+    * persist-once inverted index with O(k) state per task — at 100 TB
+    * that is the only affordable shape, and the exact side (a full
+    * (lang, term) aggregation) exists purely as the benchmark-scale
+    * measurement companion, same as the exact percentiles column. Output
+    * is rows-only for the driver (sketch contents are arrival-order
+    * dependent, like GK); the GUARANTEE columns are deterministic and
+    * the spec asserts them. */
+  def approxHeavyTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HeavyHitters
+    val lt = termCounts(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("w", col("term_count") *
+        when(Dedup.hash32(col("term")) % HeavySkewMod === 0,
+          lit(HeavySkewBoost)).otherwise(lit(1L)))
+    val sk = lt.groupBy("lang")
+      .agg(HeavyHitters.misra_gries(
+        struct(col("term"), col("w")), HeavyK).as("sketch"))
+    val skx = sk.select(col("lang"), explode(col("sketch")).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.est").as("est"))
+    val exact = lt.groupBy("lang", "term")
+      .agg(sum("w").as("cnt"))
+    val tot = exact.groupBy("lang").agg(sum("cnt").as("n_tokens"))
+    val heavyRollup = exact.join(tot, Seq("lang"))
+      // true heavy hitter: cnt·(k+1) > N — integer-exact on both engines
+      .filter(col("cnt") * (HeavyK + 1) > col("n_tokens"))
+      .join(skx, Seq("lang", "term"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_true_heavy"),
+        count(col("est")).as("n_caught"),
+        max(col("cnt") - coalesce(col("est"), lit(0L)))
+          .as("max_underestimate"))
+    tot
+      .join(sk.select(col("lang"),
+        size(col("sketch")).cast("long").as("n_sketch_items")), Seq("lang"))
+      .join(heavyRollup, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"),
+        expr(s"n_tokens div ${HeavyK + 1}").as("support_threshold"),
+        col("n_sketch_items"),
+        coalesce(col("n_true_heavy"), lit(0L)).as("n_true_heavy"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        col("max_underestimate"),
+        (coalesce(col("n_true_heavy"), lit(0L)) ===
+          coalesce(col("n_caught"), lit(0L))).as("all_caught"))
+  }
+
   /** Unpersist and drop the cached inverted-index artifacts for `spark`
     * (input files changed / session retiring) — twin of
     * [[Dedup.clearCaches]]. */

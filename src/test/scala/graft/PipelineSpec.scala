@@ -560,6 +560,21 @@ class PipelineSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("approx_heavy_terms: MG guarantee holds — all heavies caught, bounded error") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.approxHeavyTerms(spark, sf).collect()
+    assert(r.nonEmpty)
+    // the corpus must actually exercise the guarantee somewhere
+    assert(r.map(_.getAs[Long]("n_true_heavy")).sum > 0)
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("all_caught"), row.toString)
+      assert(row.getAs[Long]("n_sketch_items") <= TextAnalysis.HeavyK)
+      val thr = row.getAs[Long]("support_threshold")
+      if (!row.isNullAt(row.fieldIndex("max_underestimate")))
+        assert(row.getAs[Long]("max_underestimate") <= thr, row.toString)
+    }
+  }
+
   test("centrality_keep matches a plain-Scala integer PageRank replay") {
     val pairs = Dedup.dedupMinhashPairs(spark, sf)
       .select("doc_a", "doc_b").collect()
