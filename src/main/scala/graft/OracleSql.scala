@@ -1332,6 +1332,26 @@ object OracleSql {
              count(DISTINCT k) AS n_distinct_k
       FROM x GROUP BY event_type""",
 
+    // zorder_layout: the bit-interleave terms are generated from the same
+    // ZBits loop as the Spark column expression
+    "zorder_layout" -> {
+      val zTerms = (0 until Relational.ZBits).map { i =>
+        s"(((u >> $i) & 1) << ${2 * i}) | (((h >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      d AS (SELECT CAST(user_id AS BIGINT) AS u,
+                   CAST((date_part('day', ts) - 1) * 24
+                        + date_part('hour', ts) AS BIGINT) AS h
+            FROM ev),
+      z AS (SELECT u, h, ($zTerms) >> ${Relational.ZBucketShift} AS zbucket
+            FROM d)
+      SELECT zbucket, count(*) AS n_events,
+             min(u) AS u_min, max(u) AS u_max,
+             min(h) AS h_min, max(h) AS h_max
+      FROM z GROUP BY zbucket"""
+    },
+
     "sessionize" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
       g AS (

@@ -117,6 +117,7 @@ object SparkEntry {
     "sequence_pack" -> (Sampling.sequencePack(_, _)),
     "centrality_keep" -> (Dedup.centralityKeep(_, _)),
     "approx_heavy_terms" -> (TextAnalysis.approxHeavyTerms(_, _)),
+    "zorder_layout" -> (Relational.zorderLayout(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

@@ -440,6 +440,46 @@ object Relational {
         max(col("j.k")).as("max_k"),
         countDistinct(col("j.k")).as("n_distinct_k"))
 
+  /** Bit budget per dimension of the z-order interleave and the bucket
+    * width (in z bits) — shared with the generated oracle SQL. A zbucket
+    * fixes the top interleaved bits of both dimensions, so within one
+    * bucket each dimension's spread is < 2^(ZBucketShift/2) = 128 by
+    * construction — that is the multi-dimensional file-skipping
+    * guarantee. */
+  val ZBits = 16
+  val ZBucketShift = 14
+
+  /** Z-order (Morton-curve) layout planning — the lakehouse answer to
+    * "queries filter on user OR on time, but a sort clusters only one":
+    * interleaving the bits of (user_id, hour-of-month) gives a single
+    * sort key whose ranges bound BOTH dimensions, so per-file min/max
+    * stats can skip files for either predicate. The output is exactly
+    * the manifest a lake stores per file: zbucket → row count + min/max
+    * of each dimension (all integer-exact); at production scale the
+    * writer is `repartitionByRange(zbucket)` + write, and this rollup is
+    * the pruning index. The z-value itself is a generated chain of
+    * codegen'd shift/mask terms — scan speed, no shuffle beyond the
+    * bucket rollup.
+    *
+    * Spec-pinned guarantee: every bucket's user spread and hour spread
+    * are < 128, vs global spreads of ~1500 users × 744 hours — the
+    * reason a z-layout skips files a single-column sort cannot. */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = col("user_id").cast("long")
+    val h = ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long")
+    val z = (0 until ZBits).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(h, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    t(spark, sfDir, "events")
+      .withColumn("u", u).withColumn("h", h)
+      .withColumn("zbucket", shiftright(z, ZBucketShift))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_events"),
+        min("u").as("u_min"), max("u").as("u_max"),
+        min("h").as("h_min"), max("h").as("h_max"))
+  }
+
   def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)

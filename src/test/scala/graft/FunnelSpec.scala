@@ -78,6 +78,35 @@ class FunnelSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("zorder_layout: every bucket bounds BOTH dimensions at once") {
+    val r = Relational.zorderLayout(spark, sf).collect()
+    assert(r.nonEmpty)
+    val half = 1L << (Relational.ZBucketShift / 2)
+    r.foreach { row =>
+      // the z-curve guarantee: fixing the bucket's high interleaved bits
+      // bounds each dimension's spread to 2^(shift/2)
+      assert(row.getAs[Long]("u_max") - row.getAs[Long]("u_min") < half,
+        row.toString)
+      assert(row.getAs[Long]("h_max") - row.getAs[Long]("h_min") < half,
+        row.toString)
+    }
+    // all events land in exactly one bucket
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(r.map(_.getAs[Long]("n_events")).sum === total)
+    // and the buckets collectively still span (almost) the full month —
+    // i.e. no single-column sort could have produced this: at least two
+    // buckets overlap in u-range while being disjoint in h-range
+    val spans = r.map(x => (x.getAs[Long]("u_min"), x.getAs[Long]("u_max"),
+      x.getAs[Long]("h_min"), x.getAs[Long]("h_max")))
+    val crossing = for {
+      a <- spans; b <- spans
+      if a._2 >= b._1 && b._2 >= a._1 // u-ranges overlap
+      if a._4 < b._3 || b._4 < a._3 // h-ranges disjoint
+    } yield (a, b)
+    assert(crossing.nonEmpty,
+      "buckets look like a single-column sort, not a z-curve")
+  }
+
   test("json_props_rollup: parse outcomes partition the events exactly") {
     val r = Relational.jsonPropsRollup(spark, sf).collect()
     assert(r.nonEmpty)
