@@ -88,6 +88,29 @@ object PipelineStreams {
       .select(col("event_id"), col("event_type"), col("j.k").as("k"),
         col("parse_status"))
 
+  /** Continuous heavy terms: the Misra-Gries sketch as a streaming
+    * aggregation — per-language frequent tokens over an UNBOUNDED stream
+    * with O(k) state per language, no watermark needed (that bounded
+    * state is the entire point of sketching: the exact per-term count
+    * would grow with the vocabulary forever). The mergeable-summaries
+    * property is what makes the sketch legal here — each micro-batch's
+    * partial summaries merge into the state-store buffer exactly like
+    * map-side partials merge in batch, so the deterministic guarantee
+    * (every term above N/(k+1) of the mass seen so far is present,
+    * counts short by at most that threshold) holds at every emission.
+    * Update mode: each batch re-emits the affected languages' current
+    * sketch rows. */
+  def heavyTermsStream(docs: DataFrame,
+                       k: Int = graft.operators.TextAnalysis.HeavyK): DataFrame =
+    docs
+      .select(col("lang"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("lang")
+      .agg(graft.functions.HeavyHitters.misra_gries(
+        struct(col("term"), lit(1L)), k).as("sketch"))
+      .select(col("lang"), explode(col("sketch")).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.est").as("est"))
+
   /** Streaming PII scrub: stateless per-row redaction with the batch
     * patterns and scrub order ([[graft.operators.Curation.scrubPii]]
     * applied to the raw `text` column) — the other mandatory ingest-time

@@ -651,6 +651,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy terms: dominant term survives across batches in O(k) state") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[StreamDoc](spark)
+    val k = 4
+    val q = PipelineStreams.heavyTermsStream(input.toDF(), k)
+      .writeStream.format("memory").queryName("heavy")
+      .outputMode("update").start()
+    try {
+      // batch 1: "spark" dominates; filler terms churn the counters
+      input.addData(
+        StreamDoc(1, "en", "spark spark spark spark alpha beta", ts(0)),
+        StreamDoc(2, "en", "spark spark gamma delta epsilon zeta", ts(1)))
+      q.processAllAvailable()
+      // batch 2: more mass, still spark-heavy — the merged state must
+      // keep it even though fillers keep arriving
+      input.addData(
+        StreamDoc(3, "en", "spark spark spark eta theta iota", ts(2)))
+      q.processAllAvailable()
+      val last = spark.table("heavy").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val est = last.get(("en", "spark"))
+      // 9 true occurrences over N=15 tokens: spark is far above N/(k+1)=3,
+      // so the MG guarantee says it MUST be present, short by at most 3
+      assert(est.isDefined, s"spark missing from $last")
+      assert(est.get >= 9L - 15L / (k + 1) && est.get <= 9L, s"est=$est")
+    } finally q.stop()
+  }
+
   test("streaming JSON parse routes ok / missing-key / dead-letter rows") {
     import StreamingSpec.Ev
     val input = MemoryStream[Ev](spark)
