@@ -1332,6 +1332,29 @@ object OracleSql {
              count(DISTINCT k) AS n_distinct_k
       FROM x GROUP BY event_type""",
 
+    "moving_avg" -> """WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              date_trunc('day', ts)) AS BIGINT) AS day_idx,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS day_total_dec
+        FROM ev GROUP BY 1, 2),
+      w AS (
+        SELECT *,
+               sum(day_total_dec) OVER (PARTITION BY event_type
+                 ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS ma7_total,
+               count(*) OVER (PARTITION BY event_type
+                 ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS ma7_days
+        FROM daily)
+      SELECT event_type, day_idx, n_events,
+             CAST(day_total_dec AS DOUBLE) AS day_total,
+             round(CAST(ma7_total AS DOUBLE) / ma7_days, 6) AS ma7
+      FROM w""",
+
     // zorder_layout: the bit-interleave terms are generated from the same
     // ZBits loop as the Spark column expression
     "zorder_layout" -> {

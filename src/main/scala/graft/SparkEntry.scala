@@ -118,6 +118,7 @@ object SparkEntry {
     "centrality_keep" -> (Dedup.centralityKeep(_, _)),
     "approx_heavy_terms" -> (TextAnalysis.approxHeavyTerms(_, _)),
     "zorder_layout" -> (Relational.zorderLayout(_, _)),
+    "moving_avg" -> (Relational.movingAvg(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

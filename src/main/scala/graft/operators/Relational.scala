@@ -440,6 +440,35 @@ object Relational {
         max(col("j.k")).as("max_k"),
         countDistinct(col("j.k")).as("n_distinct_k"))
 
+  /** 7-day trailing moving average of daily event value, per type — the
+    * RANGE-frame window shape (a trailing frame over an integer DAY key,
+    * so calendar gaps contribute nothing, unlike a ROWS frame which
+    * would silently reach further back). Sums are exact DECIMAL inside
+    * the frame; the average divides two exact quantities and is rounded
+    * once for parity.
+    *
+    * Scale: the window runs over the ALREADY-AGGREGATED (type × day)
+    * table — types × days rows regardless of corpus size — after one
+    * partial-aggregable daily rollup; the raw stream never meets a
+    * window. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("timestamp")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("day_total_dec"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7_total", sum(col("day_total_dec")).over(w))
+      .withColumn("ma7_days", count(lit(1)).over(w))
+      .select(col("event_type"), col("day_idx"), col("n_events"),
+        col("day_total_dec").cast("double").as("day_total"),
+        round(col("ma7_total").cast("double") / col("ma7_days"), 6)
+          .as("ma7"))
+  }
+
   /** Bit budget per dimension of the z-order interleave and the bucket
     * width (in z bits) — shared with the generated oracle SQL. A zbucket
     * fixes the top interleaved bits of both dimensions, so within one
@@ -464,17 +493,41 @@ object Relational {
     * Spec-pinned guarantee: every bucket's user spread and hour spread
     * are < 128, vs global spreads of ~1500 users × 744 hours — the
     * reason a z-layout skips files a single-column sort cannot. */
-  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (u, h, zbucket) columns added to an events frame — the shared
+    * Morton-key computation for the planner and the writer. */
+  private def withZ(events: DataFrame): DataFrame = {
     val u = col("user_id").cast("long")
     val h = ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long")
     val z = (0 until ZBits).map { i =>
       shiftleft(shiftright(u, i).bitwiseAND(1), 2 * i)
         .bitwiseOR(shiftleft(shiftright(h, i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
-    t(spark, sfDir, "events")
-      .withColumn("u", u).withColumn("h", h)
+    events.withColumn("u", u).withColumn("h", h)
       .withColumn("zbucket", shiftright(z, ZBucketShift))
+  }
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    withZ(t(spark, sfDir, "events"))
       .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_events"),
+        min("u").as("u_min"), max("u").as("u_max"),
+        min("h").as("h_min"), max("h").as("h_max"))
+
+  /** Execute [[zorderLayout]]'s plan: write the events z-clustered with
+    * EXACTLY one parquet file per zbucket (hash repartition on the write
+    * key, so distinct buckets write in parallel with no small-file
+    * spray — the `writeShards` scheme), then read the files back and
+    * re-derive the manifest from what is PHYSICALLY on disk
+    * (`input_file_name`-grouped min/max) — proving the skip guarantee
+    * holds at the file level where a scan planner would use it, not just
+    * in the logical plan. */
+  def writeZOrdered(spark: SparkSession, sfDir: String,
+                    outDir: String): DataFrame = {
+    withZ(t(spark, sfDir, "events"))
+      .repartition(col("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_events"),
         min("u").as("u_min"), max("u").as("u_max"),
         min("h").as("h_min"), max("h").as("h_max"))

@@ -107,6 +107,24 @@ class FunnelSpec extends AnyFunSuite {
       "buckets look like a single-column sort, not a z-curve")
   }
 
+  test("z-order writer: one file per bucket, file-level stats bound both dims") {
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    val manifest = Relational.writeZOrdered(spark, sf, out).cache()
+    val half = 1L << (Relational.ZBucketShift / 2)
+    val rows = manifest.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_max") - r.getAs[Long]("u_min") < half, r.toString)
+      assert(r.getAs[Long]("h_max") - r.getAs[Long]("h_min") < half, r.toString)
+    }
+    // exactly one physical file per zbucket, nothing lost
+    val nBuckets = Relational.zorderLayout(spark, sf).count()
+    assert(rows.length.toLong === nBuckets)
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total)
+    manifest.unpersist()
+  }
+
   test("json_props_rollup: parse outcomes partition the events exactly") {
     val r = Relational.jsonPropsRollup(spark, sf).collect()
     assert(r.nonEmpty)
