@@ -1332,6 +1332,33 @@ object OracleSql {
              count(DISTINCT k) AS n_distinct_k
       FROM x GROUP BY event_type""",
 
+    // incremental_agg: the same deterministic late-batch split and
+    // additive merge (mod key from Relational.IncAggLateMod)
+    "incremental_agg" -> s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      d AS (SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  date_trunc('day', ts)) AS BIGINT) AS day_idx,
+                   event_id % 10 = ${Relational.IncAggLateMod} AS is_late,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM ev),
+      b AS (SELECT event_type, day_idx, count(*) AS n_base,
+                   sum(v) AS tot_base
+            FROM d WHERE NOT is_late GROUP BY 1, 2),
+      dl AS (SELECT event_type, day_idx, count(*) AS n_delta,
+                    sum(v) AS tot_delta
+             FROM d WHERE is_late GROUP BY 1, 2)
+      SELECT COALESCE(b.event_type, dl.event_type) AS event_type,
+             COALESCE(b.day_idx, dl.day_idx) AS day_idx,
+             CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(n_delta, 0) AS BIGINT) AS n_delta,
+             CAST(COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS BIGINT)
+               AS n_events,
+             CAST(COALESCE(tot_base, 0) + COALESCE(tot_delta, 0) AS DOUBLE)
+               AS total_value
+      FROM b FULL OUTER JOIN dl
+        ON b.event_type = dl.event_type AND b.day_idx = dl.day_idx""",
+
     "moving_avg" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
       daily AS (

@@ -119,6 +119,7 @@ object SparkEntry {
     "approx_heavy_terms" -> (TextAnalysis.approxHeavyTerms(_, _)),
     "zorder_layout" -> (Relational.zorderLayout(_, _)),
     "moving_avg" -> (Relational.movingAvg(_, _)),
+    "incremental_agg" -> (Relational.incrementalAgg(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

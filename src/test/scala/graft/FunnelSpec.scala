@@ -107,6 +107,27 @@ class FunnelSpec extends AnyFunSuite {
       "buckets look like a single-column sort, not a z-curve")
   }
 
+  test("incremental_agg: delta-merged rollup equals the full recompute") {
+    // the maintenance invariant: merging the late batch's aggregates into
+    // the base aggregates must be indistinguishable from rebuilding the
+    // rollup over everything — counts exactly, decimal totals exactly
+    val merged = Relational.incrementalAgg(spark, sf)
+      .select("event_type", "day_idx", "n_events", "total_value")
+    val full = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("timestamp")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // and the split actually exercises both sides
+    val r = Relational.incrementalAgg(spark, sf)
+    assert(r.filter($"n_delta" > 0).count() > 0)
+    assert(r.filter($"n_base" > 0).count() > 0)
+  }
+
   test("z-order writer: one file per bucket, file-level stats bound both dims") {
     val out = java.nio.file.Files.createTempDirectory("zorder").toString
     val manifest = Relational.writeZOrdered(spark, sf, out).cache()
