@@ -246,6 +246,33 @@ object OracleSql {
   private def docHashSql(col: String): String =
     s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
 
+  /** CDC CTEs shared by merge_upsert and scd2_history: the deterministic
+    * change batch (same bucket rules as Merge.changeBatch) and the typed
+    * base snapshot. */
+  private lazy val mergeCtes: String = s"""
+      bk AS (SELECT *, ${docHashSql("c_custkey")} % 10 AS bucket FROM customer),
+      ch AS (
+        SELECT CASE WHEN bucket = 3
+                 THEN -c_custkey - 1
+                 ELSE c_custkey END AS c_custkey,
+               CASE WHEN bucket = 0 THEN 'delete'
+                    WHEN bucket = 3 THEN 'insert'
+                    ELSE 'update' END AS op,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN 'Customer#INS' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS c_name,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN CAST(0 AS DECIMAL(12,2))
+                    ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DECIMAL(12,2))
+               END AS c_acctbal,
+               CASE WHEN bucket = 0 THEN NULL
+                    WHEN bucket = 3 THEN 'NEW'
+                    ELSE 'REBALANCED' END AS c_mktsegment
+        FROM bk WHERE bucket <= 3),
+      b AS (SELECT c_custkey, c_name,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+            FROM customer)"""
+
   /** Quality-rule CTEs (q → r with per-rule pass flags), generated from
     * the same Curation constants as the Spark side; shared by
     * quality_filter and curate_corpus. Builds on textCtes' `tok`. */
@@ -1542,29 +1569,7 @@ object OracleSql {
 
     // CDC merge (graft.operators.Merge): change-batch derivation and the
     // full-outer apply, generated from the same bucket rules/constants.
-    "merge_upsert" -> s"""WITH
-      bk AS (SELECT *, ${docHashSql("c_custkey")} % 10 AS bucket FROM customer),
-      ch AS (
-        SELECT CASE WHEN bucket = 3
-                 THEN -c_custkey - 1
-                 ELSE c_custkey END AS c_custkey,
-               CASE WHEN bucket = 0 THEN 'delete'
-                    WHEN bucket = 3 THEN 'insert'
-                    ELSE 'update' END AS op,
-               CASE WHEN bucket = 0 THEN NULL
-                    WHEN bucket = 3 THEN 'Customer#INS' || CAST(c_custkey AS VARCHAR)
-                    ELSE c_name END AS c_name,
-               CASE WHEN bucket = 0 THEN NULL
-                    WHEN bucket = 3 THEN CAST(0 AS DECIMAL(12,2))
-                    ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DECIMAL(12,2))
-               END AS c_acctbal,
-               CASE WHEN bucket = 0 THEN NULL
-                    WHEN bucket = 3 THEN 'NEW'
-                    ELSE 'REBALANCED' END AS c_mktsegment
-        FROM bk WHERE bucket <= 3),
-      b AS (SELECT c_custkey, c_name,
-                   CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
-            FROM customer)
+    "merge_upsert" -> s"""WITH $mergeCtes
       SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
              CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE b.c_name END AS c_name,
              CAST(CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS DOUBLE) AS c_acctbal,
@@ -1573,7 +1578,28 @@ object OracleSql {
                   WHEN ch.op = 'insert' THEN 'inserted'
                   ELSE 'base' END AS src
       FROM b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
-      WHERE ch.op IS NULL OR ch.op <> 'delete'"""
+      WHERE ch.op IS NULL OR ch.op <> 'delete'""",
+
+    // scd2_history: same change batch, type-2 semantics — base rows are
+    // version 0 (closed at batch seq 1 when changed/deleted), updates and
+    // inserts open version-1 rows; deletes leave no current row
+    "scd2_history" -> s"""WITH $mergeCtes,
+      v0 AS (
+        SELECT b.c_custkey, b.c_name,
+               CAST(b.c_acctbal AS DOUBLE) AS c_acctbal, b.c_mktsegment,
+               CAST(0 AS BIGINT) AS version,
+               CAST(0 AS BIGINT) AS valid_from,
+               CASE WHEN ch.op IS NOT NULL
+                 THEN CAST(1 AS BIGINT) END AS valid_to,
+               ch.op IS NULL AS is_current
+        FROM b LEFT JOIN ch ON b.c_custkey = ch.c_custkey),
+      v1 AS (
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               c_mktsegment,
+               CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        FROM ch WHERE op <> 'delete')
+      SELECT * FROM v0 UNION ALL SELECT * FROM v1"""
   )
 
   /** ann_recall: recall@k of each approximate method against the exact

@@ -120,6 +120,7 @@ object SparkEntry {
     "zorder_layout" -> (Relational.zorderLayout(_, _)),
     "moving_avg" -> (Relational.movingAvg(_, _)),
     "incremental_agg" -> (Relational.incrementalAgg(_, _)),
+    "scd2_history" -> (graft.operators.Merge.scd2History(_, _)),
     "cohort_retention" -> (Relational.cohortRetention(_, _)),
     "merge_upsert" -> (graft.operators.Merge.mergeUpsert(_, _)),
   )

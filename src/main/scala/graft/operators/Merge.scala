@@ -96,4 +96,41 @@ object Merge {
       // would differ across engines ('1.6' vs '1.60') — verify gotcha
       .withColumn("c_acctbal", col("c_acctbal").cast("double"))
   }
+
+  /** SCD Type-2 history from the SAME change batch as [[mergeUpsert]]
+    * (type-1 overwrites in place; type-2 keeps every version with a
+    * validity interval — the audit/backfill answer to "what did this row
+    * say when the model trained"). Version 0 rows are the base snapshot;
+    * an update or delete CLOSES them at batch sequence 1 (`valid_to`);
+    * updates and inserts open version-1 rows with a NULL `valid_to`.
+    * Deletes leave no current row — exactly one current row per
+    * surviving key, none for deleted keys (spec-pinned; the oracle pins
+    * every interval).
+    *
+    * Scale: one full-outer join on the key (the merge_upsert shape) and
+    * a batch-sized union — history grows by |changes| per batch, the
+    * base is never rewritten beyond interval closing. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Tables.load(spark, sfDir, "customer")
+      .withColumn("c_acctbal", col("c_acctbal").cast("decimal(12,2)"))
+    val payload = Seq("c_name", "c_acctbal", "c_mktsegment")
+    val ch = changeBatch(base)
+    val chP = payload.foldLeft(ch) { (d, c) =>
+      d.withColumnRenamed(c, s"c_$c")
+    }
+    val v0 = base.select(col("c_custkey") +: payload.map(col): _*)
+      .join(chP.select(col("c_custkey"), col("op")), Seq("c_custkey"), "left")
+      .select(col("c_custkey") +: payload.map(col) :+
+        lit(0L).as("version") :+ lit(0L).as("valid_from") :+
+        when(col("op").isNotNull, lit(1L)).cast("long").as("valid_to") :+
+        col("op").isNull.as("is_current"): _*)
+    val v1 = chP.filter(col("op") =!= "delete")
+      .select(col("c_custkey") +:
+        payload.map(c => col(s"c_$c").as(c)) :+
+        lit(1L).as("version") :+ lit(1L).as("valid_from") :+
+        lit(null).cast("long").as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    v0.unionAll(v1)
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+  }
 }

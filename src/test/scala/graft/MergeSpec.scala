@@ -90,4 +90,27 @@ class MergeSpec extends AnyFunSuite {
     assert(v.filter(!$"pass_vocab").count() > 0)
     v.unpersist()
   }
+
+  test("scd2_history: intervals chain, current rows match merge_upsert") {
+    import graft.operators.Merge
+    val h = Merge.scd2History(spark, sf).cache()
+    // per key: at most one current row; deleted keys have none; every
+    // closed interval is continued by the next version or the delete
+    val perKey = h.groupBy("c_custkey").agg(
+      sum(when($"is_current", 1).otherwise(0)).as("n_cur"),
+      count(lit(1)).as("n_versions"),
+      sum(when($"valid_to".isNotNull, 1).otherwise(0)).as("n_closed"))
+    assert(perKey.filter($"n_cur" > 1).count() === 0)
+    assert(perKey.filter($"n_versions" > 2).count() === 0)
+    // the CURRENT image of the history must equal the type-1 merge result
+    val cur = h.filter($"is_current")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val merged = Merge.mergeUpsert(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    assert(cur.exceptAll(merged).count() === 0)
+    assert(merged.exceptAll(cur).count() === 0)
+    // history keeps what type-1 forgets: closed versions exist
+    assert(h.filter($"valid_to".isNotNull).count() > 0)
+    h.unpersist()
+  }
 }
