@@ -1820,7 +1820,53 @@ object OracleSql {
       FROM d JOIN k ON d.vec_id = k.vec_id
              JOIN s ON d.vec_id = s.vec_id"""
 
+  /** importance_sample: DSIR — every constant (feature buckets,
+    * occupied-support Laplace smoothing, micro-nat quantization, Gumbel
+    * salt, k) comes from Sampling's Dsir* / LangModel.LmMicro
+    * definitions, and the target flag composes the green lm_bigram_score
+    * text, so the two engines compute the same integer weights and the
+    * same deterministic draw. */
+  private val importanceSampleSql: String = {
+    import graft.operators.{Sampling => S}
+    import graft.operators.LangModel.LmMicro
+    val B = S.DsirBuckets
+    s"""WITH
+      pass AS (SELECT doc_id, pass_lm FROM (${base("lm_bigram_score")})),
+      dnorm AS (SELECT doc_id, lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS ntext
+                FROM documents),
+      dtok AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM dnorm),
+      occ AS (SELECT o.doc_id, p.pass_lm,
+                CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % $B AS f
+              FROM (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bg
+                    FROM dtok WHERE len(toks) >= 2) o
+              JOIN pass p USING (doc_id)),
+      bc AS (SELECT f, CAST(count(*) AS BIGINT) AS cb FROM occ GROUP BY f),
+      tcn AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM occ
+              WHERE pass_lm GROUP BY f),
+      tots AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                      CAST(count(*) FILTER (WHERE pass_lm) AS BIGINT) AS nt
+               FROM occ),
+      supp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM bc),
+      lr AS (SELECT f,
+               CAST(floor(ln((COALESCE(ct, 0) + 1) / CAST(nt + v AS DOUBLE)) * $LmMicro) AS BIGINT)
+             - CAST(floor(ln((cb + 1) / CAST(nb + v AS DOUBLE)) * $LmMicro) AS BIGINT) AS lr_micro
+             FROM bc LEFT JOIN tcn USING (f), tots, supp),
+      w AS (SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS w_micro
+            FROM occ JOIN lr USING (f) GROUP BY doc_id),
+      keyed AS (
+        SELECT p.doc_id, p.pass_lm, COALESCE(w.w_micro, 0) AS w_micro,
+               COALESCE(w.w_micro, 0) +
+               CAST(floor(-ln(-ln((CAST(CAST('0x' || substr(md5('${S.DsirSalt}' || p.doc_id), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) * $LmMicro) AS BIGINT)
+                 AS key_micro
+        FROM pass p LEFT JOIN w USING (doc_id))
+      SELECT doc_id, pass_lm, w_micro, key_micro
+      FROM keyed ORDER BY key_micro DESC, doc_id LIMIT ${S.DsirK}"""
+  }
+
   val all: Map[String, String] = base +
+    ("importance_sample" -> importanceSampleSql) +
     ("ann_recall" -> annRecallSql) +
     ("cluster_purity" -> clusterPuritySql) +
     ("table_profile" -> tableProfileSql) +

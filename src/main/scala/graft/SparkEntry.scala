@@ -50,6 +50,7 @@ object SparkEntry {
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),
     "stratified_sample" -> (Sampling.stratifiedSample(_, _)),
     "quality_topk_sample" -> (Sampling.qualityTopkSample(_, _)),
+    "importance_sample" -> (Sampling.importanceSample(_, _)),
     "shard_pack" -> (Sampling.shardPack(_, _)),
     "training_order" -> (Sampling.trainingOrder(_, _)),
     // corpus curation (quality rules, decontamination, PII, incremental)

@@ -240,4 +240,94 @@ object Sampling {
       .select(col("lang"), (col("pos") + 1).cast("long").as("qrank"),
         col("s.doc_id").as("doc_id"),
         col("s.qs").cast("double").as("quality_score"))
+
+  // ---- DSIR importance resampling (shared with the oracle SQL) ----
+  /** Hashed-bigram feature-space size (DSIR hashes n-grams into a fixed
+    * bucket count so the two distribution estimates are bounded-size
+    * regardless of corpus vocabulary). */
+  val DsirBuckets = 4096
+  /** Resample size — how many documents the Gumbel top-k draw keeps. */
+  val DsirK = 150
+  /** Salt namespacing the Gumbel-uniform hash (correlating it with the
+    * stratified sampler's hash would couple the two draws). */
+  val DsirSalt = "dsir|"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * estimate bag-of-hashed-bigram distributions for a TARGET corpus and
+    * for the raw base corpus, weight every document by its log importance
+    * ratio Σ_f [ln p̂_target(f) − ln p̂_base(f)], and draw a
+    * without-replacement sample of [[DsirK]] docs proportional to the
+    * weights via the Gumbel-top-k trick. The standard method for tilting
+    * a web-scale crawl toward a quality/domain target without a trained
+    * classifier. The target here is the corpus' own LM-quality pass set
+    * ([[LangModel.lmBigramScore]]'s `pass_lm`) — the paper's
+    * "high-quality reference corpus" role; bigram features are the
+    * paper's n=2 hashed n-grams, built from the SAME
+    * [[LangModel.bigramsOf]] gram rule as the LM so the two feature
+    * spaces cannot drift.
+    *
+    * Smoothing: Laplace +1 over the OCCUPIED base support (denominator
+    * N + V with V = distinct base features), not the full hash space —
+    * with a +B denominator the target/base inflation mismatch puts a
+    * per-token constant into every ratio and the weights degenerate into
+    * a document-LENGTH ranking; with +V the distortion is
+    * O(V/N) per token and the ratio measures distribution similarity.
+    *
+    * Exactness discipline (the [[LangModel]] scheme): each FEATURE's
+    * smoothed log-prob is quantized once to integer micro-nats
+    * (floor(ln·10⁶)); per-doc weights are exact integer sums of the
+    * per-feature ratio, order-independent under any aggregation
+    * schedule. The Gumbel key is also integer micro-nats from a
+    * deterministic salted-hash uniform — floor(−ln(−ln((h+0.5)/2³²))·10⁶)
+    * — so the draw reproduces across engines, retries, and reruns; the
+    * final selection is an integer (key, doc_id) top-k.
+    *
+    * Scale posture (100 TB): both distribution estimates are
+    * partial-aggregable groupBys whose shuffle carries at most
+    * [[DsirBuckets]] rows; the ratio table is feature-space-sized and
+    * broadcast into the bigram-occurrence stream; the per-doc rollup is a
+    * partial-aggregable integer sum; and the top-k is
+    * TakeOrderedAndProject — per-task top-[[DsirK]], driver merges
+    * tasks×k rows. No corpus-sized sort, nothing collected. */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.LangModel.{LmMicro, bigramsOf}
+    val d = docs(spark, sfDir)
+    val pass = LangModel.lmBigramScore(spark, sfDir)
+      .select(col("doc_id"), col("pass_lm"))
+    val occ = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+      .select(col("doc_id"), (Dedup.hash32(col("bg")) % DsirBuckets).as("f"))
+      .join(pass, Seq("doc_id"))
+    val baseCnt = occ.groupBy("f").agg(count(lit(1)).as("cb"))
+    val tgtCnt = occ.filter(col("pass_lm"))
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val totals = occ.agg(count(lit(1)).as("nb"),
+      count(when(col("pass_lm"), 1)).as("nt"))
+    val support = baseCnt.agg(count(lit(1)).as("v"))
+    // lr is bounded by DsirBuckets rows — AQE broadcasts it into the
+    // occurrence stream, so the weight pass is scan + map-side-combine
+    val lr = baseCnt.join(tgtCnt, Seq("f"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(support))
+      .select(col("f"),
+        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("v"))) * LmMicro) -
+          floor(log((col("cb") + 1).cast("double") /
+            (col("nb") + col("v"))) * LmMicro)).cast("long").as("lr_micro"))
+    val w = occ.join(lr, Seq("f"))
+      .groupBy("doc_id").agg(sum("lr_micro").as("w_micro"))
+    d.select(col("doc_id"))
+      .join(pass, Seq("doc_id"))
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("w_micro", coalesce(col("w_micro"), lit(0L)))
+      .withColumn("key_micro", col("w_micro") +
+        floor(-log(-log(
+            (Dedup.hash32(concat(lit(DsirSalt), col("doc_id")))
+              .cast("double") + 0.5d) / 4294967296.0d)) * LmMicro)
+          .cast("long"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(DsirK)
+      .select(col("doc_id"), col("pass_lm"), col("w_micro"), col("key_micro"))
+  }
 }

@@ -157,4 +157,33 @@ class SamplingSpec extends AnyFunSuite {
     // property distinguishing it from shard_pack's doc-aligned rotation)
     assert(r.exists(_.getAs[Long]("seqs_spanned") > 1))
   }
+
+  test("importance_sample: deterministic Gumbel draw, tilted toward the quality target") {
+    // sf0.01 — at sf0.001 the corpus is smaller than DsirK and the
+    // selection property is degenerate
+    val sf01 = "/root/testdata/sf0.01"
+    val s1 = Sampling.importanceSample(spark, sf01).cache()
+    assert(s1.count() === Sampling.DsirK)
+    // the draw is a pure function of the corpus (hash-Gumbel, not rand())
+    assert(s1.exceptAll(Sampling.importanceSample(spark, sf01)).count() === 0)
+    // the Gumbel perturbation stays on its designed micro-nat scale:
+    // key − w = floor(−ln(−ln u)·10⁶) with u ∈ (2⁻³³, 1), so the noise is
+    // bounded while the weights are free to dominate it
+    val noise = s1.select(($"key_micro" - $"w_micro").as("g"))
+    assert(noise.filter($"g" < -4000000L || $"g" > 25000000L).count() === 0)
+    // importance resampling must SHIFT the draw toward the target: the
+    // LM-pass set's share of the sample well above its corpus share
+    // (per-doc weights are Σ per-bigram log-ratios — several nats for
+    // pass-typical docs vs strongly negative for tail docs — orders of
+    // magnitude above the O(1)-nat Gumbel noise)
+    val pass = graft.operators.LangModel.lmBigramScore(spark, sf01)
+    val corpusShare =
+      pass.filter($"pass_lm").count().toDouble / pass.count()
+    val sampleShare =
+      s1.filter($"pass_lm").count().toDouble / Sampling.DsirK
+    info(s"pass_lm share: corpus $corpusShare, sample $sampleShare")
+    assert(sampleShare > corpusShare + 0.2,
+      s"sample share $sampleShare vs corpus share $corpusShare")
+    s1.unpersist()
+  }
 }
