@@ -303,42 +303,105 @@ object Dedup {
     * per-iteration update is `teleport + (num · Σ rank div deg) div den`,
     * deterministic under any shuffle order on both engines.
     *
-    * Scale: the whole computation lives on the verified-pair SLIVER
-    * (persist-once [[verifiedPairs]]), never the corpus: 2|E| directed
-    * edges, [[PrIters]] joins+aggregations keyed on doc ids, then one
-    * window per component — whose size the dedup semantics bound (a
-    * component is a set of near-identical documents). */
+    * Scale shape — the SAME two-path gate as [[componentsOf]], chosen by
+    * the measured pair count (a cache read; the pairs table is
+    * persist-once):
+    *
+    *  - **pairs ≤ localEdgeLimit (default 5M)**: collect the verified
+    *    EDGE list (the sliver the LSH+verify pipeline already reduced the
+    *    corpus to) and run the [[PrIters]] integer iterations on primitive
+    *    arrays driver-side, then broadcast (doc_id, rank, deg) back. An
+    *    iterative distributed fixpoint on a graph this small is pure
+    *    scheduler overhead — the join-loop plan costs ~3 shuffle stages
+    *    PER ITERATION of sub-second work each (measured 8–9 s at sf0.1 vs
+    *    <0.5 s on the driver), the exact pathology the components gate
+    *    already documents.
+    *  - **above the limit**: the distributed loop below — [[PrIters]]
+    *    joins+aggregations keyed on doc ids over 2|E| directed edges.
+    *
+    * Either way the final window runs per component, whose size the
+    * dedup semantics bound (a component is a set of near-identical
+    * documents). */
   def centralityKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedPairs(spark, sfDir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("doc_id"), col("deg"))
-    val r0 = deg.select(col("doc_id"), lit(PrBase).as("rank"))
-    val rN = (1 to PrIters).foldLeft(r0) { (r, _) =>
-      val contrib = edges
-        .join(r.join(deg, Seq("doc_id"))
-            .select(col("doc_id").as("src"),
-              expr("rank div deg").as("give")),
-          Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(sum(col("give")).as("s"))
-      deg.select(col("doc_id"))
-        .join(contrib, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit(PrTeleport) +
-            expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen"))
-            .as("rank"))
-    }
+    val nPairs = pairs.count() // cache read: pairs is persist-once
+    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    val ranked: DataFrame = // (doc_id, rank, deg)
+      if (nPairs <= localLimit)
+        broadcast(localPageRank(spark, pairs.select("doc_a", "doc_b")))
+      else {
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("doc_id"), col("deg"))
+        val r0 = deg.select(col("doc_id"), lit(PrBase).as("rank"))
+        val rN = (1 to PrIters).foldLeft(r0) { (r, _) =>
+          val contrib = edges
+            .join(r.join(deg, Seq("doc_id"))
+                .select(col("doc_id").as("src"),
+                  expr("rank div deg").as("give")),
+              Seq("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(col("give")).as("s"))
+          deg.select(col("doc_id"))
+            .join(contrib, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(PrTeleport) +
+                expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen"))
+                .as("rank"))
+        }
+        rN.join(deg, Seq("doc_id"))
+      }
     val comp = dedupComponents(spark, sfDir)
       .select(col("doc_id"), col("component_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component_id").orderBy(col("rank").desc, col("doc_id"))
-    rN.join(deg, Seq("doc_id"))
+    ranked
       .join(comp, Seq("doc_id"))
       .withColumn("is_canonical", row_number().over(w) === 1)
       .select(col("doc_id"), col("component_id"), col("deg").as("degree"),
         col("rank"), col("is_canonical"))
+  }
+
+  /** Driver twin of the distributed PageRank loop: identical integer
+    * arithmetic (`/` on non-negative longs ≡ Spark `div` ≡ DuckDB `//`)
+    * over primitive arrays, so both paths produce bit-identical ranks.
+    * Returns (doc_id, rank, deg) for every pair-involved vertex. */
+  private def localPageRank(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val (as, bs) = collectEdgePairs(pairs)
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < as.length) {
+      deg(as(i)) = deg.getOrElse(as(i), 0L) + 1
+      deg(bs(i)) = deg.getOrElse(bs(i), 0L) + 1
+      i += 1
+    }
+    var rank = scala.collection.mutable.LongMap.empty[Long]
+    deg.foreachKey(v => rank(v) = PrBase)
+    var it = 0
+    while (it < PrIters) {
+      val s = scala.collection.mutable.LongMap.empty[Long]
+      i = 0
+      while (i < as.length) {
+        val a = as(i); val b = bs(i)
+        s(b) = s.getOrElse(b, 0L) + rank(a) / deg(a)
+        s(a) = s.getOrElse(a, 0L) + rank(b) / deg(b)
+        i += 1
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      deg.foreachKey { v =>
+        next(v) = PrTeleport + PrDampNum * s.getOrElse(v, 0L) / PrDampDen
+      }
+      rank = next
+      it += 1
+    }
+    val out = new Array[(Long, Long, Long)](deg.size)
+    i = 0
+    deg.foreachKey { v => out(i) = (v, rank(v), deg(v)); i += 1 }
+    import spark.implicits._
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("doc_id", "rank", "deg")
   }
 
   /** Connected components (transitive-min label) over ANY verified
@@ -370,8 +433,12 @@ object Dedup {
     * side (one job, no per-partition job latency like toLocalIterator),
     * so driver heap at the 5M-edge limit is the ~80 MB the limit is sized
     * against — never 5M boxed Rows. */
-  private def localComponents(spark: SparkSession, pairs: DataFrame,
-                              nPairs: Long): DataFrame = {
+  /** Collect a two-long-column pair frame to the driver as two primitive
+    * arrays, packed executor-side (one job, no per-partition job latency
+    * like toLocalIterator) — driver heap at the 5M-edge limit is the
+    * ~80 MB the limit is sized against, never 5M boxed Rows. Shared by
+    * the driver union-find and the driver PageRank. */
+  private def collectEdgePairs(pairs: DataFrame): (Array[Long], Array[Long]) = {
     val packed: Array[(Array[Long], Array[Long])] =
       pairs.queryExecution.toRdd.mapPartitions { it =>
         val pa = new scala.collection.mutable.ArrayBuilder.ofLong
@@ -387,6 +454,12 @@ object Dedup {
       System.arraycopy(pb, 0, bs, off, pb.length)
       off += pa.length
     }
+    (as, bs)
+  }
+
+  private def localComponents(spark: SparkSession, pairs: DataFrame,
+                              nPairs: Long): DataFrame = {
+    val (as, bs) = collectEdgePairs(pairs)
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x

@@ -599,6 +599,15 @@ class PipelineSpec extends AnyFunSuite {
     val perComp = got.groupBy("component_id")
       .agg(sum(when($"is_canonical", 1).otherwise(0)).as("n_canon"))
     assert(perComp.filter($"n_canon" =!= 1).count() === 0)
+    // the distributed join-loop path (forced by a zero edge limit, the
+    // dedup_components pattern) must produce bit-identical ranks to the
+    // driver path the default limit takes
+    spark.conf.set(Dedup.ComponentsLocalEdgeLimitKey, "0")
+    try {
+      val dist = Dedup.centralityKeep(spark, sf)
+      assert(got.exceptAll(dist).count() === 0)
+      assert(dist.exceptAll(got).count() === 0)
+    } finally spark.conf.unset(Dedup.ComponentsLocalEdgeLimitKey)
     got.unpersist()
   }
 
