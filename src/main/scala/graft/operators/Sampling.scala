@@ -289,33 +289,53 @@ object Sampling {
     * partial-aggregable integer sum; and the top-k is
     * TakeOrderedAndProject — per-task top-[[DsirK]], driver merges
     * tasks×k rows. No corpus-sized sort, nothing collected. */
-  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.LangModel.{LmMicro, bigramsOf}
-    val d = docs(spark, sfDir)
+  /** One row per hashed-bigram occurrence: (doc_id, pass_lm, f). The
+    * bigram rule is [[LangModel.bigramsOf]], the target flag is the LM
+    * pass set — shared by the ratio estimate and the weight pass. */
+  private def dsirOcc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.LangModel.bigramsOf
     val pass = LangModel.lmBigramScore(spark, sfDir)
       .select(col("doc_id"), col("pass_lm"))
-    val occ = d
+    docs(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
       .select(col("doc_id"), (Dedup.hash32(col("bg")) % DsirBuckets).as("f"))
       .join(pass, Seq("doc_id"))
+  }
+
+  /** The trained DSIR artifact: (f, lr_micro) — per-feature integer
+    * micro-nat log ratio ln p̂_target(f) − ln p̂_base(f), smoothed over
+    * the occupied base support. Bounded by [[DsirBuckets]] rows, so it
+    * broadcasts; [[importanceSample]] consumes it in-plan and the
+    * streaming twin scores an unbounded stream against it (train-once,
+    * score-forever — the production deployment shape). */
+  def dsirRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.LangModel.LmMicro
+    val occ = dsirOcc(spark, sfDir)
     val baseCnt = occ.groupBy("f").agg(count(lit(1)).as("cb"))
     val tgtCnt = occ.filter(col("pass_lm"))
       .groupBy("f").agg(count(lit(1)).as("ct"))
     val totals = occ.agg(count(lit(1)).as("nb"),
       count(when(col("pass_lm"), 1)).as("nt"))
     val support = baseCnt.agg(count(lit(1)).as("v"))
-    // lr is bounded by DsirBuckets rows — AQE broadcasts it into the
-    // occurrence stream, so the weight pass is scan + map-side-combine
-    val lr = baseCnt.join(tgtCnt, Seq("f"), "left")
+    baseCnt.join(tgtCnt, Seq("f"), "left")
       .crossJoin(broadcast(totals)).crossJoin(broadcast(support))
       .select(col("f"),
         (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
             (col("nt") + col("v"))) * LmMicro) -
           floor(log((col("cb") + 1).cast("double") /
             (col("nb") + col("v"))) * LmMicro)).cast("long").as("lr_micro"))
-    val w = occ.join(lr, Seq("f"))
+  }
+
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.LangModel.LmMicro
+    val d = docs(spark, sfDir)
+    val pass = LangModel.lmBigramScore(spark, sfDir)
+      .select(col("doc_id"), col("pass_lm"))
+    // lr is bounded by DsirBuckets rows — AQE broadcasts it into the
+    // occurrence stream, so the weight pass is scan + map-side-combine
+    val w = dsirOcc(spark, sfDir).join(dsirRatioTable(spark, sfDir), Seq("f"))
       .groupBy("doc_id").agg(sum("lr_micro").as("w_micro"))
     d.select(col("doc_id"))
       .join(pass, Seq("doc_id"))

@@ -321,6 +321,51 @@ object PipelineStreams {
         col("lm_micro_sum") >= lit(LangModel.PassAvgMicroNats) * col("n_bigrams"))
   }
 
+  /** Salt for the streaming DSIR Bernoulli draw — distinct from the
+    * batch Gumbel salt so the two draws are uncorrelated. */
+  val DsirStreamSalt = "dsir_stream|"
+
+  /** Streaming DSIR importance weighting: score incoming documents
+    * against the ratio table trained ONCE on the base corpus
+    * ([[graft.operators.Sampling.dsirRatioTable]], bucket-bounded and
+    * broadcast) — train-once, score-forever, the deployment shape of
+    * importance resampling. Each doc gets its integer micro-nat log
+    * importance weight plus a deterministic KEEP decision.
+    *
+    * The batch op's Gumbel TOP-K needs the whole corpus; a stream keeps
+    * each doc independently with probability min(1, e^w) instead —
+    * Bernoulli importance sampling, decided integer-exactly as
+    * w_micro > floor(ln(u)·10⁶) with u from a salted hash (u < e^w ⟺
+    * ln u < w; target-typical docs with w ≥ 0 always pass, off-target
+    * docs pass with exponentially-decaying probability). Features absent
+    * from the trained table (hash buckets unseen in the base corpus —
+    * vanishingly rare at scale since the table saturates its
+    * [[graft.operators.Sampling.DsirBuckets]] buckets) carry no
+    * evidence: lr coalesces to 0, unlike the LM stream's OOV penalty,
+    * because an unseen BUCKET is a hashing artifact, not a fluency
+    * signal. Stateless per doc after the groupBy rollup. */
+  def importanceWeightStream(spark: SparkSession, docs: DataFrame,
+                             modelSfDir: String): DataFrame = {
+    import graft.operators.{Sampling, Dedup, LangModel}
+    val lr = Sampling.dsirRatioTable(spark, modelSfDir)
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(LangModel.bigramsOf(col("toks"))).as("bg"))
+      .select(col("doc_id"),
+        (Dedup.hash32(col("bg")) % Sampling.DsirBuckets).as("f"))
+      .join(broadcast(lr), Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lr_micro"), lit(0L))).as("w_micro"))
+      .withColumn("ln_u_micro",
+        floor(log((Dedup.hash32(concat(lit(DsirStreamSalt), col("doc_id")))
+            .cast("double") + 0.5d) / 4294967296.0d) * LangModel.LmMicro)
+          .cast("long"))
+      .withColumn("keep", col("w_micro") > col("ln_u_micro"))
+  }
+
   /** Hard cap on the bloom literal [[bloomGateStream]] embeds (the shared
     * [[graft.operators.Curation.MaxBloomBytes]]): 32 MB of filter bits
     * covers ~27M base keys at the 1% default fpp. Above it the gate

@@ -467,6 +467,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR weights match the batch ratio table; keep rule is the exact Bernoulli draw") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // batch-side expectation: re-join corpus occurrences against the same
+    // trained ratio table the stream broadcasts
+    val corpusDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").limit(20).collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp(0L)))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.importanceWeightStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode("update").start()
+    try {
+      input.addData(corpusDocs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sdsir")
+        .select("doc_id", "w_micro", "ln_u_micro", "keep").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      // corpus docs carry only base-seen features, so the stream weight
+      // equals the batch weight pass exactly (no OOV path taken)
+      val batchW = {
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Dedup, TextAnalysis}
+        val lr = graft.operators.Sampling.dsirRatioTable(spark, sf)
+        graft.sources.Tables.load(spark, sf, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(graft.operators.LangModel.bigramsOf(col("toks"))).as("bg"))
+          .select(col("doc_id"),
+            (Dedup.hash32(col("bg")) % graft.operators.Sampling.DsirBuckets).as("f"))
+          .join(lr, Seq("f"))
+          .groupBy("doc_id").agg(sum("lr_micro").as("w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      got.foreach { case (id, (w, lnU, keep)) =>
+        assert(w === batchW(id), s"doc $id weight")
+        // the keep decision IS the integer Bernoulli rule, and ln u ≤ 0
+        // so w ≥ 0 docs always pass
+        assert(lnU <= 0L, s"doc $id ln_u")
+        assert(keep === (w > lnU), s"doc $id keep")
+      }
+      assert(got.size === corpusDocs.length)
+    } finally q.stop()
+  }
+
   test("streaming bloom gate flags base word-set dups even reordered; novel docs pass") {
     import graft.streaming.PipelineStreams.StreamDoc
     val sf = "/root/testdata/sf0.001"
