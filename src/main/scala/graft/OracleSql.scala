@@ -1325,6 +1325,21 @@ object OracleSql {
              round(quantile_cont(value, 0.99), 6) AS p99
       FROM ev GROUP BY event_type""",
 
+    "winsorize" -> {
+      import graft.operators.{Relational => R}
+      s"""WITH ev AS (
+        SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      b AS (SELECT event_type,
+              round(quantile_cont(value, ${R.WinsorLo}), 6) AS lo,
+              round(quantile_cont(value, ${R.WinsorHi}), 6) AS hi
+            FROM ev GROUP BY event_type)
+      SELECT event_id, e.event_type, value, lo, hi,
+             round(least(greatest(value, lo), hi), 6) AS value_wins,
+             value < lo AS clip_low,
+             value > hi AS clip_high
+      FROM ev e JOIN b USING (event_type)"""
+    },
+
     "events_pivot" -> """WITH ev AS (
         SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
       SELECT date_trunc('hour', ts) AS hour,

@@ -105,6 +105,7 @@ object SparkEntry {
     "events_hopping" -> (Relational.eventsHopping(_, _)),
     "events_pivot" -> (Relational.eventsPivot(_, _)),
     "value_percentiles" -> (Relational.valuePercentiles(_, _)),
+    "winsorize" -> (Relational.winsorize(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
     "supplier_rollup" -> (Relational.supplierRollup(_, _)),

@@ -195,6 +195,38 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
 
+  /** Winsorization quantiles, shared with the oracle SQL. */
+  val WinsorLo = 0.01
+  val WinsorHi = 0.99
+
+  /** Winsorized event values: per-type p1/p99 bounds (the same exact
+    * interpolated percentile aggregate as [[valuePercentiles]])
+    * broadcast back onto the stream and values clamped into [lo, hi] —
+    * the standard outlier treatment before feature normalization /
+    * z-scoring in a training pipeline. Both engines compare against the
+    * ROUNDED (1e-6) bounds, so the clip decision never reads an
+    * unrounded cross-engine float; the raw values themselves are parquet
+    * doubles, bit-identical on both sides.
+    *
+    * Scale: one partial-aggregable percentile pass (the shuffle carries
+    * per-type sketch state, not rows), a type-cardinality bounds table
+    * broadcast back, then the clamp runs at scan speed — the events
+    * stream is never shuffled. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $WinsorLo)"), 6).as("lo"),
+      round(expr(s"percentile(value, $WinsorHi)"), 6).as("hi"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .as("value_wins"),
+        (col("value") < col("lo")).as("clip_low"),
+        (col("value") > col("hi")).as("clip_high"))
+  }
+
   /** Pivot coverage: hourly event counts spread over event-type columns
     * (the wide layout dashboards read). The pivot values are enumerated,
     * so this is one partial-aggregable groupBy — no second pass to

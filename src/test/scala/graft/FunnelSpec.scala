@@ -161,4 +161,30 @@ class FunnelSpec extends AnyFunSuite {
       assert(row.getAs[Long]("min_k") <= row.getAs[Long]("max_k"))
     }
   }
+
+  test("winsorize: clamp stays inside bounds, untouched middle, ~2% tails clipped") {
+    val w = graft.operators.Relational.winsorize(spark, sf).cache()
+    // the winsorized value never leaves [lo, hi], and a row is altered
+    // iff one of its clip flags fired
+    assert(w.filter($"value_wins" < $"lo" || $"value_wins" > $"hi")
+      .count() === 0)
+    // unflagged rows pass through unchanged (the converse can collapse
+    // at the 1e-6 rounding boundary, so only this direction is exact)
+    assert(w.filter(!$"clip_low" && !$"clip_high" &&
+      round($"value", 6) =!= $"value_wins").count() === 0)
+    // per type, each tail clips ≤ the quantile mass plus interpolation
+    // slack, and SOMETHING clips (the bounds are interior percentiles)
+    val per = w.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(when($"clip_low", 1L).otherwise(0L)).as("nlo"),
+      sum(when($"clip_high", 1L).otherwise(0L)).as("nhi")).collect()
+    per.foreach { r =>
+      val (n, nlo, nhi) =
+        (r.getAs[Long]("n"), r.getAs[Long]("nlo"), r.getAs[Long]("nhi"))
+      assert(nlo > 0 && nhi > 0, r.toString)
+      assert(nlo <= n * 2 / 100 + 1, r.toString)
+      assert(nhi <= n * 2 / 100 + 1, r.toString)
+    }
+    w.unpersist()
+  }
 }
