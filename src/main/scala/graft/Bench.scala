@@ -57,7 +57,12 @@ object Bench {
     // before believing it — a transient co-tenant load spike then has to
     // cover three consecutive runs to be flagged, while a real plan
     // regression (slow on every run) still is.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional args = query-name subset for local iteration; the full run
+    // (driver) passes none. Subset runs never advance the baseline.
+    val subset = args.toSet
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (subset.isEmpty) names0 else names0.filter(subset)
+    val results = names.map { name =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val r = materialize(name)
@@ -96,10 +101,21 @@ object Bench {
         val p = prev(k)
         s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
     }.mkString("{", ",", "}")
-    val w = new java.io.PrintWriter(baselineFile)
-    try w.write(qs) finally w.close()
+    if (subset.isEmpty) {
+      val w = new java.io.PrintWriter(baselineFile)
+      try w.write(qs) finally w.close()
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"sf":"$sfDir"}""")
+    // Storage footprint of the persist-once artifact set at end of run —
+    // recorded so a future "slow query X" can be checked against the
+    // memory-pressure hypothesis from data (r7's bm25_search flag turned
+    // out to be VM noise; disk_mb > 0 here would have said "spill" instead).
+    val rddInfo = spark.sparkContext.getRDDStorageInfo
+    val storage = s"""{"n_cached_rdds":${rddInfo.length},""" +
+      s""""mem_mb":${rddInfo.map(_.memSize).sum / 1024 / 1024},""" +
+      s""""disk_mb":${rddInfo.map(_.diskSize).sum / 1024 / 1024}}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"storage":$storage,"sf":"$sfDir"}""")
     // release the session-scoped persist-once artifacts (verified pairs,
     // n-gram signatures, inverted index) before retiring the session
     graft.operators.Dedup.clearCaches(spark)

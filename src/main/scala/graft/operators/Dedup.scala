@@ -420,7 +420,7 @@ object Dedup {
       .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
     // broadcast hint only on the bounded path — the distributed path's
     // mapping can exceed broadcast size, so let AQE decide there
-    if (nPairs <= localLimit) broadcast(localComponents(spark, pairs, nPairs))
+    if (nPairs <= localLimit) broadcast(localComponents(spark, pairs))
     else distributedComponents(spark, pairs, nPairs)
   }
 
@@ -457,8 +457,8 @@ object Dedup {
     (as, bs)
   }
 
-  private def localComponents(spark: SparkSession, pairs: DataFrame,
-                              nPairs: Long): DataFrame = {
+  private def localComponents(spark: SparkSession,
+                              pairs: DataFrame): DataFrame = {
     val (as, bs) = collectEdgePairs(pairs)
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {

@@ -573,7 +573,16 @@ object Relational {
   /** (u, h, zbucket) columns added to an events frame — the shared
     * Morton-key computation for the planner and the writer. */
   private def withZ(events: DataFrame): DataFrame = {
-    val u = col("user_id").cast("long")
+    // Domain guard (round-7 advice): the interleave consumes only the low
+    // ZBits bits of user_id, so an id outside [0, 2^ZBits) would silently
+    // alias onto another id's Morton position and void the per-bucket
+    // spread bound — fail the job loudly instead of corrupting the layout.
+    // (h needs no guard: hour-of-month is ≤ 743 < 2^10 by construction.)
+    val uRaw = col("user_id").cast("long")
+    val u = when(uRaw >= 0L && uRaw < (1L << ZBits), uRaw)
+      .otherwise(raise_error(concat(
+        lit(s"zorder: user_id outside [0, 2^$ZBits): "),
+        uRaw.cast("string"))))
     val h = ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long")
     val z = (0 until ZBits).map { i =>
       shiftleft(shiftright(u, i).bitwiseAND(1), 2 * i)

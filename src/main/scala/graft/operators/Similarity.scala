@@ -329,9 +329,15 @@ object Similarity {
     // stays persisted and is shared by kmeans_refine / cluster_purity /
     // curate_embeddings (same consumers-of-one-artifact scheme as
     // Dedup.verifiedPairs); clearCaches releases it.
-    val refined = assignedCache.synchronized {
-      val fp = embFingerprint(sfDir)
-      assignedCache.getOrElseUpdate((spark, s"$sfDir#$fp#it$iters"), {
+    // The Lloyd chain runs SPARK ACTIONS (one count per iteration), so it
+    // must not run while holding the cache monitor — a concurrent
+    // cellAssignment/clearCaches caller would block for the whole chain
+    // (round-7 advice). Double-checked: peek under the lock, compute
+    // outside it, insert under the lock again; a losing racer unpersists
+    // its own chain and adopts the winner's.
+    val key = (spark, s"$sfDir#${embFingerprint(sfDir)}#it$iters")
+    val refined = assignedCache.synchronized(assignedCache.get(key))
+      .getOrElse {
         var cur = assigned
         (1 to iters).foreach { _ =>
           val next = lloydStep(cur)
@@ -340,9 +346,16 @@ object Similarity {
           if (cur ne assigned) cur.unpersist(blocking = false)
           cur = next
         }
-        cur
-      })
-    }
+        assignedCache.synchronized {
+          assignedCache.get(key) match {
+            case Some(winner) =>
+              if (cur ne assigned) cur.unpersist(blocking = false)
+              winner
+            case None =>
+              assignedCache.update(key, cur); cur
+          }
+        }
+      }
     kmeansPresent(assigned, refined)
   }
 

@@ -348,8 +348,9 @@ object PipelineStreams {
                              modelSfDir: String): DataFrame = {
     import graft.operators.{Sampling, Dedup, LangModel}
     val lr = Sampling.dsirRatioTable(spark, modelSfDir)
-    docs
+    val toks = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val scored = toks
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(LangModel.bigramsOf(col("toks"))).as("bg"))
@@ -359,6 +360,15 @@ object PipelineStreams {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("lr_micro"), lit(0L))).as("w_micro"))
+    // Sub-bigram docs carry no evidence, same as unseen buckets: w = 0,
+    // which the Bernoulli rule always keeps — matching the batch DSIR
+    // w_micro=0 semantics. Routed around the rollup (the bigram explode
+    // would drop them entirely — round-7 advice: an ingest gate must emit
+    // a decision for EVERY doc, not silently swallow short ones).
+    val short = toks
+      .filter(size(col("toks")) < 2)
+      .select(col("doc_id"), lit(0L).as("n_feats"), lit(0L).as("w_micro"))
+    scored.unionByName(short)
       .withColumn("ln_u_micro",
         floor(log((Dedup.hash32(concat(lit(DsirStreamSalt), col("doc_id")))
             .cast("double") + 0.5d) / 4294967296.0d) * LangModel.LmMicro)

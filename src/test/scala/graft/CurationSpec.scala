@@ -294,6 +294,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25/docSimilarity top-k: single ordering stage (no Sort under the rank Window)") {
+    // round-7 advice #6: the srank Window must ride TakeOrderedAndProject's
+    // outputOrdering — a SortExec in either plan means the double-sort is back
+    for (q <- Seq("bm25_search", "doc_similarity")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q lost its TakeOrderedAndProject:\n$plan")
+      assert(!plan.contains("+- Sort "),
+        s"$q re-sorts after the top-k:\n$plan")
+    }
+  }
+
   test("bloomSemiFlag: exact membership semantics on synthetic keys") {
     val batch = Seq("a", "b", "c").toDF("k")
     val base = Seq("b", "c", "c", "d").toDF("k")

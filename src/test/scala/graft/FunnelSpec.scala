@@ -78,6 +78,22 @@ class FunnelSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("zorder: a user_id outside the ZBits domain fails loudly, not silently aliased") {
+    import spark.implicits._
+    // ts as epoch-NANOS long — the pyarrow TIMESTAMP(NS) layout Tables.load expects
+    val bad = Seq((1L << Relational.ZBits,
+        java.sql.Timestamp.valueOf("2024-01-05 10:00:00").getTime * 1000000L))
+      .toDF("user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("zbad").toString
+    bad.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      Relational.zorderLayout(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("zorder: user_id outside")), e.toString)
+  }
+
   test("zorder_layout: every bucket bounds BOTH dimensions at once") {
     val r = Relational.zorderLayout(spark, sf).collect()
     assert(r.nonEmpty)

@@ -476,12 +476,16 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "lang", "text").limit(20).collect()
       .map(r => StreamDoc(r.getLong(0), r.getString(1), r.getString(2),
         new java.sql.Timestamp(0L)))
+    // a sub-bigram doc must still get a row and a keep decision (round-7
+    // advice: the gate may not silently swallow short docs)
+    val shortDoc = StreamDoc(999998L, "en", "hi",
+      new java.sql.Timestamp(0L))
     val input = MemoryStream[StreamDoc](spark)
     val q = PipelineStreams.importanceWeightStream(spark, input.toDF(), sf)
       .writeStream.format("memory").queryName("sdsir")
       .outputMode("update").start()
     try {
-      input.addData(corpusDocs.toSeq)
+      input.addData(corpusDocs.toSeq :+ shortDoc)
       q.processAllAvailable()
       val got = spark.table("sdsir")
         .select("doc_id", "w_micro", "ln_u_micro", "keep").collect()
@@ -505,13 +509,17 @@ class StreamingSpec extends AnyFunSuite {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
       got.foreach { case (id, (w, lnU, keep)) =>
-        assert(w === batchW(id), s"doc $id weight")
+        if (id != shortDoc.doc_id)
+          assert(w === batchW(id), s"doc $id weight")
         // the keep decision IS the integer Bernoulli rule, and ln u ≤ 0
         // so w ≥ 0 docs always pass
         assert(lnU <= 0L, s"doc $id ln_u")
         assert(keep === (w > lnU), s"doc $id keep")
       }
-      assert(got.size === corpusDocs.length)
+      // the short doc carries no evidence: w=0 → always kept
+      assert(got(shortDoc.doc_id)._1 === 0L)
+      assert(got(shortDoc.doc_id)._3 === true)
+      assert(got.size === corpusDocs.length + 1)
     } finally q.stop()
   }
 
