@@ -23,6 +23,9 @@ object SparkEntry {
     // broker semantics (SURVEY §2.1-2.5)
     "offset_assignment" -> (BrokerOps.offsetAssignment(_, _)),
     "key_partitioner" -> (BrokerOps.keyPartitioner(_, _)),
+    // rows-only: DuckDB cannot compute XXH3; answer-level parity is pinned
+    // by Xxh3Spec's reference-C golden vectors instead
+    "key_partitioner_xxh3" -> (BrokerOps.keyPartitionerXxh3(_, _)),
     "round_robin" -> (BrokerOps.roundRobin(_, _)),
     "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
     "consumer_lag" -> (BrokerOps.consumerLag(_, _)),

@@ -37,6 +37,30 @@ object BrokerOps {
       count(lit(1)).as("n_records"),
       countDistinct(col("user_id")).as("n_keys"))
 
+  /** W2 parity variant — the reference's ACTUAL partition routing:
+    * xxh3_64(key bytes) mod n with u64 remainder semantics
+    * (`topic.rs:90-93`), via the golden-vector-verified
+    * [[graft.functions.Xxh3]] Catalyst expression. The portable-hash
+    * `key_partitioner` row stays the DuckDB-checkable twin (SURVEY §7.3);
+    * this one is answer-level identical to the reference broker and is
+    * verified by Xxh3Spec's reference-C golden vectors + a rows-only
+    * driver check. Same output shape as [[keyPartitioner]]. */
+  def keyPartitionerXxh3(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Xxh3
+    require((NumPartitions & (NumPartitions - 1)) == 0,
+      "bitwiseAND routing needs a power-of-two partition count; " +
+        "use Xxh3.partitionOf (Long.remainderUnsigned) otherwise")
+    val n = lit(NumPartitions.toLong)
+    events(spark, sfDir)
+      .withColumn("h", Xxh3.xxh3_64(encode(col("user_id").cast("string"), "UTF-8")))
+      // u64 remainder: NumPartitions is a power of two, so the unsigned
+      // mod is exactly the low bits — no sign games, stays codegen'd
+      .withColumn("part_id", col("h").bitwiseAND(n - 1))
+      .groupBy("part_id").agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("user_id")).as("n_keys"))
+  }
+
   /** W3 — round-robin partitioner for keyless messages
     * (reference `topic.rs:79-83`): cycle over partitions in arrival order.
     * Batch definition: global arrival order = (ts, event_id), indexed by
