@@ -386,6 +386,16 @@ object OracleSql {
              CAST(SUM(greatest(high_off - committed, 0)) OVER (PARTITION BY grp) AS BIGINT) AS total_lag
       FROM tlag""",
 
+    // identical result to consumer_lag_multi_topic BY DESIGN: the Spark
+    // side reads the (topic, part_id)-partitioned LogTable snapshot, the
+    // oracle recomputes — hash match proves snapshot ≡ recompute across
+    // the topic dimension too
+    "consumer_lag_multi_topic_materialized" -> s"""WITH $topicLagCtes
+      SELECT grp, topic, part_id, committed, high_off,
+             greatest(high_off - committed, 0) AS lag,
+             CAST(SUM(greatest(high_off - committed, 0)) OVER (PARTITION BY grp) AS BIGINT) AS total_lag
+      FROM tlag""",
+
     "consumer_lag_topic_filter" -> s"""WITH $topicLagCtes
       SELECT grp, topic, part_id, committed, high_off,
              greatest(high_off - committed, 0) AS lag,

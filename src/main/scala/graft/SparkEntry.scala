@@ -32,6 +32,8 @@ object SparkEntry {
     "log_compaction" -> (BrokerOps.logCompaction(_, _)),
     "consumer_lag_materialized" -> (BrokerOps.consumerLagMaterialized(_, _)),
     "consumer_lag_multi_topic" -> (BrokerOps.consumerLagMultiTopic(_, _)),
+    "consumer_lag_multi_topic_materialized" ->
+      (BrokerOps.consumerLagMultiTopicMaterialized(_, _)),
     "consumer_lag_topic_filter" -> ((s, dir) => BrokerOps.consumerLagMultiTopic(
       s, dir, Some(BrokerOps.TopicFilterExample))),
     "partition_health" -> (BrokerOps.partitionHealth(_, _)),
@@ -89,6 +91,11 @@ object SparkEntry {
     "embedding_ann_ivf" -> (Similarity.embeddingAnnIvf(_, _)),
     "embedding_ann_ivf2" -> (Similarity.embeddingAnnIvfMultiprobe(_, _)),
     "embedding_ann_pq" -> (Similarity.embeddingAnnPq(_, _)),
+    // rows-only pair: the k-means-trained codebook is float-trained on the
+    // corpus, so DuckDB cannot replay it; quality bound pinned in
+    // PipelineSpec, measured recall carried by ann_recall_trained
+    "embedding_ann_pq_trained" -> (Similarity.embeddingAnnPqTrained(_, _)),
+    "ann_recall_trained" -> (Similarity.annRecallTrained(_, _)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),
     "embedding_dedup_keep" -> (Similarity.embeddingDedupKeep(_, _)),
     "ann_recall" -> (Similarity.annRecall(_, _)),

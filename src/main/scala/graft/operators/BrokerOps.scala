@@ -161,8 +161,26 @@ object BrokerOps {
   val TopicFilterExample: Seq[String] = Seq("clicks", "purchases", "ghost_topic")
 
   def consumerLagMultiTopic(spark: SparkSession, sfDir: String,
-                            topics: Option[Seq[String]] = None): DataFrame = {
-    val hwAll = LogModel.toTopicLog(events(spark, sfDir))
+                            topics: Option[Seq[String]] = None): DataFrame =
+    consumerLagMultiTopicFrom(
+      LogModel.toTopicLog(events(spark, sfDir)), topics)
+
+  /** [[consumerLagMultiTopic]] over a MATERIALIZED topic log (the
+    * two-topic production read path — `LogTable.ensureMaterializedTopicLog`
+    * stores offsets as data partitioned by (topic, part_id)), mirroring
+    * what `consumer_lag_materialized` is to `consumer_lag`. Same oracle
+    * SQL as the recompute form: a hash match proves snapshot ≡ recompute
+    * across the extra topic dimension. */
+  def consumerLagMultiTopicMaterialized(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    val path = graft.sources.LogTable.ensureMaterializedTopicLog(spark, sfDir)
+    consumerLagMultiTopicFrom(
+      graft.sources.LogTable.readLog(spark, path), None)
+  }
+
+  private def consumerLagMultiTopicFrom(
+      topicLog: DataFrame, topics: Option[Seq[String]]): DataFrame = {
+    val hwAll = topicLog
       .groupBy("topic", "part_id")
       .agg(max("msg_offset").as("high_off"))
     val withGlobal = hwAll.withColumn("g_high",

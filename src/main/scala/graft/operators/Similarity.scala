@@ -137,17 +137,39 @@ object Similarity {
     * assignments, refined k-means assignments) — wired into the
     * Verify/Bench teardown next to Dedup/TextAnalysis.clearCaches so a
     * long-lived session can't accumulate stale persisted frames. */
-  def clearCaches(spark: SparkSession): Unit = assignedCache.synchronized {
-    val stale = assignedCache.keys.filter(_._1 eq spark).toSeq
-    stale.foreach { k =>
-      assignedCache.remove(k).foreach(_.unpersist(blocking = false))
+  def clearCaches(spark: SparkSession): Unit = {
+    assignedCache.synchronized {
+      val stale = assignedCache.keys.filter(_._1 eq spark).toSeq
+      stale.foreach { k =>
+        assignedCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+    bookCache.synchronized {
+      bookCache.keys.filter(_._1 eq spark).toSeq.foreach(bookCache.remove)
     }
   }
+
+  /** Evict-stale-on-insert for `assignedCache` (round-7 verdict #5, the
+    * same contract as [[Dedup.getOrUpdateEvicting]]): keys are
+    * `sfDir#variant#fingerprint`, and inserting a fresh fingerprint for
+    * the same (sfDir, variant) unpersists the superseded entry — a
+    * regenerated input directory can't leave orphaned persisted frames
+    * pinned for the session's lifetime. MUST be called under the cache
+    * monitor. */
+  private def evictStale(spark: SparkSession, prefix: String,
+                         key: String): Unit =
+    assignedCache.keys
+      .filter(k => (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != key)
+      .toSeq.foreach { k =>
+        assignedCache(k).unpersist(blocking = false)
+        assignedCache.remove(k)
+      }
 
   private def cellAssignment(spark: SparkSession, sfDir: String): DataFrame =
     assignedCache.synchronized {
       val fp = embFingerprint(sfDir)
-      assignedCache.getOrElseUpdate((spark, s"$sfDir#$fp"), {
+      evictStale(spark, s"$sfDir#cell#", s"$sfDir#cell#$fp")
+      assignedCache.getOrElseUpdate((spark, s"$sfDir#cell#$fp"), {
         val n = vectors(spark, sfDir)
         val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
           .select(col("vec_id").as("c_id"), col("v").as("cv"),
@@ -335,7 +357,7 @@ object Similarity {
     // (round-7 advice). Double-checked: peek under the lock, compute
     // outside it, insert under the lock again; a losing racer unpersists
     // its own chain and adopts the winner's.
-    val key = (spark, s"$sfDir#${embFingerprint(sfDir)}#it$iters")
+    val key = (spark, s"$sfDir#it$iters#${embFingerprint(sfDir)}")
     val refined = assignedCache.synchronized(assignedCache.get(key))
       .getOrElse {
         var cur = assigned
@@ -352,6 +374,7 @@ object Similarity {
               if (cur ne assigned) cur.unpersist(blocking = false)
               winner
             case None =>
+              evictStale(spark, s"$sfDir#it$iters#", key._2)
               assignedCache.update(key, cur); cur
           }
         }
@@ -562,6 +585,38 @@ object Similarity {
     } finally vecs.unpersist(blocking = false)
   }
 
+  /** Session-scoped cache of the TRAINED codebook (a 1 KB driver-side
+    * array, but 6 corpus passes to build) — one training per
+    * (session, input fingerprint), shared by `embedding_ann_pq_trained`
+    * and `ann_recall_trained` so the bench charges the Lloyd chain once.
+    * Entries die with [[clearCaches]] (nothing persisted cluster-side —
+    * the array is plain driver memory). */
+  private val bookCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Array[Double]]
+
+  def trainedBook(spark: SparkSession, sfDir: String): Array[Double] = {
+    val key = (spark, s"$sfDir#${embFingerprint(sfDir)}")
+    bookCache.synchronized(bookCache.get(key)).getOrElse {
+      val b = trainPqCodebooks(spark, sfDir)
+      bookCache.synchronized {
+        // drop superseded-fingerprint books for the same dir (plain
+        // driver arrays — no unpersist needed, just the map entry)
+        bookCache.keys
+          .filter(k => (k._1 eq spark) && k._2.startsWith(s"$sfDir#") && k._2 != key._2)
+          .toSeq.foreach(bookCache.remove)
+        bookCache.getOrElseUpdate(key, b)
+      }
+    }
+  }
+
+  /** [[embeddingAnnPq]] with k-means-trained codebooks — the production
+    * configuration as a benched, rows-only-verified query (round-7
+    * verdict #3: the trained path was spec-only; now its cost and recall
+    * are measured numbers). Same plan as the synthetic row — the book is
+    * a pure constant swap (pinned by PipelineSpec). */
+  def embeddingAnnPqTrained(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingAnnPq(spark, sfDir, Some(trainedBook(spark, sfDir)))
+
   /** Recall cut-offs measured by [[annRecall]] (shared with the oracle
     * SQL generator). */
   val RecallKs: Seq[Int] = Seq(1, 5, 10)
@@ -579,15 +634,30 @@ object Similarity {
     * cut-off visible as recall 0 instead of a missing row. Scale: the
     * result sets are Q×k-sized (queries × 10), so everything after the
     * sub-queries is sliver-sized; the grid joins are broadcast literals. */
-  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val exact = embeddingTopK(spark, sfDir)
-      .select(col("q_id"), col("vec_id"), col("rank").as("e_rank"))
-    val approx = Seq(
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallTable(spark, sfDir, Seq(
       "lsh" -> embeddingAnnLsh(spark, sfDir),
       "ivf" -> embeddingAnnIvf(spark, sfDir),
       "ivf2" -> embeddingAnnIvfMultiprobe(spark, sfDir),
-      "pq" -> embeddingAnnPq(spark, sfDir))
+      "pq" -> embeddingAnnPq(spark, sfDir)))
+
+  /** Recall of the TRAINED-codebook PQ next to the synthetic-codebook
+    * row, against the same exact baseline — the measured production
+    * claim (rows-only: the k-means book is float-trained, so DuckDB
+    * cannot replay it; PipelineSpec asserts the quality bound
+    * trained ≥ synthetic − 0.02 and the query output carries both so
+    * the bench artifact shows the comparison). */
+  def annRecallTrained(spark: SparkSession, sfDir: String): DataFrame =
+    recallTable(spark, sfDir, Seq(
+      "pq" -> embeddingAnnPq(spark, sfDir),
+      "pq_t" -> embeddingAnnPqTrained(spark, sfDir)))
+
+  private def recallTable(spark: SparkSession, sfDir: String,
+                          methodSets: Seq[(String, DataFrame)]): DataFrame = {
+    import spark.implicits._
+    val exact = embeddingTopK(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("e_rank"))
+    val approx = methodSets
       .map { case (m, d) =>
         d.select(lit(m).as("method"), col("q_id"), col("vec_id"),
           col("rank").as("a_rank"))
@@ -598,7 +668,7 @@ object Similarity {
       .groupBy("method", "k").agg(count(lit(1)).as("n_hit"))
     val denom = exact.join(ks, col("e_rank") <= col("k"))
       .groupBy("k").agg(count(lit(1)).as("n_exact"))
-    val grid = RecallMethods.toDF("method").crossJoin(ks)
+    val grid = methodSets.map(_._1).toDF("method").crossJoin(ks)
     grid.join(hits, Seq("method", "k"), "left")
       .join(denom, Seq("k"))
       .select(col("method"), col("k"),

@@ -46,7 +46,24 @@ object LogTable {
     * includes a fingerprint of the input files (size + mtime), so
     * REGENERATED testdata at the same path invalidates the snapshot
     * instead of silently serving stale offsets. */
-  def ensureMaterialized(spark: SparkSession, sfDir: String): String = synchronized {
+  def ensureMaterialized(spark: SparkSession, sfDir: String): String =
+    ensureSnapshot(spark, sfDir, "logtable", Seq("part_id")) {
+      graft.model.LogModel.toLog(graft.model.LogModel.events(spark, sfDir))
+    }
+
+  /** The TOPIC-dimensioned snapshot (topic dir → partition dir, exactly
+    * the reference's on-disk hierarchy `topic.rs:21-26`): offsets assigned
+    * per (topic, part_id) by `toTopicLog`, stored partitioned by both —
+    * topic-filtered consumers prune whole topic directories. Read path of
+    * `consumer_lag_multi_topic_materialized`. */
+  def ensureMaterializedTopicLog(spark: SparkSession, sfDir: String): String =
+    ensureSnapshot(spark, sfDir, "topiclog", Seq("topic", "part_id")) {
+      graft.model.LogModel.toTopicLog(graft.model.LogModel.events(spark, sfDir))
+    }
+
+  private def ensureSnapshot(spark: SparkSession, sfDir: String,
+                             variant: String, partitionCols: Seq[String])(
+      build: => DataFrame): String = synchronized {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val src = new java.io.File(s"$sfDir/events.parquet")
     val parts: Seq[java.io.File] =
@@ -54,7 +71,7 @@ object LogTable {
     val fp = java.lang.Long.toHexString(
       parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
     val tmpRoot = System.getProperty("java.io.tmpdir")
-    val prefix = s"graft_logtable_v$SemanticsVersion${tag}_"
+    val prefix = s"graft_${variant}_v$SemanticsVersion${tag}_"
     val path = s"$tmpRoot/$prefix$fp"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       // a regenerated input strands the previous fingerprint's snapshot —
@@ -62,8 +79,10 @@ object LogTable {
       Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
         .foreach(deleteRecursively)
-      materialize(graft.model.LogModel.toLog(
-        graft.model.LogModel.events(spark, sfDir)), path)
+      build.write.mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", RecordsPerFile.toLong)
+        .parquet(path)
     }
     path
   }

@@ -343,6 +343,20 @@ class PipelineSpec extends AnyFunSuite {
       s"trained codebooks lowered recall: $rTrained < $rSyn - 0.02")
   }
 
+  test("ann_recall_trained: measured pq_t quality bound, one training per session") {
+    val rows = Similarity.annRecallTrained(spark, sf).collect()
+    // full grid: {pq, pq_t} x {1, 5, 10}
+    assert(rows.length === 6)
+    val r10 = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("recall")).toMap
+    // the round-7 verdict bound, now on the SHIPPED query's own output:
+    // trained recall@10 within 0.02 of (practically: above) synthetic
+    assert(r10(("pq_t", 10L)) >= r10(("pq", 10L)) - 0.02,
+      s"trained pq recall ${r10(("pq_t", 10L))} below synthetic ${r10(("pq", 10L))} - 0.02")
+    // the trained book is cached per (session, input): the second call
+    // returns the SAME array instance — no second 6-iteration Lloyd chain
+    assert(Similarity.trainedBook(spark, sf) eq Similarity.trainedBook(spark, sf))
+  }
+
   test("HLL sketch stays within its error bound against the exact count") {
     val rows = TextAnalysis.approxUserCount(spark, sf).collect()
     assert(rows.nonEmpty)

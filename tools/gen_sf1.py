@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""One-off sf1 (10x sf0.1) stress copies of documents/embeddings/events.
+
+Builder-side tooling only (the library never reads this script's output
+outside the scale-stress run). /root/testdata is read-only, so the output
+goes to /tmp/sf1 by default.
+
+Scaling is 10 deterministic REPLICAS of sf0.1, constructed so per-replica
+structure is preserved and cross-replica structure is decorrelated —
+the honest x10: without decorrelation, planted near-dup clusters would
+match across replicas and candidate-pair counts would grow x100,
+misreporting the engine as super-linear.
+
+- documents: replica k suffixes every token with "_rk" (k>0). Within a
+  replica: identical token statistics, dup clusters, quality structure.
+  Across replicas: zero token overlap (minhash/simhash/jaccard pairs
+  scale x10). doc_id offset by k*10^7.
+- embeddings: replica k applies a seeded PERMUTATION of the 64 dims —
+  all within-replica dot products are exactly preserved (clusters,
+  planted near-dups, centroid geometry), cross-replica cosines are
+  scrambled. vec_id offset by k*10^7; labels unchanged.
+- events: replica k offsets user_id by k*(max_user+1) (stays < 2^16 for
+  the z-order domain) and event_id by k*(max_event+1); timestamps
+  unchanged so per-user session/window density matches sf0.1.
+"""
+import sys
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import random
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ID_STRIDE = 10_000_000
+
+import os
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+# ---- documents ----
+docs = con.sql(f"SELECT * FROM '{SRC}/documents.parquet'").arrow()
+cols = docs.column_names
+out_batches = []
+texts = docs.column("text").to_pylist()
+for k in range(REPS):
+    t = texts if k == 0 else [
+        " ".join(w + f"_r{k}" for w in s.split()) for s in texts]
+    arrays = []
+    for c in cols:
+        if c == "doc_id":
+            arrays.append(pa.array([v + k * ID_STRIDE
+                                    for v in docs.column(c).to_pylist()],
+                                   type=docs.schema.field(c).type))
+        elif c == "text":
+            arrays.append(pa.array(t, type=docs.schema.field(c).type))
+        else:
+            arrays.append(docs.column(c).combine_chunks())
+    out_batches.append(pa.table(arrays, names=cols))
+pq.write_table(pa.concat_tables(out_batches), f"{OUT}/documents.parquet")
+print("documents:", sum(t.num_rows for t in out_batches))
+
+# ---- embeddings (vector column is named `embedding`) ----
+emb = pq.read_table(f"{SRC}/embeddings.parquet")
+cols = emb.column_names
+vecs = emb.column("embedding").to_pylist()
+dim = len(vecs[0])
+out_batches = []
+for k in range(REPS):
+    rng = random.Random(1000 + k)
+    perm = list(range(dim))
+    if k > 0:
+        rng.shuffle(perm)
+    pv = vecs if k == 0 else [[v[p] for p in perm] for v in vecs]
+    arrays = []
+    for c in cols:
+        if c == "vec_id":
+            arrays.append(pa.array([v + k * ID_STRIDE
+                                    for v in emb.column(c).to_pylist()],
+                                   type=emb.schema.field(c).type))
+        elif c == "embedding":
+            arrays.append(pa.array(pv, type=emb.schema.field(c).type))
+        else:
+            arrays.append(emb.column(c).combine_chunks())
+    out_batches.append(pa.table(arrays, names=cols))
+pq.write_table(pa.concat_tables(out_batches), f"{OUT}/embeddings.parquet")
+print("embeddings:", sum(t.num_rows for t in out_batches))
+
+# ---- events (pyarrow, preserving the TIMESTAMP(NS) physical type the
+# loader depends on; id/user offsets only) ----
+ev = pq.read_table(f"{SRC}/events.parquet")
+eid = ev.column("event_id").to_pylist()
+uid = ev.column("user_id").to_pylist()
+ev_stride, u_stride = max(eid) + 1, max(uid) + 1
+assert REPS * u_stride < (1 << 16), \
+    "user domain must stay inside the z-order ZBits budget"
+out_batches = []
+for k in range(REPS):
+    arrays = []
+    for c in ev.column_names:
+        if c == "event_id":
+            arrays.append(pa.array([v + k * ev_stride for v in eid],
+                                   type=ev.schema.field(c).type))
+        elif c == "user_id":
+            arrays.append(pa.array([v + k * u_stride for v in uid],
+                                   type=ev.schema.field(c).type))
+        else:
+            arrays.append(ev.column(c).combine_chunks())
+    out_batches.append(pa.table(arrays, names=ev.column_names))
+pq.write_table(pa.concat_tables(out_batches), f"{OUT}/events.parquet")
+print("events:", sum(t.num_rows for t in out_batches))
