@@ -91,10 +91,8 @@ object Dedup {
     * word count) rides along for the size-ratio prune. The whole k-hash
     * signature is ONE expression (TextHashes.minhash_sigs) computing all
     * mins in a single pass over the word hashes. */
-  private def bands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = docWords(spark, sfDir)
-      .filter(size(col("ws")) >= MinWords) // empty set → NULL sigs hot bucket
-      .withColumn("sigs",
+  private[operators] def bandsOf(base: DataFrame): DataFrame = {
+    val sig = base.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hws"),
         (0 until NumHashes).map(hashA),
         (0 until NumHashes).map(hashB), MinHashPrime))
@@ -102,7 +100,7 @@ object Dedup {
       concat_ws("_", (0 until BandSize).map(r =>
         element_at(col("sigs"), j * BandSize + r + 1)): _*)
     }: _*)
-    sig.select(col("doc_id"), size(col("ws")).cast("long").as("nw"),
+    sig.select(col("doc_id"), col("nw"),
       posexplode(bandKeys).as(Seq("band_j", "band_key")))
   }
 
@@ -142,6 +140,15 @@ object Dedup {
     * (MEMORY_AND_DISK) for the session's lifetime. Callers must hold no
     * other reference to the evicted frame (all consumers re-resolve
     * through this lookup). */
+  /** Release a cached frame's storage: the CacheManager entry for
+    * persisted frames, the underlying RDD blocks for localCheckpoint-built
+    * ones (Dataset.unpersist cannot reach those). */
+  private[operators] def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   private[operators] def getOrUpdateEvicting(
       cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
       spark: SparkSession, sfDir: String, variant: String)(
@@ -151,11 +158,17 @@ object Dedup {
     cache.keys
       .filter(k => (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != key)
       .toSeq.foreach { k =>
-        cache(k).unpersist(blocking = false)
+        releaseFrame(cache(k))
         cache.remove(k)
       }
-    cache.getOrElseUpdate((spark, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache.getOrElseUpdate((spark, key), {
+      val built = build
+      // an eagerly-checkpointed build is already materialized in block
+      // storage — persisting it again would store a second copy
+      if (org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(built).isDefined)
+        built
+      else built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -169,11 +182,11 @@ object Dedup {
   def clearCaches(spark: SparkSession): Unit = pairsCache.synchronized {
     val stale = pairsCache.keys.filter(_._1 eq spark).toSeq
     stale.foreach { k =>
-      pairsCache(k).unpersist(blocking = false)
+      releaseFrame(pairsCache(k))
       pairsCache.remove(k)
     }
     val residue = loopResidue.filter(_._1 eq spark)
-    residue.foreach(_._2.unpersist(blocking = false))
+    residue.foreach { case (_, df) => releaseFrame(df) }
     loopResidue --= residue
   }
 
@@ -187,7 +200,27 @@ object Dedup {
     verifiedPairs(spark, sfDir)
 
   private def computeMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = bands(spark, sfDir)
+    // EAGER build over ONE persisted tokenize+md5 base (sf1 stress
+    // finding): the lazy composite plan evaluates the docWords subtree up
+    // to FOUR times (self-join sides + both verify probes; ReuseExchange
+    // recovers only the identical-exchange pair), and each evaluation
+    // re-tokenizes and re-md5s the corpus — 14 parquet scans in the
+    // executed plan, ~2× the whole build's cost at 10× scale. The base is
+    // materialized with count() BEFORE the consuming joins: persist alone
+    // is lazy, and a self-join over a cold cache races both sides into
+    // computing the same partitions (duplicate scans, not cache hits).
+    // The final localCheckpoint materializes the result so the
+    // intermediates can be released immediately (a bare return would leave
+    // the caller's first action recomputing through unpersisted lineage).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docWords(spark, sfDir)
+      .select(col("doc_id"), size(col("hws")).cast("long").as("nw"),
+        col("hws"))
+      .filter(col("nw") >= MinWords) // empty set → NULL sigs hot bucket
+      .persist(lvl)
+    base.count()
+    val b = bandsOf(base).persist(lvl)
+    b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
     // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (integer-exact, so the oracle's
     // identical condition selects the identical candidate set); at sf0.1
@@ -200,18 +233,35 @@ object Dedup {
             greatest(col("a.nw"), col("b.nw")) * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify on the hashed shingle sets (standard MinHash practice): long
-    // sort-merge jaccard, no per-pair array materialization; identical to
-    // the oracle's list_intersect/list_distinct arithmetic on hws.
-    val w = docWords(spark, sfDir).select(col("doc_id"), col("hws"))
-    pairs
-      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
-      .join(w.as("wb"), col("doc_b") === col("wb.doc_id"))
-      .withColumn("jaccard",
-        round(graft.functions.TextHashes.jaccard_long(
-          col("wa.hws"), col("wb.hws")), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist(lvl)
+    pairs.count()
+    // Verify on the hashed shingle sets (standard MinHash practice),
+    // identical to the oracle's list_intersect/list_distinct arithmetic.
+    // Two scale-critical shapes here (sf1 stress findings — the verify
+    // stage dominated the whole build):
+    //  - SHUFFLE_HASH hint on the per-doc side: a sort-merge join would
+    //    SORT the candidate side, which carries a hash array per row —
+    //    tens of GB of sort spill at stress scale for zero benefit; the
+    //    hash join builds its map from the small per-doc side and streams
+    //    the candidates.
+    //  - the candidate side crosses its one shuffle carrying only
+    //    (doc_a, doc_b); arrays attach from the narrow per-doc frame.
+    val w = base.select(col("doc_id"), col("hws"))
+    try {
+      pairs
+        .join(w.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
+        .join(w.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
+        .withColumn("jaccard",
+          round(graft.functions.TextHashes.jaccard_long(
+            col("wa.hws"), col("wb.hws")), 6))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint(true) // eager: intermediates are safe to drop
+    } finally {
+      pairs.unpersist(blocking = false)
+      b.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    }
   }
 
   /** Keep/drop decision from the verified pairs: a doc is dropped iff a
@@ -228,13 +278,18 @@ object Dedup {
 
   /** Edge-count threshold below which connected components runs as a
     * driver-side union-find over the collected pair list instead of the
-    * distributed fixpoint loop. 5M edges = two long columns ≈ 80 MB of
-    * driver heap — trivial for any production driver, and the near-dup
+    * distributed fixpoint loop. 50M edges = two long columns ≈ 800 MB of
+    * driver heap — comfortable for any production driver, and the near-dup
     * EDGE list is orders of magnitude smaller than the corpus by
-    * construction (it only contains verified duplicate pairs). Overridable
-    * per session for testing or very small drivers. */
+    * construction (it only contains verified duplicate pairs). Raised from
+    * 5M after the sf1 stress run measured both sides of the crossover:
+    * the driver path processes 9.6M edges in ~3 s while the distributed
+    * loop pays ~3 shuffle stages of scheduler latency per round — the
+    * fixpoint is the correctness backstop for billion-edge graphs, not
+    * the fast path at tens of millions. Overridable per session for
+    * testing or very small drivers. */
   val ComponentsLocalEdgeLimitKey = "spark.graft.components.localEdgeLimit"
-  val ComponentsLocalEdgeLimitDefault = 5000000L
+  val ComponentsLocalEdgeLimitDefault = 50000000L
 
   /** Connected components over the verified near-dup pairs (round-3
     * stretch #9): component_id = min doc_id transitively reachable, so
@@ -518,18 +573,23 @@ object Dedup {
       .toDF("u", "v")
       .repartition(nParts, col("v"))
       .persist(lvl) // shuffled once, read every round; released below
-    // seed with min(self, direct neighbors) — one aggregation, and
-    // depth-1 duplicate cliques converge on the first probe.
-    // `persisted` is always the ACTUAL .persist() handle (unpersist on a
-    // projection of it would not match the cache entry); `c` is the
-    // (doc_id, comp) view the next round builds on.
-    var persisted = edges.repartition(nParts, col("u"))
+    // Every round is materialized AND plan-truncated with an EAGER
+    // localCheckpoint, not a bare persist: each round's plan references
+    // the previous round's frame THREE times (neighbor probe, self row,
+    // pointer jump), so without truncation the logical tree grows ~3× per
+    // round and the DRIVER dies in analysis long before any executor
+    // sweats — the sf1 stress run OOM'd an 8 GB driver heap exactly here
+    // at the first real 5M-edge gate crossover. localCheckpoint rebases
+    // the frame on its computed RDD (partitioning preserved), which is
+    // also why the convergence probe stays a narrow filter on cached
+    // blocks. Superseded rounds' checkpoint storage is released via the
+    // underlying RDD (Bridge.checkpointRdd — Dataset.unpersist can't
+    // reach it).
+    var cur = edges.repartition(nParts, col("u"))
       .groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("comp"))
       .repartition(nParts, col("doc_id"))
-      .persist(lvl)
-    persisted.count()
-    var c = persisted
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -537,39 +597,31 @@ object Dedup {
       // comp(comp(u))) — the last term is pointer-jumping shortcutting
       // (labels are always component members, so following them stays
       // in-component and roughly halves rounds on chains); prev value
-      // rides along so the convergence probe is a narrow filter on the
-      // persisted frame — no extra join, no shuffle
-      val next = edges.join(c.as("cv"), col("v") === col("cv.doc_id"))
+      // rides along so the convergence probe needs no extra join
+      val next = edges.join(cur.as("cv"), col("v") === col("cv.doc_id"))
         .select(col("u"), col("cv.comp").as("vc"))
         .repartition(nParts, col("u"))
         .groupBy("u").agg(min("vc").as("nbmin"))
-        .join(c.as("cs"), col("u") === col("cs.doc_id"))
+        .join(cur.as("cs"), col("u") === col("cs.doc_id"))
         .select(col("cs.doc_id").as("doc_id"),
           col("cs.comp").as("prev_comp"),
           least(col("cs.comp"), col("nbmin")).as("c1"))
         .as("m")
         .repartition(nParts, col("prev_comp"))
-        .join(c.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
+        .join(cur.as("cj"), col("m.prev_comp") === col("cj.doc_id"), "left")
         .select(col("m.doc_id").as("doc_id"), col("m.prev_comp").as("prev_comp"),
           least(col("m.c1"), coalesce(col("cj.comp"), col("m.c1"))).as("comp"))
         .repartition(nParts, col("doc_id"))
-        .persist(lvl)
-      // materialize EVERY partition of `next` before dropping the old
-      // round: the convergence probe alone is executeTake(1), which
-      // caches only the partitions it touched — unpersisting the old
-      // round then would leave later rounds recomputing uncached
-      // partitions through the whole unpersisted lineage chain
-      // (O(rounds²) shuffle work)
-      next.count()
+        .localCheckpoint(true) // eager: materializes every partition
       converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
-      persisted.unpersist(blocking = false)
-      persisted = next
-      c = next.select("doc_id", "comp")
+      org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(cur)
+        .foreach(_.unpersist(blocking = false))
+      cur = next
       iter += 1
     }
-    edges.unpersist(blocking = false) // c is fully materialized above
-    pairsCache.synchronized { loopResidue += ((spark, persisted)) }
-    c
+    edges.unpersist(blocking = false) // cur is fully materialized above
+    pairsCache.synchronized { loopResidue += ((spark, cur)) }
+    cur.select("doc_id", "comp")
   }
 
   /** 16-bit SimHash over the distinct word set: bit j of the fingerprint is

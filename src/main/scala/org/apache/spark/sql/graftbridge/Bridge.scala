@@ -23,4 +23,15 @@ object Bridge {
   /** The analyzed logical plan of a DataFrame (classic API). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The checkpointed RDD behind a `localCheckpoint()`ed DataFrame, if
+    * that is what `df` is. `Dataset.unpersist` only reaches CacheManager
+    * entries; releasing a local checkpoint's storage means unpersisting
+    * the underlying RDD, whose LogicalRDD wrapper is private[sql] —
+    * hence this bridge accessor. */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    analyzed(df) match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

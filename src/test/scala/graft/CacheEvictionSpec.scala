@@ -35,7 +35,12 @@ class CacheEvictionSpec extends AnyFunSuite {
     def persisted = spark.sparkContext.getPersistentRDDs.size
     val a = Dedup.verifiedPairs(spark, dir)
     a.count()
-    assert(a.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    // the pairs frame is eagerly localCheckpoint-backed (its storage lives
+    // on the checkpoint RDD, invisible to Dataset.storageLevel) — assert
+    // block storage through the bridge instead
+    assert(org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(a)
+      .exists(_.getStorageLevel.useMemory) ||
+      a.storageLevel === StorageLevel.MEMORY_AND_DISK)
     val afterFirst = persisted
     touch(s"$dir/documents.parquet")
     val b = Dedup.verifiedPairs(spark, dir)
