@@ -148,18 +148,44 @@ object OracleSql {
           list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> v[k]*v[k])) AS n2
           FROM e)"""
 
-  private def annBucketSql(v: String): String =
+  private def annBucketSql(v: String): String = bandBucketSql(v, 0)
+
+  /** Band `band`'s bucket key: planes band·P … band·P+P-1 of the same
+    * deterministic Knuth-hashed family (band 0 = annBucketSql). P is
+    * pinned to [[Similarity.NumPlanes]], which equals the Scala side's
+    * adaptive nearDupPlanesPerBand at the oracle SF (n ≤ 512). */
+  private def bandBucketSql(v: String, band: Int): String =
     (0 until Similarity.NumPlanes).map { j =>
+      val plane = band * Similarity.NumPlanes + j
       val proj = s"list_sum(list_transform(generate_series(1, ${Similarity.Dim}), " +
-        s"d -> $v[d] * (((${j * Similarity.Dim} + d) * 2654435761) % 4294967296 / 4294967296.0 - 0.5)))"
+        s"d -> $v[d] * (((${plane * Similarity.Dim} + d) * 2654435761) % 4294967296 / 4294967296.0 - 0.5)))"
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Banded near-dup candidate CTEs over `n` (embCtes): the OR of
+    * [[Similarity.NearDupBands]] band collisions, distinct pair, exact
+    * cosine verify — the DuckDB twin of Similarity.embeddingNearDup. */
+  private val nearDupPairCtes: String = {
+    val bandSelects = (0 until Similarity.NearDupBands).map { b =>
+      s"SELECT vec_id, $b AS band_j, ${bandBucketSql("v", b)} AS bkey FROM n"
+    }.mkString("\n      UNION ALL ")
+    s"""bnd AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM bnd x JOIN bnd y
+                 ON x.band_j = y.band_j AND x.bkey = y.bkey
+                    AND x.vec_id < y.vec_id),
+      p AS (SELECT c.vec_a, c.vec_b,
+                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> ga.v[k]*gb.v[k]))
+                     / (sqrt(ga.n2) * sqrt(gb.n2)) AS cos
+            FROM cand c JOIN n ga ON c.vec_a = ga.vec_id
+                        JOIN n gb ON c.vec_b = gb.vec_id)"""
+  }
 
   /** IVF cell-assignment CTEs (over `n` from embCtes), shared by the IVF
     * and IVF+PQ entries so the quantizer cannot drift between them. */
   private val ivfAssignCtes: String = s"""
       cents AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
-                WHERE vec_id % ${Similarity.CentroidMod} = ${Similarity.CentroidRem}),
+                WHERE vec_id % ${Similarity.CentroidMod} = ${Similarity.CentroidRem} AND vec_id < ${Similarity.CentroidMod.toLong * Similarity.CentroidCap}),
       scored_cells AS (
         SELECT n.vec_id, n.v, n.n2, c.c_id,
                list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> n.v[k]*c.cv[k]))
@@ -309,7 +335,7 @@ object OracleSql {
   private val deconCtes: String = {
     import graft.operators.Curation._
     val n = DecontamGramLen
-    s"""sp AS (SELECT doc_id, toks, ${docHashSql("doc_id")} % $DecontamEvalMod = 0 AS is_eval FROM tok),
+    s"""sp AS (SELECT doc_id, toks, (${docHashSql("doc_id")} % $DecontamEvalMod = 0 AND doc_id < $DecontamEvalIdBound) AS is_eval FROM tok),
       g5 AS (SELECT doc_id, is_eval,
                CASE WHEN len(toks) >= $n THEN
                  list_distinct(list_transform(
@@ -1109,7 +1135,7 @@ object OracleSql {
 
     "embedding_topk" -> s"""WITH $embCtes,
       q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
-            WHERE vec_id % ${Similarity.QueryMod} = 0),
+            WHERE vec_id % ${Similarity.QueryMod} = 0 AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap}),
       s AS (SELECT q.q_id, n.vec_id,
                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*n.v[k]))
                      / (sqrt(q.qn2) * sqrt(n.n2)) AS cos
@@ -1121,7 +1147,7 @@ object OracleSql {
     "embedding_ann_lsh" -> s"""WITH $embCtes,
       b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
       q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket FROM b
-            WHERE vec_id % ${Similarity.QueryMod} = 0),
+            WHERE vec_id % ${Similarity.QueryMod} = 0 AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap}),
       s AS (SELECT q.q_id, b.vec_id,
                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*b.v[k]))
                      / (sqrt(q.qn2) * sqrt(b.n2)) AS cos
@@ -1132,7 +1158,7 @@ object OracleSql {
 
     "embedding_ann_ivf" -> s"""WITH $embCtes, $ivfAssignCtes,
       q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
-            WHERE vec_id % ${Similarity.QueryMod} = 0),
+            WHERE vec_id % ${Similarity.QueryMod} = 0 AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap}),
       s AS (SELECT q.q_id, a.vec_id,
                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*a.v[k]))
                      / (sqrt(q.qn2) * sqrt(a.n2)) AS cos
@@ -1147,7 +1173,7 @@ object OracleSql {
     "embedding_ann_ivf2" -> s"""WITH $embCtes, $ivfAssignCtes,
       qp AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, c_id AS q_cell FROM (
                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
-               FROM scored_cells WHERE vec_id % ${Similarity.QueryMod} = 0)
+               FROM scored_cells WHERE vec_id % ${Similarity.QueryMod} = 0 AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap})
              WHERE rn <= ${Similarity.IvfProbes}),
       s AS (SELECT q.q_id, a.vec_id,
                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*a.v[k]))
@@ -1166,7 +1192,7 @@ object OracleSql {
               FROM assigned)),
       codedn AS (SELECT vec_id, cell, codes, ${pqReconN2Sql("codes")} AS rn2 FROM enc),
       q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
-            WHERE vec_id % ${Similarity.QueryMod} = 0),
+            WHERE vec_id % ${Similarity.QueryMod} = 0 AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap}),
       s AS (SELECT q.q_id, c.vec_id,
                    (${pqAdcSql("q.qv", "c.codes")}) / (sqrt(q.qn2) * sqrt(c.rn2)) AS cos
             FROM q JOIN codedn c ON c.cell = q.cell AND c.vec_id <> q.q_id),
@@ -1212,20 +1238,12 @@ object OracleSql {
     },
 
     "embedding_near_dup" -> s"""WITH $embCtes,
-      b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
-      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> x.v[k]*y.v[k]))
-                     / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      $nearDupPairCtes
       SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
       FROM p WHERE cos >= ${Similarity.NearDupCosine}""",
 
     "embedding_dedup_keep" -> s"""WITH RECURSIVE $embCtes,
-      b AS (SELECT vec_id, v, n2, ${annBucketSql("v")} AS bucket FROM n),
-      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> x.v[k]*y.v[k]))
-                     / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      $nearDupPairCtes,
       nd AS (SELECT vec_a, vec_b FROM p WHERE cos >= ${Similarity.NearDupCosine}),
       und AS (SELECT vec_a AS u, vec_b AS w FROM nd
               UNION ALL SELECT vec_b, vec_a FROM nd),
@@ -1244,7 +1262,7 @@ object OracleSql {
     // (the sequential-fold dot proven bit-identical by embedding_topk),
     // count/max are exact selections so the flags cannot drift.
     "semantic_decontaminate" -> s"""WITH $embCtes,
-      sp AS (SELECT vec_id, ${docHashSql("vec_id")} % ${Curation.DecontamEvalMod} = 0 AS is_eval FROM n),
+      sp AS (SELECT vec_id, (${docHashSql("vec_id")} % ${Curation.DecontamEvalMod} = 0 AND vec_id < ${Curation.DecontamEvalIdBound}) AS is_eval FROM n),
       ev AS (SELECT n.v AS qv, n.n2 AS qn2 FROM n JOIN sp USING (vec_id) WHERE is_eval),
       tr AS (SELECT n.vec_id AS doc_id, n.v, n.n2 FROM n JOIN sp USING (vec_id) WHERE NOT is_eval),
       s AS (SELECT t.doc_id,

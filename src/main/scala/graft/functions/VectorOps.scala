@@ -83,10 +83,14 @@ object VectorOps {
   }
 
   /** srp_bucket(array<double>) -> long: sign-random-projection bucket.
-    * Plane component for (plane j, 1-based dim d) is
-    * ((j*dim + d) * 2654435761) mod 2^32 / 2^32 - 0.5 — identical to the
-    * declarative/oracle expression, summed in dim order. */
-  case class SrpBucket(child: Expression, numPlanes: Int, dim: Int)
+    * Plane component for (absolute plane p = planeOffset + j, 1-based
+    * dim d) is ((p*dim + d) * 2654435761) mod 2^32 / 2^32 - 0.5 —
+    * identical to the declarative/oracle expression, summed in dim
+    * order. `planeOffset` selects an independent BAND of planes from the
+    * same deterministic family (offset 0 = the original single-band
+    * bucket, bit j of the result ↔ absolute plane planeOffset+j). */
+  case class SrpBucket(child: Expression, numPlanes: Int, dim: Int,
+                       planeOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -104,7 +108,7 @@ object VectorOps {
         var acc = 0d
         var i = 0
         while (i < bound) {
-          val u = ((j.toLong * dim + i + 1) * 2654435761L) % 4294967296L
+          val u = (((planeOffset + j).toLong * dim + i + 1) * 2654435761L) % 4294967296L
           acc += g(v, i) * (u.toDouble / 4294967296.0 - 0.5)
           i += 1
         }
@@ -296,8 +300,9 @@ object VectorOps {
     column(PqReconN2(expression(codes), numSub, numCodewords, subDim, seed,
       wrapBook(book)))
 
-  def srp_bucket(v: Column, numPlanes: Int, dim: Int): Column =
-    column(SrpBucket(expression(v), numPlanes, dim))
+  def srp_bucket(v: Column, numPlanes: Int, dim: Int,
+                 planeOffset: Int = 0): Column =
+    column(SrpBucket(expression(v), numPlanes, dim, planeOffset))
 
   def dot_seq(a: Column, b: Column): Column =
     column(DotSeq(expression(a), expression(b)))

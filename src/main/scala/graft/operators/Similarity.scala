@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   val Dim = 64
-  /** Query set: every 100th vector. */
+  /** Query set: every 100th vector — below the fixed id bound. */
   val QueryMod = 100
+  /** Fixed-size cap on the query set: queries are the multiples of
+    * [[QueryMod]] below QueryMod·QueryCap. An ANN query set is an
+    * EXTERNAL workload, not a corpus fraction — without the cap the
+    * exact ground-truth scan is Q·N with Q ∝ N (measured 43x at a 10x
+    * stress scale). The bound (2000) covers every vec_id at the oracle
+    * SFs, so sf0.01/sf0.1 results are unchanged. */
+  val QueryCap = 20
+  /** vec_id membership test for the query set. */
+  def isQueryVec(c: Column): Column =
+    c % QueryMod === 0 && c < lit(QueryMod.toLong * QueryCap)
   val TopK = 10
   /** Hyperplanes for the LSH variant (4 planes → 16 buckets). */
   val NumPlanes = 4
@@ -59,7 +69,7 @@ object Similarity {
     * cosine; ties broken by vec_id). */
   def embeddingTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
-    val q = n.filter(col("vec_id") % QueryMod === 0)
+    val q = n.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -77,37 +87,80 @@ object Similarity {
   /** Cosine near-duplicate threshold for [[embeddingNearDup]]. */
   val NearDupCosine = 0.35
 
+  /** Independent SRP bands OR'd for near-dup candidates (the MinHash-band
+    * discipline applied to embeddings): a pair is a candidate if it
+    * collides in ANY band, so recall is 1-(1-p^P)^Bands for per-plane
+    * agreement p = 1-θ/π, instead of the single-band p^P cliff. */
+  val NearDupBands = 4
+  /** Target expected bucket size per band. Planes-per-band grows as
+    * ceil(log2(N / target)) so per-band candidate cost stays ≈ N·target —
+    * LINEAR in corpus size (a fixed plane count means a fixed bucket
+    * count, i.e. Σ bucket² ≈ N²/2^planes: measured 69x at a 10x stress
+    * scale before this sizing). */
+  val NearDupTargetBucket = 32L
+
+  /** Adaptive planes-per-band: max(NumPlanes, ceil(log2(n/target))) —
+    * equals the [[NumPlanes]] constant for n ≤ 512, which covers the
+    * oracle SF (sf0.01 has 500 vectors), so the static DuckDB twin stays
+    * exact where it runs. */
+  def nearDupPlanesPerBand(n: Long): Int = {
+    val cells = math.max(1L, (n + NearDupTargetBucket - 1) / NearDupTargetBucket)
+    math.max(NumPlanes, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1))
+  }
+
   /** Embedding-cosine near-dup detection: candidate pairs restricted to
-    * same-LSH-bucket vectors (equi-join), exact cosine verify at ≥ 0.35.
-    * Recall for a pair at angle θ is (1-θ/π)^NumPlanes — the standard
-    * SRP-LSH tradeoff, tunable via NumPlanes; deterministic on both
-    * engines, so the oracle sees the identical candidate set.
+    * same-band-bucket vectors (equi-join on (band, bucket), distinct
+    * pair, exact cosine verify at ≥ [[NearDupCosine]]). Deterministic on
+    * both engines, so the oracle sees the identical candidate set.
     *
-    * SCALE NOTE (the honest version of "never N²"): with a FIXED plane
-    * count the bucket count is fixed (2^NumPlanes), so same-bucket pair
-    * cost is Σ bucket² ≈ N²/2^NumPlanes — sub-quadratic only if NumPlanes
-    * grows with the corpus. Production sizing: NumPlanes ≈ log2(N / B)
-    * for a target bucket size B (recall falls as (1-θ/π)^planes, so a low
-    * threshold like 0.35 also wants multi-band OR over independent codes,
-    * exactly like Dedup's MinHash bands). 4 planes here keeps the oracle
-    * twin exact at test scale; both sides derive from the same constant. */
+    * Scale shape: [[NearDupBands]] independent bands of
+    * [[nearDupPlanesPerBand]] planes each — candidate cost is
+    * Bands · Σ bucket² ≈ Bands · N · [[NearDupTargetBucket]], linear in
+    * N because the plane count grows with log2(N). The verify joins pull
+    * vectors by vec_id AFTER the distinct, so band keys (not 64-double
+    * vectors) are the join currency — the same discipline as
+    * [[graft.operators.Dedup]]'s MinHash bands. Recall at the 0.35
+    * design point is tuned by Bands (production: 8–16 bands; the
+    * planted high-cosine clusters this detects sit near recall 1). */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") &&
+    val n = vectors(spark, sfDir)
+    val planes = nearDupPlanesPerBand(
+      emb(spark, sfDir).select(col("vec_id")).count())
+    val bandKeys = array((0 until NearDupBands).map { j =>
+      graft.functions.VectorOps.srp_bucket(col("v"), planes, Dim, j * planes)
+    }: _*)
+    val e = n.withColumn("bks", bandKeys)
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band_j", "bkey")))
+    val cand = e.as("x").join(e.as("y"),
+        col("x.band_j") === col("y.band_j") &&
+          col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand.join(n.as("ga"), col("vec_a") === col("ga.vec_id"))
+      .join(n.as("gb"), col("vec_b") === col("gb.vec_id"))
       .withColumn("cos",
-        dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))))
+        dot(col("ga.v"), col("gb.v")) / (sqrt(col("ga.n2")) * sqrt(col("gb.n2"))))
       .filter(col("cos") >= NearDupCosine)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Centroid set for the IVF variant: every 100th vector starting at 50
-    * (disjoint from the query set). At real scale these come from k-means;
-    * a deterministic subsample keeps the oracle exact. */
+    * (disjoint from the query set), below the fixed id bound. At real
+    * scale these come from k-means; a deterministic subsample keeps the
+    * oracle exact. */
   val CentroidMod = 100
   val CentroidRem = 50
+  /** Fixed centroid-count cap, mirroring [[QueryCap]]: C candidates per
+    * assignment stay bounded, so cell assignment is C·N (linear in N),
+    * never (N/100)·N. Production sizing picks C from k-means (√N-ish);
+    * the deterministic variant pins C so the oracle twin stays exact.
+    * The bound covers every vec_id at the oracle SFs — unchanged there. */
+  val CentroidCap = 20
+  /** vec_id membership test for the centroid set. */
+  def isCentroidVec(c: Column): Column =
+    c % CentroidMod === CentroidRem &&
+      c < lit(CentroidMod.toLong * CentroidCap)
 
   /** IVF approximate top-k: vectors are assigned to their nearest centroid
     * cell (cosine argmax, N×C scoring with a broadcast centroid list — C
@@ -171,7 +224,7 @@ object Similarity {
       evictStale(spark, s"$sfDir#cell#", s"$sfDir#cell#$fp")
       assignedCache.getOrElseUpdate((spark, s"$sfDir#cell#$fp"), {
         val n = vectors(spark, sfDir)
-        val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
+        val cents = n.filter(isCentroidVec(col("vec_id")))
           .select(col("vec_id").as("c_id"), col("v").as("cv"),
             col("n2").as("cn2"))
         // argmax via window, NOT max_by: a max_by whose value struct
@@ -194,7 +247,7 @@ object Similarity {
     // query side renames its cell column — q derives from `assigned`, so
     // joining on same-named columns would lean on analyzer self-join
     // disambiguation (and log trivially-true-predicate WARNs)
-    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+    val q = assigned.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("q_cell"))
     val scored = assigned.join(broadcast(q),
@@ -223,10 +276,10 @@ object Similarity {
   def embeddingAnnIvfMultiprobe(spark: SparkSession,
                                 sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
-    val cents = n.filter(col("vec_id") % CentroidMod === CentroidRem)
+    val cents = n.filter(isCentroidVec(col("vec_id")))
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("n2").as("cn2"))
-    val probes = n.filter(col("vec_id") % QueryMod === 0)
+    val probes = n.filter(isQueryVec(col("vec_id")))
       .join(broadcast(cents))
       .withColumn("ccos",
         dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
@@ -512,7 +565,7 @@ object Similarity {
       .withColumn("rn2", graft.functions.VectorOps.pq_recon_n2(
         col("codes"), PqSubspaces, PqCodebookSize, PqSubDim, PqSeed, book))
       .select(col("vec_id"), col("cell"), col("codes"), col("rn2"))
-    val q = assigned.filter(col("vec_id") % QueryMod === 0)
+    val q = assigned.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cell").as("q_cell"))
     val scored = coded.join(broadcast(q),
@@ -681,7 +734,7 @@ object Similarity {
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
   def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
-    val q = b.filter(col("vec_id") % QueryMod === 0)
+    val q = b.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("bucket").as("q_bucket"))
     val scored = b.join(broadcast(q),

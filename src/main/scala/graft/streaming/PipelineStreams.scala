@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, TextAnalysis}
 
 /** Streaming twins of the training-data-pipeline operators: the batch
   * dedup/sampling semantics applied to an unbounded document stream.
@@ -131,7 +131,7 @@ object PipelineStreams {
                           planSfDir: String): DataFrame = {
     import graft.operators.Curation._
     val evalGrams = graft.sources.Tables.load(spark, planSfDir, "documents")
-      .filter(docHash(col("doc_id")) % DecontamEvalMod === 0)
+      .filter(Curation.isEvalId(col("doc_id")))
       .select(explode(graft.functions.TextHashes.word_grams_hashed(
         TextAnalysis.tokens(col("text")), DecontamGramLen)).as("g"))
       .distinct()
@@ -160,7 +160,7 @@ object PipelineStreams {
     import graft.operators.Curation._
     import graft.functions.VectorOps
     val ev = graft.sources.Tables.load(spark, planSfDir, "embeddings")
-      .filter(docHash(col("vec_id")) % DecontamEvalMod === 0)
+      .filter(Curation.isEvalId(col("vec_id")))
       .select(col("embedding").cast("array<double>").as("qv"))
       .withColumn("qn2", VectorOps.norm2_seq(col("qv")))
       .withColumn("jk", lit(1))
@@ -273,7 +273,7 @@ object PipelineStreams {
     import graft.operators.Curation._
     val evalGrams: Array[Long] =
       graft.sources.Tables.load(spark, planSfDir, "documents")
-        .filter(docHash(col("doc_id")) % DecontamEvalMod === 0)
+        .filter(Curation.isEvalId(col("doc_id")))
         .select(explode(graft.functions.TextHashes.word_grams_hashed(
           TextAnalysis.tokens(col("text")), DecontamGramLen)).as("g"))
         .distinct().limit(maxEvalGrams + 1).as[Long].collect()

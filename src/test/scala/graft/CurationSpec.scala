@@ -45,7 +45,7 @@ class CurationSpec extends AnyFunSuite {
     val d = graft.sources.Tables.load(spark, sf, "documents")
       .select($"doc_id", tokens($"text").as("toks"))
       .withColumn("is_eval",
-        Curation.docHash($"doc_id") % Curation.DecontamEvalMod === 0)
+        Curation.isEvalId($"doc_id"))
       // declarative twin of WordGramsHashed: sequence is DESCENDING when
       // stop < start, hence the size guard
       .withColumn("grams", when(size($"toks") >= n,
@@ -378,8 +378,7 @@ class CurationSpec extends AnyFunSuite {
     import graft.operators.Curation
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"),
-        (Curation.docHash($"vec_id") % Curation.DecontamEvalMod === 0)
-          .as("is_eval"))
+        Curation.isEvalId($"vec_id").as("is_eval"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getBoolean(2)))
     val evalVs = emb.filter(_._3).map(_._2)

@@ -11,10 +11,15 @@ the honest x10: without decorrelation, planted near-dup clusters would
 match across replicas and candidate-pair counts would grow x100,
 misreporting the engine as super-linear.
 
-- documents: replica k suffixes every token with "_rk" (k>0). Within a
-  replica: identical token statistics, dup clusters, quality structure.
-  Across replicas: zero token overlap (minhash/simhash/jaccard pairs
-  scale x10). doc_id offset by k*10^7.
+- documents: replica k applies a seeded PERMUTATION of the lowercase
+  alphabet to the text (a bijective letter cipher; digits/punctuation/
+  case structure untouched). Within a replica: token statistics, lengths,
+  gram counts, dup clusters and quality structure are all isomorphic to
+  replica 0. Across replicas: word-level AND char-gram-level overlap
+  collapses to chance (an earlier suffix-based scheme left word
+  interiors shared, so char-3-gram MinHash bands still collided across
+  replicas and pair counts grew superlinearly — misreporting the engine
+  as super-linear). doc_id offset by k*10^7.
 - embeddings: replica k applies a seeded PERMUTATION of the 64 dims —
   all within-replica dot products are exactly preserved (clusters,
   planted near-dups, centroid geometry), cross-replica cosines are
@@ -43,9 +48,18 @@ docs = con.sql(f"SELECT * FROM '{SRC}/documents.parquet'").arrow()
 cols = docs.column_names
 out_batches = []
 texts = docs.column("text").to_pylist()
+LOWER = "abcdefghijklmnopqrstuvwxyz"
 for k in range(REPS):
-    t = texts if k == 0 else [
-        " ".join(w + f"_r{k}" for w in s.split()) for s in texts]
+    if k == 0:
+        t = texts
+    else:
+        rng = random.Random(7000 + k)
+        perm = list(LOWER)
+        rng.shuffle(perm)
+        cipher = str.maketrans(
+            LOWER + LOWER.upper(),
+            "".join(perm) + "".join(perm).upper())
+        t = [s.translate(cipher) for s in texts]
     arrays = []
     for c in cols:
         if c == "doc_id":
