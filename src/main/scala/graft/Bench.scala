@@ -63,6 +63,9 @@ object Bench {
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (subset.isEmpty) names0 else names0.filter(subset)
     val results = names.map { name =>
+      // stderr marker so WARN lines in a bench log can be attributed to
+      // the query that emitted them (stdout stays one JSON line)
+      System.err.println(s"[bench] $name")
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val r = materialize(name)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -36,6 +36,16 @@ object VectorOps {
       s"$name expects array<float|double>, got ${other.simpleString}")
   }
 
+  /** Java source for element i of `arr` as double — the codegen twin of
+    * [[getter]] (same float-vs-double stride discipline). */
+  private def getterJava(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case other => throw new IllegalArgumentException(
+        s"expected array<float|double>, got array<$other>")
+    }
+
   private def seqDot(a: ArrayData, ga: (ArrayData, Int) => Double,
                      b: ArrayData, gb: (ArrayData, Int) => Double): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -53,7 +63,7 @@ object VectorOps {
     * float-backed arrays as doubles — UnsafeArrayData returns silent
     * garbage at the wrong stride (the Column API callers cast first). */
   case class DotSeq(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       Seq(checkElem(left.dataType, "dot_seq"),
@@ -64,13 +74,31 @@ object VectorOps {
     @transient private lazy val gr = getter(right.dataType)
     override protected def nullSafeEval(a: Any, b: Any): Any =
       seqDot(a.asInstanceOf[ArrayData], gl, b.asInstanceOf[ArrayData], gr)
+    // the dot kernel sits inside every ANN scoring join (Q·N or
+    // Σ bucket² evaluations) — a CodegenFallback here breaks the whole
+    // stage out of codegen, so the loop is generated inline; the Java
+    // fold is the same left-to-right order as nullSafeEval/the oracle
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0d;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ${getterJava(left.dataType, a, i)} * ${getterJava(right.dataType, b, i)};
+        }
+        ${ev.value} = $acc;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
 
   /** norm2_seq(array<double>) -> double: sequential Σ v[i]². */
   case class Norm2Seq(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       checkElem(child.dataType, "norm2_seq")
@@ -79,6 +107,22 @@ object VectorOps {
       val v = a.asInstanceOf[ArrayData]
       seqDot(v, g, v, g)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val e = ctx.freshName("e")
+        s"""
+        int $n = $v.numElements();
+        double $acc = 0d;
+        for (int $i = 0; $i < $n; $i++) {
+          double $e = ${getterJava(child.dataType, v, i)};
+          $acc += $e * $e;
+        }
+        ${ev.value} = $acc;
+        """
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -91,7 +135,7 @@ object VectorOps {
     * bucket, bit j of the result ↔ absolute plane planeOffset+j). */
   case class SrpBucket(child: Expression, numPlanes: Int, dim: Int,
                        planeOffset: Int = 0)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
       checkElem(child.dataType, "srp_bucket")
@@ -117,6 +161,30 @@ object VectorOps {
       }
       bucket
     }
+    // numPlanes·dim Knuth-hash products per row, evaluated on BOTH sides
+    // of the banded near-dup self-join — generated inline for the same
+    // reason as DotSeq (identical arithmetic to nullSafeEval: long hash,
+    // double division, sign test per plane)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val bound = ctx.freshName("bound")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val u = ctx.freshName("u")
+        s"""
+        int $bound = java.lang.Math.min($dim, $v.numElements());
+        ${ev.value} = 0L;
+        for (int $j = 0; $j < $numPlanes; $j++) {
+          double $acc = 0d;
+          for (int $i = 0; $i < $bound; $i++) {
+            long $u = (((long) ($planeOffset + $j) * $dim + $i + 1) * 2654435761L) % 4294967296L;
+            $acc += ${getterJava(child.dataType, v, i)} * ((double) $u / 4294967296.0 - 0.5);
+          }
+          if ($acc > 0) ${ev.value} |= 1L << $j;
+        }
+        """
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 

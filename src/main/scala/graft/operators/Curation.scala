@@ -467,10 +467,14 @@ object Curation {
     * display ratios of exact integers (reason count / corpus count). */
   def curationReport(spark: SparkSession, sfDir: String): DataFrame = {
     val decided = curateCorpus(spark, sfDir)
-    val w = Window.partitionBy(lit(1))
-    decided.groupBy("drop_reason")
+    val counts = decided.groupBy("drop_reason")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("n_total", sum("n_docs").over(w))
+    // corpus total via the 1-row broadcast totals join — a
+    // Window.partitionBy(lit(1)) sum is constant-folded to an EMPTY
+    // partition spec by the optimizer, i.e. a single-partition global
+    // WindowExec (the warning in every bench log)
+    val tot = counts.agg(sum("n_docs").cast("long").as("n_total"))
+    counts.crossJoin(broadcast(tot))
       .select(col("drop_reason"), col("n_docs"),
         round(col("n_docs") / col("n_total").cast("double"), 6).as("share"))
   }

@@ -70,9 +70,11 @@ object Skew {
         .otherwise(lit(1L)))
       .orderBy(col("cnt").desc, col("o_custkey"))
       .limit(SkewTopK)
-      .withColumn("srank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("o_custkey"))).cast("long"))
+      // rank = row position within TakeOrderedAndProject's one sorted
+      // partition (same fold as bm25Search — the row_number window here
+      // was the source of every "No Partition Defined" warning in the
+      // bench logs)
+      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
       .select(col("srank"), col("o_custkey"), col("cnt"),
         round(col("cnt") / col("n_rows"), 6).as("key_share"),
         col("is_hot"), col("recommended_salts"))
