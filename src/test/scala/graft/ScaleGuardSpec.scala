@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Similarity}
+
+/** Pins the round-8 scale guards: the fixed-size membership predicates
+  * that keep eval/query/centroid sets benchmark-sized as the corpus
+  * grows, the adaptive SRP band sizing, and interpreted-vs-codegen
+  * equivalence for the vector kernels that gained `doGenCode`.
+  */
+class ScaleGuardSpec extends AnyFunSuite {
+  private lazy val spark = Testing.spark
+  import spark.implicits._
+
+  // ---- adaptive planes-per-band ----
+
+  test("nearDupPlanesPerBand: floor at the oracle SF, log2 growth above") {
+    // ≤512 vectors → the NumPlanes floor, so the static DuckDB twin
+    // (generated with NumPlanes) stays exact at sf0.01 (500 vectors)
+    assert(Similarity.nearDupPlanesPerBand(1) === Similarity.NumPlanes)
+    assert(Similarity.nearDupPlanesPerBand(500) === Similarity.NumPlanes)
+    assert(Similarity.nearDupPlanesPerBand(512) === Similarity.NumPlanes)
+    // ceil(log2(n/32)) above the floor
+    assert(Similarity.nearDupPlanesPerBand(2000) === 6)
+    assert(Similarity.nearDupPlanesPerBand(20000) === 10)
+    // expected bucket occupancy n/2^planes never exceeds the target
+    for (n <- Seq(513L, 1000L, 5000L, 20000L, 1000000L)) {
+      val p = Similarity.nearDupPlanesPerBand(n)
+      assert(n.toDouble / (1L << p) <= Similarity.NearDupTargetBucket.toDouble)
+    }
+  }
+
+  // ---- fixed-size membership predicates ----
+
+  test("isQueryVec/isCentroidVec: unchanged at oracle SFs, capped beyond") {
+    val ids = spark.range(0, 100000).toDF("vec_id")
+    val nQ = ids.filter(Similarity.isQueryVec(col("vec_id"))).count()
+    val nC = ids.filter(Similarity.isCentroidVec(col("vec_id"))).count()
+    // caps bind: fixed counts no matter how far the id range grows
+    assert(nQ === Similarity.QueryCap)
+    assert(nC === Similarity.CentroidCap)
+    // below the bound the rule is the original mod rule (oracle SFs
+    // sf0.01/sf0.1 have vec_id < 2000, so results there are unchanged)
+    val below = ids.filter(col("vec_id") < Similarity.QueryMod.toLong * Similarity.QueryCap)
+    assert(below.filter(Similarity.isQueryVec(col("vec_id"))).count() ===
+      below.filter(col("vec_id") % Similarity.QueryMod === 0).count())
+    // query and centroid sets stay disjoint (different remainders)
+    assert(ids.filter(Similarity.isQueryVec(col("vec_id")) &&
+      Similarity.isCentroidVec(col("vec_id"))).count() === 0)
+  }
+
+  test("isEvalId: fixed id pool, so the holdout stops growing with the corpus") {
+    val small = spark.range(0, Curation.DecontamEvalIdBound).toDF("doc_id")
+    val large = spark.range(0, 50 * Curation.DecontamEvalIdBound).toDF("doc_id")
+    val nSmall = small.filter(Curation.isEvalId(col("doc_id"))).count()
+    val nLarge = large.filter(Curation.isEvalId(col("doc_id"))).count()
+    assert(nSmall > 0)
+    assert(nLarge === nSmall) // 50x the ids, same holdout
+  }
+
+  // ---- interpreted vs codegen equivalence for the vector kernels ----
+
+  test("DotSeq/Norm2Seq/SrpBucket: codegen equals interpreted, float and double") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()),
+        Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vd", "vf")
+    def band(c: org.apache.spark.sql.Column, off: Int) =
+      VectorOps.srp_bucket(c, 10, 64, off)
+    val out = df.select(
+      VectorOps.dot_seq(col("vd"), col("vd")).as("dd"),
+      VectorOps.norm2_seq(col("vd")).as("nd"),
+      VectorOps.norm2_seq(col("vf")).as("nf"),
+      band(col("vd"), 0).as("b0"),
+      band(col("vd"), 10).as("b1"),
+      band(col("vf"), 0).as("bf"))
+    // force both evaluation paths: whole-stage codegen on (default)
+    // vs off (interpreted eval of the same expressions)
+    val on = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val a = out.collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val b = try out.collect()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", on)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // dot(v,v) ≡ norm2(v) bit-for-bit (same fold order)
+    a.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // bands are genuinely different hash families
+    assert(a.exists(r => r.getLong(3) !== r.getLong(4)))
+  }
+}
