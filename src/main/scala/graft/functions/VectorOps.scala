@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -229,6 +229,34 @@ object VectorOps {
   private def wrapBook(book: Option[Array[Double]]): Option[IndexedSeq[Double]] =
     book.map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_))
 
+  /** The full codebook as a flat array for the GENERATED code path: the
+    * trained book verbatim, or the synthetic generator materialized once
+    * (numSub·numCodewords·subDim doubles — 8 KB at the shipped sizes), so
+    * generated loops do one array read per component either way. */
+  private def materializedBook(book: Option[IndexedSeq[Double]], seed: Long,
+                               numSub: Int, numCodewords: Int,
+                               subDim: Int): Array[Double] =
+    book match {
+      case Some(b) => b.toArray
+      case None =>
+        val a = new Array[Double](numSub * numCodewords * subDim)
+        var m = 0
+        while (m < numSub) {
+          var k = 0
+          while (k < numCodewords) {
+            var d = 0
+            while (d < subDim) {
+              a((m * numCodewords + k) * subDim + d) =
+                pqCodeword(seed, numCodewords, subDim, m, k, d)
+              d += 1
+            }
+            k += 1
+          }
+          m += 1
+        }
+        a
+    }
+
   /** pq_encode(array<double>) -> array<long>: per subspace, the index of
     * the L2-nearest codeword (sequential distance fold in dim order,
     * strict < so ties keep the smallest k — `list_position(l, list_min(l))`
@@ -236,7 +264,7 @@ object VectorOps {
   case class PqEncode(child: Expression, numSub: Int, numCodewords: Int,
                       subDim: Int, seed: Long,
                       book: Option[IndexedSeq[Double]] = None)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       checkElem(child.dataType, "pq_encode")
@@ -268,6 +296,45 @@ object VectorOps {
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
     }
+    // numSub·numCodewords·subDim fused multiply-adds per row inside the
+    // ADC scoring joins — generated inline against the materialized book
+    // reference (trained or synthetic, one array read per component;
+    // identical arithmetic and strict-< tie rule as nullSafeEval)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val bk = ctx.addReferenceObj("pqBook",
+          materializedBook(book, seed, numSub, numCodewords, subDim), "double[]")
+        val bound = ctx.freshName("bound")
+        val codes = ctx.freshName("codes")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val x = ctx.freshName("x")
+        val best = ctx.freshName("best")
+        val bestDist = ctx.freshName("bestDist")
+        s"""
+        int $bound = $v.numElements();
+        long[] $codes = new long[$numSub];
+        for (int $m = 0; $m < $numSub; $m++) {
+          long $best = 0L;
+          double $bestDist = Double.MAX_VALUE;
+          for (int $k = 0; $k < $numCodewords; $k++) {
+            double $acc = 0d;
+            for (int $d = 0; $d < $subDim; $d++) {
+              int $i = $m * $subDim + $d;
+              double $x = ($i < $bound ? ${getterJava(child.dataType, v, i)} : 0d)
+                - $bk[($m * $numCodewords + $k) * $subDim + $d];
+              $acc += $x * $x;
+            }
+            if ($acc < $bestDist) { $bestDist = $acc; $best = $k; }
+          }
+          $codes[$m] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        """
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -289,7 +356,7 @@ object VectorOps {
   case class PqAdcDot(left: Expression, right: Expression, numSub: Int,
                       numCodewords: Int, subDim: Int, seed: Long,
                       book: Option[IndexedSeq[Double]] = None)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       Seq(checkElem(left.dataType, "pq_adc_dot"),
@@ -318,6 +385,32 @@ object VectorOps {
       }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, c) => {
+        val bk = ctx.addReferenceObj("pqBook",
+          materializedBook(book, seed, numSub, numCodewords, subDim), "double[]")
+        val bound = ctx.freshName("bound")
+        val mBound = ctx.freshName("mBound")
+        val acc = ctx.freshName("acc")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        s"""
+        int $bound = $q.numElements();
+        int $mBound = java.lang.Math.min($numSub, $c.numElements());
+        double $acc = 0d;
+        for (int $m = 0; $m < $mBound; $m++) {
+          int $k = (int) $c.getLong($m);
+          for (int $d = 0; $d < $subDim; $d++) {
+            int $i = $m * $subDim + $d;
+            if ($i < $bound)
+              $acc += ${getterJava(left.dataType, q, i)} * $bk[($m * $numCodewords + $k) * $subDim + $d];
+          }
+        }
+        ${ev.value} = $acc;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
@@ -327,7 +420,7 @@ object VectorOps {
   case class PqReconN2(child: Expression, numSub: Int, numCodewords: Int,
                        subDim: Int, seed: Long,
                        book: Option[IndexedSeq[Double]] = None)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       checkCodes(child.dataType, "pq_recon_n2")
@@ -349,6 +442,29 @@ object VectorOps {
       }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bk = ctx.addReferenceObj("pqBook",
+          materializedBook(book, seed, numSub, numCodewords, subDim), "double[]")
+        val mBound = ctx.freshName("mBound")
+        val acc = ctx.freshName("acc")
+        val m = ctx.freshName("m")
+        val k = ctx.freshName("k")
+        val d = ctx.freshName("d")
+        val w = ctx.freshName("w")
+        s"""
+        int $mBound = java.lang.Math.min($numSub, $c.numElements());
+        double $acc = 0d;
+        for (int $m = 0; $m < $mBound; $m++) {
+          int $k = (int) $c.getLong($m);
+          for (int $d = 0; $d < $subDim; $d++) {
+            double $w = $bk[($m * $numCodewords + $k) * $subDim + $d];
+            $acc += $w * $w;
+          }
+        }
+        ${ev.value} = $acc;
+        """
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 

@@ -14,6 +14,21 @@ class ScaleGuardSpec extends AnyFunSuite {
   private lazy val spark = Testing.spark
   import spark.implicits._
 
+  /** Run `body` with codegen fully disabled (NO_CODEGEN factory mode +
+    * whole-stage off), so expressions evaluate via nullSafeEval — with
+    * whole-stage off alone, projections still use generated
+    * MutableProjections and doGenCode would be exercised on both sides. */
+  private def interpretedOnly[A](body: => A): A = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   // ---- adaptive planes-per-band ----
 
   test("nearDupPlanesPerBand: floor at the oracle SF, log2 growth above") {
@@ -62,6 +77,29 @@ class ScaleGuardSpec extends AnyFunSuite {
 
   // ---- interpreted vs codegen equivalence for the vector kernels ----
 
+  test("PQ kernels: codegen equals interpreted, synthetic and trained books") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(48)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "v")
+    val trained = Some(Array.fill(8 * 16 * 8)(rnd.nextGaussian() * 0.3))
+    def probe(book: Option[Array[Double]]) = {
+      val codes = VectorOps.pq_encode(col("v"), 8, 16, 8, 11L, book)
+      df.select(
+        codes.as("codes"),
+        VectorOps.pq_adc_dot(col("v"), codes, 8, 16, 8, 11L, book).as("adc"),
+        VectorOps.pq_recon_n2(codes, 8, 16, 8, 11L, book).as("rn2"))
+    }
+    for (book <- Seq(None, trained)) {
+      val out = probe(book)
+      val a = out.collect()
+      val b = interpretedOnly(out.collect())
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+      assert(a.forall(_.getDouble(2) > 0d)) // reconstructed norm nonzero
+    }
+  }
+
   test("DotSeq/Norm2Seq/SrpBucket: codegen equals interpreted, float and double") {
     import graft.functions.VectorOps
     val rnd = new scala.util.Random(42)
@@ -78,13 +116,10 @@ class ScaleGuardSpec extends AnyFunSuite {
       band(col("vd"), 0).as("b0"),
       band(col("vd"), 10).as("b1"),
       band(col("vf"), 0).as("bf"))
-    // force both evaluation paths: whole-stage codegen on (default)
-    // vs off (interpreted eval of the same expressions)
-    val on = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // force both evaluation paths: codegen (default) vs fully
+    // interpreted eval of the same expressions
     val a = out.collect()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val b = try out.collect()
-    finally spark.conf.set("spark.sql.codegen.wholeStage", on)
+    val b = interpretedOnly(out.collect())
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     // dot(v,v) ≡ norm2(v) bit-for-bit (same fold order)
     a.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
