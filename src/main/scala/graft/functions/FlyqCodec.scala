@@ -149,7 +149,7 @@ object FlyqCodec {
 
   /** flyq_decode_record(binary) -> record struct */
   case class FlyqDecodeRecord(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = recordType
     override protected def nullSafeEval(bytes: Any): Any =
       decodeRecordAt(bytes.asInstanceOf[Array[Byte]], 0)._1
@@ -159,7 +159,7 @@ object FlyqCodec {
   /** flyq_decode_segment(binary) -> array<record struct>: decode a whole
     * segment file's concatenated records; stops cleanly at a torn tail. */
   case class FlyqDecodeSegment(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = ArrayType(recordType, containsNull = false)
     override protected def nullSafeEval(b: Any): Any = {
       val bytes = b.asInstanceOf[Array[Byte]]

@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -44,7 +43,7 @@ object TextHashes {
     * `byteOffset` 0 (default) is the standard hash32 family; 4 selects the
     * independent second family (digest bytes 4-7 = hex chars 9-16). */
   case class Hash32Array(child: Expression, byteOffset: Int = 0)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     require(byteOffset >= 0 && byteOffset <= 12,
       s"byteOffset must address 4 bytes inside the 16-byte md5, got $byteOffset")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -66,7 +65,7 @@ object TextHashes {
     * array (as array_min would be). */
   case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long],
                          prime: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     require(as.length == bs.length)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
@@ -96,7 +95,7 @@ object TextHashes {
   /** simhash16(array<long>) -> long: sign-aggregated 16-bit fingerprint
     * over bits 0..15 of each element hash. */
   case class SimHash16(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(arr: Any): Any = {
       val h = arr.asInstanceOf[ArrayData]
@@ -129,7 +128,7 @@ object TextHashes {
     * over independent hash families form the 64-bit SimHash without ever
     * touching the BIGINT sign bit on either engine. */
   case class SimHashBits(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     override def dataType: DataType = LongType
     override protected def nullSafeEval(arr: Any): Any = {
@@ -164,7 +163,7 @@ object TextHashes {
     * 32)` + `simhash_bits(hash32_array_at(ws, 4), 32)` at half the digest
     * cost and without materializing the two hash arrays. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = StructType(Seq(
       StructField("sh_lo", LongType, nullable = false),
       StructField("sh_hi", LongType, nullable = false)))
@@ -209,7 +208,7 @@ object TextHashes {
     * substr(s, i, n)))` (substrings via UTF8String.substringSQL, the same
     * code-point semantics as the substr Column). */
   case class CharGramsDistinct(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(s: Any): Any = {
       val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -232,7 +231,7 @@ object TextHashes {
     * len(list_distinct(b)) - len(list_intersect(a,b)))` in DuckDB. */
   case class JaccardLong(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      with KernelCodegenBinary {
     override def dataType: DataType = DoubleType
     private def sortedDistinct(d: ArrayData): Array[Long] = {
       val a = d.toLongArray()
@@ -268,7 +267,7 @@ object TextHashes {
     * per-element lambda. min/max are NULL on an empty sample (as
     * array_min/array_max would be); sum is 0 (as the aggregate's seed). */
   case class ModFilterStats(child: Expression, mod: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     require(mod > 0, "mod must be positive")
     override def dataType: DataType = StructType(Seq(
       StructField("n_fp", LongType, nullable = false),
@@ -305,7 +304,7 @@ object TextHashes {
     * membership, same counts as `size(filter(tokens, t -> t IN (...)))`
     * per language. */
   case class StopwordHits(child: Expression, tables: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     @transient private lazy val sets: Array[Set[org.apache.spark.unsafe.types.UTF8String]] =
       tables.map(_.map(org.apache.spark.unsafe.types.UTF8String.fromString).toSet).toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -334,7 +333,7 @@ object TextHashes {
     * `list_max(map_values(list_aggregate(toks, 'histogram')))`) without
     * the two shuffles. Powers the repetition quality rule. */
   case class MaxCount(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(arr: Any): Any = {
       val a = arr.asInstanceOf[ArrayData]
@@ -361,7 +360,7 @@ object TextHashes {
     * substr(md5(g),1,8) AS BIGINT)))` twin (hash-then-distinct on both
     * sides, so a hash collision collapses identically). */
   case class WordGramsHashed(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     require(n > 0, "n must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
@@ -404,7 +403,7 @@ object TextHashes {
     * scan speed inside the corpus pass instead of pushing every gram of
     * every document through an exchange. */
   case class RepetitionStats(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = StructType(Seq(
       StructField("n_bigrams", LongType, nullable = false),
       StructField("top_bigram", StringType, nullable = true),
@@ -473,7 +472,7 @@ object TextHashes {
     * scan that skips the rewrite for already-NFC text (the overwhelming
     * majority of real corpora), keeping this near scan speed. */
   case class NfcNormalize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = StringType
     override protected def nullSafeEval(s: Any): Any = {
       val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
