@@ -49,11 +49,16 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot_seq(a, b)
 
+  /** vec_id, v (double array), n2 (squared norm) from any frame with an
+    * `embedding` column — shared by the batch operators and the
+    * streaming ingest gate so normalization cannot drift. */
+  def normVectors(d: DataFrame): DataFrame =
+    d.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", graft.functions.VectorOps.norm2_seq(col("v")))
+
   /** vec_id, v (double array), n2 (squared norm). */
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", graft.functions.VectorOps.norm2_seq(col("v")))
+    normVectors(emb(spark, sfDir))
 
   private def rankTopK(scored: DataFrame): DataFrame =
     scored
@@ -122,15 +127,25 @@ object Similarity {
     * [[graft.operators.Dedup]]'s MinHash bands. Recall at the 0.35
     * design point is tuned by Bands (production: 8–16 bands; the
     * planted high-cosine clusters this detects sit near recall 1). */
+  /** vec_id, v, n2 + one row per (band_j, bkey) band key — the shared
+    * candidate index for the batch near-dup and the streaming ingest
+    * gate ([[graft.streaming.PipelineStreams.embeddingNearDupStream]]),
+    * one definition so the two cannot drift. */
+  def nearDupBandKeys(normed: DataFrame, planes: Int): DataFrame = {
+    val bandKeys = array((0 until NearDupBands).map { j =>
+      graft.functions.VectorOps.srp_bucket(col("v"), planes, Dim, j * planes)
+    }: _*)
+    normed.withColumn("bks", bandKeys)
+      .select(col("vec_id"), col("v"), col("n2"),
+        posexplode(col("bks")).as(Seq("band_j", "bkey")))
+  }
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
     val planes = nearDupPlanesPerBand(
       emb(spark, sfDir).select(col("vec_id")).count())
-    val bandKeys = array((0 until NearDupBands).map { j =>
-      graft.functions.VectorOps.srp_bucket(col("v"), planes, Dim, j * planes)
-    }: _*)
-    val e = n.withColumn("bks", bandKeys)
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band_j", "bkey")))
+    val e = nearDupBandKeys(n, planes)
+      .select(col("vec_id"), col("band_j"), col("bkey"))
     val cand = e.as("x").join(e.as("y"),
         col("x.band_j") === col("y.band_j") &&
           col("x.bkey") === col("y.bkey") &&

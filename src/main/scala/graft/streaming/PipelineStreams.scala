@@ -178,6 +178,52 @@ object PipelineStreams {
       .withColumn("is_clean", col("n_eval_sem_hits") === 0)
   }
 
+  /** Streaming EMBEDDING near-dup detection against a STATIC base corpus
+    * — the vector-space member of the ingest-gate family (the
+    * paraphrase-shaped dups [[simhashNearDupStream]]'s literal
+    * fingerprints miss): each incoming vector is normalized and banded
+    * with the SAME shared [[graft.operators.Similarity.nearDupBandKeys]]
+    * frame as the batch `embedding_near_dup` (band count and the
+    * adaptive planes-per-band derived from the BASE corpus size, fixed
+    * at stream build), equi-joined stream-static against the base band
+    * index, and exact-cosine-verified at the batch threshold.
+    *
+    * Output: (vec_id, n_collisions, max_cos, example_base_vec).
+    * `n_collisions` counts (base vec, band) collision EVIDENCE — same
+    * contract as [[simhashNearDupStream]] (distinct aggregation is
+    * unsupported on streams); any row means "this vector has a base
+    * near-dup", which is the gate decision.
+    *
+    * Scale: the static index is [[graft.operators.Similarity
+    * .NearDupBands]] rows per base vector carrying the base vector once
+    * per band (so the verify needs no second probe of the base); each
+    * micro-batch probes the index equi on (band_j, bkey) — candidates ≈
+    * bands·|batch|·target-bucket, never |batch|·|base|. */
+  def embeddingNearDupStream(spark: SparkSession, vecs0: DataFrame,
+                             baseSfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorOps
+    // accept the StreamVec shape (doc_id) or the embeddings-table shape
+    val vecs = if (vecs0.columns.contains("vec_id")) vecs0
+               else vecs0.withColumnRenamed("doc_id", "vec_id")
+    val baseRaw = graft.sources.Tables.load(spark, baseSfDir, "embeddings")
+    val planes = Similarity.nearDupPlanesPerBand(
+      baseRaw.select(col("vec_id")).count())
+    val base = Similarity.nearDupBandKeys(Similarity.normVectors(baseRaw), planes)
+      .select(col("vec_id").as("base_id"), col("v").as("bv"),
+        col("n2").as("bn2"), col("band_j"), col("bkey"))
+    Similarity.nearDupBandKeys(Similarity.normVectors(vecs), planes)
+      .join(base, Seq("band_j", "bkey"))
+      .filter(col("vec_id") =!= col("base_id"))
+      .withColumn("cos", VectorOps.dot_seq(col("v"), col("bv"))
+        / (sqrt(col("n2")) * sqrt(col("bn2"))))
+      .filter(col("cos") >= Similarity.NearDupCosine)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_collisions"),
+        round(max("cos"), 6).as("max_cos"),
+        min("base_id").as("example_base_vec"))
+  }
+
   /** Streaming SimHash near-dup detection against a STATIC base corpus —
     * the ingest-time shape of `dedup_simhash_pairs` (the batch analog of
     * `incremental_dedup`'s near-dup layer, but with Hamming semantics):

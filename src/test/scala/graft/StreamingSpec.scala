@@ -333,6 +333,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup gate matches its own static-frame run") {
+    import graft.streaming.PipelineStreams.StreamVec
+    val sf = "/root/testdata/sf0.001"
+    // probes: copies of three base vectors under NEW ids (each must flag:
+    // identical band keys + cosine 1 against its base twin) plus one
+    // vector that is a base vector negated (cosine -1 against its twin;
+    // flagged only if some OTHER base vector clears the 0.35 verify)
+    val baseVecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val probes = baseVecs.toSeq.sortBy(_._1).take(3)
+      .zipWithIndex.map { case ((_, v), i) => StreamVec(900201L + i, v) } :+
+      StreamVec(900204L, baseVecs.head._2.map(-_))
+    // ground truth: the SAME operator over a static frame (the gate is
+    // stream-agnostic DataFrame code; this pins stream ≡ batch semantics)
+    val staticIn = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.map(p => org.apache.spark.sql.Row(
+        p.doc_id, p.embedding.toSeq))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val expected = graft.streaming.PipelineStreams
+      .embeddingNearDupStream(spark, staticIn, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_collisions"), r.getAs[Double]("max_cos"),
+          r.getAs[Long]("example_base_vec")))).toMap
+    assert((900201L to 900203L).forall(expected.contains),
+      "replayed base vectors must self-collide")
+    assert(expected.forall(_._2._2 >= graft.operators.Similarity.NearDupCosine))
+    val input = MemoryStream[StreamVec](spark)
+    val q = PipelineStreams.embeddingNearDupStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sembdup")
+      .outputMode("update").start()
+    try {
+      input.addData(probes)
+      q.processAllAvailable()
+      val got = spark.table("sembdup").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_collisions"), r.getAs[Double]("max_cos"),
+            r.getAs[Long]("example_base_vec")))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup flags docs with a base-corpus duplicate") {
     import graft.streaming.PipelineStreams.StreamDoc
     val sf = "/root/testdata/sf0.001"
