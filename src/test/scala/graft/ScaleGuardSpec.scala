@@ -75,6 +75,19 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(nLarge === nSmall) // 50x the ids, same holdout
   }
 
+  test("banded near-dup plans as equi-joins — no nested-loop, no cartesian") {
+    val sf = "/root/testdata/sf0.001"
+    for (d <- Seq(Similarity.embeddingNearDup(spark, sf),
+        graft.streaming.PipelineStreams.embeddingNearDupStream(
+          spark,
+          graft.sources.Tables.load(spark, sf, "embeddings")
+            .select(col("vec_id"), col("embedding")), sf))) {
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+
   // ---- interpreted vs codegen equivalence for the vector kernels ----
 
   test("PQ kernels: codegen equals interpreted, synthetic and trained books") {
