@@ -571,6 +571,33 @@ object OracleSql {
     // (SampleSalt/SampleBuckets/QualityTopK/TopTermsK) so parameters
     // cannot drift; every sampling decision is integer-exact.
 
+    // Hashed TF-IDF: bucket df pooled by the hashing trick (D-row idf
+    // table), idf quantized to integer micro-nats exactly like the LM
+    // (floor(ln(...)·1e6) of identical integer-derived doubles), argmax
+    // via the same w-desc/bucket-asc order as the Scala struct max.
+    "tfidf_vectors" -> s"""WITH $textCtes,
+      $tcCtes,
+      db AS (SELECT doc_id,
+                    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % ${TextAnalysis.TfidfBuckets} AS bucket,
+                    CAST(sum(term_count) AS BIGINT) AS tf
+             FROM tc GROUP BY 1, 2),
+      bdf AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bdf FROM db GROUP BY 1),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      idf AS (SELECT bucket,
+                     CAST(floor(ln((n_docs + 1) / CAST(bdf + 1 AS DOUBLE)) * ${graft.operators.LangModel.LmMicro})
+                       + ${graft.operators.LangModel.LmMicro} AS BIGINT) AS idf_micro
+              FROM bdf, nd),
+      w AS (SELECT doc_id, db.bucket, tf * idf_micro AS w_micro
+            FROM db JOIN idf USING (bucket)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+                     CAST(sum(w_micro) AS BIGINT) AS l1_micro
+              FROM w GROUP BY doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY w_micro DESC, bucket ASC) AS rn FROM w)
+      SELECT a.doc_id, a.nnz, a.l1_micro,
+             r.bucket AS top_bucket, r.w_micro AS top_w_micro
+      FROM agg a JOIN r ON a.doc_id = r.doc_id AND r.rn = 1""",
+
     "top_terms" -> s"""WITH $textCtes,
       $tcCtes,
       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq

@@ -48,6 +48,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount(_, _)),
     "lang_id_eval" -> (TextAnalysis.langIdEval(_, _)),
     "top_terms" -> (TextAnalysis.topTerms(_, _)),
+    "tfidf_vectors" -> (TextAnalysis.hashedTfidf(_, _)),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "bm25_search" -> (Search.bm25Search(_, _)),
     "doc_similarity" -> (Search.docSimilarity(_, _)),

@@ -163,6 +163,53 @@ object TextAnalysis {
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("term_count")))
 
+  // ---- hashed TF-IDF featurization ----
+  /** Feature-hashing dimension: terms fold into a FIXED bucket count, so
+    * the idf table is D rows (broadcastable at any corpus size) instead
+    * of vocab-sized — the hashing-trick trade every large-scale text
+    * featurizer makes (collisions merge rare terms; idf comes from the
+    * bucket's pooled document frequency). */
+  val TfidfBuckets = 256L
+
+  /** Hashed TF-IDF featurization — text → fixed-dimension weighted
+    * vector, the bridge from the posting-list family into the vector
+    * family (hash-bucket tf × bucket idf; weights in integer micro-nats
+    * so per-doc sums are order-independent, the LM discipline). Output is
+    * the per-doc feature summary (nnz, L1 mass, argmax feature with
+    * low-bucket tie-break) — integer-exact except the idf quantization,
+    * which both engines compute as floor(ln((N+1)/(df+1))·1e6)+1e6 from
+    * identical integer inputs.
+    *
+    * Scale: one pass over the persist-once [[termCounts]] artifact into
+    * a (doc, bucket) partial-aggregable rollup (≤ D rows per doc reach
+    * the exchange), a D-row idf table broadcast back, and one final
+    * per-doc aggregate. The corpus is never joined against a vocab-sized
+    * side. */
+  def hashedTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = termCounts(spark, sfDir)
+    val db = tc
+      .withColumn("bucket", Dedup.hash32(col("term")) % TfidfBuckets)
+      .groupBy("doc_id", "bucket")
+      .agg(sum("term_count").cast("long").as("tf"))
+    val bdf = db.groupBy("bucket").agg(count(lit(1)).as("bdf"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val idf = bdf.crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        (floor(log((col("n_docs") + 1).cast("double") /
+          (col("bdf") + 1).cast("double")) * graft.operators.LangModel.LmMicro)
+          + graft.operators.LangModel.LmMicro).cast("long"))
+      .select("bucket", "idf_micro")
+    db.join(broadcast(idf), Seq("bucket"))
+      .withColumn("w_micro", col("tf") * col("idf_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("nnz"),
+        sum("w_micro").cast("long").as("l1_micro"),
+        max(struct(col("w_micro"), (-col("bucket")).as("nb"))).as("top"))
+      .select(col("doc_id"), col("nnz"), col("l1_micro"),
+        (-col("top.nb")).cast("long").as("top_bucket"),
+        col("top.w_micro").as("top_w_micro"))
+  }
+
   /** Counter budget for the Misra-Gries heavy-terms sketch, and the
     * deterministic weight skew planted into the token stream. The
     * synthetic corpus is near-UNIFORM over a ~31-term vocabulary — with
