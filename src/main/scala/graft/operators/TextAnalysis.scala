@@ -210,6 +210,33 @@ object TextAnalysis {
         col("top.w_micro").as("top_w_micro"))
   }
 
+  /** The D-element idf table as a plain array (index = bucket), for the
+    * STATELESS streaming featurizer: D is fixed and small, so the whole
+    * idf model ships as a literal in the plan (the bloom-gate trade).
+    * Buckets no base doc touched get the unseen-bucket idf
+    * (floor(ln(N+1)·1e6)+1e6, i.e. df = 0) rather than a hole. */
+  def tfidfIdfArray(spark: SparkSession, sfDir: String): Array[Long] = {
+    val n = docs(spark, sfDir).count()
+    val unseen =
+      math.floor(math.log((n + 1).toDouble) *
+        graft.operators.LangModel.LmMicro).toLong +
+        graft.operators.LangModel.LmMicro
+    val arr = Array.fill(TfidfBuckets.toInt)(unseen)
+    termCounts(spark, sfDir)
+      .withColumn("bucket", Dedup.hash32(col("term")) % TfidfBuckets)
+      .select(col("doc_id"), col("bucket")).distinct()
+      .groupBy("bucket").agg(count(lit(1)).as("bdf"))
+      .collect() // D-bounded (≤ 256 rows)
+      .foreach { r =>
+        val bdf = r.getAs[Long]("bdf")
+        arr(r.getAs[Long]("bucket").toInt) =
+          math.floor(math.log((n + 1).toDouble / (bdf + 1)) *
+            graft.operators.LangModel.LmMicro).toLong +
+            graft.operators.LangModel.LmMicro
+      }
+    arr
+  }
+
   /** Counter budget for the Misra-Gries heavy-terms sketch, and the
     * deterministic weight skew planted into the token stream. The
     * synthetic corpus is near-UNIFORM over a ~31-term vocabulary — with

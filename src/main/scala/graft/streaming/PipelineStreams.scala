@@ -111,6 +111,30 @@ object PipelineStreams {
       .select(col("lang"), explode(col("sketch")).as("e"))
       .select(col("lang"), col("e.term").as("term"), col("e.est").as("est"))
 
+  /** Streaming TF-IDF featurization — the STATELESS form of the batch
+    * `tfidf_vectors`: the D-row idf model (trained once on a base
+    * corpus) ships as a literal array in the plan (D = 256 longs — the
+    * bloom-gate trade), each incoming doc's tokens fold to buckets
+    * in-row, and the feature summary is computed per ROW with no
+    * aggregation, no state, no shuffle — featurization at ingest runs at
+    * stream scan speed. Per-doc `nnz`/`l1_micro` equal the batch op's
+    * exactly (Σ over tokens of the bucket idf ≡ Σ over buckets of
+    * tf·idf; spec-pinned). */
+  def tfidfFeatureStream(spark: SparkSession, docs: DataFrame,
+                         baseSfDir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val idf = TextAnalysis.tfidfIdfArray(spark, baseSfDir)
+    val idfCol = array(idf.map(lit(_)): _*)
+    val toks = TextAnalysis.tokens(col("text"))
+    val buckets = transform(toks,
+      t => Dedup.hash32(t) % TextAnalysis.TfidfBuckets)
+    docs.select(col("doc_id"),
+      size(array_distinct(buckets)).cast("long").as("nnz"),
+      aggregate(buckets, lit(0L),
+        (acc, b) => acc + element_at(idfCol, (b + 1).cast("int")))
+        .as("l1_micro"))
+  }
+
   /** Streaming PII scrub: stateless per-row redaction with the batch
     * patterns and scrub order ([[graft.operators.Curation.scrubPii]]
     * applied to the raw `text` column) — the other mandatory ingest-time

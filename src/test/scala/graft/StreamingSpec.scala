@@ -333,6 +333,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tfidf featurizer is stateless and matches the batch summary") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.TextAnalysis.hashedTfidf(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nnz"), r.getAs[Long]("l1_micro")))).toMap
+    val docs = realDocs(sf, 1000)
+    val input = MemoryStream[StreamDoc](spark)
+    // append mode: the featurizer must be aggregation-free (stateless)
+    val q = PipelineStreams.tfidfFeatureStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("stfidf")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("stfidf").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("nnz"), r.getAs[Long]("l1_micro")))).toMap
+      assert(got === batch.view.filterKeys(got.keySet).toMap)
+      assert(got.nonEmpty && got.keySet === docs.map(_.doc_id).toSet)
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup gate matches its own static-frame run") {
     import graft.streaming.PipelineStreams.StreamVec
     val sf = "/root/testdata/sf0.001"
