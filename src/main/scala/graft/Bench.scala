@@ -62,7 +62,7 @@ object Bench {
     val subset = args.toSet
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (subset.isEmpty) names0 else names0.filter(subset)
-    val results = names.map { name =>
+    val results0 = names.map { name =>
       // stderr marker so WARN lines in a bench log can be attributed to
       // the query that emitted them (stdout stays one JSON line)
       System.err.println(s"[bench] $name")
@@ -81,6 +81,25 @@ object Bench {
       val err = if (ok.isEmpty) runs.collectFirst { case (_, Some(e)) => e }
                 else None
       (name, if (ok.nonEmpty) ok.min else -1.0, err)
+    }
+    // End-of-run reconfirmation (round-8 lesson: the three r8 flags were a
+    // transient load window that covered all back-to-back trials of each
+    // query, and the folded-in baseline refresh then grandfathered them).
+    // A query still flagged after its in-place confirmation trial gets ONE
+    // more timing here, minutes of wall-clock away from the original
+    // window — a co-tenant spike now has to span the whole bench to
+    // produce a false flag, while a real plan regression (slow on every
+    // run, any time) still is flagged.
+    val results = results0.map {
+      case (name, sec, None) if looksRegressed(name, sec) =>
+        System.err.println(s"[bench] reconfirm $name")
+        val t0 = System.nanoTime()
+        val again =
+          try { SparkEntry.queries(name)(spark, sfDir)
+                  .queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => sec }
+        (name, math.min(sec, again), None)
+      case r => r
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

