@@ -150,10 +150,10 @@ object OracleSql {
 
   private def annBucketSql(v: String): String = bandBucketSql(v, 0)
 
-  /** Band `band`'s bucket key: planes band·P … band·P+P-1 of the same
-    * deterministic Knuth-hashed family (band 0 = annBucketSql). P is
-    * pinned to [[Similarity.NumPlanes]], which equals the Scala side's
-    * adaptive nearDupPlanesPerBand at the oracle SF (n ≤ 512). */
+  /** Band `band`'s bucket key at the FIXED [[Similarity.NumPlanes]]
+    * width — used only by the LSH-ANN entry (band 0), whose Scala side
+    * pins the same constant. The near-dup family uses the adaptive
+    * in-SQL plane count in [[nearDupPairCtes]] instead. */
   private def bandBucketSql(v: String, band: Int): String =
     (0 until Similarity.NumPlanes).map { j =>
       val plane = band * Similarity.NumPlanes + j
@@ -164,18 +164,35 @@ object OracleSql {
 
   /** Banded near-dup candidate CTEs over `n` (embCtes): the OR of
     * [[Similarity.NearDupBands]] band collisions, distinct pair, exact
-    * cosine verify — the DuckDB twin of Similarity.embeddingNearDup. */
+    * cosine verify — the DuckDB twin of Similarity.embeddingNearDup.
+    *
+    * Planes-per-band is computed IN SQL from the actual vector count —
+    * the integer twin of [[Similarity.nearDupPlanesPerBand]]
+    * (max(NumPlanes, ⌈log2⌈n/target⌉⌉); log2 of a ≤2^53 integer is
+    * FP-exact at the power-of-two boundaries, so ceil agrees with the
+    * Scala leading-zeros form) — a hardcoded plane count would silently
+    * diverge from the adaptive Scala side the moment the oracle runs
+    * above 512 vectors (sf0.1 has 2000 → 6 planes, not 4). */
   private val nearDupPairCtes: String = {
-    val bandSelects = (0 until Similarity.NearDupBands).map { b =>
-      s"SELECT vec_id, $b AS band_j, ${bandBucketSql("v", b)} AS bkey FROM n"
-    }.mkString("\n      UNION ALL ")
-    s"""bnd AS ($bandSelects),
+    val d = Similarity.Dim
+    s"""np AS (SELECT GREATEST(${Similarity.NumPlanes},
+               CAST(ceil(log2(ceil(count(*) / ${Similarity.NearDupTargetBucket}.0))) AS BIGINT)) AS pl
+             FROM n),
+      bnd AS (
+        SELECT vec_id, band_j,
+               CAST(list_sum(list_transform(generate_series(0, pl - 1),
+                 j -> CASE WHEN list_sum(list_transform(generate_series(1, $d),
+                        dd -> v[dd] * ((((band_j * pl + j) * $d + dd) * 2654435761) % 4294967296 / 4294967296.0 - 0.5))) > 0
+                      THEN power(2, j) ELSE 0 END)) AS BIGINT) AS bkey
+        FROM n
+        CROSS JOIN np
+        CROSS JOIN (SELECT unnest(range(${Similarity.NearDupBands})) AS band_j) b),
       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                FROM bnd x JOIN bnd y
                  ON x.band_j = y.band_j AND x.bkey = y.bkey
                     AND x.vec_id < y.vec_id),
       p AS (SELECT c.vec_a, c.vec_b,
-                   list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> ga.v[k]*gb.v[k]))
+                   list_sum(list_transform(generate_series(1, $d), k -> ga.v[k]*gb.v[k]))
                      / (sqrt(ga.n2) * sqrt(gb.n2)) AS cos
             FROM cand c JOIN n ga ON c.vec_a = ga.vec_id
                         JOIN n gb ON c.vec_b = gb.vec_id)"""

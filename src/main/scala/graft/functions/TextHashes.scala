@@ -68,6 +68,11 @@ object TextHashes {
       extends UnaryExpression with KernelCodegenUnary {
     require(as.length == bs.length)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // an EMPTY gram set has no signature: nullSafeEval returns null on
+    // non-null input, so nullability must not be inherited from the child
+    // — with a non-nullable child the generated path would throw where
+    // the interpreted path returns null (round-8 advice)
+    override def nullable: Boolean = true
     override protected def nullSafeEval(arr: Any): Any = {
       val h = arr.asInstanceOf[ArrayData]
       val n = h.numElements()

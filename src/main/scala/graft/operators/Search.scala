@@ -72,18 +72,13 @@ object Search {
     val score = terms.indices.map(partial)
       .reduceLeft[Column]((a, b) => a + b)
 
-    matched
+    PlanGuard.positionRank(matched
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .crossJoin(broadcast(dfs))
       .withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(BmTopK)
-      // orderBy.limit lowers to TakeOrderedAndProject: one ordered
-      // single-partition output, so the rank IS the row position —
-      // monotonically_increasing_id over partition 0 counts 0,1,2,…
-      // in that order. No second sort stage, no unpartitioned window.
-      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
+      .limit(BmTopK))
       .select(col("srank"), col("doc_id"), col("n_hit_terms").cast("long"),
         col("dl"), col("score"))
   }
@@ -124,12 +119,9 @@ object Search {
       .agg(count(lit(1)).as("n_shared_terms"),
         sum(col("a.term_count") * col("b.term_count")).cast("long")
           .as("dot_weight"))
-    pairs
+    PlanGuard.positionRank(pairs
       .orderBy(col("dot_weight").desc, col("doc_a"), col("doc_b"))
-      .limit(SimTopK)
-      // same single-ordering-stage rank as bm25Search: position within
-      // the TakeOrderedAndProject's one sorted partition
-      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
+      .limit(SimTopK))
       .select(col("srank"), col("doc_a"), col("doc_b"),
         col("n_shared_terms"), col("dot_weight"))
   }

@@ -73,8 +73,8 @@ object Skew {
       // rank = row position within TakeOrderedAndProject's one sorted
       // partition (same fold as bm25Search — the row_number window here
       // was the source of every "No Partition Defined" warning in the
-      // bench logs)
-      .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))
+      // bench logs); plan shape enforced by PlanGuard below
+      .transform(PlanGuard.positionRank)
       .select(col("srank"), col("o_custkey"), col("cnt"),
         round(col("cnt") / col("n_rows"), 6).as("key_share"),
         col("is_hot"), col("recommended_salts"))

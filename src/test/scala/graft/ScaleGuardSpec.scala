@@ -139,4 +139,42 @@ class ScaleGuardSpec extends AnyFunSuite {
     // bands are genuinely different hash families
     assert(a.exists(r => r.getLong(3) !== r.getLong(4)))
   }
+
+  test("PlanGuard.positionRank: ranks the TakeOrderedAndProject order, " +
+      "fails loudly when the plan re-lowers") {
+    import graft.operators.PlanGuard
+    val df = spark.range(100).toDF("id")
+    val ranked = PlanGuard.positionRank(
+      df.orderBy(col("id").desc).limit(5)).collect()
+    assert(ranked.map(_.getAs[Long]("srank")).toSeq === (1L to 5L))
+    // srank agrees with the row_number-over-full-sort formulation
+    assert(ranked.map(_.getAs[Long]("id")).toSeq === (99L to 95L by -1))
+    // an unlimited sort does NOT lower to TakeOrderedAndProject — the
+    // guard must refuse rather than emit partition-encoded ids
+    intercept[IllegalArgumentException] {
+      PlanGuard.positionRank(df.orderBy(col("id").desc))
+    }
+  }
+
+  test("MinHashSigs: empty input → null on BOTH paths, non-nullable child") {
+    import graft.functions.TextHashes
+    // array() over literals is a NON-nullable child — the corner where an
+    // un-overridden `nullable` made the generated path throw
+    // IllegalStateException while the interpreted path returned null
+    // (round-8 advice). Both paths must agree: null for the empty gram
+    // set, a real signature otherwise.
+    val as = Seq(97L, 228L); val bs = Seq(13L, 924L)
+    val out = spark.range(3).select(
+      TextHashes.minhash_sigs(array().cast("array<long>"),
+        as, bs, graft.operators.Dedup.MinHashPrime).as("s_empty"),
+      TextHashes.minhash_sigs(array(col("id"), col("id") + 7L),
+        as, bs, graft.operators.Dedup.MinHashPrime).as("s_full"))
+    val a = out.collect()
+    val b = interpretedOnly(out.collect())
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    a.foreach { r =>
+      assert(r.isNullAt(0), "empty gram set must have no signature")
+      assert(!r.isNullAt(1) && r.getSeq[Long](1).length === as.length)
+    }
+  }
 }

@@ -13,13 +13,24 @@ misreporting the engine as super-linear.
 
 - documents: replica k applies a seeded PERMUTATION of the lowercase
   alphabet to the text (a bijective letter cipher; digits/punctuation/
-  case structure untouched). Within a replica: token statistics, lengths,
-  gram counts, dup clusters and quality structure are all isomorphic to
-  replica 0. Across replicas: word-level AND char-gram-level overlap
-  collapses to chance (an earlier suffix-based scheme left word
-  interiors shared, so char-3-gram MinHash bands still collided across
-  replicas and pair counts grew superlinearly — misreporting the engine
-  as super-linear). doc_id offset by k*10^7.
+  case structure untouched), EXCEPT stopword tokens, which map to
+  themselves — the quality/lang-id rules count membership in a fixed
+  stopword lexicon, so a ciphered stopword would fail pass_stopword at
+  replica-dependent rates and skew the curation-family work mix
+  (round-8 advice). With the exemption, token statistics, lengths, dup
+  clusters, quality pass rates AND language id are isomorphic to
+  replica 0. Across replicas: word-level and char-gram-level overlap of
+  NON-stop tokens collapses to chance (an earlier suffix-based scheme
+  left word interiors shared, so char-3-gram MinHash bands still
+  collided across replicas and pair counts grew superlinearly —
+  misreporting the engine as super-linear); shared stopwords contribute
+  only the few char-grams of 2-3-letter words, far below any band
+  threshold. Residual caveat: a ciphered non-stop token could in
+  principle COLLIDE INTO the lexicon (letters permuting onto a
+  stopword), nudging pass_stopword up for that replica — the script
+  prints the collision count per replica so a nonzero skew is visible
+  at generation time (0 for the shipped seeds). doc_id offset by
+  k*10^7.
 - embeddings: replica k applies a seeded PERMUTATION of the 64 dims —
   all within-replica dot products are exactly preserved (clusters,
   planted near-dups, centroid geometry), cross-replica cosines are
@@ -49,6 +60,16 @@ cols = docs.column_names
 out_batches = []
 texts = docs.column("text").to_pylist()
 LOWER = "abcdefghijklmnopqrstuvwxyz"
+# The stopword lexicon the library's quality/lang-id rules count —
+# keep in sync with graft.operators.TextAnalysis.stopwords. Exempted
+# from the cipher so pass_stopword/lang-id rates stay isomorphic
+# across replicas.
+STOPWORDS = {
+    "the", "and", "of", "to", "in", "is", "that", "with",      # en
+    "der", "die", "und", "das", "ist", "mit", "von", "ein",    # de
+    "le", "la", "et", "les", "des", "est", "dans", "que",      # fr
+    "el", "los", "es", "con", "por", "una",                    # es (rest shared)
+}
 for k in range(REPS):
     if k == 0:
         t = texts
@@ -59,7 +80,28 @@ for k in range(REPS):
         cipher = str.maketrans(
             LOWER + LOWER.upper(),
             "".join(perm) + "".join(perm).upper())
-        t = [s.translate(cipher) for s in texts]
+        collisions = 0
+        def cw(w):
+            global collisions
+            # the library lowercases before membership-testing, so "The"
+            # is a stopword hit too — exempt on the lowercased form but
+            # return the ORIGINAL so case structure is untouched
+            if w.lower() in STOPWORDS:
+                return w
+            cwd = w.translate(cipher)
+            if cwd.lower() in STOPWORDS:
+                collisions += 1
+            return cwd
+        # split on runs of ANY whitespace, keeping the delimiters, so the
+        # cipher sees exactly the tokens the library's normalize-then-
+        # split tokenization sees while original spacing is preserved
+        import re as _re
+        t = ["".join(c if i % 2 else cw(c)
+                     for i, c in enumerate(_re.split(r"(\s+)", s)))
+             for s in texts]
+        if collisions:
+            print(f"replica {k}: {collisions} ciphered tokens collided "
+                  f"into the stopword lexicon (pass_stopword skew)")
     arrays = []
     for c in cols:
         if c == "doc_id":
