@@ -144,6 +144,8 @@ object Bench {
     graft.operators.TextAnalysis.clearCaches(spark)
     graft.operators.LangModel.clearCaches(spark)
     graft.operators.Similarity.clearCaches(spark)
+    graft.operators.Sampling.clearCaches(spark)
+    graft.streaming.PipelineStreams.clearCaches(spark)
     spark.stop()
   }
 }

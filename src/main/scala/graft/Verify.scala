@@ -47,6 +47,8 @@ object Verify {
     graft.operators.TextAnalysis.clearCaches(spark)
     graft.operators.LangModel.clearCaches(spark)
     graft.operators.Similarity.clearCaches(spark)
+    graft.operators.Sampling.clearCaches(spark)
+    graft.streaming.PipelineStreams.clearCaches(spark)
     spark.stop()
   }
 }

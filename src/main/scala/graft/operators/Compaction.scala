@@ -72,7 +72,7 @@ object Compaction {
     // metadata-only listing (content column never selected, so binaryFile
     // reads no bytes) — the active segment per partition is the highest
     // base offset, present even when it decodes to zero records
-    val segList = spark.read.format("binaryFile")
+    val segList0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.log")
       .load(s"$baseDir/topic_$topic/partition_*/")
       .select(col("path"),
@@ -80,7 +80,8 @@ object Compaction {
           .as("part_id"),
         regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long")
           .as("base_off"))
-      .collect()
+    val segList = PlanGuard
+      .boundedCollect(segList0, "Compaction.compactKeys segment listing")
       .map(r => (r.getLong(1), r.getLong(2), r.getString(0)))
     if (segList.isEmpty) return Seq.empty
     val activeBase: Map[Long, Long] =
@@ -120,10 +121,11 @@ object Compaction {
       .agg(count(lit(1)).as("n_before"))
     val after = survivors.groupBy("part_id", "base_off")
       .agg(count(lit(1)).as("n_after"))
-    val decisions = before.join(after, Seq("part_id", "base_off"), "left")
-      .select(col("part_id"), col("base_off"),
-        col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after"))
-      .collect()
+    val decisions = PlanGuard.boundedCollect(
+        before.join(after, Seq("part_id", "base_off"), "left")
+          .select(col("part_id"), col("base_off"),
+            col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after")),
+        "Compaction decision table")
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
       .toMap
 

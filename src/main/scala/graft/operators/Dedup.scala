@@ -120,18 +120,22 @@ object Dedup {
   private val pairsCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Cache keys embed a size+mtime fingerprint of documents.parquet, so
-    * REGENERATED testdata at the same path invalidates instead of
+  /** Cache keys embed a size+mtime fingerprint of the backing table file,
+    * so REGENERATED testdata at the same path invalidates instead of
     * silently serving stale pairs (same scheme as
     * LogTable.ensureMaterialized). */
-  private[operators] def cacheKey(sfDir: String, variant: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
+  private[graft] def cacheKeyFor(sfDir: String, variant: String,
+                                 table: String): String = {
+    val src = new java.io.File(s"$sfDir/$table.parquet")
     val parts: Seq[java.io.File] =
       if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
     val fp = java.lang.Long.toHexString(
       parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
     s"$sfDir#$variant#$fp"
   }
+
+  private[graft] def cacheKey(sfDir: String, variant: String): String =
+    cacheKeyFor(sfDir, variant, "documents")
 
   /** getOrElseUpdate with STALE-FINGERPRINT EVICTION: before inserting,
     * any entry for the same (session, sfDir, variant) whose fingerprint no
@@ -143,17 +147,17 @@ object Dedup {
   /** Release a cached frame's storage: the CacheManager entry for
     * persisted frames, the underlying RDD blocks for localCheckpoint-built
     * ones (Dataset.unpersist cannot reach those). */
-  private[operators] def releaseFrame(df: DataFrame): Unit = {
+  private[graft] def releaseFrame(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(df)
-      .foreach(_.unpersist(blocking = false))
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage(df)
   }
 
-  private[operators] def getOrUpdateEvicting(
+  private[graft] def getOrUpdateEvicting(
       cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
-      spark: SparkSession, sfDir: String, variant: String)(
+      spark: SparkSession, sfDir: String, variant: String,
+      table: String = "documents")(
       build: => DataFrame): DataFrame = cache.synchronized {
-    val key = cacheKey(sfDir, variant)
+    val key = cacheKeyFor(sfDir, variant, table)
     val prefix = s"$sfDir#$variant#"
     cache.keys
       .filter(k => (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != key)
@@ -614,8 +618,11 @@ object Dedup {
         .repartition(nParts, col("doc_id"))
         .localCheckpoint(true) // eager: materializes every partition
       converged = next.filter(col("comp") =!= col("prev_comp")).isEmpty
-      org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(cur)
-        .foreach(_.unpersist(blocking = false))
+      // next is fully materialized (eager checkpoint) and the probe above
+      // consumed it — releasing the superseded round is safe; an
+      // out-of-order release here would THROW at the next consumer, never
+      // silently recompute (CacheEvictionSpec pins both directions)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage(cur)
       cur = next
       iter += 1
     }

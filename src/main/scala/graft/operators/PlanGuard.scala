@@ -18,6 +18,30 @@ object PlanGuard {
     * silently mis-ranking (round-8 advice). Planning here is free to the
     * caller: queryExecution is a lazy val on the returned Dataset, shared
     * with whoever materializes it. */
+  /** Cap for driver-side METADATA collects (segment/partition
+    * descriptors in the maintenance operators). These frames are
+    * aggregated to one row per segment BEFORE collecting, so the bound
+    * is #segments — ~10⁵ at a 100 TB topic, far under this cap — but an
+    * accidental pre-aggregation regression (or a pathological layout)
+    * must fail fast with a pointer, not OOM the driver. */
+  val MaxDriverMetaRows: Int = 1 << 20
+
+  /** Collect a driver-side metadata frame with an explicit row cap:
+    * `take(cap+1)` pulls at most cap+1 rows (never the full overflow),
+    * then the guard refuses. The frame must stay segment/partition-
+    * bounded — never record-bounded. */
+  def boundedCollect(df: DataFrame, what: String,
+                     cap: Int = MaxDriverMetaRows):
+      Array[org.apache.spark.sql.Row] = {
+    val rows = df.take(cap + 1)
+    require(rows.length <= cap,
+      s"$what: driver-side metadata collect exceeded $cap rows — this " +
+        "frame must be aggregated to segment/partition granularity " +
+        "before collecting (narrow the maintenance scope per " +
+        "topic/partition, or page over partitions)")
+    rows
+  }
+
   def positionRank(ordered: DataFrame): DataFrame = {
     val out = ordered
       .withColumn("srank", (monotonically_increasing_id() + 1).cast("long"))

@@ -36,7 +36,7 @@ object Retention {
            retentionMs: Long = LogModel.RetentionDays * 86400000L,
            retentionBytes: Long = LogModel.RetentionBytes,
            nowMs: Option[Long] = None): Seq[SegmentDecision] = {
-    val segStats = spark.read.format("binaryFile")
+    val segStats0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.log")
       .load(s"$baseDir/topic_$topic/partition_*/")
       .select(col("path"), col("length"),
@@ -53,7 +53,7 @@ object Retention {
         col("length").as("seg_bytes"), explode_outer(col("recs")).as("r"))
       .groupBy("part_id", "base_off", "path", "seg_bytes")
       .agg(max("r.ts_ms").as("seg_max_ts"), max("r.msg_offset").as("last_off"))
-      .collect()
+    val segStats = PlanGuard.boundedCollect(segStats0, "Retention.plan")
     if (segStats.isEmpty) return Seq.empty
     def tsOf(r: org.apache.spark.sql.Row): Long = {
       val i = r.fieldIndex("seg_max_ts")
@@ -185,10 +185,10 @@ object Retention {
     * watermarks — the file-layout twin of `LogModel.watermarks`. */
   def watermarksOnDisk(spark: SparkSession, baseDir: String,
                        topic: String): Map[Long, (Long, Long, Long)] = {
-    val highs = graft.sources.SegmentFiles.readTopic(spark, baseDir, topic)
+    val highs0 = graft.sources.SegmentFiles.readTopic(spark, baseDir, topic)
       .groupBy("part_id")
       .agg(min("msg_offset").as("mn"), max("msg_offset").as("mx"))
-      .collect()
+    val highs = PlanGuard.boundedCollect(highs0, "Retention.watermarksOnDisk")
     highs.map { r =>
       val p = r.getAs[Long]("part_id")
       val low = lowWatermark(spark, baseDir, topic, p)

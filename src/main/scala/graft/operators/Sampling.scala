@@ -310,7 +310,29 @@ object Sampling {
     * broadcasts; [[importanceSample]] consumes it in-plan and the
     * streaming twin scores an unbounded stream against it (train-once,
     * score-forever — the production deployment shape). */
-  def dsirRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Persist-once registry for the trained DSIR artifact — the streaming
+    * scorer re-executes its static subtree per micro-batch, and the batch
+    * `importance_sample` consumes the table too; training (two corpus
+    * groupBys) must run once per (session, base). [[clearCaches]]
+    * releases it (Bench/Verify teardown). */
+  private val modelCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and drop the cached DSIR ratio tables for `spark`. */
+  def clearCaches(spark: SparkSession): Unit = modelCache.synchronized {
+    val stale = modelCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      Dedup.releaseFrame(modelCache(k))
+      modelCache.remove(k)
+    }
+  }
+
+  def dsirRatioTable(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(modelCache, spark, sfDir, "dsir_ratio")(
+      dsirRatioTableUncached(spark, sfDir))
+
+  private def dsirRatioTableUncached(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
     import graft.operators.LangModel.LmMicro
     val occ = dsirOcc(spark, sfDir)
     val baseCnt = occ.groupBy("f").agg(count(lit(1)).as("cb"))

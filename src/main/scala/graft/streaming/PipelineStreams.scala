@@ -17,6 +17,27 @@ import graft.operators.{Curation, TextAnalysis}
   */
 object PipelineStreams {
 
+  /** Persist-once registry for the gates' STATIC base indices (band keys,
+    * simhash block keys, boilerplate sliver). A stream-static join
+    * re-executes its static subtree on EVERY micro-batch — unpersisted,
+    * each batch would re-tokenize/re-hash the whole base corpus, making
+    * per-batch cost linear in base size instead of in batch size (the
+    * round-8 verdict's streaming-gates stress ask). Shares
+    * [[graft.operators.Dedup.getOrUpdateEvicting]]'s fingerprint-evicting
+    * contract; [[clearCaches]] releases, wired into Bench/Verify teardown
+    * next to the batch registries. */
+  private val staticIndexCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and drop the cached static gate indices for `spark`. */
+  def clearCaches(spark: SparkSession): Unit = staticIndexCache.synchronized {
+    val stale = staticIndexCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      graft.operators.Dedup.releaseFrame(staticIndexCache(k))
+      staticIndexCache.remove(k)
+    }
+  }
+
   /** Typed row for document streams (tests / MemoryStream drivers). */
   case class StreamDoc(doc_id: Long, lang: String, text: String,
                        event_ts: java.sql.Timestamp)
@@ -233,9 +254,16 @@ object PipelineStreams {
     val baseRaw = graft.sources.Tables.load(spark, baseSfDir, "embeddings")
     val planes = Similarity.nearDupPlanesPerBand(
       baseRaw.select(col("vec_id")).count())
-    val base = Similarity.nearDupBandKeys(Similarity.normVectors(baseRaw), planes)
-      .select(col("vec_id").as("base_id"), col("v").as("bv"),
-        col("n2").as("bn2"), col("band_j"), col("bkey"))
+    // persist-once: without it every micro-batch re-reads and re-hashes
+    // the whole base corpus (stream-static joins re-execute the static
+    // subtree per batch) — per-batch cost must be probe-sized, not
+    // base-sized
+    val base = graft.operators.Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_band_index", "embeddings") {
+      Similarity.nearDupBandKeys(Similarity.normVectors(baseRaw), planes)
+        .select(col("vec_id").as("base_id"), col("v").as("bv"),
+          col("n2").as("bn2"), col("band_j"), col("bkey"))
+    }
     Similarity.nearDupBandKeys(Similarity.normVectors(vecs), planes)
       .join(base, Seq("band_j", "bkey"))
       .filter(col("vec_id") =!= col("base_id"))
@@ -271,11 +299,17 @@ object PipelineStreams {
   def simhashNearDupStream(spark: SparkSession, docs: DataFrame,
                            baseSfDir: String): DataFrame = {
     import graft.operators.Dedup
-    val base = Dedup.simhashBlockKeys(Dedup.withSimhash64(
-        graft.sources.Tables.load(spark, baseSfDir, "documents"))
-        .select(col("doc_id"), col("sh_lo"), col("sh_hi")))
-      .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
-        col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
+    // persist-once (same rationale as embeddingNearDupStream): the base
+    // fingerprint+block-key index computes once per (session, base), not
+    // once per micro-batch
+    val base = Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_simhash_index") {
+      Dedup.simhashBlockKeys(Dedup.withSimhash64(
+          graft.sources.Tables.load(spark, baseSfDir, "documents"))
+          .select(col("doc_id"), col("sh_lo"), col("sh_hi")))
+        .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
+          col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
+    }
     Dedup.simhashBlockKeys(Dedup.withSimhash64(docs))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         col("combo_j"), col("combo_key"))
@@ -306,12 +340,18 @@ object PipelineStreams {
   def lineDedupStream(spark: SparkSession, docs: DataFrame,
                       baseSfDir: String): DataFrame = {
     import graft.operators.Curation
-    val boiler = Curation.chunkFrame(
-        graft.sources.Tables.load(spark, baseSfDir, "documents")
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
-      .groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= Curation.LineDupMinDocs)
-      .select("h")
+    // persist-once: the boilerplate SLIVER is small, but learning it
+    // re-chunks the whole base corpus — that must happen once per
+    // (session, base), not once per micro-batch
+    val boiler = graft.operators.Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_boiler_sliver") {
+      Curation.chunkFrame(
+          graft.sources.Tables.load(spark, baseSfDir, "documents")
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+        .groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= Curation.LineDupMinDocs)
+        .select("h")
+    }
     Curation.rebuildKept(
         Curation.chunkFrame(docs.select(col("doc_id"),
             TextAnalysis.tokens(col("text")).as("toks")))

@@ -34,4 +34,38 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+
+  /** Ids of the cached column-buffer RDDs backing `df`'s plan (one per
+    * InMemoryRelation in the optimized plan). A PER-ENTRY observable for
+    * cache-eviction tests: global persistent-RDD counts race with
+    * unrelated suites unpersisting in the same SparkContext, and
+    * Dataset.storageLevel resolves through the CacheManager by canonical
+    * plan — which cannot tell a stale entry from its same-plan
+    * replacement. */
+  def cachedRddIds(df: DataFrame): Set[Int] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.cachedColumnBuffers.id
+    }.toSet
+
+  /** One-time quiet of the RDD-class "locally checkpointed … cannot be
+    * recomputed after unpersisting" WARN: it fires on EVERY unpersist of
+    * a local checkpoint, intentional or not, so as a log line it carries
+    * no signal and camouflages real warnings in bench stderr. The actual
+    * failure mode of an out-of-order release is a hard SparkException
+    * ("Checkpoint block … not found") at the late consumer — pinned by
+    * CacheEvictionSpec — never a silent recompute. */
+  private lazy val quietLineageWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** Unpersist the block storage behind a `localCheckpoint()`ed frame.
+    * Caller contract: every consumer of `df` is already materialized —
+    * after release the frame is NOT recomputable (truncated lineage). */
+  def releaseCheckpointStorage(df: DataFrame,
+                               blocking: Boolean = false): Unit = {
+    quietLineageWarn
+    checkpointRdd(df).foreach(_.unpersist(blocking))
+  }
 }

@@ -30,9 +30,20 @@ class CacheEvictionSpec extends AnyFunSuite {
     assert(f.setLastModified(f.lastModified() + 60000L), s"cannot touch $path")
   }
 
+  // Both eviction tests assert on the SPECIFIC RDD ids backing the cached
+  // frames (Bridge.cachedRddIds / checkpointRdd), not on global
+  // persistent-RDD counts: suites share one SparkContext and run in
+  // parallel, so a count delta races with unrelated unpersists — and
+  // Dataset.storageLevel can't distinguish a stale entry from its
+  // same-canonical-plan replacement.
+  private def backingIds(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    B.checkpointRdd(df).map(r => Set(r.id)).getOrElse(B.cachedRddIds(df))
+  }
+
   test("Dedup.verifiedPairs: a changed documents fingerprint unpersists the stale frame") {
     val dir = scratchDir("documents")
-    def persisted = spark.sparkContext.getPersistentRDDs.size
+    def live = spark.sparkContext.getPersistentRDDs
     val a = Dedup.verifiedPairs(spark, dir)
     a.count()
     // the pairs frame is eagerly localCheckpoint-backed (its storage lives
@@ -41,29 +52,58 @@ class CacheEvictionSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(a)
       .exists(_.getStorageLevel.useMemory) ||
       a.storageLevel === StorageLevel.MEMORY_AND_DISK)
-    val afterFirst = persisted
+    val aIds = backingIds(a)
+    assert(aIds.nonEmpty && aIds.forall(live.contains))
     touch(s"$dir/documents.parquet")
     val b = Dedup.verifiedPairs(spark, dir)
     b.count()
     assert(b ne a)
-    // NOTE: a.storageLevel is NOT a valid observable here — a and b have
-    // sameResult canonical plans (same directory), so the CacheManager
-    // lookup for `a` finds B's fresh entry. The net persisted-RDD count
-    // is unambiguous: insert + evict must not grow it.
-    assert(persisted === afterFirst,
-      s"stale-fingerprint entry leaked: $persisted persisted RDDs vs $afterFirst")
+    val bIds = backingIds(b)
+    assert(bIds.nonEmpty && bIds.forall(live.contains))
+    assert(aIds.intersect(bIds).isEmpty)
+    assert(aIds.forall(!live.contains(_)),
+      s"stale-fingerprint entry leaked: RDDs $aIds still persisted")
   }
 
-  test("Similarity cell assignment: a changed embeddings fingerprint nets zero new persisted RDDs") {
+  test("local-checkpoint release: safe after materialize, THROWS out of order") {
+    import org.apache.spark.sql.functions._
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    // the componentsOf loop discipline: successor eagerly checkpointed
+    // (all partitions materialized) BEFORE the superseded round's blocks
+    // are released — consumers of the successor never re-read the base
+    val base = spark.range(0, 1000, 1, 4).toDF("id").localCheckpoint(true)
+    val succ = base.withColumn("x", col("id") * 2).localCheckpoint(true)
+    B.releaseCheckpointStorage(base, blocking = true)
+    assert(succ.count() === 1000L)
+    // out-of-order release: a dependent that was NOT materialized first
+    // must fail HARD at its checkpoint-block read — a silent recompute
+    // here would mean the WARN we quieted was load-bearing after all
+    val base2 = spark.range(0, 1000, 1, 4).toDF("id").localCheckpoint(true)
+    val lateConsumer = base2.withColumn("x", col("id") * 2)
+    B.releaseCheckpointStorage(base2, blocking = true)
+    val e = intercept[org.apache.spark.SparkException] { lateConsumer.count() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("checkpoint"), msgs(e))
+  }
+
+  test("Similarity cell assignment: a changed embeddings fingerprint evicts the stale entry") {
     val dir = scratchDir("documents", "embeddings")
-    def persisted = spark.sparkContext.getPersistentRDDs.size
-    Similarity.embeddingAnnIvf(spark, dir).count()
-    val afterFirst = persisted
+    def live = spark.sparkContext.getPersistentRDDs
+    val r1 = Similarity.embeddingAnnIvf(spark, dir)
+    r1.count()
+    // r1's plan was resolved against the PRE-touch cache entry: its
+    // InMemoryRelation's buffer RDD id identifies the stale entry exactly
+    val ids1 = backingIds(r1)
+    assert(ids1.nonEmpty && ids1.forall(live.contains))
     touch(s"$dir/embeddings.parquet")
-    Similarity.embeddingAnnIvf(spark, dir).count()
-    // the fresh-fingerprint insert must have evicted the stale one: the
-    // net persisted-RDD count cannot grow across the re-registration
-    assert(persisted === afterFirst,
-      s"stale cell assignment leaked: $persisted persisted RDDs vs $afterFirst")
+    val r2 = Similarity.embeddingAnnIvf(spark, dir)
+    r2.count()
+    val ids2 = backingIds(r2)
+    assert(ids2.nonEmpty && ids2.forall(live.contains))
+    assert(ids1.intersect(ids2).isEmpty)
+    // the fresh-fingerprint insert must have evicted the stale one
+    assert(ids1.forall(!live.contains(_)),
+      s"stale cell assignment leaked: RDDs $ids1 still persisted")
   }
 }

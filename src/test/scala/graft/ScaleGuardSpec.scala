@@ -156,6 +156,19 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedCollect: under-cap returns all rows, over-cap refuses fast") {
+    import graft.operators.PlanGuard
+    val df = spark.range(10).toDF("id")
+    assert(PlanGuard.boundedCollect(df, "t", cap = 20).length === 10)
+    // the refusal pulls at most cap+1 rows — a maintenance frame that
+    // degenerated to record granularity fails with the pointer message,
+    // it does not OOM the driver first
+    val e = intercept[IllegalArgumentException] {
+      PlanGuard.boundedCollect(df, "t", cap = 5)
+    }
+    assert(e.getMessage.contains("metadata collect exceeded"))
+  }
+
   test("MinHashSigs: empty input → null on BOTH paths, non-nullable child") {
     import graft.functions.TextHashes
     // array() over literals is a NON-nullable child — the corner where an
