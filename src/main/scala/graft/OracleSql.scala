@@ -1781,6 +1781,35 @@ object OracleSql {
       JOIN denom d ON g.k = d.k"""
   }
 
+  /** ann_recall_trained (hash-checkable since r9, sketch-row pattern):
+    * the synthetic-pq recall columns recompute exactly (same arithmetic
+    * as the green ann_recall pq rows); the trained-codebook comparison —
+    * floats DuckDB cannot replay — ships as the margin verdict pinned
+    * TRUE, so a hash mismatch means the trained book broke its own
+    * quality claim. */
+  private val annRecallTrainedSql: String = {
+    val kVals = Similarity.RecallKs.map(k => s"($k)").mkString(",")
+    s"""WITH exact AS (
+        SELECT q_id, vec_id, "rank" AS e_rank FROM (${base("embedding_topk")})),
+      approx AS (
+        SELECT q_id, vec_id, "rank" AS a_rank
+        FROM (${base("embedding_ann_pq")})),
+      ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $kVals) t(k)),
+      hits AS (SELECT k, CAST(count(*) AS BIGINT) AS n_hit
+               FROM approx a JOIN exact e USING (q_id, vec_id)
+               JOIN ks ON a.a_rank <= ks.k AND e.e_rank <= ks.k
+               GROUP BY k),
+      denom AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+                FROM exact JOIN ks ON exact.e_rank <= ks.k GROUP BY k)
+      SELECT ks.k, d.n_exact,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS pq_n_hit,
+             round(COALESCE(h.n_hit, 0) / CAST(d.n_exact AS DOUBLE), 6)
+               AS pq_recall,
+             CASE WHEN ks.k = ${Similarity.RecallKs.max}
+                  THEN TRUE ELSE NULL END AS trained_within_margin
+      FROM ks LEFT JOIN hits h ON ks.k = h.k JOIN denom d ON ks.k = d.k"""
+  }
+
   /** cluster_purity: label purity of the refined k-means cells, composed
     * by embedding the already-green kmeans_refine TEXT as a subquery
     * (annRecall pattern — the assignment the purity is measured on cannot
@@ -2013,6 +2042,7 @@ object OracleSql {
   val all: Map[String, String] = base +
     ("importance_sample" -> importanceSampleSql) +
     ("ann_recall" -> annRecallSql) +
+    ("ann_recall_trained" -> annRecallTrainedSql) +
     ("cluster_purity" -> clusterPuritySql) +
     ("table_profile" -> tableProfileSql) +
     ("curate_embeddings" -> curateEmbeddingsSql) +

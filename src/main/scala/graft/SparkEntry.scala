@@ -92,9 +92,10 @@ object SparkEntry {
     "embedding_ann_ivf" -> (Similarity.embeddingAnnIvf(_, _)),
     "embedding_ann_ivf2" -> (Similarity.embeddingAnnIvfMultiprobe(_, _)),
     "embedding_ann_pq" -> (Similarity.embeddingAnnPq(_, _)),
-    // rows-only pair: the k-means-trained codebook is float-trained on the
-    // corpus, so DuckDB cannot replay it; quality bound pinned in
-    // PipelineSpec, measured recall carried by ann_recall_trained
+    // the k-means-trained codebook is float-trained on the corpus, so
+    // DuckDB cannot replay its top-k LISTS (rows-only); the quality claim
+    // they support is hash-checkable via ann_recall_trained's verdict row
+    // (r9), and the bound is also pinned in PipelineSpec
     "embedding_ann_pq_trained" -> (Similarity.embeddingAnnPqTrained(_, _)),
     "ann_recall_trained" -> (Similarity.annRecallTrained(_, _)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup(_, _)),

@@ -344,7 +344,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("ann_recall_trained: measured pq_t quality bound, one training per session") {
-    val rows = Similarity.annRecallTrained(spark, sf).collect()
+    val rows = Similarity.annRecallTrainedDetail(spark, sf).collect()
     // full grid: {pq, pq_t} x {1, 5, 10}
     assert(rows.length === 6)
     val r10 = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("recall")).toMap
@@ -352,6 +352,16 @@ class PipelineSpec extends AnyFunSuite {
     // trained recall@10 within 0.02 of (practically: above) synthetic
     assert(r10(("pq_t", 10L)) >= r10(("pq", 10L)) - 0.02,
       s"trained pq recall ${r10(("pq_t", 10L))} below synthetic ${r10(("pq", 10L))} - 0.02")
+    // the query-facing verdict row: claim TRUE at the headline k, NULL
+    // (no claim) at granularity-dominated smaller ks
+    val verdicts = Similarity.annRecallTrained(spark, sf).collect()
+    assert(verdicts.length === Similarity.RecallKs.length)
+    verdicts.foreach { r =>
+      val i = r.fieldIndex("trained_within_margin")
+      if (r.getAs[Long]("k") == Similarity.RecallKs.max.toLong)
+        assert(!r.isNullAt(i) && r.getBoolean(i), r.toString)
+      else assert(r.isNullAt(i), r.toString)
+    }
     // the trained book is cached per (session, input): the second call
     // returns the SAME array instance — no second 6-iteration Lloyd chain
     assert(Similarity.trainedBook(spark, sf) eq Similarity.trainedBook(spark, sf))

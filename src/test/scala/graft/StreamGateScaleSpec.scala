@@ -123,7 +123,10 @@ class StreamGateScaleSpec extends AnyFunSuite {
   }
 
   private def assertFlat(gate: String, tSmall: Double, tBig: Double): Unit =
-    assert(tBig <= math.max(2.0, 4.0 * tSmall),
+    // 3 s floor: a co-tenant burst on a busy test box must not flake a
+    // sub-second measurement, while linear-in-base behavior on the
+    // band-index gates still reads far above it (~5 s+)
+    assert(tBig <= math.max(3.0, 4.0 * tSmall),
       f"$gate per-batch time grew ${tBig / tSmall}%.1fx at a 10x base " +
         f"($tSmall%.2fs -> $tBig%.2fs) — static side re-executing per batch?")
 
