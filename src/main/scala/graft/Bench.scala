@@ -146,6 +146,12 @@ object Bench {
     graft.operators.Similarity.clearCaches(spark)
     graft.operators.Sampling.clearCaches(spark)
     graft.streaming.PipelineStreams.clearCaches(spark)
+    // clearCaches releases are non-blocking (right for mid-session
+    // eviction); at teardown drain synchronously so async unpersist
+    // futures don't race executor-pool shutdown into harmless-but-noisy
+    // RejectedExecutionException stacks after the JSON line
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     spark.stop()
   }
 }

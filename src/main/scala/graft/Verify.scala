@@ -49,6 +49,9 @@ object Verify {
     graft.operators.Similarity.clearCaches(spark)
     graft.operators.Sampling.clearCaches(spark)
     graft.streaming.PipelineStreams.clearCaches(spark)
+    // synchronous drain before stop — see Bench teardown comment
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     spark.stop()
   }
 }
