@@ -1806,7 +1806,7 @@ object OracleSql {
              round(COALESCE(h.n_hit, 0) / CAST(d.n_exact AS DOUBLE), 6)
                AS pq_recall,
              CASE WHEN ks.k = ${Similarity.RecallKs.max}
-                  THEN TRUE ELSE NULL END AS trained_within_margin
+                  THEN 'true' ELSE 'na' END AS trained_within_margin
       FROM ks LEFT JOIN hits h ON ks.k = h.k JOIN denom d ON ks.k = d.k"""
   }
 

@@ -140,6 +140,37 @@ object Similarity {
         posexplode(col("bks")).as(Seq("band_j", "bkey")))
   }
 
+  /** Materialize the near-dup band-key index as a BUCKETED table — the
+    * layout for a base corpus that outgrows executor memory (the
+    * persist-once in-memory index the streaming gate uses by default
+    * stops fitting long before 100 TB). Bucketed+sorted on the join key
+    * (band_j, bkey), so a probe joins it with NO Exchange and NO Sort on
+    * the base side — the shuffle was paid once at write time; per
+    * micro-batch only the batch itself shuffles
+    * ([[graft.streaming.PipelineStreams.embeddingNearDupStreamIndexed]],
+    * plan-asserted in StreamGateScaleSpec). The planes-per-band the
+    * index was built with rides along as a table property so probes
+    * cannot silently band differently. Returns `planes`. */
+  def writeBandIndexTable(spark: SparkSession, sfDir: String,
+                          table: String, nBuckets: Int = 16): Int = {
+    val planes = nearDupPlanesPerBand(
+      emb(spark, sfDir).select(col("vec_id")).count())
+    nearDupBandKeys(vectors(spark, sfDir), planes)
+      .select(col("vec_id").as("base_id"), col("v").as("bv"),
+        col("n2").as("bn2"), col("band_j"), col("bkey"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band_j", "bkey").sortBy("band_j", "bkey")
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES('graft.planes' = '$planes')")
+    planes
+  }
+
+  /** The planes-per-band a [[writeBandIndexTable]] table was built with. */
+  def bandIndexPlanes(spark: SparkSession, table: String): Int =
+    spark.sql(s"SHOW TBLPROPERTIES $table('graft.planes')")
+      .select("value").head().getString(0).toInt
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
     val planes = nearDupPlanesPerBand(
@@ -739,9 +770,13 @@ object Similarity {
       .select(col("k"), col("recall").as("t_recall"))
     pq.join(t, Seq("k"))
       .select(col("k"), col("n_exact"), col("pq_n_hit"), col("pq_recall"),
+        // 'na' (not NULL) below the claim k: a NULL boolean round-trips
+        // as None vs NaN through the two engines' comparison paths and
+        // hash-mismatches even when both sides agree
         when(col("k") === lit(RecallKs.max.toLong),
-          col("t_recall") >= col("pq_recall") - TrainedRecallMargin
-            - lit(1.0) / col("n_exact"))
+          when(col("t_recall") >= col("pq_recall") - TrainedRecallMargin
+            - lit(1.0) / col("n_exact"), "true").otherwise("false"))
+          .otherwise("na")
           .as("trained_within_margin"))
   }
 

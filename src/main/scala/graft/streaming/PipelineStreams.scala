@@ -264,6 +264,16 @@ object PipelineStreams {
         .select(col("vec_id").as("base_id"), col("v").as("bv"),
           col("n2").as("bn2"), col("band_j"), col("bkey"))
     }
+    nearDupProbe(vecs, base, planes)
+  }
+
+  /** The shared probe: band the incoming vectors, equi-join the base
+    * band index, cosine-verify, roll up per vec. One definition for the
+    * in-memory and bucketed-table index variants. */
+  private def nearDupProbe(vecs: DataFrame, base: DataFrame,
+                           planes: Int): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorOps
     Similarity.nearDupBandKeys(Similarity.normVectors(vecs), planes)
       .join(base, Seq("band_j", "bkey"))
       .filter(col("vec_id") =!= col("base_id"))
@@ -274,6 +284,21 @@ object PipelineStreams {
       .agg(count(lit(1)).as("n_collisions"),
         round(max("cos"), 6).as("max_cos"),
         min("base_id").as("example_base_vec"))
+  }
+
+  /** [[embeddingNearDupStream]] against a BUCKETED on-disk band index
+    * ([[graft.operators.Similarity.writeBandIndexTable]]) — the layout
+    * for a base corpus that outgrows executor memory: the static side
+    * joins with no Exchange and no Sort per micro-batch (bucketed+sorted
+    * on the join key; only the batch itself shuffles), and the planes
+    * the index was banded with come from the table property, so the
+    * probe cannot silently band differently from the index. */
+  def embeddingNearDupStreamIndexed(spark: SparkSession, vecs0: DataFrame,
+                                    indexTable: String): DataFrame = {
+    val vecs = if (vecs0.columns.contains("vec_id")) vecs0
+               else vecs0.withColumnRenamed("doc_id", "vec_id")
+    nearDupProbe(vecs, spark.table(indexTable),
+      graft.operators.Similarity.bandIndexPlanes(spark, indexTable))
   }
 
   /** Streaming SimHash near-dup detection against a STATIC base corpus —

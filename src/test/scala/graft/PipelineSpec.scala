@@ -352,15 +352,15 @@ class PipelineSpec extends AnyFunSuite {
     // trained recall@10 within 0.02 of (practically: above) synthetic
     assert(r10(("pq_t", 10L)) >= r10(("pq", 10L)) - 0.02,
       s"trained pq recall ${r10(("pq_t", 10L))} below synthetic ${r10(("pq", 10L))} - 0.02")
-    // the query-facing verdict row: claim TRUE at the headline k, NULL
+    // the query-facing verdict row: claim 'true' at the headline k, 'na'
     // (no claim) at granularity-dominated smaller ks
     val verdicts = Similarity.annRecallTrained(spark, sf).collect()
     assert(verdicts.length === Similarity.RecallKs.length)
     verdicts.foreach { r =>
-      val i = r.fieldIndex("trained_within_margin")
+      val v = r.getAs[String]("trained_within_margin")
       if (r.getAs[Long]("k") == Similarity.RecallKs.max.toLong)
-        assert(!r.isNullAt(i) && r.getBoolean(i), r.toString)
-      else assert(r.isNullAt(i), r.toString)
+        assert(v === "true", r.toString)
+      else assert(v === "na", r.toString)
     }
     // the trained book is cached per (session, input): the second call
     // returns the SAME array instance — no second 6-iteration Lloyd chain

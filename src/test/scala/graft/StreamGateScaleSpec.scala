@@ -175,6 +175,45 @@ class StreamGateScaleSpec extends AnyFunSuite {
     assertFlat("bloomGateStream", s, b)
   }
 
+  test("bucketed band-index gate: same answers, no Exchange/Sort on the base side") {
+    import graft.operators.Similarity
+    val table = "gs_band_index"
+    Similarity.writeBandIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the gate transformations are stream-agnostic — run both variants
+      // on the same batch frame and compare full answers
+      val probe = graft.sources.Tables.load(spark, smallSf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 7 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      val mem = PipelineStreams.embeddingNearDupStream(spark, probe, smallSf)
+      val idx = PipelineStreams
+        .embeddingNearDupStreamIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      // forbid broadcast so the plan must prove the bucketed layout: the
+      // base side joins pre-partitioned AND pre-sorted (paid at write
+      // time) — only the probe side exchanges, per micro-batch
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams
+        .embeddingNearDupStreamIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(band_j".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))
