@@ -959,6 +959,49 @@ object OracleSql {
       FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id"""
     },
 
+    // sliding-window exact substring dedup: hashed W-token windows at
+    // every alignment, duplicated windows merged into maximal spans by
+    // the same gaps-and-islands rule on both engines
+    "span_dedup" -> {
+      import graft.operators.Curation._
+      val W = SpanWindowWords
+      s"""WITH $textCtes,
+      w AS (SELECT doc_id, unnest(list_transform(
+               range(1, len(toks) - ${W - 2}),
+               j -> struct_pack(pos := j,
+                 h := md5(array_to_string(toks[j:j+${W - 1}], ' '))))) AS s
+            FROM tok),
+      wh AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM w),
+      duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                              FROM wh GROUP BY h)
+               WHERE nd >= $SpanDupMinDocs),
+      d AS (SELECT wh.doc_id, wh.pos FROM wh JOIN duph ON wh.h = duph.h),
+      brk AS (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM d),
+      isl AS (SELECT doc_id, pos,
+                sum(CASE WHEN pos > prev + $W THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
+               count(*) AS nwin
+             FROM isl GROUP BY doc_id, island),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + $W) AS BIGINT) AS n_dup_tokens,
+               CAST(sum(nwin) AS BIGINT) AS n_dup_windows
+             FROM sp GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(greatest(len(toks) - ${W - 1}, 0) AS BIGINT) AS n_windows
+              FROM tok)
+      SELECT t.doc_id, t.n_tokens, t.n_windows,
+             COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+             COALESCE(p.n_spans, 0) AS n_spans,
+             COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+             round(COALESCE(p.n_dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS dup_token_frac,
+             COALESCE(p.n_dup_tokens, 0) * 100 <= $SpanDupMaxPct * t.n_tokens AS pass_span
+      FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id"""
+    },
+
     "pii_scrub" -> {
       import graft.operators.Curation._
       s"""WITH h AS (SELECT doc_id, text, ${docHashSql("doc_id")} % 4 AS hb FROM documents),

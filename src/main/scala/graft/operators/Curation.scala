@@ -598,4 +598,97 @@ object Curation {
         keptWords(col("kept_text")).as("n_kept_words"),
         md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
   }
+
+  // ----- sliding-window exact substring (span) dedup -----
+
+  /** Sliding-window width for exact substring dedup. Two documents that
+    * share ANY [[SpanWindowWords]]-token run are caught at EVERY
+    * alignment — unlike [[lineDedup]]'s fixed chunk grid, which misses a
+    * shared run that straddles a chunk boundary shifted between the two
+    * docs. This is the hashed-shingle equivalent of suffix-array
+    * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — public paper; they use 50 BPE
+    * tokens at web scale): exact for shared runs ≥ W, blind below W by
+    * definition. 8 words here so the synthetic docs (tens-to-hundreds of
+    * words) exercise both matched and unmatched spans. */
+  val SpanWindowWords = 8
+  /** A window is duplicated when ≥ 2 DISTINCT docs contain it (within-doc
+    * repetition is `quality_repetition`'s job, not dedup's). */
+  val SpanDupMinDocs = 2L
+  /** Keep a doc while duplicated-span coverage ≤ 50% of its tokens. */
+  val SpanDupMaxPct = 50L
+
+  /** (doc_id, pos, h) sliding windows: pos is the 1-based token index of
+    * the window start, h = md5 of the space-joined W tokens — hashed AT
+    * the explode so the shuffle carries 32-byte keys, never span text.
+    * Docs shorter than W emit no windows (the `when` guard: Spark's
+    * `sequence(1, n)` would count DOWN for n < 1). */
+  def spanWindows(toks: DataFrame): DataFrame = {
+    val W = SpanWindowWords
+    val nw = size(col("toks")) - (W - 1)
+    toks
+      .select(col("doc_id"), posexplode(
+        when(nw >= 1, transform(sequence(lit(1), nw),
+          j => md5(concat_ws(" ", slice(col("toks"), j, lit(W))))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** Exact substring dedup report: which docs share ≥ W-token runs with
+    * other docs, where, and how much of each doc those runs cover.
+    *
+    * Shape: explode hashed sliding windows → global duplicated-window set
+    * (count DISTINCT docs per hash ≥ [[SpanDupMinDocs]]) → semi-join back
+    * → merge each doc's duplicated windows into MAXIMAL spans (classic
+    * gaps-and-islands: a window starting after the previous window's
+    * coverage ends opens a new span) → per-doc accounting. Output is
+    * integer-exact everywhere (counts and positions; the display frac is
+    * a rounded division of exact integers).
+    *
+    * Scale: windows are one row per token position — linear in corpus
+    * token count, hashed at the source (32-byte shuffle keys). The
+    * duplicated-hash set is partial-aggregable and a sliver of the window
+    * space (only cross-doc repeats survive the HAVING), so the semi-join
+    * build side is small. The islands window function partitions by
+    * doc_id — per-doc state only, never corpus-wide. At 100 TB the W-gram
+    * hash table is the only big intermediate; it is exactly the layout
+    * MinHash banding already shuffles, and a stride-k variant (hash every
+    * k-th window, catch runs ≥ W+k−1) divides it by k without changing
+    * this plan. */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = SpanWindowWords
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wins = spanWindows(toks)
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= SpanDupMinDocs)
+      .select("h")
+    val dup = wins.join(dupH, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(byDoc) + W, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nwin"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + W).as("n_dup_tokens"),
+        sum("nwin").as("n_dup_windows"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        greatest(size(col("toks")) - (W - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        (coalesce(col("n_dup_tokens"), lit(0L)) * 100 <=
+          lit(SpanDupMaxPct) * col("n_tokens")).as("pass_span"))
+  }
 }

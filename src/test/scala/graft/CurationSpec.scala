@@ -263,6 +263,53 @@ class CurationSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size === 1)
   }
 
+  test("span_dedup: islands coverage equals distinct covered positions") {
+    val W = Curation.SpanWindowWords
+    val sd = Curation.spanDedup(spark, sf).cache()
+    try {
+      // accounting invariants
+      assert(sd.filter($"n_dup_windows" > $"n_windows" ||
+        $"n_spans" > $"n_dup_windows" ||
+        $"n_dup_tokens" > $"n_tokens" ||
+        ($"n_spans" > 0 && $"n_dup_tokens" < $"n_spans" * W)).count() === 0)
+      // docs shorter than W can never be flagged
+      assert(sd.filter($"n_tokens" < W &&
+        ($"n_windows" =!= 0 || $"n_dup_tokens" =!= 0 || !$"pass_span"))
+        .count() === 0)
+      // independent check of the gaps-and-islands arithmetic: the merged
+      // span token count must equal the count of DISTINCT token positions
+      // covered by any duplicated window
+      val toks = graft.sources.Tables.load(spark, sf, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+      val wins = Curation.spanWindows(toks)
+      val dupH = wins.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter($"nd" >= Curation.SpanDupMinDocs).select("h")
+      val cov = wins.join(dupH, Seq("h"), "left_semi")
+        .select($"doc_id", explode(sequence($"pos", $"pos" + (W - 1))).as("t"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("cov"))
+      assert(sd.join(cov, Seq("doc_id"), "left")
+        .filter($"n_dup_tokens" =!= coalesce($"cov", lit(0L))).count() === 0)
+      // near-dup docs share ≥ W-token runs somewhere in the corpus
+      val pairs = Dedup.dedupMinhashPairs(spark, sf)
+        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      val dupDocs = sd.join(pairs, "doc_id")
+      if (dupDocs.count() > 0)
+        assert(dupDocs.filter($"n_dup_windows" > 0).count() > 0)
+    } finally sd.unpersist(blocking = true)
+  }
+
+  test("plan: span_dedup windows are per-doc partitioned, joins equi") {
+    val plan = Curation.spanDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("No Partition Defined"),
+      s"islands window must partition by doc_id:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-join:\n$plan")
+  }
+
   test("plan: line_dedup evaluates the chunk explode at most twice") {
     val plan = Curation.lineDedup(spark, sf)
       .queryExecution.executedPlan.toString
