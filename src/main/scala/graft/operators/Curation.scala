@@ -661,11 +661,18 @@ object Curation {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val wins = spanWindows(toks)
-    val dupH = wins.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd"))
+    // one evaluation of the window explode and ONE shuffle: aggregate
+    // each hash's occurrence list (singletons carry a 1-element list —
+    // same shuffle bytes as a bare count), keep cross-doc repeats, and
+    // explode the kept lists back to (doc_id, pos). The groupBy + semi-
+    // join-back alternative evaluates the window explode (tokenize +
+    // md5 per alignment, the dominant kernel) twice and shuffles twice.
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("locs"))
       .filter(col("nd") >= SpanDupMinDocs)
-      .select("h")
-    val dup = wins.join(dupH, Seq("h"), "left_semi")
+      .select(explode(col("locs")).as("loc"))
+      .select(col("loc.doc_id").as("doc_id"), col("loc.pos").as("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup
       .withColumn("brk",

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""One-off sf1 (10x sf0.1) stress copies of documents/embeddings/events.
+"""One-off sf1 (10x sf0.1) stress copies of the testdata tables.
 
 Builder-side tooling only (the library never reads this script's output
 outside the scale-stress run). /root/testdata is read-only, so the output
@@ -165,3 +165,36 @@ for k in range(REPS):
     out_batches.append(pa.table(arrays, names=ev.column_names))
 pq.write_table(pa.concat_tables(out_batches), f"{OUT}/events.parquet")
 print("events:", sum(t.num_rows for t in out_batches))
+
+# ---- TPC-H relational family (round 9: extend the stress set to the
+# relational/broker queries). Realistic 10x growth model: FACT tables
+# (customer/orders/lineitem) replicate with disjoint key ranges — new
+# customers placing new orders — while DIMENSIONS (supplier/part/
+# nation/region) stay fixed, exactly how a production star schema
+# scales. Per-replica join structure (order→lineitem fan-out, customer
+# mix, date distributions) is preserved; cross-replica keys are
+# disjoint so no join output grows superlinearly. ----
+def offset_replicate(name, offset_cols):
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    strides = {c: max(t.column(c).to_pylist()) + 1 for c in offset_cols}
+    out = []
+    for k in range(REPS):
+        arrays = []
+        for c in t.column_names:
+            if c in strides:
+                arrays.append(pa.array(
+                    [v + k * strides[c] for v in t.column(c).to_pylist()],
+                    type=t.schema.field(c).type))
+            else:
+                arrays.append(t.column(c).combine_chunks())
+        out.append(pa.table(arrays, names=t.column_names))
+    pq.write_table(pa.concat_tables(out), f"{OUT}/{name}.parquet")
+    print(f"{name}:", sum(x.num_rows for x in out))
+
+offset_replicate("customer", ["c_custkey"])
+offset_replicate("orders", ["o_orderkey", "o_custkey"])
+offset_replicate("lineitem", ["l_orderkey"])
+for dim in ["supplier", "part", "nation", "region"]:
+    t = pq.read_table(f"{SRC}/{dim}.parquet")
+    pq.write_table(t, f"{OUT}/{dim}.parquet")
+    print(f"{dim}: {t.num_rows} (dimension, copied)")
