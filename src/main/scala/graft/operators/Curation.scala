@@ -618,21 +618,26 @@ object Curation {
   /** Keep a doc while duplicated-span coverage ≤ 50% of its tokens. */
   val SpanDupMaxPct = 50L
 
-  /** (doc_id, pos, h) sliding windows: pos is the 1-based token index of
+  /** (…, pos, h) sliding windows: pos is the 1-based token index of
     * the window start, h = md5 of the space-joined W tokens — hashed AT
     * the explode so the shuffle carries 32-byte keys, never span text.
     * Docs shorter than W emit no windows (the `when` guard: Spark's
-    * `sequence(1, n)` would count DOWN for n < 1). */
+    * `sequence(1, n)` would count DOWN for n < 1). Every input column
+    * except `toks` rides along, so a caller (the streaming gate) can
+    * attach per-doc context without a post-explode self-join — which on
+    * a stream would be an unsupported stream-stream join. */
   def spanWindows(toks: DataFrame): DataFrame = {
     val W = SpanWindowWords
     val nw = size(col("toks")) - (W - 1)
+    val carried = toks.columns.filterNot(_ == "toks").map(col).toSeq
     toks
-      .select(col("doc_id"), posexplode(
+      .select(carried :+ posexplode(
         when(nw >= 1, transform(sequence(lit(1), nw),
           j => md5(concat_ws(" ", slice(col("toks"), j, lit(W))))))
           .otherwise(array().cast("array<string>")))
-        .as(Seq("i", "h")))
-      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+        .as(Seq("i", "h")): _*)
+      .select(carried :+ (col("i") + 1).cast("long").as("pos")
+        :+ col("h"): _*)
   }
 
   /** Exact substring dedup report: which docs share ≥ W-token runs with

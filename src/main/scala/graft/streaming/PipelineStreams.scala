@@ -386,6 +386,54 @@ object PipelineStreams {
         md5(col("kept_text")).as("kept_hash"))
   }
 
+  /** Streaming exact-substring (span) detection against a STATIC base
+    * corpus — the ingest-time shape of the batch `span_dedup`: flags any
+    * incoming doc that shares a run of ≥
+    * [[graft.operators.Curation.SpanWindowWords]] tokens with ANY base
+    * document at ANY alignment (the near-copy / contamination check
+    * line-grid dedup misses when the shared run straddles shifted chunk
+    * boundaries). The base's sliding-window hash index is learned ONCE
+    * per (session, base) — distinct window hash → representative base
+    * doc — and each micro-batch's docs explode to their own windows and
+    * equi-join it on the 32-byte hash.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, first_pos, last_pos,
+    * example_base_doc). Maximal-span merging (gaps-and-islands) needs a
+    * sort-based window function, which streaming aggregation cannot
+    * express — the gate reports window counts and the matched extent,
+    * which is the keep/drop evidence; the batch `span_dedup` downstream
+    * gives exact span geometry. Stream-vs-stream shared runs are
+    * likewise the batch pass's job (the same lambda split as
+    * [[exactDedupStream]]).
+    *
+    * Scale: the index is one row per DISTINCT base window hash — the
+    * largest static index in the gate family (corpus-token-sized, the
+    * reason it is persist-once and joined, never broadcast); the join is
+    * equi on `h`, so each micro-batch probes, never scans, the base. */
+  def spanDedupStream(spark: SparkSession, docs: DataFrame,
+                      baseSfDir: String): DataFrame = {
+    import graft.operators.Curation
+    val base = graft.operators.Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_span_index") {
+      Curation.spanWindows(
+          graft.sources.Tables.load(spark, baseSfDir, "documents")
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+        .groupBy("h").agg(min("doc_id").as("base_id"))
+    }
+    val W = Curation.SpanWindowWords
+    val toks = docs.select(col("doc_id"),
+      greatest(size(TextAnalysis.tokens(col("text"))) - (W - 1), lit(0))
+        .cast("long").as("n_windows"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    Curation.spanWindows(toks)
+      .join(base, Seq("h"))
+      .groupBy("doc_id")
+      .agg(max("n_windows").as("n_windows"),
+        count(lit(1)).as("n_dup_windows"),
+        min("pos").as("first_pos"), max("pos").as("last_pos"),
+        min("base_id").as("example_base_doc"))
+  }
+
   /** Hard cap on the eval gram literal [[decontaminateGateStream]] will
     * embed in its plan: 1M longs ≈ 8 MB — the most a per-row literal-set
     * probe should ever carry. Above it the gate refuses and points the

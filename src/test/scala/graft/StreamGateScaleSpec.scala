@@ -157,6 +157,15 @@ class StreamGateScaleSpec extends AnyFunSuite {
     assertFlat("lineDedupStream", s, b)
   }
 
+  test("span-dedup gate: per-batch time flat at a 10x base") {
+    val s = docGateBatchSeconds("gs_span_s", "update",
+      PipelineStreams.spanDedupStream(spark, _, smallSf))
+    val b = docGateBatchSeconds("gs_span_b", "update",
+      PipelineStreams.spanDedupStream(spark, _, bigSf))
+    info(f"small=$s%.3fs big=$b%.3fs")
+    assertFlat("spanDedupStream", s, b)
+  }
+
   test("tfidf featurizer gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_tfidf_s", "append",
       PipelineStreams.tfidfFeatureStream(spark, _, smallSf))

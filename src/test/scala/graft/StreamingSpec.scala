@@ -469,6 +469,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span dedup flags any shared W-token run with the base") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    // a real base doc's text under a NEW id: every sliding window exists
+    // in the base index (via its base twin), so the gate must flag it
+    // with FULL window coverage
+    val row = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").limit(1).collect()(0).getString(0)
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.spanDedupStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("sspan")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamDoc(900201, "en", row, new java.sql.Timestamp(0L)),
+        // > W tokens of gibberish: windows exist, none match the base
+        StreamDoc(900202, "en",
+          "zqxgl vorptak wibblum cranxo deftig yulmar pezzik quang brix",
+          new java.sql.Timestamp(0L)),
+        // < W tokens: no windows at all, can never be flagged
+        StreamDoc(900203, "en", "tiny doc", new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("sspan")
+        .select("doc_id", "n_windows", "n_dup_windows", "first_pos",
+          "last_pos").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got.contains(900201L), "replayed base doc must be flagged")
+      val (nw, ndw, fp, lp) = got(900201L)
+      // exact replay: every window matches its base twin exactly once
+      // (the index is distinct-h), covering positions 1..n_windows
+      assert(ndw === nw && fp === 1L && lp === nw && nw > 0L)
+      assert(!got.contains(900202L), "gibberish must not be flagged")
+      assert(!got.contains(900203L), "sub-W doc has no windows")
+    } finally q.stop()
+  }
+
   test("decontamination gate refuses a holdout larger than the literal cap") {
     import graft.streaming.PipelineStreams.StreamDoc
     val input = MemoryStream[StreamDoc](spark)
