@@ -86,6 +86,36 @@ object OracleSql {
       FROM norm
     )"""
 
+  /** Maximal duplicated-span CTEs — SQL twin of `Curation.dupSpans`
+    * (sliding W-token windows at every alignment → cross-doc duplicated
+    * hashes → gaps-and-islands merge), shared by span_dedup and
+    * span_scrub so the island rule cannot drift. Builds on textCtes'
+    * `tok`; exposes `sp(doc_id, island, s, e, nwin)`. */
+  val spanIslandCtes: String = {
+    import graft.operators.Curation.{SpanWindowWords => W, SpanDupMinDocs}
+    s"""
+    w AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(toks) - ${W - 2}),
+             j -> struct_pack(pos := j,
+               h := md5(array_to_string(toks[j:j+${W - 1}], ' '))))) AS s
+          FROM tok),
+    wh AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM w),
+    duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                            FROM wh GROUP BY h)
+             WHERE nd >= $SpanDupMinDocs),
+    d AS (SELECT wh.doc_id, wh.pos FROM wh JOIN duph ON wh.h = duph.h),
+    brk AS (SELECT doc_id, pos,
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d),
+    isl AS (SELECT doc_id, pos,
+              sum(CASE WHEN pos > prev + $W THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk),
+    sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
+             count(*) AS nwin
+           FROM isl GROUP BY doc_id, island)"""
+  }
+
   /** Quality-score CTEs — SQL twin of TextAnalysis.textStats, shared by
     * text_stats and quality_topk_sample so the formula cannot drift. */
   val qualityCtes: String = s"""
@@ -965,27 +995,7 @@ object OracleSql {
     "span_dedup" -> {
       import graft.operators.Curation._
       val W = SpanWindowWords
-      s"""WITH $textCtes,
-      w AS (SELECT doc_id, unnest(list_transform(
-               range(1, len(toks) - ${W - 2}),
-               j -> struct_pack(pos := j,
-                 h := md5(array_to_string(toks[j:j+${W - 1}], ' '))))) AS s
-            FROM tok),
-      wh AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h FROM w),
-      duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
-                              FROM wh GROUP BY h)
-               WHERE nd >= $SpanDupMinDocs),
-      d AS (SELECT wh.doc_id, wh.pos FROM wh JOIN duph ON wh.h = duph.h),
-      brk AS (SELECT doc_id, pos,
-                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-              FROM d),
-      isl AS (SELECT doc_id, pos,
-                sum(CASE WHEN pos > prev + $W THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
-              FROM brk),
-      sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
-               count(*) AS nwin
-             FROM isl GROUP BY doc_id, island),
+      s"""WITH $textCtes, $spanIslandCtes,
       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                CAST(sum(e - s + $W) AS BIGINT) AS n_dup_tokens,
                CAST(sum(nwin) AS BIGINT) AS n_dup_windows
@@ -1000,6 +1010,38 @@ object OracleSql {
              round(COALESCE(p.n_dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS dup_token_frac,
              COALESCE(p.n_dup_tokens, 0) * 100 <= $SpanDupMaxPct * t.n_tokens AS pass_span
       FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id"""
+    },
+
+    // executable span removal: drop every token position covered by a
+    // maximal duplicated span, reassemble in order, verify by md5
+    "span_scrub" -> {
+      import graft.operators.Curation._
+      val W = SpanWindowWords
+      s"""WITH $textCtes, $spanIslandCtes,
+      cov AS (SELECT doc_id, CAST(unnest(range(s, e + $W)) AS BIGINT) AS pos
+              FROM sp),
+      tokp AS (SELECT doc_id, unnest(list_transform(
+                 range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, tok := toks[i]))) AS s2
+               FROM tok),
+      tp AS (SELECT doc_id, CAST(s2.pos AS BIGINT) AS pos, s2.tok AS tok
+             FROM tokp),
+      kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+               FROM tp LEFT JOIN cov
+                 ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+               WHERE cov.pos IS NULL),
+      k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens,
+              string_agg(tok, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id),
+      dt AS (SELECT doc_id, CAST(sum(e - s + $W) AS BIGINT) AS n_dup_tokens
+             FROM sp GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+      SELECT t.doc_id, t.n_tokens,
+             COALESCE(dt.n_dup_tokens, 0) AS n_dup_tokens,
+             COALESCE(k.n_kept_tokens, 0) AS n_kept_tokens,
+             md5(COALESCE(k.kept_text, '')) AS kept_hash
+      FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id
+      LEFT JOIN dt ON t.doc_id = dt.doc_id"""
     },
 
     "pii_scrub" -> {

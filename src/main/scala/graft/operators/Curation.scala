@@ -661,31 +661,37 @@ object Curation {
     * MinHash banding already shuffles, and a stride-k variant (hash every
     * k-th window, catch runs ≥ W+k−1) divides it by k without changing
     * this plan. */
-  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Maximal duplicated spans per doc — (doc_id, island, s, e, nwin),
+    * shared by [[spanDedup]] (accounting) and [[spanScrub]] (executable
+    * removal). One evaluation of the window explode and ONE shuffle:
+    * aggregate each hash's occurrence list (singletons carry a 1-element
+    * list — same shuffle bytes as a bare count), keep cross-doc repeats,
+    * explode the kept lists back to (doc_id, pos), and merge per doc by
+    * gaps-and-islands. The groupBy + semi-join-back alternative
+    * evaluates the window explode (tokenize + md5 per alignment, the
+    * dominant kernel) twice and shuffles twice. */
+  def dupSpans(toks: DataFrame): DataFrame = {
     val W = SpanWindowWords
-    val toks = docs(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val wins = spanWindows(toks)
-    // one evaluation of the window explode and ONE shuffle: aggregate
-    // each hash's occurrence list (singletons carry a 1-element list —
-    // same shuffle bytes as a bare count), keep cross-doc repeats, and
-    // explode the kept lists back to (doc_id, pos). The groupBy + semi-
-    // join-back alternative evaluates the window explode (tokenize +
-    // md5 per alignment, the dominant kernel) twice and shuffles twice.
-    val dup = wins.groupBy("h")
+    val dup = spanWindows(toks).groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"),
         collect_list(struct(col("doc_id"), col("pos"))).as("locs"))
       .filter(col("nd") >= SpanDupMinDocs)
       .select(explode(col("locs")).as("loc"))
       .select(col("loc.doc_id").as("doc_id"), col("loc.pos").as("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = dup
+    dup
       .withColumn("brk",
         when(col("pos") > lag("pos", 1).over(byDoc) + W, 1).otherwise(0))
       .withColumn("island", sum("brk").over(byDoc))
       .groupBy("doc_id", "island")
       .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nwin"))
-    val perDoc = spans.groupBy("doc_id")
+  }
+
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = SpanWindowWords
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val perDoc = dupSpans(toks).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + W).as("n_dup_tokens"),
         sum("nwin").as("n_dup_windows"))
@@ -702,5 +708,46 @@ object Curation {
           .as("dup_token_frac"),
         (coalesce(col("n_dup_tokens"), lit(0L)) * 100 <=
           lit(SpanDupMaxPct) * col("n_tokens")).as("pass_span"))
+  }
+
+  /** Executable span removal — the reconstruction counterpart of
+    * [[spanDedup]], symmetric to [[lineDedup]]'s kept_hash but at
+    * arbitrary alignment: every token position covered by a maximal
+    * duplicated span is dropped, the survivors reassemble in order, and
+    * the full rebuild is verified by md5 (so a single off-by-one in the
+    * island arithmetic fails the hash, not just a count).
+    *
+    * Scale: the covered-position explode is bounded by corpus tokens
+    * (spans are disjoint per doc, so Σ(e−s+W) ≤ n_tokens); the token
+    * explode is one row per corpus token; the anti-join is equi on
+    * (doc_id, pos); the rebuild groups by doc_id — each group one doc's
+    * own tokens, never corpus-sized. Same posture as [[lineDedup]]. */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = SpanWindowWords
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = dupSpans(toks)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") + (W - 1))).as("pos"))
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
+        col("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("kept_text"))
+    val dupTok = spans.groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + W).as("n_dup_tokens"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(dupTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
   }
 }

@@ -300,6 +300,28 @@ class CurationSpec extends AnyFunSuite {
     } finally sd.unpersist(blocking = true)
   }
 
+  test("span_scrub: reconstruction consistent with span_dedup accounting") {
+    val sd = Curation.spanDedup(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_dup_tokens")
+    val sc = Curation.spanScrub(spark, sf).cache()
+    try {
+      // kept + dup = total, and both ops agree on the dup token count
+      assert(sc.filter($"n_kept_tokens" + $"n_dup_tokens" =!= $"n_tokens")
+        .count() === 0)
+      assert(sc.select($"doc_id", $"n_dup_tokens".as("scrub_dup"))
+        .join(sd, "doc_id")
+        .filter($"scrub_dup" =!= $"n_dup_tokens").count() === 0)
+      // a doc with no duplicated spans reconstructs to its full
+      // normalized text, hash-verified
+      val d = graft.sources.Tables.load(spark, sf, "documents")
+        .select($"doc_id",
+          graft.operators.TextAnalysis.normText($"text").as("ntext"))
+      val intact = sc.filter($"n_dup_tokens" === 0).join(d, "doc_id")
+      assert(intact.count() > 0)
+      assert(intact.filter(md5($"ntext") =!= $"kept_hash").count() === 0)
+    } finally sc.unpersist(blocking = true)
+  }
+
   test("plan: span_dedup windows are per-doc partitioned, joins equi") {
     val plan = Curation.spanDedup(spark, sf)
       .queryExecution.executedPlan.toString
