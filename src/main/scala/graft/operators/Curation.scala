@@ -710,6 +710,24 @@ object Curation {
           lit(SpanDupMaxPct) * col("n_tokens")).as("pass_span"))
   }
 
+  /** Materialize the base corpus's distinct-window-hash index as a
+    * BUCKETED table for the streaming span gate
+    * ([[graft.streaming.PipelineStreams.spanDedupStreamIndexed]]) — the
+    * layout for a base whose index outgrows executor memory. One row per
+    * distinct window hash (≈ one per base token — the gate family's
+    * largest static index), bucketed+sorted on the join key `h` so a
+    * probe joins with NO Exchange and NO Sort on the base side; the
+    * shuffle was paid once here. Same design as
+    * [[graft.operators.Similarity.writeBandIndexTable]]. */
+  def writeSpanIndexTable(spark: SparkSession, sfDir: String,
+                          table: String, nBuckets: Int = 16): Unit =
+    spanWindows(docs(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks")))
+      .groupBy("h").agg(min("doc_id").as("base_id"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+
   /** Executable span removal — the reconstruction counterpart of
     * [[spanDedup]], symmetric to [[lineDedup]]'s kept_hash but at
     * arbitrary alignment: every token position covered by a maximal

@@ -420,6 +420,31 @@ object PipelineStreams {
             .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
         .groupBy("h").agg(min("doc_id").as("base_id"))
     }
+    spanProbe(docs, base)
+  }
+
+  /** [[spanDedupStream]] against a DISK-resident base index written by
+    * [[graft.operators.Curation.writeSpanIndexTable]] — the layout for a
+    * base corpus whose window-hash index outgrows executor memory (it is
+    * the LARGEST static index in the gate family: one row per distinct
+    * base window hash ≈ one per base token). The table is bucketed on
+    * `h`, so the per-micro-batch probe joins it with NO Exchange on the
+    * base side — the index shuffle was paid once at write time; only the
+    * batch shuffles. No table property is needed (unlike the band
+    * index's adaptive plane count, the window width is the compile-time
+    * [[graft.operators.Curation.SpanWindowWords]], shared by index
+    * writer and probe by construction). */
+  def spanDedupStreamIndexed(spark: SparkSession, docs: DataFrame,
+                             indexTable: String): DataFrame =
+    spanProbe(docs, spark.table(indexTable))
+
+  /** Shared probe body of the two span-gate variants: explode the
+    * incoming docs' sliding windows (per-doc n_windows carried through
+    * the explode — a post-explode self-join would be an unsupported
+    * stream-stream join), equi-join the base index on `h`, roll up per
+    * doc. */
+  private def spanProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.operators.Curation
     val W = Curation.SpanWindowWords
     val toks = docs.select(col("doc_id"),
       greatest(size(TextAnalysis.tokens(col("text"))) - (W - 1), lit(0))

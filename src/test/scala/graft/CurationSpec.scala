@@ -333,6 +333,13 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("plan: line_dedup evaluates the chunk explode at most twice") {
+    // the streaming gates' persist-once boiler sliver shares this
+    // query's logical subplan, so CacheManager substitutes the cached
+    // frame when a StreamingSpec test ran first in the session — and the
+    // printed InMemoryRelation section double-counts the Generates.
+    // Evict session caches so the count reads the FRESH plan (the gates
+    // rebuild on next use; that is the persist-once contract).
+    graft.streaming.PipelineStreams.clearCaches(spark)
     val plan = Curation.lineDedup(spark, sf)
       .queryExecution.executedPlan.toString
     // one explode feeds the boilerplate count, one the kept rebuild; the

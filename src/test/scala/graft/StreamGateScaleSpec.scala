@@ -223,6 +223,41 @@ class StreamGateScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed span-index gate: same answers, no Exchange/Sort on the base side") {
+    import graft.operators.Curation
+    val table = "gs_span_index"
+    Curation.writeSpanIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val mem = PipelineStreams.spanDedupStream(spark, probe, smallSf)
+      val idx = PipelineStreams.spanDedupStreamIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      // forbid broadcast so the plan must prove the bucketed layout: the
+      // base side joins pre-partitioned AND pre-sorted (paid at write
+      // time) — only the probe side exchanges, per micro-batch
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams.spanDedupStreamIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(h#".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange on h, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))
