@@ -145,6 +145,7 @@ object Bench {
     graft.operators.LangModel.clearCaches(spark)
     graft.operators.Similarity.clearCaches(spark)
     graft.operators.Sampling.clearCaches(spark)
+    graft.operators.Curation.clearCaches(spark)
     graft.streaming.PipelineStreams.clearCaches(spark)
     // clearCaches releases are non-blocking (right for mid-session
     // eviction); at teardown drain synchronously so async unpersist

@@ -48,6 +48,7 @@ object Verify {
     graft.operators.LangModel.clearCaches(spark)
     graft.operators.Similarity.clearCaches(spark)
     graft.operators.Sampling.clearCaches(spark)
+    graft.operators.Curation.clearCaches(spark)
     graft.streaming.PipelineStreams.clearCaches(spark)
     // synchronous drain before stop — see Bench teardown comment
     spark.sparkContext.getPersistentRDDs.values

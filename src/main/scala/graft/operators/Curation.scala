@@ -687,11 +687,35 @@ object Curation {
       .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nwin"))
   }
 
+  /** Session-scoped persist-once of the [[dupSpans]] result — the
+    * classic big-build/small-artifact shape: building it is the corpus
+    * window explode + shuffle (the span family's dominant stage), but
+    * the result is a SLIVER (only docs with duplicated spans, one row
+    * per maximal island). `span_dedup` and `span_scrub` share it, so the
+    * second consumer pays a cache read, not a second corpus pass. Same
+    * fingerprint-evicting registry contract as Dedup's signature
+    * tables; released by [[clearCaches]] in Bench/Verify teardown. */
+  private val spanCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def clearCaches(spark: SparkSession): Unit = spanCache.synchronized {
+    val stale = spanCache.keys.filter(_._1 eq spark).toSeq
+    stale.foreach { k =>
+      Dedup.releaseFrame(spanCache(k))
+      spanCache.remove(k)
+    }
+  }
+
+  def cachedDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(spanCache, spark, sfDir, "dup_spans")(
+      dupSpans(docs(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))))
+
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val W = SpanWindowWords
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val perDoc = dupSpans(toks).groupBy("doc_id")
+    val perDoc = cachedDupSpans(spark, sfDir).groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + W).as("n_dup_tokens"),
         sum("nwin").as("n_dup_windows"))
@@ -744,7 +768,7 @@ object Curation {
     val W = SpanWindowWords
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val spans = dupSpans(toks)
+    val spans = cachedDupSpans(spark, sfDir)
     val covered = spans.select(col("doc_id"),
       explode(sequence(col("s"), col("e") + (W - 1))).as("pos"))
     val tokPos = toks

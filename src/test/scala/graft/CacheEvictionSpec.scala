@@ -65,6 +65,29 @@ class CacheEvictionSpec extends AnyFunSuite {
       s"stale-fingerprint entry leaked: RDDs $aIds still persisted")
   }
 
+  test("Curation.cachedDupSpans: fingerprint eviction + clearCaches release") {
+    val dir = scratchDir("documents")
+    def live = spark.sparkContext.getPersistentRDDs
+    val a = graft.operators.Curation.cachedDupSpans(spark, dir)
+    a.count()
+    val aIds = backingIds(a)
+    assert(aIds.nonEmpty && aIds.forall(live.contains))
+    touch(s"$dir/documents.parquet")
+    val b = graft.operators.Curation.cachedDupSpans(spark, dir)
+    b.count()
+    assert(b ne a)
+    assert(aIds.forall(!live.contains(_)),
+      s"stale-fingerprint dup-spans entry leaked: RDDs $aIds still persisted")
+    val bIds = backingIds(b)
+    graft.operators.Curation.clearCaches(spark)
+    // release is async (blocking = false) — poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (bIds.exists(live.contains) && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(bIds.forall(!live.contains(_)),
+      s"clearCaches left dup-spans RDDs $bIds persisted")
+  }
+
   test("local-checkpoint release: safe after materialize, THROWS out of order") {
     import org.apache.spark.sql.functions._
     val B = org.apache.spark.sql.graftbridge.Bridge
