@@ -768,28 +768,26 @@ object Curation {
     val W = SpanWindowWords
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val spans = cachedDupSpans(spark, sfDir)
-    val covered = spans.select(col("doc_id"),
-      explode(sequence(col("s"), col("e") + (W - 1))).as("pos"))
-    val tokPos = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
-      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
-        col("tok"))
-    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // spans per doc as an ARRAY (sliver-sized right side of one equi
+    // join), then the kept text is a per-row higher-order filter of the
+    // doc's own token array — no token explode, no rebuild shuffle: the
+    // only corpus-sized work is the scan itself. The exploded
+    // tokPos ⟕ coveredPos formulation measured 3.4 s at sf0.1 (a 2M-row
+    // anti-join plus a collect_list rebuild) vs scan speed for this.
+    val spansPerDoc = cachedDupSpans(spark, sfDir)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s("tok")), " ").as("kept_text"))
-    val dupTok = spans.groupBy("doc_id")
-      .agg(sum(col("e") - col("s") + W).as("n_dup_tokens"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"),
+        sum(col("e") - col("s") + W).as("n_dup_tokens"))
     toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .join(dupTok, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .withColumn("kept_toks", when(col("sp").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("sp"), sp =>
+            i + 1 >= sp("s") && i + 1 <= sp("e") + (W - 1)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
-        md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
+        size(col("kept_toks")).cast("long").as("n_kept_tokens"),
+        md5(array_join(col("kept_toks"), " ")).as("kept_hash"))
   }
 }
