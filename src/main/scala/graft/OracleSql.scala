@@ -1012,6 +1012,37 @@ object OracleSql {
       FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id"""
     },
 
+    // winnowed span fingerprints: sliding-min selection over the window
+    // hashes (Schleimer et al. 2003), cross-doc duplicates on the
+    // selected sliver only — same selection rule in both engines
+    "span_dedup_winnow" -> {
+      import graft.operators.Curation._
+      val W = SpanWindowWords
+      val K = WinnowK
+      s"""WITH $textCtes,
+      hsx AS (SELECT doc_id, list_transform(
+                range(1, len(toks) - ${W - 2}),
+                j -> md5(array_to_string(toks[j:j+${W - 1}], ' '))) AS hs
+              FROM tok),
+      fpx AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_windows,
+                CASE WHEN len(hs) < $K THEN list_distinct(hs)
+                     ELSE list_distinct(list_transform(
+                            range(1, len(hs) - ${K - 2}),
+                            i -> list_aggregate(hs[i:i+${K - 1}], 'min')))
+                END AS fps
+              FROM hsx),
+      ex AS (SELECT doc_id, unnest(fps) AS f FROM fpx),
+      dupf AS (SELECT f FROM (SELECT f, count(DISTINCT doc_id) AS nd
+                              FROM ex GROUP BY f)
+               WHERE nd >= $SpanDupMinDocs),
+      pd AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_dup_fp
+             FROM ex JOIN dupf ON ex.f = dupf.f GROUP BY ex.doc_id)
+      SELECT x.doc_id, x.n_windows, CAST(len(x.fps) AS BIGINT) AS n_fp,
+             COALESCE(p.n_dup_fp, 0) AS n_dup_fp,
+             round(COALESCE(p.n_dup_fp, 0) / CAST(NULLIF(len(x.fps), 0) AS DOUBLE), 6) AS dup_fp_frac
+      FROM fpx x LEFT JOIN pd p ON x.doc_id = p.doc_id"""
+    },
+
     // executable span removal: drop every token position covered by a
     // maximal duplicated span, reassemble in order, verify by md5
     "span_scrub" -> {

@@ -75,6 +75,7 @@ object SparkEntry {
     "line_dedup" -> (Curation.lineDedup(_, _)),
     "span_dedup" -> (Curation.spanDedup(_, _)),
     "span_scrub" -> (Curation.spanScrub(_, _)),
+    "span_dedup_winnow" -> (Curation.spanDedupWinnow(_, _)),
     // sketches (no oracle twins — DuckDB's HLL/quantile sketches differ;
     // rows-only + spec-bounded rel_err)
     "approx_user_count" -> (TextAnalysis.approxUserCount(_, _)),

@@ -734,6 +734,90 @@ object Curation {
           lit(SpanDupMaxPct) * col("n_tokens")).as("pass_span"))
   }
 
+  // ----- winnowed span fingerprints (the 100 TB span-dedup path) -----
+
+  /** Winnowing window: from each run of [[WinnowK]] consecutive
+    * window-hashes, the minimum is selected as a fingerprint (Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — public paper). GUARANTEE: two docs sharing any
+    * run of ≥ [[SpanWindowWords]] + WinnowK − 1 tokens select at least
+    * one IDENTICAL fingerprint, at ANY alignment offset — unlike naive
+    * stride-k sampling on both sides, which only matches runs whose
+    * offsets agree mod k. Expected density ≈ 2/(WinnowK+1), so the
+    * cross-doc shuffle carries ~40 % of the window hashes at K=4 (and
+    * 1/K of them at large K) while full [[spanDedup]] shuffles all of
+    * them — the knob that keeps exact-substring dedup affordable at
+    * 100 TB, at the cost of the detection floor rising from W to
+    * W+K−1 tokens. */
+  val WinnowK = 4
+
+  /** Per-doc winnowed fingerprint SET, computed entirely in-row: the
+    * window-hash array and its sliding minima never leave the scan
+    * stage; only the distinct selected fingerprints (the ~2/(K+1)
+    * sliver) are exploded for the cross-doc join. O(n·K) per doc with
+    * K a small constant. Input: (doc_id, toks). Output:
+    * (doc_id, n_windows, fps: array<string>). */
+  def winnowFingerprints(toks: DataFrame): DataFrame = {
+    val W = SpanWindowWords
+    val K = WinnowK
+    val nw = size(col("toks")) - (W - 1)
+    val hs = when(nw >= 1, transform(sequence(lit(1), nw),
+        j => md5(concat_ws(" ", slice(col("toks"), j, lit(W))))))
+      .otherwise(array().cast("array<string>"))
+    // the sliding-min references the hash array once per selection — if
+    // that reference is the O(n)-md5 EXPRESSION, CollapseProject inlines
+    // it into the lambda and the plan re-builds the whole array per
+    // selection index (O(n²) md5s per doc — measured 258 s at sf0.1).
+    // Binding it as a single-element transform's LAMBDA VARIABLE forces
+    // one evaluation per row: 7 s for the same query (the remainder is
+    // the interpreted higher-order sliding-min itself — CPU traded for
+    // the smaller shuffle, the right side of that trade at scale).
+    val fps = element_at(transform(array(hs), hsv =>
+      when(size(hsv) < K,
+        // shorter than one winnowing window: keep every hash (the
+        // paper's boundary rule — a doc must not go unfingerprinted)
+        array_distinct(hsv))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hsv) - (K - 1)),
+          i => array_min(slice(hsv, i, lit(K))))))), 1)
+    toks
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (W - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        fps.as("fps"))
+  }
+
+  /** Winnowed cross-doc span detection — the scale form of
+    * [[spanDedup]]: per-doc fingerprint counts plus how many of the
+    * doc's fingerprints are shared with ≥ [[SpanDupMinDocs]]−1 other
+    * docs. Detection floor: shared runs ≥ W+K−1 tokens (guaranteed by
+    * winnowing); shorter shared runs may or may not surface.
+    *
+    * Scale: everything before the explode is in-row at scan speed; the
+    * exploded fingerprint table is ~2/(K+1) of the full window table
+    * and shuffles 32-byte hashes; the duplicated-fingerprint rollup is
+    * the same single-pass occurrence-list shape as [[spanDedup]]. */
+  def spanDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowFingerprints(docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val dup = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+      .groupBy("f")
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        collect_list(col("doc_id")).as("ds"))
+      .filter(col("nd") >= SpanDupMinDocs)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_fp"))
+    fp
+      .select(col("doc_id"), col("n_windows"),
+        size(col("fps")).cast("long").as("n_fp"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_fp"),
+        coalesce(col("n_dup_fp"), lit(0L)).as("n_dup_fp"),
+        round(coalesce(col("n_dup_fp"), lit(0L)) /
+          when(col("n_fp") === 0, lit(null)).otherwise(col("n_fp"))
+            .cast("double"), 6).as("dup_fp_frac"))
+  }
+
   /** Materialize the base corpus's distinct-window-hash index as a
     * BUCKETED table for the streaming span gate
     * ([[graft.streaming.PipelineStreams.spanDedupStreamIndexed]]) — the

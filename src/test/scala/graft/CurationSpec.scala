@@ -322,6 +322,44 @@ class CurationSpec extends AnyFunSuite {
     } finally sc.unpersist(blocking = true)
   }
 
+  test("winnowing guarantee: shared run >= W+K-1 matches at ANY alignment") {
+    val W = Curation.SpanWindowWords
+    val K = Curation.WinnowK
+    // the exact shared run the guarantee covers, embedded at K different
+    // offsets — the alignments a naive stride-K sampler on both sides
+    // would miss entirely (offsets disagree mod K)
+    val run = (1 to (W + K - 1)).map(i => s"shared$i").mkString(" ")
+    val rows = (0 until K).map { o =>
+      (100L + o, ((1 to (3 + o)).map(i => s"pad${o}x$i") :+ run).mkString(" "))
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .select($"doc_id", tokens($"text").as("toks"))
+    val fp = Curation.winnowFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    for (a <- rows.map(_._1); b <- rows.map(_._1) if a < b)
+      assert(fp(a).intersect(fp(b)).nonEmpty,
+        s"docs $a and $b share a ${W + K - 1}-token run but no fingerprint")
+    // density sanity: the selection is a strict subset of the windows
+    val full = Curation.spanWindows(df).groupBy("doc_id")
+      .agg(countDistinct("h").as("nh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.map(_._1).foreach { id => assert(fp(id).size <= full(id)) }
+  }
+
+  test("span_dedup_winnow: flagged docs are a subset of span_dedup's") {
+    val w = Curation.spanDedupWinnow(spark, sf).cache()
+    try {
+      assert(w.filter($"n_dup_fp" > $"n_fp" || $"n_fp" > $"n_windows" &&
+        $"n_windows" >= Curation.WinnowK).count() === 0)
+      // winnowing can only surface runs full span_dedup also sees: every
+      // doc with a duplicated fingerprint has a duplicated window
+      val sd = Curation.spanDedup(spark, sf)
+        .select($"doc_id", $"n_dup_windows")
+      assert(w.filter($"n_dup_fp" > 0).join(sd, "doc_id")
+        .filter($"n_dup_windows" === 0).count() === 0)
+    } finally w.unpersist(blocking = true)
+  }
+
   test("plan: span_dedup windows are per-doc partitioned, joins equi") {
     val plan = Curation.spanDedup(spark, sf)
       .queryExecution.executedPlan.toString
