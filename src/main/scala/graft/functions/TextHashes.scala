@@ -490,6 +490,100 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** winnow_fps(array<string> toks, W, K) -> array<string>: the winnowed
+    * span-fingerprint set (Schleimer/Wilkerson/Aiken 2003) in ONE
+    * compiled pass per doc — value-identical to the declarative form in
+    * `graft.operators.Curation.winnowFingerprints` (md5-hex window
+    * hashes → K-wide sliding minimum → array_distinct), which runs on
+    * Spark's INTERPRETED higher-order functions and re-slices the hash
+    * array per selection index. Here:
+    *
+    *  - each W-token window is md5-digested once over the space-joined
+    *    token bytes (the same bytes `md5(concat_ws(" ", slice(...)))`
+    *    digests);
+    *  - the K-wide sliding minimum is a monotonic deque — O(1) amortized
+    *    per window instead of the interpreted O(K) slice+array_min;
+    *  - minima compare as UNSIGNED 16-byte digests, which orders exactly
+    *    like their lowercase-hex encodings (hex is a per-byte monotonic
+    *    code), so hex encoding happens only for the distinct survivors;
+    *  - distinct keeps first-occurrence order, as array_distinct does.
+    *
+    * Boundary rule as in the declarative form: fewer than K windows →
+    * every window hash is kept (a doc must not go unfingerprinted);
+    * fewer than W tokens → empty set. */
+  case class WinnowFps(child: Expression, windowWords: Int, winnowK: Int)
+      extends UnaryExpression with KernelCodegenUnary {
+    require(windowWords >= 1 && winnowK >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any = {
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val W = windowWords
+      val K = winnowK
+      val nw = n - W + 1
+      if (nw < 1) return new GenericArrayData(Array.empty[Any])
+      val md = digests.get()
+      val tb = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { tb(i) = a.getUTF8String(i).getBytes; i += 1 }
+      val hs = new Array[Array[Byte]](nw)
+      i = 0
+      while (i < nw) {
+        md.reset()
+        var j = 0
+        while (j < W) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(tb(i + j))
+          j += 1
+        }
+        hs(i) = md.digest()
+        i += 1
+      }
+      val sel = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+      if (nw < K) {
+        i = 0
+        while (i < nw) { sel.add(java.nio.ByteBuffer.wrap(hs(i))); i += 1 }
+      } else {
+        // monotonic deque of indices with increasing digest values;
+        // popping on >= keeps the LATEST of equal minima — the min VALUE
+        // (all that is emitted) is identical either way
+        val dq = new Array[Int](nw)
+        var head = 0
+        var tail = 0
+        i = 0
+        while (i < nw) {
+          while (tail > head && java.util.Arrays.compareUnsigned(
+              hs(dq(tail - 1)), hs(i)) >= 0) tail -= 1
+          dq(tail) = i
+          tail += 1
+          if (dq(head) <= i - K) head += 1
+          if (i >= K - 1) sel.add(java.nio.ByteBuffer.wrap(hs(dq(head))))
+          i += 1
+        }
+      }
+      val out = new Array[Any](sel.size())
+      val it = sel.iterator()
+      i = 0
+      while (it.hasNext) {
+        val d = it.next().array()
+        val hex = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+          hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  private val HexDigits: Array[Byte] =
+    "0123456789abcdef".getBytes("US-ASCII")
+
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
@@ -515,4 +609,6 @@ object TextHashes {
     column(RepetitionStats(expression(c)))
   def word_grams_hashed(c: Column, n: Int): Column =
     column(WordGramsHashed(expression(c), n))
+  def winnow_fps(c: Column, w: Int, k: Int): Column =
+    column(WinnowFps(expression(c), w, k))
 }

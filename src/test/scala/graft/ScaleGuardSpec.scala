@@ -169,6 +169,64 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("metadata collect exceeded"))
   }
 
+  test("WinnowFps: codegen equals interpreted") {
+    import graft.functions.TextHashes
+    import graft.operators.Curation
+    val W = Curation.SpanWindowWords
+    val K = Curation.WinnowK
+    val docs = Seq(
+      (1L, Seq.empty[String]),
+      (2L, (1 to W - 1).map(i => s"t$i")),
+      (3L, (1 to W + K - 2).map(i => s"t$i")),
+      (4L, Seq.fill(W + 3 * K)("same")),
+      (5L, (1 to 90).map(i => s"w${i % 13}")))
+    val out = docs.toDF("id", "toks")
+      .select(TextHashes.winnow_fps(col("toks"), W, K).as("fps"))
+    val a = out.collect().map(_.getSeq[String](0)).toSeq
+    val b = interpretedOnly(out.collect().map(_.getSeq[String](0)).toSeq)
+    assert(a === b)
+  }
+
+  test("span family: boilerplate gram in most docs — no per-hash occurrence " +
+      "buffer, answers exact under the hot key") {
+    import graft.operators.Curation
+    import graft.operators.TextAnalysis.tokens
+    val W = Curation.SpanWindowWords
+    // the 100 TB hazard scenario scaled down: one W-gram ("license
+    // header") planted into 60% of docs. Under the round-9 shape this
+    // hash's full occurrence list landed in ONE aggregation buffer; the
+    // min/max-window shape holds only two O(1) registers per hash and a
+    // DISK-SPILLABLE row buffer, so the same plan survives when 60% of
+    // docs means millions.
+    val header = (1 to W).map(i => s"lic$i").mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val own = (1 to 12).map(j => s"own${i}w$j").mkString(" ")
+      (i.toLong, if (i % 5 < 3) s"$header $own" else own)
+    }
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = Curation.dupSpans(df)
+    // plan shape: the duplication decision is an analytic window over h
+    // with min/max only — no collect_list/collect_set anywhere, and the
+    // corpus-scale window explode (Generate) appears exactly once
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"per-hash occurrence buffers are the skew hazard:\n$plan")
+    assert("Generate".r.findAllIn(plan).size === 1,
+      s"window kernel must be evaluated exactly once:\n$plan")
+    assert(plan.contains("min(doc_id") && plan.contains("max(doc_id"),
+      s"expected the min/max duplication window:\n$plan")
+    // answers: exactly the planted-header docs carry exactly one span of
+    // W windows' worth = the header prefix (own-word tails are unique)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val hot = docs.filter(_._2.startsWith("lic1 ")).map(_._1).toSet
+    assert(got.map(_._1).toSet === hot)
+    got.foreach { case (id, s, e, nwin) =>
+      assert(s === 1L && e === 1L && nwin === 1L, s"doc $id span ($s,$e,$nwin)")
+    }
+  }
+
   test("MinHashSigs: empty input → null on BOTH paths, non-nullable child") {
     import graft.functions.TextHashes
     // array() over literals is a NON-nullable child — the corner where an
