@@ -218,4 +218,32 @@ object Xxh3 {
   /** Column API: XXH3-64 of a binary column (signed long carrying the u64
     * bit pattern). */
   def xxh3_64(c: Column): Column = Bridge.column(Xxh3_64(Bridge.expression(c)))
+
+  /** xxh3_partition(binary, n) -> long: [[partitionOf]] as a Catalyst
+    * expression — `xxh3_64(key) % n` with the reference's U64 remainder
+    * semantics (`topic.rs:91-93`), valid for ANY partition count (no
+    * power-of-two restriction; `pmod` on the signed carrier would
+    * disagree whenever the hash's top bit is set and n is not a power of
+    * two). Used by the bulk produce path and pinned to the socket
+    * server's routing by SocketLifecycleSpec. */
+  case class Xxh3Partition(child: Expression, n: Long)
+      extends UnaryExpression {
+    require(n > 0, s"partition count must be positive, got $n")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() = {
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"xxh3_partition requires binary input, got ${child.dataType}")
+    }
+    override protected def nullSafeEval(bytes: Any): Any =
+      partitionOf(bytes.asInstanceOf[Array[Byte]], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Xxh3.partitionOf($c, ${n}L)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def xxh3_partition(c: Column, n: Long): Column =
+    Bridge.column(Xxh3Partition(Bridge.expression(c), n))
 }

@@ -29,9 +29,10 @@ import graft.protocol.Payloads._
   *
   * Divergences from the reference's transport quirks (documented, round-2
   * adjudicated): produce keeps the message key (`listener.rs:92-96` drops
-  * it), consume honors the requested partition (`listener.rs:122`
-  * hardcodes 0), and routing hashes with xxh32 instead of XXH3 (no public
-  * XXH3 in scope; divergence note in SURVEY §7.3).
+  * it) and consume honors the requested partition (`listener.rs:122`
+  * hardcodes 0). Routing is the reference's own `xxh3_64(key) % n`
+  * (`topic.rs:90-93`) via [[graft.functions.Xxh3.partitionOf]] — the
+  * independently implemented, golden-vector-verified XXH3.
   */
 class FlyqServer(baseDir: String,
                  numPartitions: Int = graft.model.LogModel.NumPartitions.toInt,
@@ -461,15 +462,15 @@ class FlyqServer(baseDir: String,
 }
 
 object FlyqServer {
-  /** Keyed routing — the SAME hash as the bulk path
-    * (`Broker.produce`'s `pmod(xxhash64(mkey), n)`, seed 42), so a key
-    * lands in one partition no matter which front door produced it. The
-    * reference has a single `Topic::produce` (`topic.rs:76-93`) and
-    * therefore a single routing; two ingest paths with different hashes
-    * would silently split a key's history. */
-  def routeKey(key: Array[Byte], numPartitions: Int): Long = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      .hash(key, org.apache.spark.sql.types.BinaryType, 42L)
-    java.lang.Math.floorMod(h, numPartitions.toLong)
-  }
+  /** Keyed routing — the reference's `xxh3_64(key) % n` with u64
+    * remainder semantics (`topic.rs:90-93`), and the SAME hash as the
+    * bulk path (`Broker.produce` routes with the `Xxh3Partition`
+    * expression over this function's kernel), so a key lands in one
+    * partition no matter which front door produced it AND on the same
+    * partition the real broker would place it. The reference has a
+    * single `Topic::produce` (`topic.rs:76-93`) and therefore a single
+    * routing; two ingest paths with different hashes would silently
+    * split a key's history. */
+  def routeKey(key: Array[Byte], numPartitions: Int): Long =
+    graft.functions.Xxh3.partitionOf(key, numPartitions.toLong)
 }

@@ -17,9 +17,11 @@ import graft.plans.OrderedIndex
   * driver-side `Seq[Record]` writer, which caps ingest at one process.
   *
   * Routing reproduces `Topic::produce` (`topic.rs:76-93`): keyed messages
-  * by key hash (Spark's xxhash64 — divergence from the reference's XXH3
-  * documented in SURVEY §7.3; no oracle involved here), keyless messages
-  * round-robin over the deterministic arrival order.
+  * by `xxh3_64(key) % n` with u64 remainder semantics — the REAL XXH3
+  * via the golden-vector-verified [[graft.functions.Xxh3]] expression
+  * (`topic.rs:90-93` parity; ProduceSpec pins placement to
+  * `Xxh3.partitionOf`), keyless messages round-robin over the
+  * deterministic arrival order.
   *
   * Scale shape: one global two-phase index (arrival order), one per-group
   * index (offsets), one hash repartition by part_id — each topic partition
@@ -100,7 +102,8 @@ object Broker {
     val routed = withRR.withColumn("part_id",
       when(col("mkey").isNull,
         pmod(col("keyless_idx") + lit(rrStart), lit(numPartitions.toLong)))
-        .otherwise(pmod(xxhash64(col("mkey")), lit(numPartitions.toLong)))
+        .otherwise(graft.functions.Xxh3.xxh3_partition(col("mkey"),
+          numPartitions.toLong))
         .cast("long"))
     // per-partition recovered bases fold into a literal CASE expression
     // (numPartitions entries — tiny); empty map = fresh topic = offset 0

@@ -59,6 +59,25 @@ class ProduceSpec extends AnyFunSuite {
     back.unpersist()
   }
 
+  test("keyed placement = reference xxh3_64(key) % n (true broker parity)") {
+    // every keyed record in the produced topic sits on EXACTLY the
+    // partition the real broker's `topic.rs:90-93` would place it —
+    // Xxh3.partitionOf over the message key bytes, golden-vector-pinned
+    // in Xxh3Spec / SocketLifecycleSpec
+    val np = graft.model.LogModel.NumPartitions
+    val back = SegmentFiles.readTopic(spark, produced, "events")
+      .filter($"mkey".isNotNull)
+      .select($"part_id", $"mkey").collect()
+    assert(back.nonEmpty)
+    back.foreach { r =>
+      val expect = graft.functions.Xxh3.partitionOf(
+        r.getAs[Array[Byte]](1), np.toLong)
+      assert(r.getLong(0) === expect,
+        s"key ${new String(r.getAs[Array[Byte]](1))} on ${r.getLong(0)}, " +
+          s"reference places it on $expect")
+    }
+  }
+
   test("produce writes executor-side multi-partition, multi-segment logs") {
     val back = SegmentFiles.readTopic(spark, produced, "events").cache()
     val n = graft.sources.Tables.load(spark, sf, "events").count()

@@ -181,17 +181,35 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
-  test("socket routing matches the bulk path's pmod(xxhash64(key), n)") {
+  test("socket routing = bulk Xxh3Partition expression = reference xxh3_64 % n") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val keys = (0 until 64).map(i => s"user-$i")
+    // the bulk produce path's routing EXPRESSION over the same keys
     val viaSpark = keys.toDF("k")
-      .select(col("k"), pmod(xxhash64(col("k").cast("binary")), lit(4L)).as("p"))
+      .select(col("k"), graft.functions.Xxh3.xxh3_partition(
+        col("k").cast("binary"), 4L).as("p"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     keys.foreach { k =>
       assert(FlyqServer.routeKey(b(k), 4) === viaSpark(k),
         s"key $k routes differently on the socket vs the bulk path")
     }
+    // placement pinned to the reference C golden vectors (Xxh3Spec set):
+    // xxh3_64("a") = 0xe6c632b61e964e1f → u64 % 4 = 3; the empty key
+    // hashes to 0x2d06800538d394c2 → u64 % 4 = 2. floorMod on the SIGNED
+    // carrier would route "a" to 0xe6...%4 signed = pin catches that.
+    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 4) ===
+      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 4L))
+    assert(FlyqServer.routeKey(Array.emptyByteArray, 4) ===
+      java.lang.Long.remainderUnsigned(0x2d06800538d394c2L, 4L))
+    // a NON-power-of-two count exercises the unsigned remainder proper
+    // (top-bit-set hash: signed % would differ)
+    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 7) ===
+      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 7L))
+    val via7 = Seq("a").toDF("k")
+      .select(graft.functions.Xxh3.xxh3_partition(col("k").cast("binary"), 7L))
+      .head().getLong(0)
+    assert(via7 === FlyqServer.routeKey("a".getBytes("UTF-8"), 7))
   }
 
   test("v2 streaming source tails a socket-fed topic live") {
