@@ -880,6 +880,28 @@ object Curation {
       .bucketBy(nBuckets, "h").sortBy("h")
       .saveAsTable(table)
 
+  /** The WINNOWED on-disk span index — ~2/([[WinnowK]]+1) the rows of
+    * [[writeSpanIndexTable]] (one per distinct SELECTED fingerprint
+    * instead of one per distinct window hash), with the documented
+    * detection floor rising from W to W+K−1 shared tokens. This is the
+    * 100 TB layout for the streaming span gate: the full index is the
+    * gate family's largest static artifact (≈ one row per base corpus
+    * token); winnowing divides both its build shuffle and its on-disk
+    * footprint by ~(K+1)/2 while keeping the alignment-safe guarantee
+    * (both sides select the minimum over every K consecutive hashes, so
+    * any shared ≥ W+K−1-token run selects an identical fingerprint at
+    * SOME position — Schleimer et al. 2003). Bucketed+sorted on `f`, so
+    * probes join with no base-side Exchange or Sort. */
+  def writeSpanWinnowIndexTable(spark: SparkSession, sfDir: String,
+                                table: String, nBuckets: Int = 16): Unit =
+    winnowFingerprints(docs(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks")))
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+      .groupBy("f").agg(min("doc_id").as("base_id"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "f").sortBy("f")
+      .saveAsTable(table)
+
   /** Executable span removal — the reconstruction counterpart of
     * [[spanDedup]], symmetric to [[lineDedup]]'s kept_hash but at
     * arbitrary alignment: every token position covered by a maximal

@@ -438,6 +438,62 @@ object PipelineStreams {
                              indexTable: String): DataFrame =
     spanProbe(docs, spark.table(indexTable))
 
+  /** WINNOWED span gate — the 100 TB form of [[spanDedupStream]]: both
+    * the base index and the incoming docs select winnowed fingerprints
+    * (minimum over every [[graft.operators.Curation.WinnowK]]
+    * consecutive window hashes), so the static index carries
+    * ~2/(K+1) of the full gate's rows and each micro-batch explodes
+    * ~2/(K+1) of its window count — at the documented cost of the
+    * detection floor rising from W to W+K−1 shared tokens (shorter
+    * shared runs may not surface; the winnowing guarantee makes
+    * ≥ W+K−1 certain at any alignment). Output per flagged doc:
+    * (doc_id, n_windows, n_fp, n_dup_fp, example_base_doc). */
+  def spanDedupStreamWinnow(spark: SparkSession, docs: DataFrame,
+                            baseSfDir: String): DataFrame = {
+    import graft.operators.Curation
+    val base = graft.operators.Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_span_winnow_index") {
+      Curation.winnowFingerprints(
+          graft.sources.Tables.load(spark, baseSfDir, "documents")
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+        .select(col("doc_id"), explode(col("fps")).as("f"))
+        .groupBy("f").agg(min("doc_id").as("base_id"))
+    }
+    winnowProbe(docs, base)
+  }
+
+  /** [[spanDedupStreamWinnow]] against the DISK-resident bucketed index
+    * written by
+    * [[graft.operators.Curation.writeSpanWinnowIndexTable]] — the
+    * layout for a base whose WINNOWED fingerprint set still outgrows
+    * executor memory. Bucketed+sorted on `f`: probes join with no
+    * Exchange and no Sort on the base side (plan-asserted in
+    * StreamGateScaleSpec). */
+  def spanDedupStreamWinnowIndexed(spark: SparkSession, docs: DataFrame,
+                                   indexTable: String): DataFrame =
+    winnowProbe(docs, spark.table(indexTable))
+
+  /** Shared probe body of the winnowed span-gate variants: per-doc
+    * winnowed fingerprints in-row (the compiled
+    * [[graft.functions.TextHashes.WinnowFps]] kernel), exploded with
+    * the per-doc counts carried through (a post-explode self-join
+    * would be an unsupported stream-stream join), equi-joined to the
+    * base fingerprint index, rolled up per doc. */
+  private def winnowProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val fp = Curation.winnowFingerprints(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+    fp
+      .select(col("doc_id"), col("n_windows"),
+        size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("f"))
+      .join(base, Seq("f"))
+      .groupBy("doc_id")
+      .agg(max("n_windows").as("n_windows"), max("n_fp").as("n_fp"),
+        count(lit(1)).as("n_dup_fp"),
+        min("base_id").as("example_base_doc"))
+  }
+
   /** Shared probe body of the two span-gate variants: explode the
     * incoming docs' sliding windows (per-doc n_windows carried through
     * the explode — a post-explode self-join would be an unsupported
@@ -446,10 +502,15 @@ object PipelineStreams {
   private def spanProbe(docs: DataFrame, base: DataFrame): DataFrame = {
     import graft.operators.Curation
     val W = Curation.SpanWindowWords
-    val toks = docs.select(col("doc_id"),
-      greatest(size(TextAnalysis.tokens(col("text"))) - (W - 1), lit(0))
-        .cast("long").as("n_windows"),
-      TextAnalysis.tokens(col("text")).as("toks"))
+    // tokenize in its OWN projection, then derive n_windows from the
+    // bound column — one regex split per row by construction, not by
+    // grace of codegen subexpression elimination (round-9 advice)
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (W - 1), lit(0))
+          .cast("long").as("n_windows"),
+        col("toks"))
     Curation.spanWindows(toks)
       .join(base, Seq("h"))
       .groupBy("doc_id")

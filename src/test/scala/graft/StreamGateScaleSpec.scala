@@ -258,6 +258,60 @@ class StreamGateScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowed span gate: per-batch time flat at a 10x base") {
+    val s = docGateBatchSeconds("gs_winnow_s", "update",
+      PipelineStreams.spanDedupStreamWinnow(spark, _, smallSf))
+    val b = docGateBatchSeconds("gs_winnow_b", "update",
+      PipelineStreams.spanDedupStreamWinnow(spark, _, bigSf))
+    info(f"small=$s%.3fs big=$b%.3fs")
+    assertFlat("spanDedupStreamWinnow", s, b)
+  }
+
+  test("bucketed winnow-index gate: index answers = in-memory answers, " +
+      "flags within the full span gate, no base-side Exchange") {
+    import graft.operators.Curation
+    val table = "gs_span_winnow_index"
+    Curation.writeSpanWinnowIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val mem = PipelineStreams.spanDedupStreamWinnow(spark, probe, smallSf)
+      val idx = PipelineStreams
+        .spanDedupStreamWinnowIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      // a doc with a matching winnowed fingerprint shares a real window
+      // with the base, so the FULL span gate must flag it too (the
+      // winnow set is a subset of the window set on both sides)
+      val fullFlagged = PipelineStreams
+        .spanDedupStream(spark, probe, smallSf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val winnowFlagged = rows(idx).map(_._1)
+      assert(winnowFlagged.subsetOf(fullFlagged),
+        s"winnow-only flags: ${winnowFlagged -- fullFlagged}")
+      // forbid broadcast so the plan must prove the bucketed layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams
+        .spanDedupStreamWinnowIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(f#".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange on f, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))

@@ -506,6 +506,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("winnowed streaming span gate: guaranteed floor W+K-1, replay fully covered") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    import graft.operators.Curation
+    val sf = "/root/testdata/sf0.001"
+    val W = Curation.SpanWindowWords
+    val K = Curation.WinnowK
+    val base = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(1).collect()(0)
+    val baseText = base.getString(1)
+    // a W+K-1-token run copied from the base at an arbitrary alignment:
+    // the winnowing guarantee says SOME fingerprint must match
+    val run = baseText.toLowerCase.split("\\s+").take(W + K - 1).mkString(" ")
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.spanDedupStreamWinnow(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("swinnow")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        // full replay under a new id: every winnowed fingerprint matches
+        StreamDoc(910301, "en", baseText, new java.sql.Timestamp(0L)),
+        // the guaranteed-floor run planted mid-gibberish
+        StreamDoc(910302, "en",
+          s"zzqa wibblum $run cranxo yulmar", new java.sql.Timestamp(0L)),
+        // gibberish with > W tokens: fingerprints exist, none match
+        StreamDoc(910303, "en",
+          "zqxgl vorptak wibblum cranxo deftig yulmar pezzik quang brix",
+          new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("swinnow")
+        .select("doc_id", "n_fp", "n_dup_fp").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.contains(910301L), "replayed base doc must be flagged")
+      val (nfp, ndfp) = got(910301L)
+      assert(ndfp === nfp && nfp > 0L,
+        "exact replay selects the exact base fingerprint set")
+      assert(got.contains(910302L),
+        s"a shared ${W + K - 1}-token run is above the guaranteed floor")
+      assert(!got.contains(910303L), "gibberish must not be flagged")
+    } finally q.stop()
+  }
+
   test("decontamination gate refuses a holdout larger than the literal cap") {
     import graft.streaming.PipelineStreams.StreamDoc
     val input = MemoryStream[StreamDoc](spark)
