@@ -34,6 +34,41 @@ object Bench {
     // warmup: touch every source table + the heaviest shared derivations
     Seq("watermarks", "token_count", "embedding_topk").foreach(materialize)
 
+    // Persist-once artifact builds, charged as their OWN named rows
+    // (round-9 verdict #6): without this, whichever consumer ran first
+    // alphabetically paid the build and the per-query floor recorded a
+    // cached-read time for the rest — so driver runs structurally
+    // flagged sub-100ms artifact consumers whose sibling paid the build
+    // in the floor run. Build rows run once (a second trial would read
+    // the cache and time nothing), before the measured loop, so every
+    // consumer below measures net of its artifacts. Subset runs skip
+    // them (they never advance the baseline; first-consumer-pays is fine
+    // for local iteration).
+    val artifactBuilds: Seq[(String, () => Any)] = Seq(
+      ("artifact_minhash_pairs",
+        () => graft.operators.Dedup.verifiedPairs(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_ngram_signatures",
+        () => graft.operators.Dedup.ngramDocs(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_term_counts",
+        () => graft.operators.TextAnalysis.termCounts(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_dup_spans",
+        () => graft.operators.Curation.cachedDupSpans(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_lm_model",
+        () => graft.operators.LangModel.lmModel(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_dsir_ratio",
+        () => graft.operators.Sampling.dsirRatioTable(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_cell_assignment",
+        () => graft.operators.Similarity.cellAssignment(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_pq_trained_book",
+        () => graft.operators.Similarity.trainedBook(spark, sfDir)))
+
     // Baseline from the previous run AT THE SAME SF (loaded up front so
     // the measurement loop can use it for regression confirmation).
     val baselineFile = new java.io.File(
@@ -60,6 +95,17 @@ object Bench {
     // optional args = query-name subset for local iteration; the full run
     // (driver) passes none. Subset runs never advance the baseline.
     val subset = args.toSet
+    val artResults: Seq[(String, Double, Option[String])] =
+      if (subset.nonEmpty) Seq.empty
+      else artifactBuilds.map { case (name, build) =>
+        System.err.println(s"[bench] $name")
+        val t0 = System.nanoTime()
+        try { build(); (name, (System.nanoTime() - t0) / 1e9, None) }
+        catch { case e: Throwable =>
+          (name, -1.0, Some(s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120)))
+        }
+      }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (subset.isEmpty) names0 else names0.filter(subset)
     val results0 = names.map { name =>
@@ -90,7 +136,7 @@ object Bench {
     // window — a co-tenant spike now has to span the whole bench to
     // produce a false flag, while a real plan regression (slow on every
     // run, any time) still is flagged.
-    val results = results0.map {
+    val results = artResults ++ results0.map {
       case (name, sec, None) if looksRegressed(name, sec) =>
         System.err.println(s"[bench] reconfirm $name")
         val t0 = System.nanoTime()

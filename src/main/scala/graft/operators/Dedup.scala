@@ -749,7 +749,7 @@ object Dedup {
     * hashing (md5 per distinct gram) is the dominant cost and is consumed
     * twice inside the query (band signatures + Jaccard verify) — same
     * persist-the-signature-table pattern as [[verifiedPairs]]. */
-  private def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
     getOrUpdateEvicting(pairsCache, spark, sfDir, "ngrams")(
       docs(spark, sfDir).select(
           col("doc_id"), col("lang"),

@@ -10,10 +10,15 @@ import graft.operators.TextAnalysis.normText
   *
   * Decoding is pluggable behind [[MultiModal.Decoder]]: [[ImageIoDecoder]]
   * is a REAL header-only image decode via the JVM's `javax.imageio`
-  * (PNG/JPEG/GIF/BMP — the formats the stdlib ships codecs for);
+  * (PNG/JPEG/GIF/BMP), [[WavDecoder]] parses WAV/AIFF/AU audio headers
+  * via `javax.sound.sampled`, and the compressed formats the JVM ships
+  * no codec for are covered by REAL public-spec HEADER WALKS —
+  * [[Mp3Decoder]] (MPEG audio frames), [[AdtsAacDecoder]] (ADTS
+  * transport frames), [[Mp4Decoder]] (ISO-BMFF boxes) — which read
+  * every metadata field without touching a compressed bitstream byte.
   * [[FakeDecoder]] is a clearly-marked deterministic STUB (a function of
-  * the bytes' content hash) standing in for the codecs this container
-  * lacks (video/audio), and is what the oracle-checked query uses so the
+  * the bytes' content hash): it stands in only for the PIXEL/PCM payload
+  * transform itself, and is what the oracle-checked query uses so the
   * end-to-end plumbing stays hash-verifiable. Everything Spark-side is
   * real and tested: the binary schema, the typed `Dataset` pipeline,
   * per-partition batched decoding (`mapPartitions` — the Scala analog of
@@ -110,9 +115,8 @@ object MultiModal {
     * new dependencies — the audio twin of [[ImageIoDecoder]]):
     * `AudioSystem.getAudioFileFormat` parses the container header ONLY
     * (WAV/AIFF/AU ship with the JDK), no PCM is decoded. Undecodable
-    * bytes fail loudly, same contract as the image path. The
-    * deterministic stub now stands in only for compressed codecs the JVM
-    * lacks (MP3/AAC/video containers). */
+    * bytes fail loudly, same contract as the image path. Compressed
+    * formats go through [[Mp3Decoder]]/[[AdtsAacDecoder]] instead. */
   val WavDecoder: AudioDecoder = { bytes =>
     val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
       new java.io.ByteArrayInputStream(bytes))
@@ -128,9 +132,175 @@ object MultiModal {
     (af.getSampleRate.toInt, af.getChannels, fmt.getFrameLength.toLong)
   }
 
+  /** REAL MP3 metadata via an MPEG audio FRAME-HEADER WALK (no PCM
+    * decode — the JVM ships no MP3 codec, but the frame headers are
+    * plain public-spec bit fields, ISO/IEC 11172-3): skip an ID3v2 tag
+    * if present, then walk Layer III frames — 11-bit sync, version,
+    * bitrate/sample-rate indices, padding — summing sample frames
+    * (1152 per frame MPEG1, 576 MPEG2/2.5). Rate and channel mode come
+    * from the first frame. Undecodable or mid-stream-corrupt bytes fail
+    * loudly, same contract as [[WavDecoder]]; an ID3v1 "TAG" trailer is
+    * the one tolerated non-frame suffix. */
+  val Mp3Decoder: AudioDecoder = { bytes =>
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"mp3: $msg (${bytes.length} bytes)")
+    var i = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      i = 10 + sz
+    }
+    val srTab = Map(3 -> Array(44100, 48000, 32000), // MPEG1
+      2 -> Array(22050, 24000, 16000),               // MPEG2
+      0 -> Array(11025, 12000, 8000))                // MPEG2.5
+    val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val brV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160)
+    var rate = 0; var channels = 0; var sampleFrames = 0L
+    while (i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xe0) != 0xe0) {
+        // tolerated trailer: ID3v1 (128-byte "TAG" block) at stream end
+        if (i + 3 <= bytes.length && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
+            bytes(i + 2) == 'G' && bytes.length - i == 128) i = bytes.length
+        else fail(s"lost frame sync at offset $i")
+      } else {
+        val ver = (bytes(i + 1) >> 3) & 3
+        val layer = (bytes(i + 1) >> 1) & 3
+        if (ver == 1 || layer != 1) fail(s"not a Layer III frame at $i")
+        val brIdx = (bytes(i + 2) >> 4) & 0xf
+        val srIdx = (bytes(i + 2) >> 2) & 3
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3)
+          fail(s"free/invalid bitrate or sample-rate index at $i")
+        val sr = srTab(ver)(srIdx)
+        val br = (if (ver == 3) brV1L3 else brV2L3)(brIdx) * 1000
+        val pad = (bytes(i + 2) >> 1) & 1
+        val spf = if (ver == 3) 1152 else 576
+        val frameLen = spf / 8 * br / sr + pad
+        if (frameLen <= 4) fail(s"degenerate frame length $frameLen at $i")
+        if (rate == 0) {
+          rate = sr
+          channels = if (((bytes(i + 3) >> 6) & 3) == 3) 1 else 2
+        }
+        sampleFrames += spf
+        i += frameLen
+      }
+    }
+    if (sampleFrames == 0) fail("no MPEG audio frames found")
+    (rate, channels, sampleFrames)
+  }
+
+  /** REAL AAC metadata via an ADTS FRAME-HEADER WALK (ISO/IEC 14496-3
+    * transport headers — public-spec bit fields, no codec needed):
+    * 12-bit sync, sampling-frequency index, channel configuration, the
+    * 13-bit frame length that chains frame to frame, and the
+    * raw-data-block count (1024 samples per block). Fail-loudly
+    * contract as [[Mp3Decoder]]. */
+  val AdtsAacDecoder: AudioDecoder = { bytes =>
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"adts: $msg (${bytes.length} bytes)")
+    val srTab = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 7350)
+    var i = 0; var rate = 0; var channels = 0; var samples = 0L
+    while (i + 7 <= bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xf0) != 0xf0)
+        fail(s"lost ADTS sync at offset $i")
+      if (((bytes(i + 1) >> 1) & 3) != 0) fail(s"nonzero layer at $i")
+      val srIdx = (bytes(i + 2) >> 2) & 0xf
+      if (srIdx >= srTab.length) fail(s"reserved sampling index $srIdx at $i")
+      val chCfg = ((bytes(i + 2) & 1) << 2) | ((bytes(i + 3) >> 6) & 3)
+      val frameLen = ((bytes(i + 3) & 3) << 11) |
+        ((bytes(i + 4) & 0xff) << 3) | ((bytes(i + 5) >> 5) & 7)
+      val blocks = (bytes(i + 6) & 3) + 1
+      if (frameLen < 7) fail(s"degenerate ADTS frame length $frameLen at $i")
+      if (rate == 0) { rate = srTab(srIdx); channels = chCfg }
+      samples += 1024L * blocks
+      i += frameLen
+    }
+    if (samples == 0) fail("no ADTS frames found")
+    (rate, channels, samples)
+  }
+
+  /** REAL MP4/ISO-BMFF video metadata via a BOX WALK (ISO/IEC 14496-12
+    * container structure — public spec, no codec): recurse through
+    * moov → trak, read each track's handler type (hdlr), its tkhd
+    * 16.16-fixed width/height, and its stts total sample count; return
+    * (width, height, n_frames) of the first VIDEO track. No mdat byte
+    * is touched — the metadata pass never pays the bitstream cost, the
+    * same posture as the image header path. Fail-loudly contract. */
+  val Mp4Decoder: Decoder = { bytes =>
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"mp4: $msg (${bytes.length} bytes)")
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, "US-ASCII")
+    // walk children of [lo, hi); call f((type, bodyLo, bodyHi))
+    def walk(lo: Int, hi: Int)(f: ((String, Int, Int)) => Unit): Unit = {
+      var o = lo
+      while (o + 8 <= hi) {
+        val sz0 = u32(o)
+        val typ = fourcc(o + 4)
+        val (body, end) =
+          if (sz0 == 1L) { // 64-bit largesize
+            val sz = (u32(o + 8) << 32) | u32(o + 12)
+            (o + 16, o + sz)
+          } else if (sz0 == 0L) (o + 8, hi.toLong) // box runs to end
+          else (o + 8, o + sz0)
+        if (end > hi || end <= body) fail(s"malformed box $typ at $o")
+        f((typ, body, end.toInt))
+        o = end.toInt
+      }
+    }
+    var found: Option[(Int, Int, Int)] = None
+    var sawFtyp = false; var sawMoov = false
+    walk(0, bytes.length) {
+      case ("ftyp", _, _) => sawFtyp = true
+      case ("moov", mLo, mHi) =>
+        sawMoov = true
+        walk(mLo, mHi) {
+          case ("trak", tLo, tHi) =>
+            var isVideo = false
+            var wh: Option[(Int, Int)] = None
+            var frames = 0L
+            def scan(lo: Int, hi: Int): Unit = walk(lo, hi) {
+              case ("tkhd", b, _) =>
+                val v = bytes(b) & 0xff
+                // v0: 4(vflags)+4+4+4+4+4+8+2+2+2+2+36 → width at b+76
+                // v1: creation/modification/duration are 64-bit → b+88
+                val wOff = if (v == 1) b + 88 else b + 76
+                wh = Some(((u32(wOff) >> 16).toInt,
+                  (u32(wOff + 4) >> 16).toInt))
+              case ("hdlr", b, _) =>
+                if (fourcc(b + 8) == "vide") isVideo = true
+              case ("stts", b, _) =>
+                val n = u32(b + 4).toInt
+                var j = 0
+                while (j < n) { frames += u32(b + 8 + j * 8); j += 1 }
+              case (t, b, e) if Set("mdia", "minf", "stbl")(t) => scan(b, e)
+              case _ => ()
+            }
+            scan(tLo, tHi)
+            if (isVideo && found.isEmpty) wh.foreach { case (w, h) =>
+              found = Some((w, h, if (frames > 0) frames.toInt else 1))
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (!sawFtyp || !sawMoov) fail("not an ISO-BMFF stream (no ftyp/moov)")
+    found.getOrElse(fail("no video track"))
+  }
+
   /** STUB audio decode — deterministic fake from the content hash, same
     * scheme as [[FakeDecoder]] (rate from a fixed public set, 1-2
-    * channels, length from the hash) for codecs the JVM can't parse. */
+    * channels, length from the hash). With [[Mp3Decoder]] and
+    * [[AdtsAacDecoder]] covering the compressed-header formats, this
+    * stands in only for payloads that are not media at all (the
+    * oracle-checkable text-as-binary query). */
   val FakeAudioDecoder: AudioDecoder = { bytes =>
     val h = graft.functions.TextHashes.md5_32(bytes)
     val rates = Array(8000, 16000, 22050, 44100, 48000)

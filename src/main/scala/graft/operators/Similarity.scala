@@ -264,7 +264,7 @@ object Similarity {
         assignedCache.remove(k)
       }
 
-  private def cellAssignment(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def cellAssignment(spark: SparkSession, sfDir: String): DataFrame =
     assignedCache.synchronized {
       val fp = embFingerprint(sfDir)
       evictStale(spark, s"$sfDir#cell#", s"$sfDir#cell#$fp")

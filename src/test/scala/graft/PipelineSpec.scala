@@ -521,6 +521,136 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Mp3Decoder walks real generated MPEG frames (ID3v2 + v1 tags tolerated)") {
+    // hand-assembled Layer III frames — the public ISO/IEC 11172-3 header
+    // layout, zero-filled payloads (a header walk never reads them)
+    def mp3Frame(ver: Int, brIdx: Int, srIdx: Int, pad: Int,
+                 mono: Boolean): Array[Byte] = {
+      val srTab = Map(3 -> Array(44100, 48000, 32000),
+        2 -> Array(22050, 24000, 16000), 0 -> Array(11025, 12000, 8000))
+      val br = (if (ver == 3)
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      else
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        )(brIdx) * 1000
+      val spf = if (ver == 3) 1152 else 576
+      val len = spf / 8 * br / srTab(ver)(srIdx) + pad
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = (0xe0 | (ver << 3) | (1 << 1)).toByte // layer III = 0b01
+      f(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      f(3) = (if (mono) 0xc0 else 0x00).toByte
+      f
+    }
+    def id3v2(size: Int): Array[Byte] = {
+      val t = new Array[Byte](10 + size)
+      t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+      t(6) = ((size >> 21) & 0x7f).toByte; t(7) = ((size >> 14) & 0x7f).toByte
+      t(8) = ((size >> 7) & 0x7f).toByte; t(9) = (size & 0x7f).toByte
+      t
+    }
+    val id3v1 = { val t = new Array[Byte](128)
+      t(0) = 'T'; t(1) = 'A'; t(2) = 'G'; t }
+    // 40 MPEG1 stereo frames at 44100 behind an ID3v2 tag, ID3v1 trailer
+    val mpeg1 = id3v2(57) ++
+      (1 to 40).flatMap(i => mp3Frame(3, 9, 0, i % 2, mono = false)) ++ id3v1
+    // 25 MPEG2 mono frames at 16000
+    val mpeg2 = (1 to 25).flatMap(_ => mp3Frame(2, 4, 2, 0, mono = true)).toArray
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "mp3", mpeg1), MediaRecord(2L, "mp3", mpeg2)))
+    val got = MultiModal.decodeAudioFeatures(media, MultiModal.Mp3Decoder)
+      .collect().sortBy(_.media_id)
+    assert(got.map(f => (f.sample_rate, f.channels, f.n_samples,
+      f.duration_ms)).toSeq === Seq(
+      (44100, 2, 40L * 1152, 40L * 1152 * 1000 / 44100),
+      (16000, 1, 25L * 576, 25L * 576 * 1000 / 16000)))
+    // mid-stream corruption fails loudly, not a silent truncated count
+    // (byte 144 is the SECOND frame's sync byte: 576/8*32000/16000 = 144)
+    val corrupt = mpeg2.clone(); corrupt(144) = 0x00
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
+        MediaRecord(9L, "mp3", corrupt))), MultiModal.Mp3Decoder).collect()
+    }
+  }
+
+  test("AdtsAacDecoder walks real generated ADTS frames") {
+    def adtsFrame(srIdx: Int, chCfg: Int, blocks: Int,
+                  payload: Int): Array[Byte] = {
+      val len = 7 + payload
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xf1.toByte // MPEG-4, layer 0, no CRC
+      f(2) = ((1 << 6) | (srIdx << 2) | ((chCfg >> 2) & 1)).toByte // LC profile
+      f(3) = (((chCfg & 3) << 6) | ((len >> 11) & 3)).toByte
+      f(4) = ((len >> 3) & 0xff).toByte
+      f(5) = (((len & 7) << 5) | 0x1f).toByte
+      f(6) = (0xfc | (blocks - 1)).toByte
+      f
+    }
+    // 48kHz stereo (srIdx 3, chCfg 2), 30 single-block frames; then a
+    // 22050 Hz mono stream with TWO raw data blocks per frame
+    val a = (1 to 30).flatMap(i => adtsFrame(3, 2, 1, 50 + i % 3)).toArray
+    val b = (1 to 10).flatMap(_ => adtsFrame(7, 1, 2, 90)).toArray
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "aac", a), MediaRecord(2L, "aac", b)))
+    val got = MultiModal.decodeAudioFeatures(media, MultiModal.AdtsAacDecoder)
+      .collect().sortBy(_.media_id)
+    assert(got.map(f => (f.sample_rate, f.channels, f.n_samples)).toSeq ===
+      Seq((48000, 2, 30L * 1024), (22050, 1, 10L * 2048)))
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
+        MediaRecord(9L, "aac", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))),
+        MultiModal.AdtsAacDecoder).collect()
+    }
+  }
+
+  test("Mp4Decoder walks real generated ISO-BMFF boxes to the video track") {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length); b.put(typ.getBytes("US-ASCII")); b.put(body)
+      b.array()
+    }
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](84) // version 0 layout
+      System.arraycopy(u32(w.toLong << 16), 0, b, 76, 4)
+      System.arraycopy(u32(h.toLong << 16), 0, b, 80, 4)
+      box("tkhd", b)
+    }
+    def hdlr(kind: String): Array[Byte] =
+      box("hdlr", new Array[Byte](8) ++ kind.getBytes("US-ASCII") ++
+        new Array[Byte](13))
+    def stts(counts: Seq[(Long, Long)]): Array[Byte] =
+      box("stts", u32(0L) ++ u32(counts.length.toLong) ++
+        counts.flatMap { case (n, d) => u32(n) ++ u32(d) })
+    def trak(kind: String, w: Int, h: Int,
+             counts: Seq[(Long, Long)]): Array[Byte] =
+      box("trak", tkhd(w, h) ++ box("mdia", hdlr(kind) ++
+        box("minf", box("stbl", stts(counts)))))
+    // a sound track FIRST, then the video track — the walk must pick
+    // the 'vide' handler, not the first trak
+    val mp4 = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov",
+        trak("soun", 0, 0, Seq((48000L * 10, 1L))) ++
+        trak("vide", 1920, 1080, Seq((200L, 512L), (50L, 256L)))) ++
+      box("mdat", new Array[Byte](32))
+    val media = spark.createDataset(Seq(MediaRecord(1L, "mp4", mp4)))
+    val got = MultiModal.decodeFeatures(media, MultiModal.Mp4Decoder)
+      .collect()
+    assert(got.map(f => (f.width, f.height, f.n_frames)).toSeq ===
+      Seq((1920, 1080, 250)))
+    // frame sampling rides the same features unchanged
+    val frames = MultiModal.sampleFrames(
+      MultiModal.decodeFeatures(media, MultiModal.Mp4Decoder), stride = 50)
+    assert(frames.count() === 5)
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeFeatures(spark.createDataset(Seq(
+        MediaRecord(9L, "mp4", new Array[Byte](64)))),
+        MultiModal.Mp4Decoder).collect()
+    }
+  }
+
   test("dedup_threshold_sweep: monotone falloff, anchored at the pair table") {
     val s = Dedup.dedupThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

@@ -174,9 +174,16 @@ print("events:", sum(t.num_rows for t in out_batches))
 # scales. Per-replica join structure (order→lineitem fan-out, customer
 # mix, date distributions) is preserved; cross-replica keys are
 # disjoint so no join output grows superlinearly. ----
-def offset_replicate(name, offset_cols):
+def offset_replicate(name, strides):
+    """strides: {col: stride}. A column's stride comes from its KEY
+    DOMAIN (the referenced parent table's max key + 1), shared by the
+    PK side and every FK side of that domain — deriving each FK's
+    stride from the child table's own max would silently break
+    referential integrity whenever some parent keys are unreferenced
+    (TPC-H proper skips custkeys divisible by 3: max(o_custkey) <
+    max(c_custkey), so replica k's o_custkey offsets would dangle or
+    alias a DIFFERENT replica's customers)."""
     t = pq.read_table(f"{SRC}/{name}.parquet")
-    strides = {c: max(t.column(c).to_pylist()) + 1 for c in offset_cols}
     out = []
     for k in range(REPS):
         arrays = []
@@ -191,9 +198,28 @@ def offset_replicate(name, offset_cols):
     pq.write_table(pa.concat_tables(out), f"{OUT}/{name}.parquet")
     print(f"{name}:", sum(x.num_rows for x in out))
 
-offset_replicate("customer", ["c_custkey"])
-offset_replicate("orders", ["o_orderkey", "o_custkey"])
-offset_replicate("lineitem", ["l_orderkey"])
+# one stride per key DOMAIN, from the parent table's own key
+cust_stride = max(pq.read_table(f"{SRC}/customer.parquet")
+                  .column("c_custkey").to_pylist()) + 1
+order_stride = max(pq.read_table(f"{SRC}/orders.parquet")
+                   .column("o_orderkey").to_pylist()) + 1
+offset_replicate("customer", {"c_custkey": cust_stride})
+offset_replicate("orders", {"o_orderkey": order_stride,
+                            "o_custkey": cust_stride})
+offset_replicate("lineitem", {"l_orderkey": order_stride})
+
+# referential integrity of the replicated star: every FK must hit a
+# parent row, or the stress answers silently stop being join-preserving
+custs = set(pq.read_table(f"{OUT}/customer.parquet")
+            .column("c_custkey").to_pylist())
+orders_t = pq.read_table(f"{OUT}/orders.parquet")
+assert set(orders_t.column("o_custkey").to_pylist()) <= custs, \
+    "replicated o_custkey dangles outside customer"
+okeys = set(orders_t.column("o_orderkey").to_pylist())
+assert set(pq.read_table(f"{OUT}/lineitem.parquet")
+           .column("l_orderkey").to_pylist()) <= okeys, \
+    "replicated l_orderkey dangles outside orders"
+print("fk-integrity: ok")
 for dim in ["supplier", "part", "nation", "region"]:
     t = pq.read_table(f"{SRC}/{dim}.parquet")
     pq.write_table(t, f"{OUT}/{dim}.parquet")
