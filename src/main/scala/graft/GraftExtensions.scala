@@ -111,6 +111,42 @@ object GraftFunctions {
     fn("top_k_structs",
       "top_k_structs(struct, k) - bounded top-k aggregate (asc struct order)") {
       a => TopK.TopKStructAgg(a.head, intLit(a(1), "k"))
+    },
+    fn("xxh3_64", "xxh3_64(binary) - XXH3-64 (reference broker hash)") {
+      a => graft.functions.Xxh3.Xxh3_64(a.head)
+    },
+    fn("xxh3_partition",
+      "xxh3_partition(binary, n) - xxh3_64(key) % n, u64 remainder") {
+      a => graft.functions.Xxh3.Xxh3Partition(a(0), longLit(a(1), "n"))
+    },
+    fn("winnow_fps",
+      "winnow_fps(array<string>, w, k) - winnowed span fingerprints") {
+      a => TextHashes.WinnowFps(a(0), intLit(a(1), "w"), intLit(a(2), "k"))
+    },
+    fn("hash32_array_at",
+      "hash32_array_at(array<string>, off) - md5 bytes [off,off+4) per element") {
+      a => TextHashes.Hash32Array(a(0), intLit(a(1), "off"))
+    },
+    fn("simhash_bits", "simhash_bits(array<long>, bits) - SimHash, 1-32 bits") {
+      a => TextHashes.SimHashBits(a(0), intLit(a(1), "bits"))
+    },
+    fn("simhash64",
+      "simhash64(array<string>) - struct<sh_lo,sh_hi> 64-bit SimHash") {
+      a => TextHashes.SimHash64(a.head)
+    },
+    fn("word_grams_hashed",
+      "word_grams_hashed(array<string>, n) - hashed word n-grams") {
+      a => TextHashes.WordGramsHashed(a(0), intLit(a(1), "n"))
+    },
+    fn("max_count", "max_count(array<long>) - modal value count") {
+      a => TextHashes.MaxCount(a.head)
+    },
+    fn("repetition_stats",
+      "repetition_stats(array<string>) - bigram/5-gram repetition struct") {
+      a => TextHashes.RepetitionStats(a.head)
+    },
+    fn("nfc", "nfc(string) - Unicode NFC normalization") {
+      a => TextHashes.NfcNormalize(a.head)
     })
 
   /** Register into a live session (same list the extensions inject). */
@@ -120,5 +156,44 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+  }
+}
+
+/** SQL-STRING surface for the whole query library — the first thing an
+  * analyst reaches for: bind an `sfDir` once and every [[SparkEntry]]
+  * query becomes a TEMP VIEW (same name as its driver-contract row), the
+  * raw parquet tables become views under their TPC-H-ish names, and the
+  * custom kernels register as SQL functions. After `register`, pure SQL
+  * works end-to-end:
+  *
+  * {{{
+  *   GraftViews.register(spark, "/root/testdata/sf0.01")
+  *   spark.sql("SELECT * FROM span_dedup WHERE NOT pass_span").show()
+  *   spark.sql("""SELECT d.doc_id, s.n_dup_tokens FROM documents d
+  *                JOIN span_scrub s USING (doc_id)""").show()
+  * }}}
+  *
+  * Views are DataFrame-backed and lazy — registering does not execute
+  * the queries — but a few construct driver-side artifacts at BUILD
+  * time (the trained-PQ family's Lloyd chain, idf slivers), so
+  * registration of the full set costs seconds, not milliseconds; pass
+  * `only` to bind a subset. */
+object GraftViews {
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def register(spark: SparkSession, sfDir: String,
+               only: Set[String] = Set.empty): Unit = {
+    GraftFunctions.register(spark)
+    TableNames
+      .filter(t => new java.io.File(s"$sfDir/$t.parquet").exists())
+      .foreach(t => graft.sources.Tables.load(spark, sfDir, t)
+        .createOrReplaceTempView(t))
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (n, fn) =>
+        fn(spark, sfDir).createOrReplaceTempView(n)
+      }
   }
 }

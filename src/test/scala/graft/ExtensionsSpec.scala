@@ -87,6 +87,52 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dec.getLong(1) === 123L)
   }
 
+  test("round-10 kernels surface in SQL: xxh3, winnow, simhash64, nfc") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    val r = s.sql("""
+      SELECT xxh3_64(cast('a' AS binary)) AS h,
+             xxh3_partition(cast('a' AS binary), 7L) AS p,
+             winnow_fps(array('a','b','c','d','e','f','g','h','i','j','k'), 8, 4) AS w,
+             simhash64(array('a','b')) AS sh,
+             nfc('é') AS n,
+             max_count(array('x', 'x', 'y')) AS mc
+    """).head()
+    assert(r.getAs[Long]("h") === 0xe6c632b61e964e1fL) // golden vector
+    assert(r.getAs[Long]("p") ===
+      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 7L))
+    // 11 tokens, W=8 → 4 windows → one K=4 selection + distinct
+    assert(r.getAs[scala.collection.Seq[String]]("w").nonEmpty)
+    assert(r.getAs[org.apache.spark.sql.Row]("sh").length === 2)
+    assert(r.getAs[String]("n") === "é") // precomposed é
+    assert(r.getAs[Long]("mc") === 2L)
+  }
+
+  test("GraftViews: the query library and tables answer pure SQL strings") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    // a subset keeps registration fast; tables always bind
+    GraftViews.register(s, sf,
+      only = Set("span_dedup", "consumer_lag", "quality_filter"))
+    // a library view queried by SQL string
+    assert(s.sql("SELECT * FROM span_dedup").count() ===
+      s.sql("SELECT count(*) FROM documents").head().getLong(0))
+    // views JOIN raw tables — the analyst workflow
+    val j = s.sql("""
+      SELECT d.doc_id, q.is_kept FROM documents d
+      JOIN quality_filter q USING (doc_id)""").count()
+    assert(j > 0)
+    // broker-semantics view agrees with the DataFrame API
+    assert(s.sql("SELECT sum(lag) FROM consumer_lag").head().getLong(0) ===
+      graft.operators.BrokerOps.consumerLag(s, sf)
+        .agg(org.apache.spark.sql.functions.sum("lag")).head().getLong(0))
+    // the registered functions work INSIDE view queries too
+    assert(s.sql("""
+      SELECT count(*) FROM documents
+      WHERE xxh3_partition(cast(cast(doc_id AS string) AS binary), 4L) < 4
+    """).head().getLong(0) > 0)
+  }
+
   private object TextHashesRef {
     def md5_32(s: String): Long =
       graft.functions.TextHashes.md5_32(s.getBytes("UTF-8"))
