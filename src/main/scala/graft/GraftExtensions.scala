@@ -190,10 +190,21 @@ object GraftViews {
       .filter(t => new java.io.File(s"$sfDir/$t.parquet").exists())
       .foreach(t => graft.sources.Tables.load(spark, sfDir, t)
         .createOrReplaceTempView(t))
-    SparkEntry.queries
+    // per-query isolation: an sfDir missing a table family (the
+    // existence filter above shows partial dirs are anticipated input)
+    // must not abort registration half-way — the affected views are
+    // skipped with a stderr note, everything else binds
+    val failed = SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .foreach { case (n, fn) =>
-        fn(spark, sfDir).createOrReplaceTempView(n)
+      .flatMap { case (n, fn) =>
+        try { fn(spark, sfDir).createOrReplaceTempView(n); None }
+        catch { case e: Exception =>
+          System.err.println(s"[graft-views] skipped $n: ${e.getMessage}")
+          Some(n)
+        }
       }
+    if (failed.nonEmpty)
+      System.err.println(s"[graft-views] ${failed.size} view(s) not bound " +
+        s"for $sfDir: ${failed.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -523,17 +523,30 @@ object TextHashes {
       val nw = n - W + 1
       if (nw < 1) return new GenericArrayData(Array.empty[Any])
       val md = digests.get()
+      // null elements are SKIPPED, exactly as the declarative twin's
+      // concat_ws does (no phantom separators) — tokens() never emits
+      // nulls, but the SQL-registered winnow_fps must not NPE on a
+      // hand-built array while the declarative form returns a value
       val tb = new Array[Array[Byte]](n)
       var i = 0
-      while (i < n) { tb(i) = a.getUTF8String(i).getBytes; i += 1 }
+      while (i < n) {
+        val u = a.getUTF8String(i)
+        tb(i) = if (u == null) null else u.getBytes
+        i += 1
+      }
       val hs = new Array[Array[Byte]](nw)
       i = 0
       while (i < nw) {
         md.reset()
         var j = 0
+        var first = true
         while (j < W) {
-          if (j > 0) md.update(' '.toByte)
-          md.update(tb(i + j))
+          val t = tb(i + j)
+          if (t != null) {
+            if (!first) md.update(' '.toByte)
+            md.update(t)
+            first = false
+          }
           j += 1
         }
         hs(i) = md.digest()

@@ -141,27 +141,32 @@ object MultiModal {
     * from the first frame. Undecodable or mid-stream-corrupt bytes fail
     * loudly, same contract as [[WavDecoder]]; an ID3v1 "TAG" trailer is
     * the one tolerated non-frame suffix. */
+  // MPEG audio constants (ISO/IEC 11172-3) — hoisted: a per-record
+  // decoder lambda must not rebuild its lookup tables per row
+  private val Mp3SrTab = Map(3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000),                          // MPEG2
+    0 -> Array(11025, 12000, 8000))                           // MPEG2.5
+  private val Mp3BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320)
+  private val Mp3BrV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160)
+
   val Mp3Decoder: AudioDecoder = { bytes =>
     def fail(msg: String) =
       throw new IllegalArgumentException(s"mp3: $msg (${bytes.length} bytes)")
     var i = 0
-    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4); the v2.4
+    // footer flag (0x10) appends a 10-byte footer NOT counted in size
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
       val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      i = 10 + sz
+      i = 10 + sz + (if ((bytes(5) & 0x10) != 0) 10 else 0)
     }
-    val srTab = Map(3 -> Array(44100, 48000, 32000), // MPEG1
-      2 -> Array(22050, 24000, 16000),               // MPEG2
-      0 -> Array(11025, 12000, 8000))                // MPEG2.5
-    val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-      224, 256, 320)
-    val brV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-      144, 160)
     var rate = 0; var channels = 0; var sampleFrames = 0L
-    while (i + 4 <= bytes.length) {
-      if ((bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xe0) != 0xe0) {
+    while (i < bytes.length) {
+      if (i + 4 > bytes.length ||
+          (bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xe0) != 0xe0) {
         // tolerated trailer: ID3v1 (128-byte "TAG" block) at stream end
         if (i + 3 <= bytes.length && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
             bytes(i + 2) == 'G' && bytes.length - i == 128) i = bytes.length
@@ -174,12 +179,18 @@ object MultiModal {
         val srIdx = (bytes(i + 2) >> 2) & 3
         if (brIdx == 0 || brIdx == 15 || srIdx == 3)
           fail(s"free/invalid bitrate or sample-rate index at $i")
-        val sr = srTab(ver)(srIdx)
-        val br = (if (ver == 3) brV1L3 else brV2L3)(brIdx) * 1000
+        val sr = Mp3SrTab(ver)(srIdx)
+        val br = (if (ver == 3) Mp3BrV1L3 else Mp3BrV2L3)(brIdx) * 1000
         val pad = (bytes(i + 2) >> 1) & 1
         val spf = if (ver == 3) 1152 else 576
         val frameLen = spf / 8 * br / sr + pad
         if (frameLen <= 4) fail(s"degenerate frame length $frameLen at $i")
+        // a frame whose declared length runs past the buffer is a
+        // TRUNCATED stream — counting it would report a full-looking
+        // duration for a partial download (fail-loudly contract)
+        if (i + frameLen > bytes.length)
+          fail(s"truncated final frame at $i ($frameLen declared, " +
+            s"${bytes.length - i} present)")
         if (rate == 0) {
           rate = sr
           channels = if (((bytes(i + 3) >> 6) & 3) == 3) 1 else 2
@@ -198,24 +209,31 @@ object MultiModal {
     * 13-bit frame length that chains frame to frame, and the
     * raw-data-block count (1024 samples per block). Fail-loudly
     * contract as [[Mp3Decoder]]. */
+  private val AdtsSrTab = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
   val AdtsAacDecoder: AudioDecoder = { bytes =>
     def fail(msg: String) =
       throw new IllegalArgumentException(s"adts: $msg (${bytes.length} bytes)")
-    val srTab = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
-      22050, 16000, 12000, 11025, 8000, 7350)
     var i = 0; var rate = 0; var channels = 0; var samples = 0L
-    while (i + 7 <= bytes.length) {
-      if ((bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xf0) != 0xf0)
+    while (i < bytes.length) {
+      if (i + 7 > bytes.length ||
+          (bytes(i) & 0xff) != 0xff || (bytes(i + 1) & 0xf0) != 0xf0)
         fail(s"lost ADTS sync at offset $i")
       if (((bytes(i + 1) >> 1) & 3) != 0) fail(s"nonzero layer at $i")
       val srIdx = (bytes(i + 2) >> 2) & 0xf
-      if (srIdx >= srTab.length) fail(s"reserved sampling index $srIdx at $i")
+      if (srIdx >= AdtsSrTab.length)
+        fail(s"reserved sampling index $srIdx at $i")
       val chCfg = ((bytes(i + 2) & 1) << 2) | ((bytes(i + 3) >> 6) & 3)
       val frameLen = ((bytes(i + 3) & 3) << 11) |
         ((bytes(i + 4) & 0xff) << 3) | ((bytes(i + 5) >> 5) & 7)
       val blocks = (bytes(i + 6) & 3) + 1
       if (frameLen < 7) fail(s"degenerate ADTS frame length $frameLen at $i")
-      if (rate == 0) { rate = srTab(srIdx); channels = chCfg }
+      // truncated final frame: same fail-loudly rule as Mp3Decoder
+      if (i + frameLen > bytes.length)
+        fail(s"truncated final frame at $i ($frameLen declared, " +
+          s"${bytes.length - i} present)")
+      if (rate == 0) { rate = AdtsSrTab(srIdx); channels = chCfg }
       samples += 1024L * blocks
       i += frameLen
     }
@@ -276,8 +294,13 @@ object MultiModal {
                   (u32(wOff + 4) >> 16).toInt))
               case ("hdlr", b, _) =>
                 if (fourcc(b + 8) == "vide") isVideo = true
-              case ("stts", b, _) =>
+              case ("stts", b, e) =>
                 val n = u32(b + 4).toInt
+                // the declared entry count must fit the box body, or a
+                // hostile stts would read sample counts from sibling
+                // boxes (silently wrong frames) or run off the buffer
+                if (n < 0 || b + 8 + n.toLong * 8 > e)
+                  fail(s"stts declares $n entries but box holds ${e - b - 8} bytes")
                 var j = 0
                 while (j < n) { frames += u32(b + 8 + j * 8); j += 1 }
               case (t, b, e) if Set("mdia", "minf", "stbl")(t) => scan(b, e)

@@ -375,6 +375,17 @@ class CurationSpec extends AnyFunSuite {
       // distinct must reproduce array_distinct over the selection order
       a.keys.foreach { id => assert(a(id) === b(id), s"doc $id") }
     }
+    // null ELEMENTS (reachable via the SQL-registered winnow_fps, never
+    // via tokens()): the kernel must skip them exactly as the
+    // declarative concat_ws does — same value, no NPE
+    val withNull = Seq((1L,
+      Seq("a", "b", null, "c", "d", "e", "f", "g", "h", "i", "j")))
+      .toDF("doc_id", "toks")
+    val na = Curation.winnowFingerprints(withNull).collect()
+      .map(_.getSeq[String](2)).head
+    val nb = Curation.winnowFingerprintsDeclarative(withNull).collect()
+      .map(_.getSeq[String](2)).head
+    assert(na === nb && na.nonEmpty)
   }
 
   test("property: span islands match a plain-Scala reference on random docs " +

@@ -133,6 +133,26 @@ class ExtensionsSpec extends AnyFunSuite {
     """).head().getLong(0) > 0)
   }
 
+  test("GraftViews: a partial sfDir binds what it can, skips the rest") {
+    val s = spark.newSession()
+    // a dir with ONLY documents — the embedding family cannot bind
+    val dir = java.nio.file.Files.createTempDirectory("graft-views-partial")
+    val src = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    val dst = dir.resolve("documents.parquet")
+    if (src.isDirectory) {
+      java.nio.file.Files.createDirectory(dst)
+      src.listFiles().foreach(f => java.nio.file.Files.copy(
+        f.toPath, dst.resolve(f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst)
+    GraftViews.register(s, dir.toString,
+      only = Set("quality_filter", "embedding_topk"))
+    // the doc-family view bound and answers; the embedding view was
+    // skipped without aborting registration
+    assert(s.sql("SELECT count(*) FROM quality_filter").head().getLong(0) > 0)
+    assert(!s.catalog.tableExists("embedding_topk"))
+    assert(s.catalog.tableExists("documents"))
+  }
+
   private object TextHashesRef {
     def md5_32(s: String): Long =
       graft.functions.TextHashes.md5_32(s.getBytes("UTF-8"))

@@ -571,6 +571,22 @@ class PipelineSpec extends AnyFunSuite {
       MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
         MediaRecord(9L, "mp3", corrupt))), MultiModal.Mp3Decoder).collect()
     }
+    // a TRUNCATED final frame (partial download) must fail, not pass as
+    // a complete stream with a fabricated duration
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
+        MediaRecord(8L, "mp3", mpeg2.dropRight(40)))),
+        MultiModal.Mp3Decoder).collect()
+    }
+    // ID3v2.4 footer flag: 10 extra bytes after the tag body, not
+    // counted in the syncsafe size — a conformant file must decode
+    val withFooter = {
+      val t = id3v2(20); t(5) = 0x10.toByte
+      t ++ new Array[Byte](10) ++ mp3Frame(3, 9, 0, 0, mono = false)
+    }
+    val ft = MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
+      MediaRecord(7L, "mp3", withFooter))), MultiModal.Mp3Decoder).collect()
+    assert(ft.head.n_samples === 1152L)
   }
 
   test("AdtsAacDecoder walks real generated ADTS frames") {
@@ -600,6 +616,12 @@ class PipelineSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] {
       MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
         MediaRecord(9L, "aac", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))),
+        MultiModal.AdtsAacDecoder).collect()
+    }
+    // truncated final ADTS frame fails loudly, same rule as MP3
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeAudioFeatures(spark.createDataset(Seq(
+        MediaRecord(8L, "aac", b.dropRight(20)))),
         MultiModal.AdtsAacDecoder).collect()
     }
   }
@@ -648,6 +670,16 @@ class PipelineSpec extends AnyFunSuite {
       MultiModal.decodeFeatures(spark.createDataset(Seq(
         MediaRecord(9L, "mp4", new Array[Byte](64)))),
         MultiModal.Mp4Decoder).collect()
+    }
+    // a hostile stts declaring more entries than its box holds must
+    // fail, not read sample counts from sibling boxes
+    val evil = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", box("trak", tkhd(64, 64) ++ box("mdia", hdlr("vide") ++
+        box("minf", box("stbl",
+          box("stts", u32(0L) ++ u32(1000L) ++ u32(5L) ++ u32(1L)))))))
+    intercept[org.apache.spark.SparkException] {
+      MultiModal.decodeFeatures(spark.createDataset(Seq(
+        MediaRecord(8L, "mp4", evil))), MultiModal.Mp4Decoder).collect()
     }
   }
 

@@ -27,7 +27,9 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-MAIN = REPO / "src/main/scala/graft"
+SRC = REPO / "src/main/scala"  # ALL main sources: the graftbridge
+# shim lives outside graft/, and a Bridge change dirties every kernel
+MAIN = SRC / "graft"
 
 
 def sh(*args):
@@ -51,7 +53,7 @@ def query_objects():
 def file_objects():
     """graft source file -> set of object simple names it defines."""
     defs = {}
-    for f in MAIN.rglob("*.scala"):
+    for f in SRC.rglob("*.scala"):
         names = set(re.findall(r"\bobject\s+([A-Za-z0-9]+)", f.read_text()))
         defs[f] = names
     return defs
