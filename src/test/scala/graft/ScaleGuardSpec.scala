@@ -225,6 +225,12 @@ class ScaleGuardSpec extends AnyFunSuite {
     got.foreach { case (id, s, e, nwin) =>
       assert(s === 1L && e === 1L && nwin === 1L, s"doc $id span ($s,$e,$nwin)")
     }
+    // the winnow rollup shares the shape — keep IT list-free too
+    val wplan = graft.operators.Curation
+      .spanDedupWinnow(Testing.spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!wplan.contains("collect_list") && !wplan.contains("collect_set"),
+      s"winnow rollup reintroduced occurrence buffers:\n$wplan")
   }
 
   test("MinHashSigs: empty input → null on BOTH paths, non-nullable child") {
