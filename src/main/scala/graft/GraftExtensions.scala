@@ -116,7 +116,8 @@ object GraftFunctions {
       a => graft.functions.Xxh3.Xxh3_64(a.head)
     },
     fn("xxh3_partition",
-      "xxh3_partition(binary, n) - xxh3_64(key) % n, u64 remainder") {
+      "xxh3_partition(binary, n) - (xxh3_64(key) & 0xffffffff) % n, " +
+        "the reference topic.rs truncate-to-u32-then-mod rule") {
       a => graft.functions.Xxh3.Xxh3Partition(a(0), longLit(a(1), "n"))
     },
     fn("winnow_fps",

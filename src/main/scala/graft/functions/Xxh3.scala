@@ -190,10 +190,15 @@ object Xxh3 {
     avalanche(result)
   }
 
-  /** Reference partition routing: xxh3_64(key) mod n with U64 semantics
-    * (`topic.rs:91-93` — Rust `u64 % u64`, so the remainder is unsigned). */
+  /** Reference partition routing (`topic.rs:90-93`):
+    * `(xxh3_64(key) as u32) % partition_count` — the hash is truncated to
+    * its LOW 32 BITS first, then reduced modulo the (u32) partition count.
+    * The truncation matters: a full-u64 remainder agrees with this rule
+    * only when n is a power of two (low bits ≡ full mod); for composite
+    * counts (3, 6, 7, 10 …) the placements diverge. The masked value is
+    * non-negative and < 2^32, so plain signed `%` is exact here. */
   def partitionOf(key: Array[Byte], n: Long): Long =
-    java.lang.Long.remainderUnsigned(hash64(key), n)
+    (hash64(key) & 0xffffffffL) % n
 
   /** xxh3_64(binary) -> long Catalyst expression. Codegen emits one
     * static call per row — stays inside WholeStageCodegen like the
@@ -220,12 +225,12 @@ object Xxh3 {
   def xxh3_64(c: Column): Column = Bridge.column(Xxh3_64(Bridge.expression(c)))
 
   /** xxh3_partition(binary, n) -> long: [[partitionOf]] as a Catalyst
-    * expression — `xxh3_64(key) % n` with the reference's U64 remainder
-    * semantics (`topic.rs:91-93`), valid for ANY partition count (no
-    * power-of-two restriction; `pmod` on the signed carrier would
-    * disagree whenever the hash's top bit is set and n is not a power of
-    * two). Used by the bulk produce path and pinned to the socket
-    * server's routing by SocketLifecycleSpec. */
+    * expression — the reference's `(xxh3_64(key) as u32) % n` rule
+    * (`topic.rs:90-93`: truncate to u32 FIRST, then mod), valid for ANY
+    * partition count. Neither `pmod` nor an unsigned full-u64 remainder
+    * on the signed carrier matches this off power-of-two counts. Used by
+    * the bulk produce path and pinned to the socket server's routing by
+    * SocketLifecycleSpec. */
   case class Xxh3Partition(child: Expression, n: Long)
       extends UnaryExpression {
     require(n > 0, s"partition count must be positive, got $n")

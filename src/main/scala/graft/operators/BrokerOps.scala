@@ -38,8 +38,8 @@ object BrokerOps {
       countDistinct(col("user_id")).as("n_keys"))
 
   /** W2 parity variant — the reference's ACTUAL partition routing:
-    * xxh3_64(key bytes) mod n with u64 remainder semantics
-    * (`topic.rs:90-93`), via the golden-vector-verified
+    * `(xxh3_64(key bytes) as u32) % n` (`topic.rs:90-93` — truncate the
+    * hash to u32 BEFORE the mod), via the golden-vector-verified
     * [[graft.functions.Xxh3]] Catalyst expression. The portable-hash
     * `key_partitioner` row stays the DuckDB-checkable twin (SURVEY §7.3);
     * this one is answer-level identical to the reference broker and is
@@ -49,12 +49,13 @@ object BrokerOps {
     import graft.functions.Xxh3
     require((NumPartitions & (NumPartitions - 1)) == 0,
       "bitwiseAND routing needs a power-of-two partition count; " +
-        "use Xxh3.partitionOf (Long.remainderUnsigned) otherwise")
+        "use Xxh3.partitionOf ((hash & 0xffffffff) % n) otherwise")
     val n = lit(NumPartitions.toLong)
     events(spark, sfDir)
       .withColumn("h", Xxh3.xxh3_64(encode(col("user_id").cast("string"), "UTF-8")))
-      // u64 remainder: NumPartitions is a power of two, so the unsigned
-      // mod is exactly the low bits — no sign games, stays codegen'd
+      // reference rule = (hash as u32) % n; for a power-of-two n <= 2^32
+      // the low bits of the u32 truncation ARE the low bits of the full
+      // hash, so bitwiseAND matches topic.rs exactly — and stays codegen'd
       .withColumn("part_id", col("h").bitwiseAND(n - 1))
       .groupBy("part_id").agg(
         count(lit(1)).as("n_records"),
@@ -119,7 +120,7 @@ object BrokerOps {
     consumerLagFrom(graft.sources.LogTable.readLog(spark, path))
   }
 
-  private def consumerLagFrom(log: DataFrame): DataFrame = {
+  private[graft] def consumerLagFrom(log: DataFrame): DataFrame = {
     // Single derivation: committed offsets explode out of the one watermark
     // aggregate (round 1 executed the scan+window three times; the explode
     // keeps high_off alongside, so no join back is needed at all).

@@ -30,9 +30,10 @@ import graft.protocol.Payloads._
   * Divergences from the reference's transport quirks (documented, round-2
   * adjudicated): produce keeps the message key (`listener.rs:92-96` drops
   * it) and consume honors the requested partition (`listener.rs:122`
-  * hardcodes 0). Routing is the reference's own `xxh3_64(key) % n`
-  * (`topic.rs:90-93`) via [[graft.functions.Xxh3.partitionOf]] — the
-  * independently implemented, golden-vector-verified XXH3.
+  * hardcodes 0). Routing is the reference's own
+  * `(xxh3_64(key) as u32) % n` (`topic.rs:90-93` — truncate to u32, then
+  * mod) via [[graft.functions.Xxh3.partitionOf]] — the independently
+  * implemented, golden-vector-verified XXH3.
   */
 class FlyqServer(baseDir: String,
                  numPartitions: Int = graft.model.LogModel.NumPartitions.toInt,
@@ -462,8 +463,8 @@ class FlyqServer(baseDir: String,
 }
 
 object FlyqServer {
-  /** Keyed routing — the reference's `xxh3_64(key) % n` with u64
-    * remainder semantics (`topic.rs:90-93`), and the SAME hash as the
+  /** Keyed routing — the reference's `(xxh3_64(key) as u32) % n`
+    * (`topic.rs:90-93`: u32 truncation first), and the SAME hash as the
     * bulk path (`Broker.produce` routes with the `Xxh3Partition`
     * expression over this function's kernel), so a key lands in one
     * partition no matter which front door produced it AND on the same

@@ -17,11 +17,12 @@ import graft.plans.OrderedIndex
   * driver-side `Seq[Record]` writer, which caps ingest at one process.
   *
   * Routing reproduces `Topic::produce` (`topic.rs:76-93`): keyed messages
-  * by `xxh3_64(key) % n` with u64 remainder semantics — the REAL XXH3
-  * via the golden-vector-verified [[graft.functions.Xxh3]] expression
-  * (`topic.rs:90-93` parity; ProduceSpec pins placement to
-  * `Xxh3.partitionOf`), keyless messages round-robin over the
-  * deterministic arrival order.
+  * by `(xxh3_64(key) as u32) % n` — the hash truncated to u32 before the
+  * mod, exactly `hash_key_to_partition` (`topic.rs:90-93`) — the REAL
+  * XXH3 via the golden-vector-verified [[graft.functions.Xxh3]]
+  * expression (ProduceSpec pins placement against the reference rule
+  * computed from the raw hash, independent of `partitionOf`), keyless
+  * messages round-robin over the deterministic arrival order.
   *
   * Scale shape: one global two-phase index (arrival order), one per-group
   * index (offsets), one hash repartition by part_id — each topic partition

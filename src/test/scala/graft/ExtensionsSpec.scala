@@ -99,8 +99,9 @@ class ExtensionsSpec extends AnyFunSuite {
              max_count(array('x', 'x', 'y')) AS mc
     """).head()
     assert(r.getAs[Long]("h") === 0xe6c632b61e964e1fL) // golden vector
-    assert(r.getAs[Long]("p") ===
-      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 7L))
+    // reference rule (topic.rs:90-93): low32(0xe6c632b61e964e1f) =
+    // 0x1e964e1f = 513166879; 513166879 % 7 = 1 (hand-derived literal)
+    assert(r.getAs[Long]("p") === 1L)
     // 11 tokens, W=8 → 4 windows → one K=4 selection + distinct
     assert(r.getAs[scala.collection.Seq[String]]("w").nonEmpty)
     assert(r.getAs[org.apache.spark.sql.Row]("sh").length === 2)

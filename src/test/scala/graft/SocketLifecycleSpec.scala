@@ -194,22 +194,29 @@ class SocketLifecycleSpec extends AnyFunSuite {
       assert(FlyqServer.routeKey(b(k), 4) === viaSpark(k),
         s"key $k routes differently on the socket vs the bulk path")
     }
-    // placement pinned to the reference C golden vectors (Xxh3Spec set):
-    // xxh3_64("a") = 0xe6c632b61e964e1f → u64 % 4 = 3; the empty key
-    // hashes to 0x2d06800538d394c2 → u64 % 4 = 2. floorMod on the SIGNED
-    // carrier would route "a" to 0xe6...%4 signed = pin catches that.
-    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 4) ===
-      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 4L))
-    assert(FlyqServer.routeKey(Array.emptyByteArray, 4) ===
-      java.lang.Long.remainderUnsigned(0x2d06800538d394c2L, 4L))
-    // a NON-power-of-two count exercises the unsigned remainder proper
-    // (top-bit-set hash: signed % would differ)
-    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 7) ===
-      java.lang.Long.remainderUnsigned(0xe6c632b61e964e1fL, 7L))
-    val via7 = Seq("a").toDF("k")
-      .select(graft.functions.Xxh3.xxh3_partition(col("k").cast("binary"), 7L))
-      .head().getLong(0)
-    assert(via7 === FlyqServer.routeKey("a".getBytes("UTF-8"), 7))
+    // placement pinned to the reference rule `(hash as u32) % n`
+    // (topic.rs:90-93) applied BY HAND to the reference-C golden vectors
+    // (Xxh3Spec set) — literal expected partitions, nothing computed from
+    // the code under test:
+    //   xxh3_64("a") = 0xe6c632b61e964e1f, low32 = 0x1e964e1f
+    //     → % 4 = 3, % 7 = 1
+    //   xxh3_64("")  = 0x2d06800538d394c2, low32 = 0x38d394c2
+    //     → % 4 = 2, % 3 = 0 (full-u64 % 3 would say 1 — separating case)
+    //   xxh3_64("orders") = 0xa88ccdc9fa4974fb, low32 = 0xfa4974fb
+    //     → % 7 = 5 (full-u64 % 7 would say 1 — separating case)
+    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 4) === 3L)
+    assert(FlyqServer.routeKey(Array.emptyByteArray, 4) === 2L)
+    // NON-power-of-two counts where the u32-truncate rule and a full-u64
+    // remainder provably disagree — the pre-r11 bug fails both of these
+    assert(FlyqServer.routeKey(Array.emptyByteArray, 3) === 0L)
+    assert(FlyqServer.routeKey("orders".getBytes("UTF-8"), 7) === 5L)
+    assert(FlyqServer.routeKey("a".getBytes("UTF-8"), 7) === 1L)
+    val via7 = Seq("a", "orders").toDF("k")
+      .select(graft.functions.Xxh3.xxh3_partition(
+        encode(col("k"), "UTF-8"), 7L))
+      .collect().map(_.getLong(0))
+    assert(via7(0) === 1L)
+    assert(via7(1) === 5L)
   }
 
   test("v2 streaming source tails a socket-fed topic live") {

@@ -71,14 +71,38 @@ class Xxh3Spec extends AnyFunSuite {
     }
   }
 
-  test("partitionOf uses the unsigned remainder (Rust u64 % semantics)") {
-    // "a" hashes to 0xe6c6... — negative as a signed Long, so a signed %
-    // would answer differently for any non-power-of-two modulus
-    val h = Xxh3.hash64("a".getBytes("UTF-8"))
-    assert(h < 0L)
-    assert(Xxh3.partitionOf("a".getBytes("UTF-8"), 7L) ===
-      java.lang.Long.remainderUnsigned(h, 7L))
-    assert(Xxh3.partitionOf("a".getBytes("UTF-8"), 7L) !== ((h % 7L + 7L) % 7L))
+  test("partitionOf = the reference's (hash as u32) % n rule, golden-pinned") {
+    // The reference truncates to u32 BEFORE the mod
+    // (`topic.rs:90-93`: `(xxh3_64(key) as u32) % partition_count`).
+    // Expected partitions below are hand-derived from the golden hash
+    // constants (reference-C verified, keyVectors above) by applying
+    // `(h & 0xffffffff) % n` on paper — NOT by calling partitionOf, so a
+    // perturbed production rule fails here (r10 verdict item 2).
+    //   "abc"     h=0x78af5f94892f3950, low32=0x892f3950=2301573456
+    //   "user-42" h=0x50fe4b21cf7b09cd, low32=0xcf7b09cd=3480947149
+    //   "orders"  h=0xa88ccdc9fa4974fbL, low32=0xfa4974fb=4199118075
+    val golden = Seq(
+      // (key, n, expected u32-rule partition, the WRONG full-u64 answer)
+      ("abc", 3L, 0L, 1L),      // 2301573456 % 3 = 0; u64 rule says 1
+      ("abc", 6L, 0L, 4L),      // 2301573456 % 6 = 0; u64 rule says 4
+      ("abc", 7L, 0L, 2L),      // 2301573456 % 7 = 0; u64 rule says 2
+      ("user-42", 7L, 1L, 3L),  // 3480947149 % 7 = 1; u64 rule says 3
+      ("orders", 7L, 5L, 1L),   // 4199118075 % 7 = 5; u64 rule says 1
+      ("orders", 10L, 5L, 9L))  // 4199118075 % 10 = 5; u64 rule says 9
+    golden.foreach { case (k, n, expect, u64Wrong) =>
+      val got = Xxh3.partitionOf(k.getBytes("UTF-8"), n)
+      assert(got === expect, s"key '$k' n=$n")
+      // each case PROVABLY separates the two rules — a full-u64
+      // remainder (the pre-r11 bug) lands on a different partition
+      assert(java.lang.Long.remainderUnsigned(
+        Xxh3.hash64(k.getBytes("UTF-8")), n) === u64Wrong, s"separating case $k/$n")
+      assert(expect !== u64Wrong)
+    }
+    // power-of-two counts: the two rules coincide (low bits == full mod)
+    keyVectors.foreach { case (k, h) =>
+      assert(Xxh3.partitionOf(k.getBytes("UTF-8"), 4L) === ((h & 0xffffffffL) % 4L))
+      assert(((h & 0xffffffffL) % 4L) === java.lang.Long.remainderUnsigned(h, 4L))
+    }
   }
 
   test("key_partitioner_xxh3: total routing, partitions match the reference rule") {
