@@ -136,7 +136,35 @@ object Bench {
     // window — a co-tenant spike now has to span the whole bench to
     // produce a false flag, while a real plan regression (slow on every
     // run, any time) still is flagged.
-    val results = artResults ++ results0.map {
+    // Artifact rows get the same flag-confirm treatment (r10 verdict #3:
+    // the 7.2x artifact_pq_trained_book driver outlier was structurally
+    // invisible — artifact rows were excluded from flagging because an
+    // in-loop repeat would read the warm cache and time nothing). The
+    // confirmation here is a REBUILD after dropping the owning module's
+    // persist-once caches, run after the whole query loop — wall-clock
+    // minutes away from the original window, so it discriminates
+    // transient host spikes from structural regressions exactly like the
+    // query reconfirm below.
+    val artifactCaches: Map[String, SparkSession => Unit] = Map(
+      "artifact_minhash_pairs" -> graft.operators.Dedup.clearCaches,
+      "artifact_ngram_signatures" -> graft.operators.Dedup.clearCaches,
+      "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
+      "artifact_dup_spans" -> graft.operators.Curation.clearCaches,
+      "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
+      "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
+      "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
+      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches)
+    val results = artResults.map {
+      case (name, sec, None) if looksRegressed(name, sec) =>
+        System.err.println(s"[bench] reconfirm $name (cache-dropping rebuild)")
+        artifactCaches.get(name).foreach(_(spark))
+        val t0 = System.nanoTime()
+        val again =
+          try { artifactBuilds.toMap.apply(name)(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => sec }
+        (name, math.min(sec, again), None)
+      case r => r
+    } ++ results0.map {
       case (name, sec, None) if looksRegressed(name, sec) =>
         System.err.println(s"[bench] reconfirm $name")
         val t0 = System.nanoTime()
@@ -162,14 +190,12 @@ object Bench {
 
     // Per-query regression guard (round-3 verdict #3): >1.5× over a 0.2 s
     // noise floor vs the previous run at the same SF — and the measurement
-    // loop above has already given every such query a confirmation trial.
+    // loop above has already given every such query a confirmation trial
+    // (queries: a third timing; artifact rows: a cache-dropping rebuild),
+    // so every row here cleared the confirmation bar the flag promises.
     // The baseline then advances so each round compares to the one before.
-    // artifact_* rows are EXCLUDED: they run once (a repeat would read
-    // the warm cache and time nothing), so they can't clear the
-    // confirmation bar the flag semantics promise — their values still
-    // land in the queries/baseline maps for direct comparison.
     val regressions = results.collect {
-      case (k, v, None) if !k.startsWith("artifact_") && looksRegressed(k, v) =>
+      case (k, v, None) if looksRegressed(k, v) =>
         val p = prev(k)
         s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
     }.mkString("{", ",", "}")

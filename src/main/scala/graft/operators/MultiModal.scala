@@ -264,6 +264,11 @@ object MultiModal {
         val typ = fourcc(o + 4)
         val (body, end) =
           if (sz0 == 1L) { // 64-bit largesize
+            // the 64-bit size field itself must fit before it is read — a
+            // stream ending 8-15 bytes after the header would otherwise
+            // throw a raw ArrayIndexOutOfBounds instead of the contract's
+            // malformed-box failure
+            if (o + 16 > hi) fail(s"malformed box $typ at $o")
             val sz = (u32(o + 8) << 32) | u32(o + 12)
             (o + 16, o + sz)
           } else if (sz0 == 0L) (o + 8, hi.toLong) // box runs to end
@@ -285,14 +290,22 @@ object MultiModal {
             var wh: Option[(Int, Int)] = None
             var frames = 0L
             def scan(lo: Int, hi: Int): Unit = walk(lo, hi) {
-              case ("tkhd", b, _) =>
+              case ("tkhd", b, e) =>
                 val v = bytes(b) & 0xff
                 // v0: 4(vflags)+4+4+4+4+4+8+2+2+2+2+36 → width at b+76
                 // v1: creation/modification/duration are 64-bit → b+88
                 val wOff = if (v == 1) b + 88 else b + 76
+                // the width/height fields must sit inside the box body —
+                // a truncated/hostile tkhd would otherwise silently read
+                // sibling-box bytes as dimensions (same class of input
+                // the stts entry-count check rejects)
+                if (wOff + 8 > e)
+                  fail(s"tkhd v$v body holds ${e - b} bytes, needs ${wOff + 8 - b}")
                 wh = Some(((u32(wOff) >> 16).toInt,
                   (u32(wOff + 4) >> 16).toInt))
-              case ("hdlr", b, _) =>
+              case ("hdlr", b, e) =>
+                // handler type lives at body+8..body+12
+                if (b + 12 > e) fail(s"hdlr body holds ${e - b} bytes, needs 12")
                 if (fourcc(b + 8) == "vide") isVideo = true
               case ("stts", b, e) =>
                 val n = u32(b + 4).toInt

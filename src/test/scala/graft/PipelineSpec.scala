@@ -681,6 +681,35 @@ class PipelineSpec extends AnyFunSuite {
       MultiModal.decodeFeatures(spark.createDataset(Seq(
         MediaRecord(8L, "mp4", evil))), MultiModal.Mp4Decoder).collect()
     }
+    // a truncated tkhd (body shorter than the v0 width/height offsets)
+    // must fail the malformed contract, not read sibling-box bytes as
+    // dimensions — direct decoder call, pinning the message class
+    val shortTkhd = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", box("trak", box("tkhd", new Array[Byte](40)) ++
+        box("mdia", hdlr("vide") ++ box("minf", box("stbl",
+          stts(Seq((5L, 1L))))))))
+    val e1 = intercept[IllegalArgumentException] {
+      MultiModal.Mp4Decoder(shortTkhd)
+    }
+    assert(e1.getMessage.contains("tkhd"))
+    // a stream ending 8-15 bytes past a size==1 (largesize) header must
+    // fail the malformed-box contract, not throw a raw
+    // ArrayIndexOutOfBoundsException from reading the 64-bit size
+    val truncLarge = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", Array.emptyByteArray) ++
+      (u32(1L) ++ "mdat".getBytes("US-ASCII") ++ u32(0L)) // 4 of 8 size bytes
+    val e2 = intercept[IllegalArgumentException] {
+      MultiModal.Mp4Decoder(truncLarge)
+    }
+    assert(e2.getMessage.contains("malformed box"))
+    // an undersized hdlr box (handler type outside the body) fails too
+    val shortHdlr = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", box("trak", tkhd(64, 64) ++
+        box("mdia", box("hdlr", new Array[Byte](8)))))
+    val e3 = intercept[IllegalArgumentException] {
+      MultiModal.Mp4Decoder(shortHdlr)
+    }
+    assert(e3.getMessage.contains("hdlr"))
   }
 
   test("dedup_threshold_sweep: monotone falloff, anchored at the pair table") {

@@ -101,6 +101,13 @@ def main():
     qobjs = query_objects()
     obj_dirty = {n for f in dirty for n in defs.get(f, ())}
     selected = {q for q, objs in qobjs.items() if objs & obj_dirty}
+    # a builder whose text resolves to NO known graft object (e.g. it
+    # calls a bare imported member, which the `Object.member` regex can't
+    # see) is unmappable — select it unconditionally, because silently
+    # under-selecting is exactly the unvalidated-row failure the
+    # docstring says ties must break against
+    known = {n for names in defs.values() for n in names}
+    selected |= {q for q, objs in qobjs.items() if not (objs & known)}
     # names touched in the contract/oracle files' hunks
     for contract in ("SparkEntry.scala", "OracleSql.scala"):
         p = f"src/main/scala/graft/{contract}"
