@@ -840,11 +840,17 @@ object Curation {
     * the per-doc stats side — recompute CPU traded against an extra
     * corpus-scale shuffle of the fps arrays, the right side of that
     * trade once the kernel is compiled. */
-  def spanDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+  def spanDedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupWinnowFrom(docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** [[spanDedupWinnow]] over an arbitrary (doc_id, toks) frame — the
+    * operator body, shared with the skew-plant stress harness
+    * ([[graft.SpanStress]]) so the measured path IS the query path. */
+  private[graft] def spanDedupWinnowFrom(toks: DataFrame): DataFrame = {
     require(SpanDupMinDocs == 2L,
       s"spanDedupWinnow min/max duplication test assumes SpanDupMinDocs == 2")
-    val fp = winnowFingerprints(docs(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val fp = winnowFingerprints(toks)
     val byF = Window.partitionBy("f")
     val dup = fp.select(col("doc_id"), explode(col("fps")).as("f"))
       .withColumn("mn", min("doc_id").over(byF))
