@@ -134,6 +134,29 @@ class ExtensionsSpec extends AnyFunSuite {
     """).head().getLong(0) > 0)
   }
 
+  test("graft.Sql entrypoint: scoped registration, multi-view join, functions") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    // the documented end-user path: one SQL string joining two library
+    // views and a raw table, through the same run() the main calls
+    val df = graft.Sql.run(s, sf, """
+      SELECT d.doc_id, q.is_kept, sp.pass_span
+      FROM documents d
+      JOIN quality_filter q USING (doc_id)
+      JOIN span_dedup sp USING (doc_id)""")
+    assert(df.count() ===
+      s.sql("SELECT count(*) FROM documents").head().getLong(0))
+    // registration was SCOPED to the statement: views named in the SQL
+    // bound, the rest of the library did not
+    assert(s.catalog.tableExists("quality_filter"))
+    assert(s.catalog.tableExists("span_dedup"))
+    assert(!s.catalog.tableExists("consumer_lag"))
+    // registered SQL functions work through the same entrypoint
+    assert(graft.Sql.run(s, sf,
+      "SELECT xxh3_partition(cast('orders' AS binary), 7L) AS p")
+      .head().getLong(0) === 5L) // hand-derived: low32(xxh3("orders")) % 7
+  }
+
   test("GraftViews: a partial sfDir binds what it can, skips the rest") {
     val s = spark.newSession()
     // a dir with ONLY documents — the embedding family cannot bind
