@@ -217,12 +217,38 @@ object Dedup {
     // intermediates can be released immediately (a bare return would leave
     // the caller's first action recomputing through unpersisted lineage).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = docWords(spark, sfDir)
+    // IDENTICAL-SET COLLAPSE (r11, measured at sf0.1: one band bucket
+    // held 2,279 docs but only 1,368 distinct word-sets — boilerplate
+    // copies): signatures, band keys, and Jaccard are all SET-functions
+    // of hws, so docs with the same distinct-word set are
+    // indistinguishable to every stage below. Band + verify run once per
+    // DISTINCT set (the representative = the group's smallest doc_id;
+    // any member's hws serves), and verified rep pairs expand back to
+    // member pairs afterwards. Output is value-identical — intra-group
+    // pairs all collide (same keys) and verify at exactly 1.0; a
+    // cross-group member pair's Jaccard equals its reps' — but the
+    // quadratic candidate work scales with distinct VARIANTS, not
+    // copies: the classic 100 TB boilerplate cluster (millions of
+    // copies of one page) costs its distinct-variant count squared plus
+    // output-bounded expansion, instead of copies squared. set_id is
+    // md5 over the sorted hash set (128-bit; a fingerprint collision
+    // would wrongly merge sets, so the 32-bit limb hash is not enough).
+    val all = docWords(spark, sfDir)
       .select(col("doc_id"), size(col("hws")).cast("long").as("nw"),
         col("hws"))
       .filter(col("nw") >= MinWords) // empty set → NULL sigs hot bucket
+      .withColumn("set_id", md5(concat_ws(",",
+        transform(array_sort(col("hws")), x => x.cast("string")))))
       .persist(lvl)
-    base.count()
+    all.count()
+    val reps = all.groupBy("set_id").agg(
+        min("doc_id").as("doc_id"),
+        first("nw").as("nw"), // members share the set, hence nw
+        min_by(col("hws"), col("doc_id")).as("hws"))
+      .persist(lvl)
+    reps.count()
+    val members = all.select(col("set_id"), col("doc_id"))
+    val base = reps.select(col("doc_id"), col("nw"), col("hws"))
     val b = bandsOf(base).persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
@@ -250,9 +276,10 @@ object Dedup {
     //    the candidates.
     //  - the candidate side crosses its one shuffle carrying only
     //    (doc_a, doc_b); arrays attach from the narrow per-doc frame.
-    val w = base.select(col("doc_id"), col("hws"))
+    val w = reps.select(col("doc_id"), col("hws"))
     try {
-      pairs
+      // verified pairs at REPRESENTATIVE level (one per distinct set)
+      val repPairs = pairs
         .join(w.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
         .join(w.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
         .withColumn("jaccard",
@@ -260,11 +287,34 @@ object Dedup {
             col("wa.hws"), col("wb.hws")), 6))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // expand rep pairs to member pairs: recover each side's set_id
+      // (reps is the distinct-set sliver), then cross the two member
+      // groups — output-bounded work, one row per emitted pair
+      val sa = reps.select(col("doc_id").as("doc_a"), col("set_id").as("sid_a"))
+      val sb = reps.select(col("doc_id").as("doc_b"), col("set_id").as("sid_b"))
+      val cross = repPairs
+        .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .join(members.as("ma"), col("sid_a") === col("ma.set_id"))
+        .join(members.as("mb"), col("sid_b") === col("mb.set_id"))
+        .select(
+          least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+          col("jaccard"))
+      // intra-group pairs: identical sets ⟺ Jaccard exactly 1.0, and
+      // identical signatures always collide — every member pair is a
+      // verified pair by construction
+      val intra = members.as("x").join(members.as("y"),
+          col("x.set_id") === col("y.set_id") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
         .localCheckpoint(true) // eager: intermediates are safe to drop
     } finally {
       pairs.unpersist(blocking = false)
       b.unpersist(blocking = false)
-      base.unpersist(blocking = false)
+      reps.unpersist(blocking = false)
+      all.unpersist(blocking = false)
     }
   }
 
