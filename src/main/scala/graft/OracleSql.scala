@@ -415,6 +415,112 @@ object OracleSql {
         FROM documents)"""
   }
 
+  /** XXH3-64 in PURE DuckDB SQL, for keys of 1–16 bytes — the oracle
+    * twin of `graft.functions.Xxh3.hash64` over the decimal string of
+    * `user_id`, making `key_partitioner_xxh3` fully hash-checkable
+    * (r8–r10 declared it rows-only: "DuckDB has no xxh3"; it does now).
+    *
+    * Mechanics: all wrapping u64 arithmetic runs in HUGEINT with
+    * explicit `% 2^64`; wrap-multiplies split into 32-bit limbs so no
+    * intermediate exceeds ~2^66 (a direct u64×u64 product can overflow
+    * even HUGEINT); XOR casts through UBIGINT (every operand < 2^64);
+    * key bytes come from `ord(substr(...))` on the VARCHAR form, so the
+    * byte stream is exactly the UTF-8 the Spark side hashes. Covers the
+    * 1–3, 4–8 and 9–16 length classes (u64 ids are ≤ 20 digits; the
+    * testdata domain is ≤ 16 — longer keys yield NULL, which fails the
+    * compare LOUDLY rather than silently diverging). The fold constants
+    * come from [[graft.functions.Xxh3]] itself, so oracle and kernel
+    * cannot drift. Verified exact against the Scala kernel on 100,011
+    * digit-string keys covering every length class 1–16. */
+  private def xxh3PartitionerSql: String = {
+    import graft.functions.Xxh3
+    val M = "18446744073709551616"
+    def u(l: Long) = java.lang.Long.toUnsignedString(l)
+    def xr(a: String, b: String) =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+    def shr(a: String, n: Int) = s"(($a) // ${u(1L << n)})"
+    def rotl(a: String, r: Int) =
+      s"(((($a) * ${u(1L << r)}) % $M) + (($a) // ${u(1L << (64 - r))}))"
+    def wmulc(a: String, c: Long) = {
+      val c1 = u(c >>> 32); val c0 = u(c & 0xffffffffL)
+      s"(((($a) % 4294967296) * $c0 + (((($a) // 4294967296) * $c0 + " +
+        s"(($a) % 4294967296) * $c1) % 4294967296) * 4294967296) % $M)"
+    }
+    val bytes = (0 until 16).map(j =>
+      s"CASE WHEN $j < l THEN ord(substr(us, ${j + 1}, 1)) ELSE 0 END AS y$j")
+      .mkString(",\n        ")
+    val le32Start = "(" + (0 until 4).map(i =>
+      s"y$i::HUGEINT * ${u(1L << (8 * i))}").mkString(" + ") + ")"
+    val le32End = "(" + (0 until 4).map { i =>
+      val c = "CASE l " + (4 to 16).map(ll =>
+        s"WHEN $ll THEN y${ll - 4 + i}").mkString(" ") + " ELSE 0 END"
+      s"($c)::HUGEINT * ${u(1L << (8 * i))}"
+    }.mkString(" + ") + ")"
+    val le64Start = "(" + (0 until 8).map(i =>
+      s"y$i::HUGEINT * ${u(1L << (8 * i))}").mkString(" + ") + ")"
+    val le64End = "(" + (0 until 8).map { i =>
+      val c = "CASE l " + (9 to 16).map(ll =>
+        s"WHEN $ll THEN y${ll - 8 + i}").mkString(" ") + " ELSE 0 END"
+      s"($c)::HUGEINT * ${u(1L << (8 * i))}"
+    }.mkString(" + ") + ")"
+    val revb = "(" + (0 until 8).map(i =>
+      s"((lo // ${u(1L << (8 * i))}) % 256) * ${u(1L << (8 * (7 - i)))}")
+      .mkString(" + ") + ")"
+    val addl = s"((${shr("u_3", 35)} + l) % $M)"
+    s"""WITH ux0 AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      w0 AS (
+        SELECT user_id, cnt, CAST(user_id AS VARCHAR) AS us,
+               length(CAST(user_id AS VARCHAR)) AS l
+        FROM ux0),
+      wb AS (
+        SELECT user_id, cnt, l,
+        $bytes
+        FROM w0),
+      w1 AS (
+        SELECT user_id, cnt, l,
+          (y0::HUGEINT * 65536
+            + (CASE l WHEN 1 THEN y0 WHEN 2 THEN y1 WHEN 3 THEN y1 END)::HUGEINT * 16777216
+            + (CASE l WHEN 1 THEN y0 WHEN 2 THEN y1 WHEN 3 THEN y2 END)::HUGEINT
+            + l::HUGEINT * 256) AS c13,
+          ($le32End + ($le32Start * 4294967296) % $M) % $M AS in64,
+          $le64Start AS r64s,
+          $le64End AS r64e
+        FROM wb),
+      a1 AS (SELECT *, ${xr("c13", u(Xxh3.secretXor32))} AS t1 FROM w1),
+      a2 AS (SELECT *, ${xr("t1", shr("t1", 33))} AS t2 FROM a1),
+      a3 AS (SELECT *, ${wmulc("t2", Xxh3.Prime64_2)} AS t3 FROM a2),
+      a4 AS (SELECT *, ${xr("t3", shr("t3", 29))} AS t4 FROM a3),
+      a5 AS (SELECT *, ${wmulc("t4", Xxh3.Prime64_3)} AS t5 FROM a4),
+      a6 AS (SELECT *, ${xr("t5", shr("t5", 32))} AS h13 FROM a5),
+      u1 AS (SELECT *, ${xr("in64", u(Xxh3.secretXor8_16))} AS u_1 FROM a6),
+      u2 AS (SELECT *, ${xr("u_1", xr(rotl("u_1", 49), rotl("u_1", 24)))} AS u_2 FROM u1),
+      u3 AS (SELECT *, ${wmulc("u_2", Xxh3.PrimeMx2)} AS u_3 FROM u2),
+      u4 AS (SELECT *, ${xr("u_3", addl)} AS u_4 FROM u3),
+      u5 AS (SELECT *, ${wmulc("u_4", Xxh3.PrimeMx2)} AS u_5 FROM u4),
+      u6 AS (SELECT *, ${xr("u_5", shr("u_5", 28))} AS h48 FROM u5),
+      v1 AS (SELECT *, ${xr("r64s", u(Xxh3.secretXor24_32))} AS lo,
+                       ${xr("r64e", u(Xxh3.secretXor40_48))} AS hi FROM u6),
+      v2 AS (SELECT *, lo // 4294967296 AS la1, lo % 4294967296 AS la0,
+                       hi // 4294967296 AS lb1, hi % 4294967296 AS lb0 FROM v1),
+      v3 AS (SELECT *, la0*lb0 AS ll, la1*lb0 + la0*lb1 AS mid FROM v2),
+      v4 AS (SELECT *, (ll + (mid % 4294967296) * 4294967296) % $M AS flo,
+             la1*lb1 + mid // 4294967296
+               + (ll + (mid % 4294967296) * 4294967296) // $M AS fhi FROM v3),
+      v5 AS (SELECT *, (l + $revb + hi + ${xr("flo", "fhi")}) % $M AS acc FROM v4),
+      v6 AS (SELECT *, ${xr("acc", shr("acc", 37))} AS v_1 FROM v5),
+      v7 AS (SELECT *, ${wmulc("v_1", Xxh3.PrimeMx1)} AS v_2 FROM v6),
+      v8 AS (SELECT *, ${xr("v_2", shr("v_2", 32))} AS h916 FROM v7),
+      hh AS (SELECT user_id, cnt,
+               CASE WHEN l <= 3 THEN h13 WHEN l <= 8 THEN h48
+                    WHEN l <= 16 THEN h916 END AS h
+             FROM v8)
+      SELECT CAST((h % 4294967296) % $NumPartitions AS BIGINT) AS part_id,
+             CAST(sum(cnt) AS BIGINT) AS n_records,
+             count(DISTINCT user_id) AS n_keys
+      FROM hh GROUP BY 1"""
+  }
+
   private val base: Map[String, String] = Map(
 
     "offset_assignment" -> s"""WITH $logCtes
@@ -2166,5 +2272,6 @@ object OracleSql {
     ("curation_report" -> curationReportSql) +
     ("quality_signals" -> qualitySignalsSql) +
     ("lm_quality_buckets" -> lmQualityBucketsSql) +
-    ("centrality_keep" -> centralityKeepSql)
+    ("centrality_keep" -> centralityKeepSql) +
+    ("key_partitioner_xxh3" -> xxh3PartitionerSql)
 }

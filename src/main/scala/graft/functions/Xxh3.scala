@@ -93,6 +93,18 @@ object Xxh3 {
     fold64(readLE64(in, i) ^ readLE64(Secret, s),
       readLE64(in, i + 8) ^ readLE64(Secret, s + 8))
 
+  /** Secret-derived fold constants for the short-input paths, exposed so
+    * the DuckDB oracle twin (OracleSql.xxh3 CTE generator) shares the
+    * exact interop values instead of duplicating the secret hex. */
+  private[graft] def secretXor32: Long = readLE32(Secret, 0) ^ readLE32(Secret, 4)
+  private[graft] def secretXor8_16: Long = readLE64(Secret, 8) ^ readLE64(Secret, 16)
+  private[graft] def secretXor24_32: Long = readLE64(Secret, 24) ^ readLE64(Secret, 32)
+  private[graft] def secretXor40_48: Long = readLE64(Secret, 40) ^ readLE64(Secret, 48)
+  private[graft] val PrimeMx1: Long = MX1
+  private[graft] val PrimeMx2: Long = MX2
+  private[graft] val Prime64_2: Long = P64_2
+  private[graft] val Prime64_3: Long = P64_3
+
   def hash64(in: Array[Byte]): Long = {
     val len = in.length
     if (len <= 16) {

@@ -40,11 +40,12 @@ object BrokerOps {
   /** W2 parity variant — the reference's ACTUAL partition routing:
     * `(xxh3_64(key bytes) as u32) % n` (`topic.rs:90-93` — truncate the
     * hash to u32 BEFORE the mod), via the golden-vector-verified
-    * [[graft.functions.Xxh3]] Catalyst expression. The portable-hash
-    * `key_partitioner` row stays the DuckDB-checkable twin (SURVEY §7.3);
-    * this one is answer-level identical to the reference broker and is
-    * verified by Xxh3Spec's reference-C golden vectors + a rows-only
-    * driver check. Same output shape as [[keyPartitioner]]. */
+    * [[graft.functions.Xxh3]] Catalyst expression. Fully hash-checked
+    * against DuckDB since r11: [[graft.OracleSql.xxh3PartitionerSql]]
+    * implements XXH3-64 in pure SQL (limb-wrapped HUGEINT arithmetic),
+    * on top of Xxh3Spec's reference-C golden vectors. The portable-hash
+    * `key_partitioner` row stays the log-model twin (SURVEY §7.3).
+    * Same output shape as [[keyPartitioner]]. */
   def keyPartitionerXxh3(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Xxh3
     require((NumPartitions & (NumPartitions - 1)) == 0,
