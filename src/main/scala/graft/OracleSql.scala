@@ -432,7 +432,7 @@ object OracleSql {
     * come from [[graft.functions.Xxh3]] itself, so oracle and kernel
     * cannot drift. Verified exact against the Scala kernel on 100,011
     * digit-string keys covering every length class 1–16. */
-  private def xxh3PartitionerSql: String = {
+  private[graft] def xxh3PartitionerSql: String = {
     import graft.functions.Xxh3
     val M = "18446744073709551616"
     def u(l: Long) = java.lang.Long.toUnsignedString(l)

@@ -121,6 +121,28 @@ class Xxh3Spec extends AnyFunSuite {
     assert((h & (n - 1)) === Xxh3.partitionOf(uid.toString.getBytes("UTF-8"), n.toLong))
   }
 
+  test("the DuckDB oracle twin embeds the kernel's exact fold constants") {
+    // the SQL itself is validated against this kernel on 100k keys by
+    // the driver's DuckDB gate; THIS guard catches the silent failure
+    // mode — an edit to either side's constants that would only surface
+    // at driver time. Constants are read from Xxh3 (single source).
+    val sql = graft.OracleSql.xxh3PartitionerSql
+    def u(l: Long) = java.lang.Long.toUnsignedString(l)
+    Seq(Xxh3.secretXor32, Xxh3.secretXor8_16, Xxh3.secretXor24_32,
+      Xxh3.secretXor40_48).foreach(c => assert(sql.contains(u(c)), u(c)))
+    // wrap-mul limb constants of the three primes the chain multiplies by
+    Seq(Xxh3.Prime64_2, Xxh3.Prime64_3, Xxh3.PrimeMx1, Xxh3.PrimeMx2)
+      .foreach { p =>
+        assert(sql.contains(u(p >>> 32)), s"high limb of ${u(p)}")
+        assert(sql.contains(u(p & 0xffffffffL)), s"low limb of ${u(p)}")
+      }
+    // the truncate-to-u32-then-mod routing rule, verbatim
+    assert(sql.contains("(h % 4294967296) %"))
+    // length classes all present; >16 falls through to NULL (loud fail)
+    Seq("WHEN l <= 3", "WHEN l <= 8", "WHEN l <= 16").foreach(c =>
+      assert(sql.contains(c), c))
+  }
+
   test("the Catalyst expression matches the static function, interpreted and codegen") {
     val spark = Testing.spark
     import spark.implicits._
