@@ -146,6 +146,28 @@ class CompositePartitionsSpec extends AnyFunSuite {
     assert(split.isEmpty, s"keys split across partitions: ${split.keys.take(3)}")
   }
 
+  test("v2 streaming source reads the n=6 topic completely, offsets intact") {
+    import org.apache.spark.sql.functions._
+    val ckpt = Files.createTempDirectory("flyq-composite-ckpt").toString
+    val q = spark.readStream
+      .format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", "events").load(produced)
+      .writeStream.format("memory").queryName("composite_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("composite_tail")
+      assert(got.count() === back.count())
+      assert(got.select("part_id").distinct().count() === N.toLong)
+      // per-partition offset sets identical to the batch read
+      val bad = got.groupBy("part_id")
+        .agg(max("msg_offset").as("mx"), count(lit(1)).as("cnt"),
+          countDistinct("msg_offset").as("nd"))
+        .filter($"mx" =!= $"cnt" - 1 || $"nd" =!= $"cnt")
+      assert(bad.count() === 0)
+    } finally q.stop()
+  }
+
   test("socket server at n=6: ack placement = reference rule, consume round-trips") {
     val dir = Files.createTempDirectory("flyq-sock-composite").toString
     val server = new FlyqServer(dir, numPartitions = N)
