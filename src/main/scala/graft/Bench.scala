@@ -67,7 +67,10 @@ object Bench {
         () => graft.operators.Similarity.cellAssignment(spark, sfDir)
           .queryExecution.toRdd.count()),
       ("artifact_pq_trained_book",
-        () => graft.operators.Similarity.trainedBook(spark, sfDir)))
+        () => graft.operators.Similarity.trainedBook(spark, sfDir)),
+      ("artifact_simhash_fp",
+        () => graft.operators.Dedup.cachedSimhash(spark, sfDir)
+          .queryExecution.toRdd.count()))
 
     // Baseline from the previous run AT THE SAME SF (loaded up front so
     // the measurement loop can use it for regression confirmation).
@@ -153,7 +156,8 @@ object Bench {
       "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
       "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
       "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
-      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches)
+      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
+      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches)
     val results = artResults.map {
       case (name, sec, None) if looksRegressed(name, sec) =>
         System.err.println(s"[bench] reconfirm $name (cache-dropping rebuild)")

@@ -189,6 +189,13 @@ object Dedup {
       releaseFrame(pairsCache(k))
       pairsCache.remove(k)
     }
+    simhashCache.synchronized {
+      val sh = simhashCache.keys.filter(_._1 eq spark).toSeq
+      sh.foreach { k =>
+        releaseFrame(simhashCache(k))
+        simhashCache.remove(k)
+      }
+    }
     val residue = loopResidue.filter(_._1 eq spark)
     residue.foreach { case (_, df) => releaseFrame(df) }
     loopResidue --= residue
@@ -734,6 +741,25 @@ object Dedup {
     withSimhash64(docs(spark, sfDir))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"))
 
+  /** Session-scoped persist-once of the corpus SimHash fingerprints —
+    * three narrow longs per doc, but a full tokenize+hash corpus pass
+    * to build. The r11 identical-fingerprint collapse references the
+    * member table four times (intra self-join + two expansion probes)
+    * plus the rep aggregate; without the persist each reference re-runs
+    * the corpus pass (measured: 6 parquet scans in the pair plan).
+    * Charged as its own `artifact_simhash_fp` bench row, same
+    * accounting as the MinHash signature base. */
+  private val simhashCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  def cachedSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    getOrUpdateEvicting(simhashCache, spark, sfDir, "simhash_fp")(
+      // EAGER checkpoint: the pair query references this frame five
+      // times; a lazily-persisted cold cache would race all five into
+      // duplicate corpus passes on the first action (the documented
+      // self-join-over-cold-cache trap in computeMinhashPairs)
+      simhash64(spark, sfDir).localCheckpoint(true))
+
   /** Explodes a fingerprinted frame into its 20 (combo_j, combo_key)
     * block-triple rows (all other columns ride along) — the shared
     * candidate-index shape for the batch pair query and the streaming
@@ -774,17 +800,60 @@ object Dedup {
     * cost, the same trade the published simhash dedup pipeline makes.
     * Residual verify is two xor+bit_count ops, integer-exact on both
     * engines. */
-  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = simhashBlockKeys(simhash64(spark, sfDir))
-    e.as("a").join(e.as("b"),
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsFrom(cachedSimhash(spark, sfDir))
+
+  /** The collapsed pair build over an explicit (doc_id, sh_lo, sh_hi)
+    * fingerprint frame — split out so the planted-corpus spec can run it
+    * against a brute-force all-members twin on crafted data
+    * (ScaleGuardSpec), independent of the parquet tables and the oracle.
+    *
+    * IDENTICAL-FINGERPRINT COLLAPSE (same r11 discipline as the
+    * MinHash build): block keys and Hamming distance are functions of
+    * the 128-bit fingerprint alone, so fingerprint-identical docs are
+    * indistinguishable to every stage — the block-triple self-join
+    * runs over one representative per DISTINCT fingerprint, and
+    * verified rep pairs expand back to member pairs (intra-fingerprint
+    * pairs are all Hamming 0 ≤ max by construction). A copy cluster of
+    * m identical docs costs its distinct-variant count squared in the
+    * join, plus output-bounded expansion — not m² join rows.
+    * Plan discipline: both sides' fingerprints RIDE THROUGH the rep
+    * join (simhashBlockKeys carries extra columns), so the expansion
+    * needs no joins back to `reps` — and every `members` reference
+    * exchanges on the same (sh_lo, sh_hi) key over an identical
+    * subtree, which ReuseExchange collapses to one corpus pass (the
+    * production caller passes the eagerly-checkpointed
+    * [[cachedSimhash]] artifact). */
+  private[graft] def simhashPairsFrom(fp: DataFrame): DataFrame = {
+    val reps = fp.groupBy("sh_lo", "sh_hi")
+      .agg(min("doc_id").as("doc_id"))
+    val e = simhashBlockKeys(reps)
+    val repPairs = e.as("a").join(e.as("b"),
         col("a.combo_j") === col("b.combo_j") &&
           col("a.combo_key") === col("b.combo_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.sh_lo").as("a_lo"), col("a.sh_hi").as("a_hi"),
+        col("b.sh_lo").as("b_lo"), col("b.sh_hi").as("b_hi"),
         hamming64(col("a.sh_lo"), col("a.sh_hi"),
           col("b.sh_lo"), col("b.sh_hi")).as("hamming"))
       .filter(col("hamming") <= SimHammingMax)
-      .distinct() // a pair may collide on several triples
+      .distinct() // a rep pair may collide on several triples
+    val members = fp.select(col("sh_lo"), col("sh_hi"), col("doc_id"))
+    val cross = repPairs
+      .join(members.as("ma"),
+        col("a_lo") === col("ma.sh_lo") && col("a_hi") === col("ma.sh_hi"))
+      .join(members.as("mb"),
+        col("b_lo") === col("mb.sh_lo") && col("b_hi") === col("mb.sh_hi"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.sh_lo") === col("y.sh_lo") &&
+          col("x.sh_hi") === col("y.sh_hi") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Character 3-gram Jaccard near-dup pairs, LSH-banded.

@@ -254,4 +254,71 @@ class ScaleGuardSpec extends AnyFunSuite {
       assert(!r.isNullAt(1) && r.getSeq[Long](1).length === as.length)
     }
   }
+
+  // ---- r11 identical-fingerprint collapse (SimHash pair build) ----
+
+  test("simhash collapse: planted copy clusters ≡ brute-force all-members") {
+    import graft.operators.Dedup
+    // Crafted (doc_id, sh_lo, sh_hi) fingerprints with exact Hamming
+    // control. Halves are 32-bit non-negative longs (the production
+    // encoding). Base fp B; planted clusters exercise every path:
+    //   A: 5 copies of B                 (intra pairs, Hamming 0)
+    //   C: 3 copies of B with 2 low bits flipped   (cross pairs, H=2)
+    //   D: 1 doc with 4 bits flipped IN ONE BLOCK  (collides on triples,
+    //      killed by the Hamming>3 verify — the filter path)
+    //   E: 1 doc with 4 bits flipped in 4 DIFFERENT blocks (only 2 intact
+    //      blocks → no intact triple → never even a candidate)
+    //   F: 2 unrelated far fingerprints (no pairs)
+    val bLo = 0x5A3C9E1L; val bHi = 0x7F01B264L
+    val fps: Seq[(Long, Long, Long)] =
+      (1L to 5L).map(i => (i, bLo, bHi)) ++                 // A (ids 1-5)
+      (6L to 8L).map(i => (i, bLo ^ 0x3L, bHi)) ++          // C (ids 6-8)
+      Seq((9L, bLo ^ 0xF0L, bHi)) ++                        // D: 4 bits, block lo[0,11)
+                                                            //    (disjoint from C's)
+      Seq((10L, bLo ^ ((1L << 1) | (1L << 12)),             // E: lo blocks 0,1
+               bHi ^ ((1L << 1) | (1L << 12)))) ++          //    hi blocks 3,4
+      Seq((11L, 0x12345678L, 0x0L), (12L, 0x0L, 0x12345678L)) // F
+    val fp = fps.toDF("doc_id", "sh_lo", "sh_hi")
+
+    val collapsed = Dedup.simhashPairsFrom(fp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force = the pre-collapse shape: block-triple join over ALL
+    // members, no rep/expansion machinery
+    val e = Dedup.simhashBlockKeys(fp)
+    val brute = e.as("a").join(e.as("b"),
+        col("a.combo_j") === col("b.combo_j") &&
+          col("a.combo_key") === col("b.combo_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
+          bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= Dedup.SimHammingMax)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collapsed === brute)
+
+    // and both equal ground truth: TRUE all-pairs Hamming filter (the
+    // pigeonhole guarantee — every Hamming≤3 pair shares an intact triple)
+    def ham(x: (Long, Long, Long), y: (Long, Long, Long)): Long =
+      java.lang.Long.bitCount(x._2 ^ y._2) + java.lang.Long.bitCount(x._3 ^ y._3)
+    val truth = (for {
+      x <- fps; y <- fps if x._1 < y._1
+      h = ham(x, y) if h <= Dedup.SimHammingMax
+    } yield (x._1, y._1, h)).toSet
+    assert(collapsed === truth)
+    // structure: C(5,2)=10 intra-A + C(3,2)=3 intra-C + 5*3 cross = 28;
+    // D (H=4, candidate killed by verify) and E/F contribute nothing
+    assert(collapsed.size === 28)
+    assert(collapsed.count(_._3 == 0L) === 13)
+    assert(!collapsed.exists(p => p._1 == 9L || p._2 == 9L))
+    assert(!collapsed.exists(p => p._1 >= 10L || p._2 >= 10L))
+
+    // the collapse actually collapses: the banded join input is 20 rows
+    // per DISTINCT fingerprint (6 here: A,C,D,E + 2×F), not per doc (12)
+    val repRows = Dedup.simhashBlockKeys(
+      fp.groupBy("sh_lo", "sh_hi").agg(min("doc_id").as("doc_id"))).count()
+    assert(repRows === 20L * 6)
+  }
 }
