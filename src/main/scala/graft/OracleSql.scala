@@ -921,6 +921,26 @@ object OracleSql {
              last_seq - first_seq + 1 AS seqs_spanned
       FROM q""",
 
+    // chunk_windows: generate_series is inclusive of n-1 like Spark's
+    // sequence; list_slice(toks, a+1, a+W) clips at the list end exactly
+    // like Spark's slice(toks, a+1, W); `//` for the exact-multiple
+    // chunk_idx (plain '/' is float division in DuckDB)
+    "chunk_windows" -> s"""WITH $textCtes,
+      t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+      s AS (SELECT doc_id, toks, n,
+                   unnest(generate_series(0, n - 1, ${Sampling.ChunkStride}))
+                     AS tok_start
+            FROM t)
+      SELECT doc_id,
+             CAST(tok_start // ${Sampling.ChunkStride} AS BIGINT) AS chunk_idx,
+             CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(least(${Sampling.ChunkWindow}, n - tok_start) AS BIGINT)
+               AS n_chunk_tokens,
+             md5(array_to_string(
+               list_slice(toks, tok_start + 1,
+                 tok_start + ${Sampling.ChunkWindow}), ' ')) AS chunk_md5
+      FROM s""",
+
     "quality_topk_sample" -> s"""WITH $textCtes, $qualityCtes,
       r AS (SELECT lang, doc_id, quality_score,
                    CAST(row_number() OVER (PARTITION BY lang

@@ -132,6 +132,7 @@ object SparkEntry {
     "json_props_rollup" -> (Relational.jsonPropsRollup(_, _)),
     "normalize_text" -> (TextAnalysis.normalizeText(_, _)),
     "sequence_pack" -> (Sampling.sequencePack(_, _)),
+    "chunk_windows" -> (Sampling.chunkWindows(_, _)),
     "centrality_keep" -> (Dedup.centralityKeep(_, _)),
     "approx_heavy_terms" -> (TextAnalysis.approxHeavyTerms(_, _)),
     "zorder_layout" -> (Relational.zorderLayout(_, _)),

@@ -212,6 +212,53 @@ object Sampling {
         (col("last_seq") - col("first_seq") + 1).as("seqs_spanned"))
   }
 
+  /** Context-window chunk size and stride, in whitespace tokens. Stride <
+    * window → consecutive chunks overlap by window − stride tokens (the
+    * standard eval/embedding chunking so no span longer than the overlap
+    * is ever split across every chunk containing it). Oracle SQL is
+    * generated from these same constants. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** Fixed-window overlapping chunking of each document's token stream —
+    * the chunk manifest an embedding/eval pipeline consumes (RAG
+    * indexing, long-doc eval): one row per (doc, window start), with the
+    * chunk's exact token span and an md5 fingerprint of its joined tokens
+    * (exact-dedup-ready at chunk granularity).
+    *
+    * Chunks start at 0, stride, 2·stride, … while the start is inside
+    * the document; the final chunk is the natural tail (n − start
+    * tokens, ≤ window) — no padding, no dropped remainder, so
+    * Σ n_chunk_tokens is reconstructible and deterministic.
+    *
+    * This is NOT [[sequencePack]]: packing concatenates the corpus and
+    * splits at global boundaries for pretraining (docs span sequences);
+    * chunking stays inside each document and overlaps windows for
+    * retrieval/eval (sequences never cross docs).
+    *
+    * Scale: zero shuffle — a projection plus one Generate per doc
+    * (ceil(n/stride) rows), everything codegen'd integer arithmetic and
+    * narrow string ops at scan speed; at 100 TB this is a pure map. */
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = lit(ChunkWindow.toLong); val s = ChunkStride.toLong
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // n_tokens ≥ 1 always (split never yields an empty array), so the
+      // sequence is non-empty and every doc emits ≥ 1 chunk
+      .withColumn("tok_start",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(s))))
+      .withColumn("chunk_idx", floor(col("tok_start") / s).cast("long"))
+      .withColumn("n_chunk_tokens",
+        least(w, col("n_tokens") - col("tok_start")))
+      .withColumn("chunk_md5",
+        md5(array_join(
+          slice(col("toks"), (col("tok_start") + 1).cast("int"),
+            lit(ChunkWindow)), " ")))
+      .select("doc_id", "chunk_idx", "tok_start", "n_chunk_tokens",
+        "chunk_md5")
+  }
+
   /** Per-language top-k documents by composite quality score (the
     * "curate the best docs per stratum" sampler): reuses the
     * [[graft.functions.TopK]] bounded aggregate, so map-side combine caps

@@ -158,6 +158,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(r.exists(_.getAs[Long]("seqs_spanned") > 1))
   }
 
+  test("chunk_windows: exact geometry, tail clipping, driver-recomputed md5") {
+    // ground truth recomputed in the DRIVER from the raw texts (JVM regex
+    // + MessageDigest — independent of the Spark expression pipeline; the
+    // DuckDB oracle separately pins cross-engine parity)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def norm(s: String): String =
+      s.replaceAll("[ \t\n\r\f]+", " ").trim.toLowerCase
+    val toksById = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)).split(" ", -1).toSeq)
+      .toMap
+    val byDoc = Sampling.chunkWindows(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === toksById.keySet, "every doc emits >= 1 chunk")
+    val W = Sampling.ChunkWindow.toLong; val S = Sampling.ChunkStride.toLong
+    for ((id, rs) <- byDoc) {
+      val toks = toksById(id); val n = toks.length.toLong
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx")).toSeq
+      assert(sorted.map(_.getAs[Long]("chunk_idx")) ===
+        (0L until sorted.length).toSeq, s"doc $id: contiguous chunk_idx")
+      assert(sorted.length === (n - 1) / S + 1, s"doc $id: chunk count")
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("tok_start")
+        val len = r.getAs[Long]("n_chunk_tokens")
+        assert(start === r.getAs[Long]("chunk_idx") * S)
+        assert(len === math.min(W, n - start), s"doc $id @$start")
+        assert(r.getAs[String]("chunk_md5") ===
+          md5hex(toks.slice(start.toInt, (start + len).toInt).mkString(" ")),
+          s"doc $id @$start: fingerprint")
+      }
+      // the tail chunk ends exactly at the document's last token
+      val last = sorted.last
+      assert(last.getAs[Long]("tok_start") +
+        last.getAs[Long]("n_chunk_tokens") === n, s"doc $id: tail clip")
+    }
+    // the overlap property is non-degenerate on real data
+    assert(byDoc.values.exists(_.length >= 2), "some doc spans 2+ chunks")
+  }
+
   test("importance_sample: deterministic Gumbel draw, tilted toward the quality target") {
     // sf0.01 — at sf0.001 the corpus is smaller than DsirK and the
     // selection property is degenerate

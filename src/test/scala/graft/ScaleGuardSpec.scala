@@ -321,4 +321,39 @@ class ScaleGuardSpec extends AnyFunSuite {
       fp.groupBy("sh_lo", "sh_hi").agg(min("doc_id").as("doc_id"))).count()
     assert(repRows === 20L * 6)
   }
+
+  test("simhash collapse: seeded random corpus ≡ true all-pairs filter") {
+    import graft.operators.Dedup
+    // Deterministic fuzz: random base fingerprints, random copy-cluster
+    // sizes, random near-variants at 1-6 flipped bits — every structural
+    // situation the handcrafted case enumerates, at arbitrary overlap.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val mask32 = 0xFFFFFFFFL
+    val fps = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    var id = 0L
+    for (_ <- 1 to 40) {
+      val lo = rnd.nextLong() & mask32; val hi = rnd.nextLong() & mask32
+      for (_ <- 1 to (1 + rnd.nextInt(4))) { id += 1; fps += ((id, lo, hi)) }
+      for (_ <- 1 to rnd.nextInt(3)) { // near-variant cluster
+        var (vLo, vHi) = (lo, hi)
+        for (_ <- 1 to (1 + rnd.nextInt(6))) { // 1-6 bit flips (may repeat)
+          val b = rnd.nextInt(64)
+          if (b < 32) vLo ^= (1L << b) else vHi ^= (1L << (b - 32))
+        }
+        for (_ <- 1 to (1 + rnd.nextInt(2))) { id += 1; fps += ((id, vLo, vHi)) }
+      }
+    }
+    val fp = fps.toSeq.toDF("doc_id", "sh_lo", "sh_hi")
+    val collapsed = Dedup.simhashPairsFrom(fp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(x: (Long, Long, Long), y: (Long, Long, Long)): Long =
+      java.lang.Long.bitCount(x._2 ^ y._2) + java.lang.Long.bitCount(x._3 ^ y._3)
+    val truth = (for {
+      x <- fps; y <- fps if x._1 < y._1
+      h = ham(x, y) if h <= Dedup.SimHammingMax
+    } yield (x._1, y._1, h)).toSet
+    assert(collapsed === truth)
+    assert(truth.nonEmpty && truth.exists(_._3 > 0L),
+      "fuzz corpus must exercise both intra and cross pairs")
+  }
 }
