@@ -204,8 +204,25 @@ object Bench {
         s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
     }.mkString("{", ",", "}")
     if (subset.isEmpty) {
+      // MIN-MERGE, not overwrite (r11): the committed file is a per-row
+      // FLOOR (the documented protocol: min across full runs + every
+      // committed predecessor). A plain overwrite made one slow run's
+      // values "the floor" the moment they were committed — inflating
+      // every row's regression threshold. Merging min(prev, cur) per row
+      // automates the protocol: floors only ratchet down; a deliberate
+      // structural slowdown (rare, documented) is a hand edit. Rows new
+      // in this run (renames, new queries) enter at their first reading;
+      // rows deleted from the query set are dropped so the file tracks
+      // the live surface.
+      val live = results.collect { case (k, v, None) if v > 0 => k -> v }.toMap
+      val merged = live.map { case (k, v) =>
+        k -> math.min(v, prev.getOrElse(k, v))
+      }
       val w = new java.io.PrintWriter(baselineFile)
-      try w.write(qs) finally w.close()
+      try w.write(merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("{", ",", "}"))
+      finally w.close()
     }
 
     // Storage footprint of the persist-once artifact set at end of run —
