@@ -326,12 +326,13 @@ object PipelineStreams {
     import graft.operators.Dedup
     // persist-once (same rationale as embeddingNearDupStream): the base
     // fingerprint+block-key index computes once per (session, base), not
-    // once per micro-batch
+    // once per micro-batch — and the fingerprints themselves come from
+    // the shared [[Dedup.cachedSimhash]] artifact (r11), so a session
+    // running both the batch pair query and this gate pays the corpus
+    // tokenize+hash pass ONCE, not once per surface
     val base = Dedup.getOrUpdateEvicting(
         staticIndexCache, spark, baseSfDir, "gate_simhash_index") {
-      Dedup.simhashBlockKeys(Dedup.withSimhash64(
-          graft.sources.Tables.load(spark, baseSfDir, "documents"))
-          .select(col("doc_id"), col("sh_lo"), col("sh_hi")))
+      Dedup.simhashBlockKeys(Dedup.cachedSimhash(spark, baseSfDir))
         .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
           col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
     }
