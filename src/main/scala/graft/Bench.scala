@@ -49,8 +49,15 @@ object Bench {
         () => graft.operators.Dedup.verifiedPairs(spark, sfDir)
           .queryExecution.toRdd.count()),
       ("artifact_ngram_signatures",
-        () => graft.operators.Dedup.ngramDocs(spark, sfDir)
-          .queryExecution.toRdd.count()),
+        () => {
+          graft.operators.Dedup.ngramDocs(spark, sfDir)
+            .queryExecution.toRdd.count()
+          // the r11 collapse's rep table shares the row: gram table +
+          // its one-shuffle rep aggregate are the build, consumers
+          // measure net of both
+          graft.operators.Dedup.ngramReps(spark, sfDir)
+            .queryExecution.toRdd.count()
+        }),
       ("artifact_term_counts",
         () => graft.operators.TextAnalysis.termCounts(spark, sfDir)
           .queryExecution.toRdd.count()),

@@ -886,11 +886,68 @@ object Dedup {
         .filter(col("n_chars_norm") >= NgramMinChars) // else empty gram set
         .withColumn("hgs", graft.functions.TextHashes.hash32_array(
           graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
-        .select(col("doc_id"), col("lang"), col("n_chars_norm"), col("hgs")))
+        // collapse key for the pair build, computed once in the artifact
+        .transform(withNgramSetId)
+        .select(col("doc_id"), col("lang"), col("n_chars_norm"),
+          col("hgs"), col("set_id")))
+
+  /** Adds the n-gram collapse key: md5 over (lang, n_chars_norm, sorted
+    * hash set). The band join constrains lang and n_chars_norm, so docs
+    * sharing the gram set but differing in either were never candidates
+    * and must stay in separate collapse groups. Comma-joined
+    * digit/letter tokens decode uniquely, so distinct (lang, n_chars,
+    * set) triples cannot alias one preimage; md5 is 128-bit because a
+    * fingerprint collision would wrongly merge groups (same argument as
+    * the MinHash set_id). Shared with the planted-corpus spec so the
+    * tested rule IS the production rule. */
+  private[graft] def withNgramSetId(df: DataFrame): DataFrame =
+    df.withColumn("set_id", md5(concat_ws(",",
+      col("lang"), col("n_chars_norm").cast("string"),
+      concat_ws(",",
+        transform(array_sort(col("hgs")), x => x.cast("string"))))))
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = ngramDocs(spark, sfDir)
-    val sig = g.withColumn("sigs",
+    // IDENTICAL-SET COLLAPSE (r11 — third instance of the discipline,
+    // after the word-set MinHash build and the SimHash fingerprints):
+    // signatures, band keys, and Jaccard are SET-functions of hgs, and
+    // the join's (lang, n_chars_norm) constraints are part of set_id,
+    // so docs with identical (lang, n_chars_norm, gram set) are
+    // indistinguishable to every stage. Band + verify one
+    // representative per DISTINCT set_id; verified rep pairs expand to
+    // member pairs (cross-group at the reps' exact Jaccard; intra-group
+    // at exactly 1.0 — identical sets always collide and always
+    // verify). A boilerplate cluster of m identical docs costs one
+    // banded-join row instead of m².
+    ngramPairsFrom(ngramDocs(spark, sfDir), ngramReps(spark, sfDir))
+  }
+
+  /** One representative row per distinct collapse key. Persist-once
+    * (same registry as the gram table): the rep aggregation shuffles the
+    * hgs arrays, and both the pair query and the threshold sweep consume
+    * it — pay it once per (session, corpus), charged to the
+    * `artifact_ngram_signatures` bench row alongside the gram table. */
+  private[graft] def ngramReps(spark: SparkSession, sfDir: String): DataFrame =
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "ngram_reps")(
+      repsOfNgram(ngramDocs(spark, sfDir)))
+
+  /** The rep-table formula, shared by [[ngramReps]] and the
+    * planted-corpus spec so the tested derivation IS production's. */
+  private[graft] def repsOfNgram(g: DataFrame): DataFrame =
+    g.groupBy("set_id").agg(
+      min("doc_id").as("doc_id"),
+      first("lang").as("lang"),                 // members share the key,
+      first("n_chars_norm").as("n_chars_norm"), // hence lang/n_chars
+      min_by(col("hgs"), col("doc_id")).as("hgs"))
+
+  /** The collapsed n-gram pair build over explicit member (doc_id,
+    * lang, n_chars_norm, hgs, set_id) and rep frames — split out so the
+    * planted-corpus spec can run it against a brute-force all-members
+    * twin (ScaleGuardSpec), independent of the parquet tables and the
+    * oracle. Production passes the persist-once [[ngramDocs]] /
+    * [[ngramReps]] artifacts (set_id and the rep aggregation computed
+    * once per session). */
+  private[graft] def ngramPairsFrom(g: DataFrame, reps: DataFrame): DataFrame = {
+    val sig = reps.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hgs"),
         (0 until NumHashes).map(hashA),
         (0 until NumHashes).map(hashB), MinHashPrime))
@@ -898,7 +955,11 @@ object Dedup {
       concat_ws("_", (0 until NgramBandSize).map(r =>
         element_at(col("sigs"), j * NgramBandSize + r + 1)): _*)
     }: _*)
+    // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
+    // same plan discipline as the SimHash collapse), so the expansion
+    // needs no joins back to `reps` to recover each side's group
     val b = sig.select(col("doc_id"), col("lang"), col("n_chars_norm"),
+      col("set_id"),
       posexplode(bandKeys).as(Seq("band_j", "band_key")))
     val pairs = b.as("a").join(b.as("b"),
         col("a.band_j") === col("b.band_j") &&
@@ -906,17 +967,32 @@ object Dedup {
           col("a.lang") === col("b.lang") &&
           col("a.n_chars_norm") === col("b.n_chars_norm") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val h = g.select(col("doc_id"), col("hgs"))
-    pairs
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"))
+      .distinct() // a rep pair may collide on several bands
+    val h = reps.select(col("doc_id"), col("hgs"))
+    val repPairs = pairs
       .join(h.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(h.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("ngram_jaccard",
         round(graft.functions.TextHashes.jaccard_long(
           col("ga.hgs"), col("gb.hgs")), 6))
       .filter(col("ngram_jaccard") >= NgramJaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("ngram_jaccard"))
+      .select(col("sid_a"), col("sid_b"), col("ngram_jaccard"))
+    // expand rep pairs to member pairs — output-bounded work
+    val members = g.select(col("set_id"), col("doc_id"))
+    val cross = repPairs
+      .join(members.as("ma"), col("sid_a") === col("ma.set_id"))
+      .join(members.as("mb"), col("sid_b") === col("mb.set_id"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("ngram_jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.set_id") === col("y.set_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("ngram_jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Sweep thresholds for [[dedupThresholdSweep]] — all at-or-above the

@@ -356,4 +356,76 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(truth.nonEmpty && truth.exists(_._3 > 0L),
       "fuzz corpus must exercise both intra and cross pairs")
   }
+
+  // ---- r11 identical-set collapse (n-gram Jaccard pair build) ----
+
+  test("ngram collapse: planted gram-set clusters ≡ brute-force all-members") {
+    import graft.operators.Dedup
+    // Crafted (doc_id, lang, n_chars_norm, hgs) rows. S1 is a 10-element
+    // hash set; clusters exercise the collapse key's three components:
+    //   A: 4 copies of S1 in DIFFERENT array orders (set_id must
+    //      canonicalize via array_sort — one collapse group)
+    //   B: 2 docs with S1 but a different n_chars_norm  (separate group,
+    //      and NEVER paired with A — the join requires equal lengths)
+    //   C: 1 doc with S1 but a different lang           (same exclusion)
+    //   D: 2 docs with S1 minus one element (Jaccard 0.9 vs A —
+    //      candidate iff a band collides; whatever the brute-force
+    //      banding says, the collapsed build must say the same)
+    //   E: 1 doc with a disjoint set (never a pair)
+    val s1: Seq[Long] = Seq(11L, 23L, 38L, 47L, 55L, 61L, 72L, 89L, 94L, 107L)
+    val rows: Seq[(Long, String, Long, Seq[Long])] =
+      Seq((1L, "en", 100L, s1), (2L, "en", 100L, s1.reverse),
+          (3L, "en", 100L, s1.drop(5) ++ s1.take(5)),
+          (4L, "en", 100L, s1.sortBy(x => x % 7)),
+          (5L, "en", 101L, s1), (6L, "en", 101L, s1),
+          (7L, "de", 100L, s1),
+          (8L, "en", 100L, s1.tail), (9L, "en", 100L, s1.tail),
+          (10L, "en", 100L, Seq(501L, 502L, 503L, 504L, 505L)))
+    val g = Dedup.withNgramSetId(
+      rows.toDF("doc_id", "lang", "n_chars_norm", "hgs"))
+    val collapsed = Dedup.ngramPairsFrom(g, Dedup.repsOfNgram(g))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute force = the pre-collapse shape over ALL docs, same constants
+    val sig = g.withColumn("sigs",
+      graft.functions.TextHashes.minhash_sigs(col("hgs"),
+        (0 until Dedup.NumHashes).map(Dedup.hashA),
+        (0 until Dedup.NumHashes).map(Dedup.hashB), Dedup.MinHashPrime))
+    val bandKeys = array((0 until Dedup.NgramNumBands).map { j =>
+      concat_ws("_", (0 until Dedup.NgramBandSize).map(r =>
+        element_at(col("sigs"), j * Dedup.NgramBandSize + r + 1)): _*)
+    }: _*)
+    val b = sig.select(col("doc_id"), col("lang"), col("n_chars_norm"),
+      col("hgs"), posexplode(bandKeys).as(Seq("band_j", "band_key")))
+    val brute = b.as("a").join(b.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.n_chars_norm") === col("b.n_chars_norm") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(graft.functions.TextHashes.jaccard_long(
+          col("a.hgs"), col("b.hgs")), 6).as("j"))
+      .distinct()
+      .filter(col("j") >= Dedup.NgramJaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed === brute)
+
+    // structure: the order-scrambled copies are ONE group (C(4,2) intra
+    // pairs at 1.0), B is its own pair, D its own — and no pair ever
+    // crosses a lang or n_chars_norm boundary
+    assert(collapsed.filter(p => p._1 >= 1 && p._2 <= 4) ===
+      (for (x <- 1L to 4L; y <- (x + 1) to 4L) yield (x, y, 1.0)).toSet)
+    assert(collapsed.contains((5L, 6L, 1.0)) && collapsed.contains((8L, 9L, 1.0)))
+    val groupOf = Map[Long, String](1L -> "A", 2L -> "A", 3L -> "A", 4L -> "A",
+      5L -> "B", 6L -> "B", 7L -> "C", 8L -> "D", 9L -> "D", 10L -> "E")
+    collapsed.foreach { case (a, bb, _) =>
+      val (ga, gb) = (groupOf(a), groupOf(bb))
+      assert(Set(ga, gb) != Set("A", "B") && Set(ga, gb) != Set("A", "C") &&
+        gb != "E" && ga != "E", s"illegal pair $a-$bb")
+    }
+    // the collapse actually collapses: one rep per DISTINCT set_id —
+    // 5 groups for 10 docs (the order-scrambled copies canonicalize)
+    assert(g.select("set_id").distinct().count() === 5L)
+  }
 }
