@@ -428,4 +428,36 @@ class ScaleGuardSpec extends AnyFunSuite {
     // 5 groups for 10 docs (the order-scrambled copies canonicalize)
     assert(g.select("set_id").distinct().count() === 5L)
   }
+
+  test("collapsed pair builds read their persist-once bases, not the corpus") {
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    // force the artifacts (what a production session's first consumer,
+    // or Bench's artifact rows, would have done)
+    Dedup.cachedSimhash(spark, sf).queryExecution.toRdd.count()
+    Dedup.ngramDocs(spark, sf).queryExecution.toRdd.count()
+    Dedup.ngramReps(spark, sf).queryExecution.toRdd.count()
+    // with the artifacts live, neither pair query may rescan the corpus
+    // parquet or re-run the rep aggregation — every base reference must
+    // resolve to the checkpoint RDD / cached table. A future refactor
+    // that silently re-derives a base from documents (the 6-scan plan
+    // the r11 collapse work started from) turns this red. Assert on the
+    // optimized LOGICAL leaves, not plan strings: InMemoryRelation's
+    // toString embeds its original FileScan child, so string matching
+    // false-positives on a fully-cached plan.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def leafKinds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map {
+        case _: InMemoryRelation => "cached"
+        case _: LogicalRDD => "checkpoint"
+        case other => s"RESCAN:${other.nodeName}"
+      }
+    val simLeaves = leafKinds(Dedup.dedupSimhashPairs(spark, sf))
+    assert(simLeaves.nonEmpty && simLeaves.forall(_ == "checkpoint"),
+      s"simhash pair plan must read only the checkpointed base: $simLeaves")
+    val ngLeaves = leafKinds(Dedup.ngramJaccard(spark, sf))
+    assert(ngLeaves.nonEmpty && ngLeaves.forall(_ == "cached"),
+      s"ngram pair plan must read only the persisted gram/rep tables: $ngLeaves")
+  }
 }
