@@ -65,7 +65,7 @@ object Dedup {
   /** doc_id + distinct word set + per-word 32-bit hashes (one imperative
     * pass — graft.functions.TextHashes — instead of an interpreted
     * per-element HOF lambda; values identical). */
-  private def docWords(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docWords(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
       col("doc_id"), col("lang"),
       normText(col("text")).as("ntext"),
@@ -91,7 +91,7 @@ object Dedup {
     * word count) rides along for the size-ratio prune. The whole k-hash
     * signature is ONE expression (TextHashes.minhash_sigs) computing all
     * mins in a single pass over the word hashes. */
-  private[operators] def bandsOf(base: DataFrame): DataFrame = {
+  private[graft] def bandsOf(base: DataFrame): DataFrame = {
     val sig = base.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hws"),
         (0 until NumHashes).map(hashA),

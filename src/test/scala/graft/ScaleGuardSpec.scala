@@ -460,4 +460,61 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(ngLeaves.nonEmpty && ngLeaves.forall(_ == "cached"),
       s"ngram pair plan must read only the persisted gram/rep tables: $ngLeaves")
   }
+
+  test("minhash collapse: planted copy corpus through the production path") {
+    import graft.operators.Dedup
+    // a REAL corpus written to parquet, so the whole production path runs
+    // (Tables.load → docWords → collapse → persist-once → checkpoint):
+    //   docs 1-4: one copy cluster — doc 3 is word-order-scrambled WITH
+    //             repeated words (same DISTINCT set, different text, so
+    //             exact-dedup would miss it but the set collapse must not)
+    //   docs 5-6: a near cluster, word-set Jaccard 23/25 = 0.92 vs t1
+    //   doc  7:   disjoint vocabulary (never a pair)
+    val dir = "/tmp/planted_minhash_corpus"
+    val w = (1 to 24).map(i => s"w$i")
+    val t1 = w.mkString(" ")
+    val t1s = (w.reverse ++ w.take(5)).mkString(" ")
+    val t2 = (w.drop(1) ++ Seq("v25")).mkString(" ")
+    val t3 = (1 to 24).map(i => s"z$i").mkString(" ")
+    val rows = Seq((1L, t1), (2L, t1), (3L, t1s), (4L, t1),
+      (5L, t2), (6L, t2), (7L, t3))
+    rows.map { case (id, t) => (id, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupMinhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force = the pre-collapse shape over ALL docs (band self-join
+    // with the size-ratio prune + exact-Jaccard verify), same kernels
+    val base = Dedup.docWords(spark, dir)
+      .select(col("doc_id"), size(col("hws")).cast("long").as("nw"),
+        col("hws"))
+      .filter(col("nw") >= Dedup.MinWords)
+    val b = Dedup.bandsOf(base)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nw"), col("b.nw")) * 10 >=
+            greatest(col("a.nw"), col("b.nw")) * 9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hw = base.select(col("doc_id"), col("hws"))
+    val brute = cand
+      .join(hw.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(hw.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .withColumn("jaccard",
+        round(graft.functions.TextHashes.jaccard_long(
+          col("wa.hws"), col("wb.hws")), 6))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    // structure: the copy cluster is complete at exactly 1.0 — including
+    // the scrambled doc 3 — no matter how the near cluster bands
+    val intra = (for (x <- 1L to 4L; y <- (x + 1) to 4L) yield (x, y, 1.0)).toSet
+    assert(got.filter(_._2 <= 4L) === intra)
+    assert(got.contains((5L, 6L, 1.0)))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+  }
 }
