@@ -946,21 +946,35 @@ object Dedup {
     * oracle. Production passes the persist-once [[ngramDocs]] /
     * [[ngramReps]] artifacts (set_id and the rep aggregation computed
     * once per session). */
-  private[graft] def ngramPairsFrom(g: DataFrame, reps: DataFrame): DataFrame = {
-    val sig = reps.withColumn("sigs",
+  /** Explodes a gram frame (needs `hgs`) into its (band_j, band_key)
+    * MinHash-band rows — all other columns ride along; `sigs` and `hgs`
+    * are NOT kept (callers needing the set re-join or re-select). The
+    * shared candidate-index shape for the batch pair build and the
+    * streaming gate, mirroring [[simhashBlockKeys]]. */
+  private[graft] def ngramBandKeys(fp: DataFrame): DataFrame = {
+    val sig = fp.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hgs"),
         (0 until NumHashes).map(hashA),
         (0 until NumHashes).map(hashB), MinHashPrime))
-    val bandKeys = array((0 until NgramNumBands).map { j =>
-      concat_ws("_", (0 until NgramBandSize).map(r =>
-        element_at(col("sigs"), j * NgramBandSize + r + 1)): _*)
+    val keys = array((0 until NgramNumBands).map { j =>
+      struct(lit(j).as("band_j"),
+        concat_ws("_", (0 until NgramBandSize).map(r =>
+          element_at(col("sigs"), j * NgramBandSize + r + 1)): _*)
+          .as("band_key"))
     }: _*)
+    sig.withColumn("k", explode(keys))
+      .withColumn("band_j", col("k.band_j"))
+      .withColumn("band_key", col("k.band_key"))
+      .drop("k", "sigs", "hgs")
+  }
+
+  private[graft] def ngramPairsFrom(g: DataFrame, reps: DataFrame): DataFrame = {
     // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
     // same plan discipline as the SimHash collapse), so the expansion
     // needs no joins back to `reps` to recover each side's group
-    val b = sig.select(col("doc_id"), col("lang"), col("n_chars_norm"),
-      col("set_id"),
-      posexplode(bandKeys).as(Seq("band_j", "band_key")))
+    val b = ngramBandKeys(reps)
+      .select(col("doc_id"), col("lang"), col("n_chars_norm"),
+        col("set_id"), col("band_j"), col("band_key"))
     val pairs = b.as("a").join(b.as("b"),
         col("a.band_j") === col("b.band_j") &&
           col("a.band_key") === col("b.band_key") &&

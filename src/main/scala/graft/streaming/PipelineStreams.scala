@@ -347,6 +347,64 @@ object PipelineStreams {
         min("base_id").as("example_base_doc"))
   }
 
+  /** Streaming char-3-gram Jaccard near-dup detection against a STATIC
+    * base corpus — the ingest-time shape of `ngram_jaccard`, completing
+    * the gate family (exact / simhash / embedding / line / span /
+    * winnow-span / bloom / and now gram-set Jaccard). Each incoming doc
+    * is gram-hashed with the batch kernels (narrow), banded with the
+    * SHARED [[graft.operators.Dedup.ngramBandKeys]], and equi-joined
+    * stream-static against the base corpus's banded REP index (the r11
+    * collapse: base copies share one rep, so the index holds one banded
+    * row set per distinct (lang, length, gram set) — the flag decision
+    * is unchanged because a stream doc is a near-dup of a member iff it
+    * is of the member's rep); survivors of the round-then-threshold
+    * Jaccard verify (mirroring the batch rule exactly) roll up per doc.
+    *
+    * Output: (doc_id, n_collisions, max_jaccard, example_base_doc).
+    * `n_collisions` counts (rep, band) collision EVIDENCE — same
+    * contract as [[simhashNearDupStream]] (distinct aggregation is
+    * unsupported on streams); any row means "this doc has a base
+    * near-dup", the gate decision.
+    *
+    * Scale: the static index is ≤ NgramNumBands rows per distinct base
+    * set; the join is equi on (band_j, band_key), so each micro-batch
+    * probes, never scans, the base. */
+  def ngramNearDupStream(spark: SparkSession, docs: DataFrame,
+                         baseSfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val base = Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_ngram_index") {
+      val reps = Dedup.ngramReps(spark, baseSfDir)
+      Dedup.ngramBandKeys(reps)
+        .select(col("doc_id").as("base_id"), col("lang").as("base_lang"),
+          col("n_chars_norm").as("base_n"), col("set_id"),
+          col("band_j"), col("band_key"))
+        // the verify needs the rep's gram set; re-attach it by set_id
+        // (ngramBandKeys drops hgs so the 8-way explode stays narrow)
+        .join(reps.select(col("set_id"), col("hgs").as("base_hgs")),
+          Seq("set_id"))
+        .drop("set_id")
+    }
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.normText(col("text")).as("ntext"))
+      .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
+      .filter(col("n_chars_norm") >= Dedup.NgramMinChars)
+      .withColumn("hgs", graft.functions.TextHashes.hash32_array(
+        graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
+      .withColumn("stream_hgs", col("hgs"))
+      .transform(Dedup.ngramBandKeys)
+      .join(base, Seq("band_j", "band_key"))
+      .filter(col("lang") === col("base_lang") &&
+        col("n_chars_norm") === col("base_n"))
+      .withColumn("jacc", round(graft.functions.TextHashes.jaccard_long(
+        col("stream_hgs"), col("base_hgs")), 6))
+      .filter(col("jacc") >= Dedup.NgramJaccardThreshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"),
+        max("jacc").as("max_jaccard"),
+        min("base_id").as("example_base_doc"))
+  }
+
   /** Streaming line (span) dedup against a STATIC base corpus — the
     * ingest-time shape of the batch `line_dedup`: boilerplate chunks are
     * learned ONCE from the base corpus (chunks shared by ≥
