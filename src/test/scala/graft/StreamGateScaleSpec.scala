@@ -148,6 +148,15 @@ class StreamGateScaleSpec extends AnyFunSuite {
     assertFlat("simhashNearDupStream", s, b)
   }
 
+  test("ngram near-dup gate: per-batch time flat at a 10x base") {
+    val s = docGateBatchSeconds("gs_ng_s", "update",
+      PipelineStreams.ngramNearDupStream(spark, _, smallSf))
+    val b = docGateBatchSeconds("gs_ng_b", "update",
+      PipelineStreams.ngramNearDupStream(spark, _, bigSf))
+    info(f"small=$s%.3fs big=$b%.3fs")
+    assertFlat("ngramNearDupStream", s, b)
+  }
+
   test("line-dedup gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_line_s", "update",
       PipelineStreams.lineDedupStream(spark, _, smallSf))
