@@ -72,6 +72,19 @@ object Dedup {
       array_distinct(tokens(col("text"))).as("ws"))
       .withColumn("hws", graft.functions.TextHashes.hash32_array(col("ws")))
 
+  /** (doc_id, nw, hws, set_id) — the word-set frame with the MinHash
+    * collapse key (md5 over the sorted hash set; 128-bit because a
+    * fingerprint collision would wrongly merge sets). Shared by the
+    * batch pair build and the streaming gate's collapsed base index so
+    * the collapse rule cannot drift. */
+  private[graft] def wordSetIds(spark: SparkSession, sfDir: String): DataFrame =
+    docWords(spark, sfDir)
+      .select(col("doc_id"), size(col("hws")).cast("long").as("nw"),
+        col("hws"))
+      .filter(col("nw") >= MinWords) // empty set → NULL sigs hot bucket
+      .withColumn("set_id", md5(concat_ws(",",
+        transform(array_sort(col("hws")), x => x.cast("string")))))
+
   /** Exact dedup: sha256 over normalized text; keep-first by doc_id within
     * each hash group. Per-doc output so the oracle checks the whole
     * decision, not just survivor counts. Scale: one shuffle by 256-bit
@@ -96,12 +109,20 @@ object Dedup {
       graft.functions.TextHashes.minhash_sigs(col("hws"),
         (0 until NumHashes).map(hashA),
         (0 until NumHashes).map(hashB), MinHashPrime))
-    val bandKeys = array((0 until NumBands).map { j =>
-      concat_ws("_", (0 until BandSize).map(r =>
-        element_at(col("sigs"), j * BandSize + r + 1)): _*)
+    val keys = array((0 until NumBands).map { j =>
+      struct(lit(j).as("band_j"),
+        concat_ws("_", (0 until BandSize).map(r =>
+          element_at(col("sigs"), j * BandSize + r + 1)): _*)
+          .as("band_key"))
     }: _*)
-    sig.select(col("doc_id"), col("nw"),
-      posexplode(bandKeys).as(Seq("band_j", "band_key")))
+    // ride-along style (like simhashBlockKeys/ngramBandKeys, r11): all
+    // input columns survive the explode so the streaming gate can keep
+    // hws next to its band keys; batch callers project the slim shape
+    // afterwards and column pruning pushes it below the Generate
+    sig.withColumn("k", explode(keys))
+      .withColumn("band_j", col("k.band_j"))
+      .withColumn("band_key", col("k.band_key"))
+      .drop("k", "sigs")
   }
 
   /** Candidate pairs from LSH banding (docs sharing ≥1 band bucket),
@@ -240,13 +261,7 @@ object Dedup {
     // output-bounded expansion, instead of copies squared. set_id is
     // md5 over the sorted hash set (128-bit; a fingerprint collision
     // would wrongly merge sets, so the 32-bit limb hash is not enough).
-    val all = docWords(spark, sfDir)
-      .select(col("doc_id"), size(col("hws")).cast("long").as("nw"),
-        col("hws"))
-      .filter(col("nw") >= MinWords) // empty set → NULL sigs hot bucket
-      .withColumn("set_id", md5(concat_ws(",",
-        transform(array_sort(col("hws")), x => x.cast("string")))))
-      .persist(lvl)
+    val all = wordSetIds(spark, sfDir).persist(lvl)
     all.count()
     val reps = all.groupBy("set_id").agg(
         min("doc_id").as("doc_id"),
@@ -256,7 +271,9 @@ object Dedup {
     reps.count()
     val members = all.select(col("set_id"), col("doc_id"))
     val base = reps.select(col("doc_id"), col("nw"), col("hws"))
-    val b = bandsOf(base).persist(lvl)
+    val b = bandsOf(base)
+      .select(col("doc_id"), col("nw"), col("band_j"), col("band_key"))
+      .persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
     // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (integer-exact, so the oracle's

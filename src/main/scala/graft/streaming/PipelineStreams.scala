@@ -347,6 +347,52 @@ object PipelineStreams {
         min("base_id").as("example_base_doc"))
   }
 
+  /** Streaming word-set MinHash near-dup detection against a STATIC
+    * base corpus — the ingest-time shape of `dedup_minhash_pairs`,
+    * closing the near-dup gate family (word sets / gram sets / simhash
+    * bits / embeddings all have batch AND ingest forms). Incoming docs
+    * are word-hashed with the batch kernels and banded with the SHARED
+    * [[graft.operators.Dedup.bandsOf]]; the base index bands ONE
+    * representative per distinct word set ([[graft.operators.Dedup
+    * .wordSetIds]], the batch build's collapse rule) — copy clusters
+    * hold one banded row set, and the flag decision is unchanged.
+    * The batch size-ratio prune and the round-then-threshold Jaccard
+    * verify are mirrored exactly.
+    *
+    * Output: (doc_id, n_collisions, max_jaccard, example_base_doc) —
+    * the [[ngramNearDupStream]] contract. */
+  def minhashNearDupStream(spark: SparkSession, docs: DataFrame,
+                           baseSfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val base = Dedup.getOrUpdateEvicting(
+        staticIndexCache, spark, baseSfDir, "gate_minhash_index") {
+      val reps = Dedup.wordSetIds(spark, baseSfDir)
+        .groupBy("set_id").agg(
+          min("doc_id").as("doc_id"), first("nw").as("nw"),
+          min_by(col("hws"), col("doc_id")).as("hws"))
+      Dedup.bandsOf(reps)
+        .select(col("doc_id").as("base_id"), col("nw").as("base_nw"),
+          col("hws").as("base_hws"), col("band_j"), col("band_key"))
+    }
+    docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("ws"))
+      .withColumn("hws", graft.functions.TextHashes.hash32_array(col("ws")))
+      .withColumn("nw", size(col("hws")).cast("long"))
+      .filter(col("nw") >= Dedup.MinWords)
+      .select(col("doc_id"), col("nw"), col("hws"))
+      .transform(Dedup.bandsOf)
+      .join(base, Seq("band_j", "band_key"))
+      .filter(least(col("nw"), col("base_nw")) * 10 >=
+        greatest(col("nw"), col("base_nw")) * 9)
+      .withColumn("jacc", round(graft.functions.TextHashes.jaccard_long(
+        col("hws"), col("base_hws")), 6))
+      .filter(col("jacc") >= Dedup.JaccardThreshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"),
+        max("jacc").as("max_jaccard"),
+        min("base_id").as("example_base_doc"))
+  }
+
   /** Streaming char-3-gram Jaccard near-dup detection against a STATIC
     * base corpus — the ingest-time shape of `ngram_jaccard`, completing
     * the gate family (exact / simhash / embedding / line / span /

@@ -148,6 +148,15 @@ class StreamGateScaleSpec extends AnyFunSuite {
     assertFlat("simhashNearDupStream", s, b)
   }
 
+  test("minhash near-dup gate: per-batch time flat at a 10x base") {
+    val s = docGateBatchSeconds("gs_mh_s", "update",
+      PipelineStreams.minhashNearDupStream(spark, _, smallSf))
+    val b = docGateBatchSeconds("gs_mh_b", "update",
+      PipelineStreams.minhashNearDupStream(spark, _, bigSf))
+    info(f"small=$s%.3fs big=$b%.3fs")
+    assertFlat("minhashNearDupStream", s, b)
+  }
+
   test("ngram near-dup gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_ng_s", "update",
       PipelineStreams.ngramNearDupStream(spark, _, smallSf))

@@ -432,6 +432,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup flags docs with a base-corpus duplicate") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 50)
+      .select("text", "lang").limit(1).collect()(0)
+    val (twin, lang) = (row.getString(0), row.getString(1))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = PipelineStreams.minhashNearDupStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("smh")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamDoc(900001, lang, twin, new java.sql.Timestamp(0L)),
+        StreamDoc(900002, lang,
+          "zqxgl vorptak wibblum cranxo deftig yulmar pezzik",
+          new java.sql.Timestamp(0L)))
+      q.processAllAvailable()
+      val got = spark.table("smh").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_collisions"), r.getAs[Double]("max_jaccard"),
+            r.getAs[Long]("example_base_doc")))).toMap
+      assert(got.contains(900001L), "identical doc must be flagged")
+      // identical word set → identical signatures → all 4 bands collide
+      // with (at least) its rep; verified at exactly 1.0. The exact
+      // Jaccard verify (threshold 0.9) makes the gibberish absence
+      // assert noise-proof.
+      assert(got(900001L)._1 >= 4L)
+      assert(got(900001L)._2 === 1.0)
+      assert(!got.contains(900002L), "gibberish doc must not be flagged")
+    } finally q.stop()
+  }
+
   test("streaming ngram near-dup flags docs with a base-corpus duplicate") {
     import graft.streaming.PipelineStreams.StreamDoc
     val sf = "/root/testdata/sf0.001"
