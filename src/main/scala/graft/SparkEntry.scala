@@ -23,9 +23,12 @@ object SparkEntry {
     // broker semantics (SURVEY §2.1-2.5)
     "offset_assignment" -> (BrokerOps.offsetAssignment(_, _)),
     "key_partitioner" -> (BrokerOps.keyPartitioner(_, _)),
-    // rows-only: DuckDB cannot compute XXH3; answer-level parity is pinned
-    // by Xxh3Spec's reference-C golden vectors instead
+    // hash-checked against OracleSql.xxh3PartitionerSql (pure-SQL XXH3,
+    // r11) on top of Xxh3Spec's reference-C golden vectors; the _n6 row
+    // routes at a composite count where the u32-truncate rule and a
+    // full-u64 remainder actually separate (r12)
     "key_partitioner_xxh3" -> (BrokerOps.keyPartitionerXxh3(_, _)),
+    "key_partitioner_xxh3_n6" -> (BrokerOps.keyPartitionerXxh3N6(_, _)),
     "round_robin" -> (BrokerOps.roundRobin(_, _)),
     "watermarks" -> (BrokerOps.watermarkQuery(_, _)),
     "consumer_lag" -> (BrokerOps.consumerLag(_, _)),

@@ -645,18 +645,34 @@ object Similarity {
     * assignment step reuses the [[graft.functions.VectorOps.PqEncode]]
     * kernel with the current book (nearest codeword per subspace), the
     * update step is a partial-aggregable groupBy over
-    * (subspace, code, dim) averaging subvector components — at most
-    * numSub × numCodewords × subDim = 1024 groups, collected to the
-    * driver to form the next book (the classic tiny-model / big-data
-    * k-means split; at 100 TB you train on a bounded sample, which is
-    * what `sampleMod` expresses). Deterministic init from the synthetic
-    * book + fixed iteration count; empty clusters keep their previous
-    * codeword. Float-sum ordering across partitions can differ at the
-    * ulp level between runs — ranking-insensitive for recall (spec
-    * asserts floors, not hashes). */
-  def trainPqCodebooks(spark: SparkSession, sfDir: String, iters: Int = 6,
+    * (subspace, code, dim) summing QUANTIZED subvector components — at
+    * most numSub × numCodewords × subDim = 1024 groups, collected to
+    * the driver to form the next book (the classic tiny-model /
+    * big-data k-means split; at 100 TB you train on a bounded sample,
+    * which is what `sampleMod` expresses). Deterministic init from the
+    * quantized synthetic book + fixed iteration count; empty clusters
+    * keep their previous codeword.
+    *
+    * INTEGER-EXACT (round-12): every codeword is a dyadic rational
+    * qb/2^20 ([[KmQuantScale]], the kmeans_refine discipline). The
+    * update sums floor(x·2^20) longs (exact, order-independent — the
+    * only cross-row float aggregation the old avg(x) form had) and the
+    * new codeword is the TRUNCATING long division sum/n (Java `Long./`
+    * and DuckDB `//` both truncate toward zero), so the trained book —
+    * and therefore the ADC top-k lists — are deterministic and
+    * replayable by the DuckDB oracle's unrolled training CTEs. The
+    * assignment step needs no change: it is per-row sequential double
+    * arithmetic against dyadic-exact codewords, the already-replayable
+    * kernel form. */
+  /** Lloyd iterations for the trained book — shared with the oracle's
+    * unrolled training CTEs so the two cannot drift. */
+  val PqTrainIters = 6
+
+  def trainPqCodebooks(spark: SparkSession, sfDir: String,
+                       iters: Int = PqTrainIters,
                        sampleMod: Int = 1): Array[Double] = {
-    var book = syntheticPqBook
+    val S = KmQuantScale
+    var book = syntheticPqBook.map(x => math.floor(x * S) / S)
     val vecs = vectors(spark, sfDir)
       .filter(col("vec_id") % sampleMod === 0)
       .select(col("v"))
@@ -671,12 +687,15 @@ object Similarity {
           .select(col("m"), col("code"),
             posexplode(slice(col("v"), col("m") * PqSubDim + 1,
               lit(PqSubDim))).as(Seq("d", "x")))
-          .groupBy("m", "code", "d").agg(avg("x").as("cx"))
+          .groupBy("m", "code", "d").agg(
+            sum(floor(col("x") * lit(S.toDouble)).cast("long")).as("s"),
+            count(lit(1)).as("n"))
           .collect()
         val next = book.clone()
         updates.foreach { r =>
           val m = r.getInt(0); val k = r.getLong(1).toInt; val d = r.getInt(2)
-          next((m * PqCodebookSize + k) * PqSubDim + d) = r.getDouble(3)
+          next((m * PqCodebookSize + k) * PqSubDim + d) =
+            (r.getLong(3) / r.getLong(4)).toDouble / S
         }
         book = next
       }
