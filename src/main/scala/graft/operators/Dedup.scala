@@ -1058,6 +1058,117 @@ object Dedup {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
+  // ---- Gate index formulas + bucketed on-disk writers (round 12) ----
+  // One definition per gate base index, shared by the persist-once
+  // in-memory variant (PipelineStreams caches these frames) and the
+  // bucketed-table writers below — the two layouts cannot drift.
+
+  /** The SimHash gate's base index: one row per (base doc, block
+    * triple), fingerprints riding along for the Hamming verify. */
+  private[graft] def simhashGateIndex(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    simhashBlockKeys(cachedSimhash(spark, sfDir))
+      .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
+        col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
+
+  /** The word-set MinHash gate's base index: band rows of ONE
+    * representative per distinct word set (the batch build's collapse
+    * rule), word-hash sets riding along for the Jaccard verify. */
+  private[graft] def minhashGateIndex(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val reps = wordSetIds(spark, sfDir)
+      .groupBy("set_id").agg(
+        min("doc_id").as("doc_id"), first("nw").as("nw"),
+        min_by(col("hws"), col("doc_id")).as("hws"))
+    bandsOf(reps)
+      .select(col("doc_id").as("base_id"), col("nw").as("base_nw"),
+        col("hws").as("base_hws"), col("band_j"), col("band_key"))
+  }
+
+  /** The gram gate's probe key: (lang, n_chars_norm, band_key) folded
+    * into ONE string. The batch build constrains lang and length as
+    * extra equi-join keys; on the gate they must live INSIDE the join
+    * key instead — Catalyst merges post-join equality filters into the
+    * join keys, and a 4-key join cannot be satisfied by a table
+    * bucketed on 2 (the indexed probe would re-Exchange the whole base
+    * per micro-batch). The U+0001 separator cannot appear in a lang tag, a decimal
+    * length, or a band_key (digits + '_'), so the encoding is
+    * injective and the tuple-equality semantics are exactly the batch
+    * build's. */
+  private[graft] def ngramProbeKey(lang: Column, nChars: Column,
+                                   bandKey: Column): Column =
+    concat_ws("\u0001", lang, nChars.cast("string"), bandKey)
+
+  /** The char-3-gram gate's base index: band rows of one rep per
+    * distinct (lang, length, gram set), gram sets re-attached for the
+    * Jaccard verify, (lang, length) folded into the probe key. */
+  private[graft] def ngramGateIndex(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val reps = ngramReps(spark, sfDir)
+    ngramBandKeys(reps)
+      .select(col("doc_id").as("base_id"), col("set_id"), col("band_j"),
+        ngramProbeKey(col("lang"), col("n_chars_norm"), col("band_key"))
+          .as("pkey"))
+      .join(reps.select(col("set_id"), col("hgs").as("base_hgs")),
+        Seq("set_id"))
+      .drop("set_id")
+  }
+
+  /** Banding-scheme descriptors, written into each gate index table's
+    * properties ([[writeSimhashIndexTable]] &c.) and re-checked by the
+    * indexed probes — a probe compiled with different banding constants
+    * than the index was built with fails FAST instead of silently
+    * missing collisions (the same cannot-band-differently contract as
+    * writeBandIndexTable's planes property, for constants instead of a
+    * data-derived parameter). */
+  private[graft] val SimhashBanding: String =
+    s"simhash:shifts=${SimBlockShifts.mkString("/")};" +
+      s"bits=${SimBlockBits.mkString("/")};" +
+      s"combos=${SimBlockCombos.map(_.mkString("")).mkString("/")}"
+  private[graft] val MinhashBanding: String =
+    s"minhash:k=$NumHashes;bands=$NumBands;rows=$BandSize;" +
+      s"p=$MinHashPrime;minwords=$MinWords"
+  private[graft] val NgramBanding: String =
+    s"ngram:k=$NumHashes;bands=$NgramNumBands;rows=$NgramBandSize;" +
+      s"p=$MinHashPrime;minchars=$NgramMinChars;n=3"
+
+  /** Bucketed+sorted on the band/block join key: the base-side shuffle
+    * AND sort are paid once at write time, so an indexed probe joins
+    * with zero base-side Exchange/Sort per micro-batch — the layout for
+    * a base corpus that outgrows executor memory (the persist-once
+    * in-memory indices stop fitting long before 100 TB; SURVEY §7.9). */
+  private def writeGateIndex(spark: SparkSession, df: DataFrame,
+                             table: String, nBuckets: Int,
+                             keys: Seq[String], banding: String): Unit = {
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES('graft.banding' = '$banding')")
+  }
+
+  /** The banding descriptor a gate index table was written with. */
+  private[graft] def gateIndexBanding(spark: SparkSession,
+                                      table: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES $table('graft.banding')")
+      .select("value").head().getString(0)
+
+  def writeSimhashIndexTable(spark: SparkSession, sfDir: String,
+                             table: String, nBuckets: Int = 16): Unit =
+    writeGateIndex(spark, simhashGateIndex(spark, sfDir), table, nBuckets,
+      Seq("combo_j", "combo_key"), SimhashBanding)
+
+  def writeMinhashIndexTable(spark: SparkSession, sfDir: String,
+                             table: String, nBuckets: Int = 16): Unit =
+    writeGateIndex(spark, minhashGateIndex(spark, sfDir), table, nBuckets,
+      Seq("band_j", "band_key"), MinhashBanding)
+
+  def writeNgramIndexTable(spark: SparkSession, sfDir: String,
+                           table: String, nBuckets: Int = 16): Unit =
+    writeGateIndex(spark, ngramGateIndex(spark, sfDir), table, nBuckets,
+      Seq("band_j", "pkey"), NgramBanding)
+
   /** Mod-p k-gram fingerprinting (Broder-style content sampling): hash all
     * distinct 5-char grams, keep those ≡ 0 (mod 8) as the document's
     * fingerprint sample; emit stable aggregates of the sample. Narrow

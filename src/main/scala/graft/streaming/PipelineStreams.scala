@@ -331,11 +331,16 @@ object PipelineStreams {
     // running both the batch pair query and this gate pays the corpus
     // tokenize+hash pass ONCE, not once per surface
     val base = Dedup.getOrUpdateEvicting(
-        staticIndexCache, spark, baseSfDir, "gate_simhash_index") {
-      Dedup.simhashBlockKeys(Dedup.cachedSimhash(spark, baseSfDir))
-        .select(col("doc_id").as("base_id"), col("sh_lo").as("base_lo"),
-          col("sh_hi").as("base_hi"), col("combo_j"), col("combo_key"))
-    }
+        staticIndexCache, spark, baseSfDir, "gate_simhash_index")(
+      Dedup.simhashGateIndex(spark, baseSfDir))
+    simhashProbe(docs, base)
+  }
+
+  /** The shared SimHash probe: fingerprint + block-key the incoming
+    * docs, equi-join the base index, Hamming-verify, roll up per doc.
+    * One definition for the in-memory and bucketed-table variants. */
+  private def simhashProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
     Dedup.simhashBlockKeys(Dedup.withSimhash64(docs))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         col("combo_j"), col("combo_key"))
@@ -345,6 +350,29 @@ object PipelineStreams {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_collisions"),
         min("base_id").as("example_base_doc"))
+  }
+
+  /** [[simhashNearDupStream]] against a BUCKETED on-disk block-key index
+    * ([[graft.operators.Dedup.writeSimhashIndexTable]]) — the layout for
+    * a base corpus that outgrows executor memory: zero base-side
+    * Exchange/Sort per micro-batch (paid at write time), and the banding
+    * descriptor in the table properties must match this build's
+    * constants, so a probe cannot block differently from the index. */
+  def simhashNearDupStreamIndexed(spark: SparkSession, docs: DataFrame,
+                                  indexTable: String): DataFrame = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.SimhashBanding)
+    simhashProbe(docs, spark.table(indexTable))
+  }
+
+  /** Fail fast when an index table was banded under different constants
+    * than this probe build — a silent mismatch would band probes into
+    * buckets the index never wrote, missing every collision. */
+  private def requireBanding(spark: SparkSession, table: String,
+                             expected: String): Unit = {
+    val got = graft.operators.Dedup.gateIndexBanding(spark, table)
+    require(got == expected,
+      s"gate index '$table' was built with banding '$got' but this probe " +
+        s"expects '$expected' — rebuild the index with the current build")
   }
 
   /** Streaming word-set MinHash near-dup detection against a STATIC
@@ -365,15 +393,17 @@ object PipelineStreams {
                            baseSfDir: String): DataFrame = {
     import graft.operators.Dedup
     val base = Dedup.getOrUpdateEvicting(
-        staticIndexCache, spark, baseSfDir, "gate_minhash_index") {
-      val reps = Dedup.wordSetIds(spark, baseSfDir)
-        .groupBy("set_id").agg(
-          min("doc_id").as("doc_id"), first("nw").as("nw"),
-          min_by(col("hws"), col("doc_id")).as("hws"))
-      Dedup.bandsOf(reps)
-        .select(col("doc_id").as("base_id"), col("nw").as("base_nw"),
-          col("hws").as("base_hws"), col("band_j"), col("band_key"))
-    }
+        staticIndexCache, spark, baseSfDir, "gate_minhash_index")(
+      Dedup.minhashGateIndex(spark, baseSfDir))
+    minhashProbe(docs, base)
+  }
+
+  /** The shared word-set MinHash probe: word-hash + band the incoming
+    * docs, equi-join the base rep index, size-ratio prune,
+    * Jaccard-verify, roll up per doc. One definition for the in-memory
+    * and bucketed-table variants. */
+  private def minhashProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
     docs.select(col("doc_id"),
         array_distinct(TextAnalysis.tokens(col("text"))).as("ws"))
       .withColumn("hws", graft.functions.TextHashes.hash32_array(col("ws")))
@@ -391,6 +421,15 @@ object PipelineStreams {
       .agg(count(lit(1)).as("n_collisions"),
         max("jacc").as("max_jaccard"),
         min("base_id").as("example_base_doc"))
+  }
+
+  /** [[minhashNearDupStream]] against a BUCKETED on-disk band index
+    * ([[graft.operators.Dedup.writeMinhashIndexTable]]): zero base-side
+    * Exchange/Sort per micro-batch, banding-descriptor-checked. */
+  def minhashNearDupStreamIndexed(spark: SparkSession, docs: DataFrame,
+                                  indexTable: String): DataFrame = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.MinhashBanding)
+    minhashProbe(docs, spark.table(indexTable))
   }
 
   /** Streaming char-3-gram Jaccard near-dup detection against a STATIC
@@ -419,18 +458,20 @@ object PipelineStreams {
                          baseSfDir: String): DataFrame = {
     import graft.operators.Dedup
     val base = Dedup.getOrUpdateEvicting(
-        staticIndexCache, spark, baseSfDir, "gate_ngram_index") {
-      val reps = Dedup.ngramReps(spark, baseSfDir)
-      Dedup.ngramBandKeys(reps)
-        .select(col("doc_id").as("base_id"), col("lang").as("base_lang"),
-          col("n_chars_norm").as("base_n"), col("set_id"),
-          col("band_j"), col("band_key"))
-        // the verify needs the rep's gram set; re-attach it by set_id
-        // (ngramBandKeys drops hgs so the 8-way explode stays narrow)
-        .join(reps.select(col("set_id"), col("hgs").as("base_hgs")),
-          Seq("set_id"))
-        .drop("set_id")
-    }
+        staticIndexCache, spark, baseSfDir, "gate_ngram_index")(
+      Dedup.ngramGateIndex(spark, baseSfDir))
+    ngramProbe(docs, base)
+  }
+
+  /** The shared gram-set probe: gram-hash + band the incoming docs,
+    * equi-join the base rep index on (band_j, pkey) — the (lang,
+    * length) constraints ride INSIDE pkey
+    * ([[graft.operators.Dedup.ngramProbeKey]]) so the join key set
+    * matches the bucketed index layout exactly — Jaccard-verify, roll
+    * up per doc. One definition for the in-memory and bucketed-table
+    * variants. */
+  private def ngramProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
     docs.select(col("doc_id"), col("lang"),
         TextAnalysis.normText(col("text")).as("ntext"))
       .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
@@ -439,9 +480,9 @@ object PipelineStreams {
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
       .withColumn("stream_hgs", col("hgs"))
       .transform(Dedup.ngramBandKeys)
-      .join(base, Seq("band_j", "band_key"))
-      .filter(col("lang") === col("base_lang") &&
-        col("n_chars_norm") === col("base_n"))
+      .withColumn("pkey", Dedup.ngramProbeKey(
+        col("lang"), col("n_chars_norm"), col("band_key")))
+      .join(base, Seq("band_j", "pkey"))
       .withColumn("jacc", round(graft.functions.TextHashes.jaccard_long(
         col("stream_hgs"), col("base_hgs")), 6))
       .filter(col("jacc") >= Dedup.NgramJaccardThreshold)
@@ -449,6 +490,15 @@ object PipelineStreams {
       .agg(count(lit(1)).as("n_collisions"),
         max("jacc").as("max_jaccard"),
         min("base_id").as("example_base_doc"))
+  }
+
+  /** [[ngramNearDupStream]] against a BUCKETED on-disk band index
+    * ([[graft.operators.Dedup.writeNgramIndexTable]]): zero base-side
+    * Exchange/Sort per micro-batch, banding-descriptor-checked. */
+  def ngramNearDupStreamIndexed(spark: SparkSession, docs: DataFrame,
+                                indexTable: String): DataFrame = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
+    ngramProbe(docs, spark.table(indexTable))
   }
 
   /** Streaming line (span) dedup against a STATIC base corpus — the

@@ -330,6 +330,122 @@ class StreamGateScaleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-12: bucketed on-disk variants of the three signature
+  // gates that previously had only the persist-once in-memory layout
+  // (the family's own argument — SURVEY §7.9 — says the static side
+  // leaves memory at true 100 TB). Same contract as the band/span
+  // index tests above: answer-equal to the in-memory gate, and zero
+  // base-side Exchange/Sort in the probe join.
+
+  test("bucketed simhash-index gate: same answers, no Exchange/Sort on the base side") {
+    import graft.operators.Dedup
+    val table = "gs_simhash_index"
+    Dedup.writeSimhashIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val mem = PipelineStreams.simhashNearDupStream(spark, probe, smallSf)
+      val idx = PipelineStreams
+        .simhashNearDupStreamIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams
+        .simhashNearDupStreamIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(combo_j".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the banding contract: a probe must refuse an index written under
+      // a different banding descriptor
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES" +
+        "('graft.banding' = 'simhash:other')")
+      intercept[IllegalArgumentException] {
+        PipelineStreams.simhashNearDupStreamIndexed(spark, probe, table)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("bucketed minhash-index gate: same answers, no Exchange/Sort on the base side") {
+    import graft.operators.Dedup
+    val table = "gs_minhash_index"
+    Dedup.writeMinhashIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      val mem = PipelineStreams.minhashNearDupStream(spark, probe, smallSf)
+      val idx = PipelineStreams
+        .minhashNearDupStreamIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams
+        .minhashNearDupStreamIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(band_j".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("bucketed ngram-index gate: same answers, no Exchange/Sort on the base side") {
+    import graft.operators.Dedup
+    val table = "gs_ngram_index"
+    Dedup.writeNgramIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      val mem = PipelineStreams.ngramNearDupStream(spark, probe, smallSf)
+      val idx = PipelineStreams
+        .ngramNearDupStreamIndexed(spark, probe, table)
+      assert(rows(idx) === rows(mem))
+      assert(rows(idx).nonEmpty)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PipelineStreams
+        .ngramNearDupStreamIndexed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      val exchanges = "Exchange hashpartitioning\\(band_j".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected ONLY the probe side to exchange, found $exchanges:\n" +
+          plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))
