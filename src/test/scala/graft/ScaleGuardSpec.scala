@@ -432,6 +432,14 @@ class ScaleGuardSpec extends AnyFunSuite {
   test("collapsed pair builds read their persist-once bases, not the corpus") {
     import graft.operators.Dedup
     val sf = "/root/testdata/sf0.001"
+    // start from a clean cache state: suites share one SparkSession
+    // (getOrCreate), and a persisted frame left by another suite (e.g.
+    // the streaming gate's in-memory index over the same fingerprint
+    // plan) makes CacheManager wrap the checkpoint leaf in an
+    // InMemoryRelation — same data source, different leaf KIND, and
+    // this test asserts the kind
+    Dedup.clearCaches(spark)
+    graft.streaming.PipelineStreams.clearCaches(spark)
     // force the artifacts (what a production session's first consumer,
     // or Bench's artifact rows, would have done)
     Dedup.cachedSimhash(spark, sf).queryExecution.toRdd.count()
