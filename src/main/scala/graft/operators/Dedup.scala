@@ -270,25 +270,38 @@ object Dedup {
       .persist(lvl)
     reps.count()
     val members = all.select(col("set_id"), col("doc_id"))
-    val base = reps.select(col("doc_id"), col("nw"), col("hws"))
+    // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
+    // the r11 ngram build's plan discipline, adopted here in r12), so
+    // the expansion needs no joins back to `reps` to recover each
+    // side's group
+    val base = reps.select(col("doc_id"), col("nw"), col("hws"),
+      col("set_id"))
     val b = bandsOf(base)
-      .select(col("doc_id"), col("nw"), col("band_j"), col("band_key"))
+      .select(col("doc_id"), col("nw"), col("set_id"),
+        col("band_j"), col("band_key"))
       .persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
     // 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) (integer-exact, so the oracle's
     // identical condition selects the identical candidate set); at sf0.1
     // this drops ~52% of candidates before the array-intersect verify.
-    val pairs = b.as("a").join(b.as("b"),
+    //
+    // NO pre-verify distinct (r12 profile finding): candidates
+    // outnumber verified pairs ~45:1 at sf0.1, and the distinct was a
+    // full extra Exchange of the candidate table (~1.3 s of the 7.7 s
+    // floor row) paid only to dedup the ~5% of pairs that collide in
+    // more than one band. The verify joins stream the slightly-larger
+    // multiset instead, and the distinct runs AFTER the jaccard filter,
+    // on the output-sized survivor sliver (a pair's jaccard is
+    // pair-determined, so duplicates agree and distinct is exact).
+    val cand = b.as("a").join(b.as("b"),
         col("a.band_j") === col("b.band_j") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nw"), col("b.nw")) * 10 >=
             greatest(col("a.nw"), col("b.nw")) * 9)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .persist(lvl)
-    pairs.count()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"))
     // Verify on the hashed shingle sets (standard MinHash practice),
     // identical to the oracle's list_intersect/list_distinct arithmetic.
     // Two scale-critical shapes here (sf1 stress findings — the verify
@@ -299,25 +312,24 @@ object Dedup {
     //    hash join builds its map from the small per-doc side and streams
     //    the candidates.
     //  - the candidate side crosses its one shuffle carrying only
-    //    (doc_a, doc_b); arrays attach from the narrow per-doc frame.
+    //    (doc_a, doc_b, set ids); arrays attach from the narrow per-doc
+    //    frame.
     val w = reps.select(col("doc_id"), col("hws"))
     try {
       // verified pairs at REPRESENTATIVE level (one per distinct set)
-      val repPairs = pairs
+      val repPairs = cand
         .join(w.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
         .join(w.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
         .withColumn("jaccard",
           round(graft.functions.TextHashes.jaccard_long(
             col("wa.hws"), col("wb.hws")), 6))
         .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      // expand rep pairs to member pairs: recover each side's set_id
-      // (reps is the distinct-set sliver), then cross the two member
-      // groups — output-bounded work, one row per emitted pair
-      val sa = reps.select(col("doc_id").as("doc_a"), col("set_id").as("sid_a"))
-      val sb = reps.select(col("doc_id").as("doc_b"), col("set_id").as("sid_b"))
+        .select(col("doc_a"), col("doc_b"), col("sid_a"), col("sid_b"),
+          col("jaccard"))
+        .distinct() // multi-band collisions, deduped post-verify
+      // expand rep pairs to member pairs: cross the two member groups —
+      // output-bounded work, one row per emitted pair
       val cross = repPairs
-        .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .join(members.as("ma"), col("sid_a") === col("ma.set_id"))
         .join(members.as("mb"), col("sid_b") === col("mb.set_id"))
         .select(
@@ -344,7 +356,6 @@ object Dedup {
           col("doc_b"))
         .localCheckpoint(true) // eager: intermediates are safe to drop
     } finally {
-      pairs.unpersist(blocking = false)
       b.unpersist(blocking = false)
       reps.unpersist(blocking = false)
       all.unpersist(blocking = false)
