@@ -2384,7 +2384,33 @@ object OracleSql {
       FROM keyed ORDER BY key_micro DESC, doc_id LIMIT ${S.DsirK}"""
   }
 
+  /** hybrid_search: RRF fusion of the two already-green top-k legs,
+    * composed from their SQL texts (the annRecall pattern — the fused
+    * lists cannot drift from the rows the driver checks). 1.0 is cast
+    * to DOUBLE explicitly: DuckDB's bare 1.0 literal is DECIMAL, and
+    * decimal division would diverge from Spark's double arithmetic. */
+  private val hybridSearchSql: String = {
+    import graft.operators.Search._
+    s"""WITH sp AS (SELECT doc_id, srank AS bm25_rank
+             FROM (${base("bm25_search")})),
+      dn AS (SELECT vec_id AS doc_id, "rank" AS dense_rank
+             FROM (${base("embedding_topk")}) WHERE q_id = $HybridDenseQuery),
+      f AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+                   sp.bm25_rank, dn.dense_rank,
+                   round(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + sp.bm25_rank), 0.0)
+                       + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + dn.dense_rank), 0.0), 6)
+                     AS rrf_score
+            FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS srank FROM f)
+      SELECT srank, doc_id, rrf_score,
+             CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(dense_rank, 0) AS BIGINT) AS dense_rank
+      FROM r WHERE srank <= $BmTopK"""
+  }
+
   val all: Map[String, String] = base +
+    ("hybrid_search" -> hybridSearchSql) +
     ("importance_sample" -> importanceSampleSql) +
     ("ann_recall" -> annRecallSql) +
     ("ann_recall_trained" -> annRecallTrainedSql) +

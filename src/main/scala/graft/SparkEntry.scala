@@ -54,6 +54,7 @@ object SparkEntry {
     "tfidf_vectors" -> (TextAnalysis.hashedTfidf(_, _)),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "bm25_search" -> (Search.bm25Search(_, _)),
+    "hybrid_search" -> (Search.hybridSearch(_, _)),
     "doc_similarity" -> (Search.docSimilarity(_, _)),
     // corpus composition (training-mix planning + deterministic sampling)
     "source_mix_plan" -> (Sampling.sourceMixPlan(_, _)),

@@ -1011,8 +1011,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"))
-      .distinct() // a rep pair may collide on several bands
     val h = reps.select(col("doc_id"), col("hgs"))
+    // NO pre-verify distinct (the r12 minhash-build discipline): the
+    // candidate multiset streams into the verify joins and the dedup of
+    // multi-band collisions (≤ NgramNumBands rows per pair) runs AFTER
+    // the jaccard filter on the survivor sliver — the deleted Exchange
+    // was candidate-sized, the remaining one is output-sized
     val repPairs = pairs
       .join(h.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(h.as("gb"), col("doc_b") === col("gb.doc_id"))
@@ -1021,6 +1025,7 @@ object Dedup {
           col("ga.hgs"), col("gb.hgs")), 6))
       .filter(col("ngram_jaccard") >= NgramJaccardThreshold)
       .select(col("sid_a"), col("sid_b"), col("ngram_jaccard"))
+      .distinct()
     // expand rep pairs to member pairs — output-bounded work
     val members = g.select(col("set_id"), col("doc_id"))
     val cross = repPairs

@@ -83,6 +83,47 @@ object Search {
         col("dl"), col("score"))
   }
 
+  // ---- Hybrid retrieval (sparse + dense, RRF fusion) ----
+  /** Reciprocal-rank-fusion constant (Cormack/Clarke/Büttcher's
+    * published k = 60 — public knowledge; the standard hybrid-retrieval
+    * fusion every production RAG stack runs). */
+  val RrfK = 60
+  /** The dense side's query vector: the FIRST vector of the fixed ANN
+    * query pool (vec_id ≡ doc_id — the corpus convention
+    * [[graft.operators.Curation.semanticDecontaminate]] established). */
+  val HybridDenseQuery = 0L
+
+  /** Hybrid search: the sparse BM25 top-k ([[bm25Search]], fixed term
+    * query) fused with the dense exact-cosine top-k
+    * ([[graft.operators.Similarity.embeddingTopK]], query vector
+    * [[HybridDenseQuery]]) by reciprocal-rank fusion —
+    * score(d) = Σ_lists 1/(k + rank_list(d)) over the lists containing
+    * d. Ranks, not scores, are fused (RRF's point: BM25 scores and
+    * cosines are incommensurable), ties to the lower doc_id; absent-
+    * list ranks surface as 0 (integer, oracle-stable) rather than NULL.
+    *
+    * Scale: composes two already-bounded top-k slivers (≤ BmTopK and
+    * ≤ TopK rows) — the fusion join and re-rank are constant-size no
+    * matter the corpus; the heavy lifting stays in the two retrieval
+    * legs, each independently scale-audited. */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sparse = bm25Search(spark, sfDir)
+      .select(col("doc_id"), col("srank").as("bm25_rank"))
+    val dense = graft.operators.Similarity.embeddingTopK(spark, sfDir)
+      .filter(col("q_id") === HybridDenseQuery)
+      .select(col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6))
+    PlanGuard.positionRank(fused
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(BmTopK))
+      .select(col("srank"), col("doc_id"), col("rrf_score"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+  }
+
   // ---- all-pairs document similarity over the posting lists ----
   /** Document-frequency band for similarity terms: hapax terms carry no
     * pair signal (df < 2 can't co-occur) and stop-like terms (df > cap)

@@ -52,6 +52,30 @@ class CompositePartitionsSpec extends AnyFunSuite {
     b
   }
 
+  test("key_partitioner_xxh3_n6's data separates u32-truncate from u64 mod") {
+    // r12: the oracle gate on the n=6 routing row only has power if the
+    // driver's testdata contains keys whose placements DIFFER between
+    // the reference rule ((hash as u32) % 6) and a full-u64 remainder —
+    // if a data refresh ever produced a key set where the rules
+    // coincide, the gate would go silently toothless. Pinned on both
+    // oracle SF dirs. (The rule itself is pinned against reference-C
+    // golden vectors in Xxh3Spec; this asserts the GATE's separating
+    // power on the actual data.)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val keys = graft.sources.Tables.load(spark, sf, "events")
+        .select($"user_id").distinct().as[Long].collect()
+      val separating = keys.count { u =>
+        val h = graft.functions.Xxh3.hash64(
+          u.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (h & 0xffffffffL) % N != java.lang.Long.remainderUnsigned(h, N)
+      }
+      assert(separating > 0,
+        s"$sf: no key separates the two routing rules at n=$N — " +
+          "the key_partitioner_xxh3_n6 oracle gate has no power here")
+      info(s"$sf: $separating/${keys.length} keys separate the rules")
+    }
+  }
+
   test("produce at n=6: keyed placement follows (hash as u32) % 6 exactly") {
     val keyed = back.filter($"mkey".isNotNull)
       .select($"part_id", $"mkey").collect()

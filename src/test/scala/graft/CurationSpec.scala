@@ -523,6 +523,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid_search: RRF fusion recomputes from the two legs") {
+    import graft.operators.Search
+    val sparse = Search.bm25Search(spark, sf)
+      .select($"doc_id", $"srank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dense = graft.operators.Similarity.embeddingTopK(spark, sf)
+      .filter($"q_id" === Search.HybridDenseQuery)
+      .select($"vec_id", $"rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rrf(d: Long): Double =
+      sparse.get(d).map(r => 1.0 / (Search.RrfK + r)).getOrElse(0.0) +
+        dense.get(d).map(r => 1.0 / (Search.RrfK + r)).getOrElse(0.0)
+    val expected = (sparse.keySet ++ dense.keySet).toSeq
+      .map(d => (d, BigDecimal(rrf(d)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (d, s) => (-s, d) }
+      .take(Search.BmTopK)
+    val got = Search.hybridSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score")))
+      .toSeq
+    assert(got === expected)
+    // a doc in BOTH legs must outrank a doc holding the same rank in
+    // only one leg — the fusion property that makes hybrid hybrid
+    val both = sparse.keySet intersect dense.keySet
+    if (both.nonEmpty) {
+      val d = both.minBy(rrf)
+      val singles = (sparse.keySet union dense.keySet) -- both
+      singles.filter(s => sparse.getOrElse(s, Long.MaxValue)
+          .min(dense.getOrElse(s, Long.MaxValue)) >=
+          sparse.getOrElse(d, Long.MaxValue).min(dense.getOrElse(d, Long.MaxValue)))
+        .foreach(s => assert(rrf(d) > rrf(s)))
+    }
+  }
+
   test("bm25/docSimilarity top-k: single ordering stage (no Sort under the rank Window)") {
     // round-7 advice #6: the srank Window must ride TakeOrderedAndProject's
     // outputOrdering — a SortExec in either plan means the double-sort is back

@@ -91,7 +91,13 @@ class PlanBudgetSpec extends AnyFunSuite {
   val semanticBoundOk: Set[String] = Set(
     "embedding_topk", "embedding_ann_ivf2", "kmeans_refine",
     "ann_recall", "ann_recall_trained", "semantic_decontaminate",
-    "hourly_anomalies", "event_funnel")
+    "hourly_anomalies", "event_funnel",
+    // r12: the dense leg inherits embedding_topk's fixed-query-pool
+    // bound, narrowed further by the pushed q_id = HybridDenseQuery
+    // equality (Catalyst constant-folds the pool predicate away once
+    // the tighter literal equality lands, so the witness filter is the
+    // equality itself)
+    "hybrid_search")
 
   /** A structural remnant of the semantic bound: the subtree filters its
     * scan (pool predicates survive as FilterExec) or generates from a
