@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.model.LogModel
+
+/** M2 — drop-based DEFERRED deletion (reference `segment.rs:336`): in the
+  * reference, a segment evicted from the log keeps its file alive until
+  * the last in-flight reader drops its `Arc<Segment>` handle — new readers
+  * can't reach it (it left the BTreeMap), old readers finish safely. Rust
+  * gets this from RAII on an open handle; a distributed engine re-opens
+  * files by path per task, so the handle must be an explicit, durable
+  * object. The standard distributed analog (Iceberg/Delta expire-snapshots
+  * discipline, public practice) is what this implements:
+  *
+  *  - eviction RETIRES a segment — it is appended to the topic's
+  *    `_retired.json` manifest (atomic tmp+rename) and disappears from
+  *    every NEW read plan ([[graft.sources.SegmentFiles.readTopic]] and
+  *    the server/broker's `segmentBases` both exclude retired segments) —
+  *    but the file is NOT unlinked;
+  *  - a reader that needs stable segment visibility holds a LEASE
+  *    (`_leases/<id>.json`, holder + acquire time + expiry): the
+  *    distributed stand-in for the reference's live `Arc` handle, with an
+  *    expiry so a crashed reader cannot pin storage forever (the failure
+  *    mode RAII never has to answer);
+  *  - [[reap]] unlinks a retired segment only when NO live lease predates
+  *    its retirement (a lease acquired after retirement never saw the
+  *    segment — its read plan already excluded it), then drops the
+  *    manifest entry. Idempotent; safe to run on every maintenance tick.
+  *
+  * Scale shape: manifests and leases are per-topic metadata files
+  * (#segments-retired and #readers sized); reads/writes are driver-side
+  * and tiny; the unlinks fan out like [[Retention.compact]]'s.
+  */
+object DeferredDelete {
+
+  case class RetiredSegment(path: String, partId: Long, baseOff: Long,
+                            retiredAtMs: Long)
+  case class Lease(id: String, holder: String, acquiredMs: Long,
+                   expiresMs: Long)
+
+  private def topicDir(baseDir: String, topic: String) =
+    s"$baseDir/topic_$topic"
+
+  // ---- retirement manifest (_retired.json, atomic tmp+rename) ----
+
+  private def manifestPath(baseDir: String, topic: String) =
+    new Path(s"${topicDir(baseDir, topic)}/_retired.json")
+
+  /** Current manifest (empty if none). */
+  def retired(spark: SparkSession, baseDir: String,
+              topic: String): Seq[RetiredSegment] = {
+    val p = manifestPath(baseDir, topic)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val entry = ("""\{"path":"((?:[^"\\]|\\.)*)","part_id":(\d+),""" +
+      """"base_off":(\d+),"retired_at_ms":(\d+)\}""").r
+    entry.findAllMatchIn(text).map { m =>
+      RetiredSegment(unescape(m.group(1)), m.group(2).toLong,
+        m.group(3).toLong, m.group(4).toLong)
+    }.toSeq
+  }
+
+  private def escape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) { b += s(i + 1); i += 2 }
+      else { b += s(i); i += 1 }
+    }
+    b.toString
+  }
+
+  private def writeManifest(spark: SparkSession, baseDir: String,
+                            topic: String,
+                            entries: Seq[RetiredSegment]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = manifestPath(baseDir, topic)
+    val tmp = new Path(dst.toString + ".tmp")
+    val fs = dst.getFileSystem(conf)
+    val body = entries.map { e =>
+      s"""{"path":"${escape(e.path)}","part_id":${e.partId},""" +
+        s""""base_off":${e.baseOff},"retired_at_ms":${e.retiredAtMs}}"""
+    }.mkString("[", ",", "]")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---- leases (the distributed Arc handle) ----
+
+  private def leaseDir(baseDir: String, topic: String) =
+    new Path(s"${topicDir(baseDir, topic)}/_leases")
+
+  /** Register a reader. Returns the lease id to release later. */
+  def acquireLease(spark: SparkSession, baseDir: String, topic: String,
+                   holder: String, ttlMs: Long,
+                   nowMs: Long): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = leaseDir(baseDir, topic)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val p = new Path(dir, s"$id.json")
+    val out = fs.create(p, false)
+    try out.write(
+      (s"""{"holder":"${escape(holder)}","acquired_ms":$nowMs,""" +
+        s""""expires_ms":${nowMs + ttlMs}}""").getBytes("UTF-8"))
+    finally out.close()
+    id
+  }
+
+  /** Drop a lease (the reader finished — the Arc drop). Missing ids are
+    * fine: release after expiry-reap is a no-op, not an error. */
+  def releaseLease(spark: SparkSession, baseDir: String, topic: String,
+                   id: String): Unit = {
+    val p = new Path(leaseDir(baseDir, topic), s"$id.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
+  }
+
+  /** Unexpired leases at `nowMs`. */
+  def liveLeases(spark: SparkSession, baseDir: String, topic: String,
+                 nowMs: Long): Seq[Lease] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = leaseDir(baseDir, topic)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Seq.empty
+    val files = fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+    files.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val text =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](512)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      def num(name: String) =
+        ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+          .map(_.group(1).toLong)
+      def str(name: String) =
+        ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+          .findFirstMatchIn(text).map(m => unescape(m.group(1)))
+      for {
+        holder <- str("holder")
+        acq <- num("acquired_ms")
+        exp <- num("expires_ms")
+      } yield Lease(st.getPath.getName.stripSuffix(".json"), holder, acq, exp)
+    }.filter(_.expiresMs > nowMs)
+  }
+
+  // ---- the deferred compact + reap pair ----
+
+  /** [[Retention.compact]] with deferred deletion: evicted segments are
+    * RETIRED (manifest append; new read plans exclude them; files stay),
+    * watermarks bump exactly as the immediate form does. Returns the
+    * decisions (already-retired segments are outside the planning
+    * universe, so a second run retires nothing). */
+  def compactDeferred(spark: SparkSession, baseDir: String, topic: String,
+                      retentionMs: Long = LogModel.RetentionDays * 86400000L,
+                      retentionBytes: Long = LogModel.RetentionBytes,
+                      nowMs: Option[Long] = None,
+                      retireAtMs: Long = 0L): Seq[Retention.SegmentDecision] = {
+    val already = retired(spark, baseDir, topic)
+    val decisions = Retention.plan(spark, baseDir, topic, retentionMs,
+      retentionBytes, nowMs, excludePaths = already.map(_.path).toSet)
+    val evicted = decisions.filterNot(_.keep)
+    if (evicted.nonEmpty) {
+      writeManifest(spark, baseDir, topic,
+        already ++ evicted.map(d =>
+          RetiredSegment(d.path, d.partId, d.baseOff, retireAtMs)))
+    }
+    decisions.filter(_.keep).groupBy(_.partId).foreach {
+      case (partId, kept) =>
+        Retention.Meta.write(spark,
+          s"${topicDir(baseDir, topic)}/partition_$partId",
+          lowWatermark = kept.map(_.baseOff).min,
+          highWatermark = kept.map(_.lastOff).max,
+          logEndOffset = kept.map(_.lastOff).max + 1)
+    }
+    decisions
+  }
+
+  /** Unlink retired segments no live lease can still see: a lease BLOCKS a
+    * retired segment iff it was acquired BEFORE the retirement (readers
+    * that came later planned against a manifest that already excluded it).
+    * Returns (deleted paths, still-held paths). Idempotent. */
+  def reap(spark: SparkSession, baseDir: String, topic: String,
+           nowMs: Long): (Seq[String], Seq[String]) = {
+    val entries = retired(spark, baseDir, topic)
+    if (entries.isEmpty) return (Seq.empty, Seq.empty)
+    val leases = liveLeases(spark, baseDir, topic, nowMs)
+    val (held, free) = entries.partition(e =>
+      leases.exists(_.acquiredMs <= e.retiredAtMs))
+    if (free.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      free.foreach { e =>
+        val p = new Path(e.path)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, false)
+        fs.delete(new Path(e.path.replaceAll("\\.log$", ".index")), false)
+      }
+      writeManifest(spark, baseDir, topic, held)
+    }
+    (free.map(_.path), held.map(_.path))
+  }
+
+  /** Retired (partId, baseOff) pairs — the exclusion set for the local
+    * `segmentBases` read path (the server/broker's segment listing). */
+  def retiredBases(baseDir: String, topic: String): Set[(Long, Long)] = {
+    // local-FS fast path (the server runs on one node, like the
+    // reference); falls back to empty when the manifest is absent
+    val f = new java.io.File(s"${topicDir(baseDir, topic)}/_retired.json")
+    if (!f.exists()) return Set.empty
+    val text = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    """"part_id":(\d+),"base_off":(\d+)""".r.findAllMatchIn(text)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSet
+  }
+}

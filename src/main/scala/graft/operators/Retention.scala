@@ -31,11 +31,15 @@ object Retention {
 
   /** Distributed stats + decision (no mutation). `nowMs` defaults to the
     * newest record timestamp in the topic — deterministic, same convention
-    * as [[BrokerOps.retentionFilter]]. */
+    * as [[BrokerOps.retentionFilter]]. `excludePaths` removes segments
+    * from the planning universe entirely (used by
+    * [[DeferredDelete.compactDeferred]] so already-retired segments are
+    * neither re-retired nor counted against the size cap). */
   def plan(spark: SparkSession, baseDir: String, topic: String,
            retentionMs: Long = LogModel.RetentionDays * 86400000L,
            retentionBytes: Long = LogModel.RetentionBytes,
-           nowMs: Option[Long] = None): Seq[SegmentDecision] = {
+           nowMs: Option[Long] = None,
+           excludePaths: Set[String] = Set.empty): Seq[SegmentDecision] = {
     val segStats0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.log")
       .load(s"$baseDir/topic_$topic/partition_*/")
@@ -54,6 +58,7 @@ object Retention {
       .groupBy("part_id", "base_off", "path", "seg_bytes")
       .agg(max("r.ts_ms").as("seg_max_ts"), max("r.msg_offset").as("last_off"))
     val segStats = PlanGuard.boundedCollect(segStats0, "Retention.plan")
+      .filterNot(r => excludePaths(r.getAs[String]("path")))
     if (segStats.isEmpty) return Seq.empty
     def tsOf(r: org.apache.spark.sql.Row): Long = {
       val i = r.fieldIndex("seg_max_ts")

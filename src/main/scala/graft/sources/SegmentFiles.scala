@@ -36,13 +36,31 @@ object SegmentFiles {
   /** Segment base offsets in a partition dir, ascending. The single home
     * of the `segment_N.log` listing (server, broker recovery, and tests
     * all call this); closes the `Files.list` stream — an unclosed stream
-    * leaks a directory handle per call. */
+    * leaks a directory handle per call.
+    *
+    * RETIRED segments are excluded (M2, `segment.rs:336`): a segment the
+    * deferred-deletion manifest holds has left the log — exactly the
+    * reference's removal from the in-memory BTreeMap — even though its
+    * file survives until the last pre-retirement lease drops
+    * ([[graft.operators.DeferredDelete]]). */
   def segmentBases(partitionDir: java.nio.file.Path): Seq[Long] = {
     if (!Files.isDirectory(partitionDir)) return Seq.empty
+    val retiredOff: Set[Long] = {
+      val name = partitionDir.getFileName.toString
+      val topicDir = partitionDir.getParent
+      if (topicDir == null || !name.startsWith("partition_")) Set.empty
+      else {
+        val partId = name.stripPrefix("partition_").toLong
+        val topic = topicDir.getFileName.toString.stripPrefix("topic_")
+        graft.operators.DeferredDelete
+          .retiredBases(topicDir.getParent.toString, topic)
+          .collect { case (p, b) if p == partId => b }
+      }
+    }
     val s = Files.list(partitionDir)
     try s.toArray.map(_.toString)
       .flatMap("segment_(\\d+)\\.log$".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong).sorted.toSeq
+      .map(_.group(1).toLong).filterNot(retiredOff).sorted.toSeq
     finally s.close()
   }
 
@@ -84,12 +102,22 @@ object SegmentFiles {
     logPath
   }
 
-  /** Read every segment of a topic into a records DataFrame
-    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers). */
-  def readTopic(spark: SparkSession, baseDir: String, topic: String): DataFrame =
-    spark.read.format("binaryFile")
+  /** Read every LIVE segment of a topic into a records DataFrame
+    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers).
+    * Segments the deferred-deletion manifest retired are excluded BEFORE
+    * decode (M2 — retirement removes a segment from every NEW read plan;
+    * its bytes survive for pre-retirement leaseholders until
+    * [[graft.operators.DeferredDelete.reap]]). */
+  def readTopic(spark: SparkSession, baseDir: String, topic: String): DataFrame = {
+    val retired = graft.operators.DeferredDelete
+      .retired(spark, baseDir, topic)
+    val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.log")
       .load(s"$baseDir/topic_$topic/partition_*/")
+    val live =
+      if (retired.isEmpty) raw
+      else raw.filter(!col("path").isin(retired.map(_.path): _*))
+    live
       .select(col("path"), FlyqCodec.flyq_decode_segment(col("content")).as("recs"))
       .withColumn("part_id",
         regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
@@ -97,4 +125,5 @@ object SegmentFiles {
         regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
       .select(col("part_id"), col("base_off"), explode(col("recs")).as("r"))
       .select(col("part_id"), col("base_off"), col("r.*"))
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DeferredDelete, Retention}
+import graft.sources.{Broker, SegmentFiles}
+
+/** M2 — drop-based deferred deletion (`segment.rs:336`), round 12: the
+  * lease-based analog of the reference's RAII segment handle. Eviction
+  * RETIRES segments (manifest + disappearance from every NEW read plan);
+  * the file is unlinked only when no live lease predates the retirement.
+  */
+class DeferredDeleteSpec extends AnyFunSuite {
+  private lazy val spark = Testing.spark
+  import spark.implicits._
+
+  /** A topic with enough rotation to have evictable old segments. */
+  private lazy val base: String = {
+    val dir = Files.createTempDirectory("flyq-deferred").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(
+        $"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"),
+        $"event_id")
+    Broker.produce(ev, dir, "ev", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 2) // 4 KiB default segments → rotation
+    dir
+  }
+
+  private def logFiles(): Seq[java.io.File] =
+    (0 to 1).flatMap { p =>
+      val d = new java.io.File(s"$base/topic_ev/partition_$p")
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".log"))
+    }
+
+  test("retire → invisible to new readers, file survives, lease gates reap") {
+    val before = SegmentFiles.readTopic(spark, base, "ev")
+    val nBefore = before.count()
+    val filesBefore = logFiles().size
+    assert(filesBefore > 2, s"need rotation, got $filesBefore segments")
+
+    // a reader holding the pre-retirement view (the Arc handle)
+    val leaseA = DeferredDelete.acquireLease(spark, base, "ev",
+      holder = "reader-a", ttlMs = 1000000L, nowMs = 1000L)
+
+    // evict everything but the active segment via the size cap
+    val decisions = DeferredDelete.compactDeferred(spark, base, "ev",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 2000L)
+    val evicted = decisions.filterNot(_.keep)
+    assert(evicted.nonEmpty)
+    assert(decisions.count(_.keep) === 2) // one active head per partition
+
+    // the segment LEFT THE LOG (reference: removed from the BTreeMap)...
+    val after = SegmentFiles.readTopic(spark, base, "ev")
+    assert(after.count() < nBefore)
+    val liveBases = after.select("part_id", "base_off").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    evicted.foreach(d => assert(!liveBases((d.partId, d.baseOff))))
+    // ...the local listing agrees (server/broker path)...
+    for (p <- 0 to 1) {
+      val bases = SegmentFiles.segmentBases(
+        Paths.get(base, "topic_ev", s"partition_$p"))
+      evicted.filter(_.partId == p)
+        .foreach(d => assert(!bases.contains(d.baseOff)))
+    }
+    // ...the low watermark bumped to the first retained offset...
+    val wm = Retention.watermarksOnDisk(spark, base, "ev")
+    for (p <- 0 to 1)
+      assert(wm(p.toLong)._1 ===
+        decisions.filter(d => d.keep && d.partId == p).map(_.baseOff).min)
+    // ...but every evicted FILE is still on disk, and the pre-retirement
+    // reader can still decode it (the RAII guarantee)
+    assert(logFiles().size === filesBefore)
+    val held = spark.read.format("binaryFile").load(evicted.head.path)
+      .select(graft.functions.FlyqCodec
+        .flyq_decode_segment($"content").as("recs"))
+      .select(explode($"recs")).count()
+    assert(held > 0)
+
+    // reap while the pre-retirement lease lives: nothing unlinks
+    val (del1, held1) = DeferredDelete.reap(spark, base, "ev", nowMs = 3000L)
+    assert(del1.isEmpty && held1.size === evicted.size)
+    assert(logFiles().size === filesBefore)
+
+    // a lease acquired AFTER retirement does not block (its read plan
+    // already excluded the retired segments)
+    val leaseB = DeferredDelete.acquireLease(spark, base, "ev",
+      holder = "reader-b", ttlMs = 1000000L, nowMs = 2500L)
+
+    // the last pre-retirement handle drops → reap unlinks
+    DeferredDelete.releaseLease(spark, base, "ev", leaseA)
+    val (del2, held2) = DeferredDelete.reap(spark, base, "ev", nowMs = 4000L)
+    assert(del2.toSet === evicted.map(_.path).toSet && held2.isEmpty)
+    assert(logFiles().size === filesBefore - evicted.size)
+    assert(DeferredDelete.retired(spark, base, "ev").isEmpty)
+    // idempotent: nothing left to reap, nothing new to retire
+    assert(DeferredDelete.reap(spark, base, "ev", nowMs = 5000L) ===
+      ((Seq.empty, Seq.empty)))
+    assert(DeferredDelete.compactDeferred(spark, base, "ev",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 6000L).filterNot(_.keep).isEmpty)
+    DeferredDelete.releaseLease(spark, base, "ev", leaseB)
+
+    // the surviving log still serves reads, offsets intact from the bump
+    val remaining = SegmentFiles.readTopic(spark, base, "ev")
+    for (p <- 0 to 1)
+      assert(remaining.filter($"part_id" === p)
+        .agg(min("msg_offset")).head().getLong(0) === wm(p.toLong)._1)
+  }
+
+  test("an expired pre-retirement lease cannot pin storage (crashed reader)") {
+    val dir = Files.createTempDirectory("flyq-deferred2").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(200)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "ev2", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    // short-lived lease from a reader that never released (crash)
+    DeferredDelete.acquireLease(spark, dir, "ev2",
+      holder = "crashed", ttlMs = 10L, nowMs = 1000L)
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "ev2",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 2000L).filterNot(_.keep)
+    assert(evicted.nonEmpty)
+    // the lease predates retirement but is EXPIRED at reap time
+    val (deleted, heldBack) =
+      DeferredDelete.reap(spark, dir, "ev2", nowMs = 5000L)
+    assert(deleted.toSet === evicted.map(_.path).toSet && heldBack.isEmpty)
+  }
+}
