@@ -123,6 +123,40 @@ object DeferredDelete {
     id
   }
 
+  /** Extend a live lease's expiry WITHOUT touching its acquire time (the
+    * acquire time is the retirement-ordering key [[reap]] compares, so a
+    * renewal must not make an old reader look new). A long-running reader
+    * (a streaming tail) renews once per trigger; if the lease file is
+    * gone (expired and collected, or externally released) it is
+    * re-acquired FRESH under the same id — acquire time resets, which is
+    * correct: the protection did lapse, and a fresh lease only pins
+    * retirements that happen after it. */
+  def renewLease(spark: SparkSession, baseDir: String, topic: String,
+                 id: String, ttlMs: Long, nowMs: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(leaseDir(baseDir, topic), s"$id.json")
+    val fs = p.getFileSystem(conf)
+    val (holder, acquiredMs) =
+      if (!fs.exists(p)) ("renewed", nowMs)
+      else {
+        val lease = liveLeases(spark, baseDir, topic, nowMs = Long.MinValue)
+          .find(_.id == id)
+        lease.map(l => (l.holder, l.acquiredMs)).getOrElse(("renewed", nowMs))
+      }
+    // tmp+rename like writeManifest: a reaper's liveLeases scan running
+    // concurrently with a renewal must see the old or the new lease,
+    // never a torn half-write (a torn lease parses as NO lease — exactly
+    // the window in which it would wrongly unlink)
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"holder":"${escape(holder)}","acquired_ms":$acquiredMs,""" +
+        s""""expires_ms":${nowMs + ttlMs}}""").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Drop a lease (the reader finished — the Arc drop). Missing ids are
     * fine: release after expiry-reap is a no-op, not an error. */
   def releaseLease(spark: SparkSession, baseDir: String, topic: String,

@@ -52,7 +52,10 @@ class FlyqSegmentSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FlyqSegmentTable(opts.get("path"), Option(opts.get("topic")))
+    new FlyqSegmentTable(opts.get("path"), Option(opts.get("topic")),
+      Option(opts.get("lease.holder")),
+      Option(opts.get("lease.ttl.ms")).map(_.toLong)
+        .getOrElse(FlyqSegmentSource.DefaultLeaseTtlMs))
   }
 }
 
@@ -65,9 +68,18 @@ object FlyqSegmentSource {
 
   val PartitionRe = ".*partition_(\\d+).*".r
   val SegmentRe = ".*segment_(\\d+)\\.log".r
+  val TopicSegRe = ".*topic_([^/]+)/partition_(\\d+)/segment_(\\d+)\\.log".r
+
+  /** Default TTL for `lease.holder` streams: generous enough that a
+    * stalled trigger doesn't lapse the lease, short enough that a dead
+    * stream unpins storage within minutes (the lease renews every
+    * trigger, so a live stream never approaches it). */
+  val DefaultLeaseTtlMs: Long = 10 * 60 * 1000L
 }
 
-class FlyqSegmentTable(path: String, topic: Option[String])
+class FlyqSegmentTable(path: String, topic: Option[String],
+                       leaseHolder: Option[String] = None,
+                       leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs)
     extends Table with SupportsRead {
   require(path != null, "flyq-segments source requires a path")
   override def name(): String = s"flyq-segments(`$path`, topic=$topic)"
@@ -75,14 +87,16 @@ class FlyqSegmentTable(path: String, topic: Option[String])
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FlyqScan(path, topic)
+    () => new FlyqScan(path, topic, leaseHolder, leaseTtlMs)
 }
 
-class FlyqScan(path: String, topic: Option[String]) extends Scan {
+class FlyqScan(path: String, topic: Option[String],
+               leaseHolder: Option[String] = None,
+               leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs) extends Scan {
   override def readSchema(): StructType = FlyqSegmentSource.schema
   override def description(): String = s"FlyqScan($path)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FlyqMicroBatchStream(path, topic)
+    new FlyqMicroBatchStream(path, topic, leaseHolder, leaseTtlMs)
 }
 
 /** Offset = per-file processed byte counts, JSON `{"path":bytes,...}`. */
@@ -101,8 +115,41 @@ object FlyqOffset {
     }.toMap)
 }
 
-class FlyqMicroBatchStream(path: String, topic: Option[String])
+class FlyqMicroBatchStream(path: String, topic: Option[String],
+                           leaseHolder: Option[String] = None,
+                           leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs)
     extends MicroBatchStream {
+
+  /** M2 lease integration (`lease.holder` option): the stream registers
+    * itself as a READER of every topic it tails — the distributed Arc
+    * handle of [[graft.operators.DeferredDelete]] — so a concurrent
+    * retention job's [[graft.operators.DeferredDelete.reap]] cannot
+    * unlink a segment this stream planned before retirement. Acquired on
+    * first listing, RENEWED every trigger (expiry only matters if the
+    * stream dies without stop()), released in stop(). */
+  private val leaseIds = scala.collection.mutable.Map.empty[String, String]
+  private val leaseRenewedMs = scala.collection.mutable.Map.empty[String, Long]
+
+  private def ensureLeases(topics: Seq[String]): Unit = leaseHolder.foreach { h =>
+    val now = System.currentTimeMillis()
+    topics.foreach { t =>
+      leaseIds.get(t) match {
+        case Some(id) =>
+          // renew at quarter-TTL cadence, not per trigger: a 0-interval
+          // trigger loop would otherwise rewrite the lease file
+          // continuously for nothing
+          if (now - leaseRenewedMs.getOrElse(t, 0L) >= leaseTtlMs / 4) {
+            graft.operators.DeferredDelete
+              .renewLease(SparkSession.active, path, t, id, leaseTtlMs, now)
+            leaseRenewedMs(t) = now
+          }
+        case None =>
+          leaseIds(t) = graft.operators.DeferredDelete
+            .acquireLease(SparkSession.active, path, t, h, leaseTtlMs, now)
+          leaseRenewedMs(t) = now
+      }
+    }
+  }
 
   /** Session Hadoop conf captured at stream creation (driver) and shipped
     * to readers as a plain map — a fresh `new Configuration()` on the
@@ -129,8 +176,38 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
     val p = new Path(glob)
     val fs = p.getFileSystem(driverConf)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    // M2 (deferred deletion, `segment.rs:336`): segments retired into a
+    // topic's `_retired.json` manifest leave every NEW read plan — the
+    // streaming analog of the reference's BTreeMap removal — but a
+    // segment THIS stream was already tailing (present in lastKnown, i.e.
+    // in its checkpointed offsets) stays visible until reaped, the
+    // old-reader half of the reference's Arc guarantee: in-flight
+    // consumption finishes, only new plans exclude. Matching is by
+    // (topic, part, base) parsed from the file name, not by path string,
+    // so a scheme difference (file:/ URI here vs the plain path the
+    // manifest records) cannot defeat the exclusion. One metadata-file
+    // read per topic per trigger, same cost class as the listing itself.
+    val topicsSeen = statuses.flatMap(_.getPath.toString match {
+      case FlyqSegmentSource.TopicSegRe(t, _, _) => Some(t)
+      case _ => None
+    }).distinct
+    ensureLeases(topicsSeen.toSeq)
+    val retiredKeys: Set[(String, Long, Long)] = topicsSeen.flatMap { t =>
+      graft.operators.DeferredDelete.retired(SparkSession.active, path, t)
+        .map(e => (t, e.partId, e.baseOff))
+    }.toSet
+    val known = lastKnown
+    val live =
+      if (retiredKeys.isEmpty) statuses
+      else statuses.filter { st =>
+        st.getPath.toString match {
+          case p @ FlyqSegmentSource.TopicSegRe(t, part, base) =>
+            !retiredKeys((t, part.toLong, base.toLong)) || known.contains(p)
+          case _ => true
+        }
+      }
     // full URI string so the executor resolves the same filesystem
-    statuses.map(s => s.getPath.toString -> s.getLen).toMap
+    live.map(s => s.getPath.toString -> s.getLen).toMap
   }
 
   @volatile private var lastKnown: Map[String, Long] = Map.empty
@@ -172,7 +249,14 @@ class FlyqMicroBatchStream(path: String, topic: Option[String])
     o
   }
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    leaseIds.foreach { case (t, id) =>
+      try graft.operators.DeferredDelete
+        .releaseLease(SparkSession.active, path, t, id)
+      catch { case _: Throwable => () } // expiry will collect it
+    }
+    leaseIds.clear()
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FlyqOffset].fileBytes

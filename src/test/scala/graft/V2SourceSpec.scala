@@ -17,6 +17,13 @@ class V2SourceSpec extends AnyFunSuite {
 
   private def str(s: String) = s.getBytes("UTF-8")
 
+  /** Existence through Hadoop FS — decision paths are URIs (`file:/…`),
+    * which java.io.File cannot resolve. */
+  private def segExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
   private def appendRaw(dir: String, topic: String, part: Int, base: Long,
                         bytes: Array[Byte]): Unit = {
     val f = java.nio.file.Paths.get(dir, s"topic_$topic", s"partition_$part",
@@ -143,6 +150,88 @@ class V2SourceSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(committed() === Map(0L -> 7L, 1L -> 3L))
     } finally q.stop()
+  }
+
+  test("retired segments leave NEW v2 stream plans (M2, deferred deletion)") {
+    import graft.operators.DeferredDelete
+    val dir = Files.createTempDirectory("flyq-v2-dd").toString
+    SegmentFiles.writeSegment(dir, "dd", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    SegmentFiles.writeSegment(dir, "dd", 0,
+      (3L until 5L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    def freshRead(): Set[Long] = {
+      val ckpt = Files.createTempDirectory("flyq-v2-dd-ckpt").toString
+      val name = s"v2_dd_${System.nanoTime()}"
+      val q = spark.readStream
+        .format("graft.sources.v2.FlyqSegmentSource")
+        .option("topic", "dd").load(dir)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).select("msg_offset")
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // control: before retirement a fresh stream sees both segments
+    assert(freshRead() === (0L until 5L).toSet)
+    // retire everything but the active head (size cap), files kept
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "dd",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 2000L).filterNot(_.keep)
+    assert(evicted.map(_.baseOff) === Seq(0L))
+    assert(segExists(evicted.head.path), "retirement must not unlink the file")
+    // a NEW stream plan excludes the retired segment — the v2 analog of
+    // the reference's BTreeMap removal (segment.rs:336)
+    assert(freshRead() === Set(3L, 4L))
+  }
+
+  test("lease-holding v2 stream: reap waits for it, in-flight tail survives retirement") {
+    import graft.operators.DeferredDelete
+    val dir = Files.createTempDirectory("flyq-v2-lease").toString
+    val ckpt = Files.createTempDirectory("flyq-v2-lease-ckpt").toString
+    SegmentFiles.writeSegment(dir, "lt", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    SegmentFiles.writeSegment(dir, "lt", 0,
+      (3L until 5L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    val q = spark.readStream
+      .format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", "lt")
+      .option("lease.holder", "v2-lease-spec")
+      .load(dir)
+      .writeStream.format("memory").queryName("v2_lease")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2_lease").count() === 5)
+      // the stream registered itself as a reader of the topic
+      val leases = DeferredDelete.liveLeases(spark, dir, "lt",
+        nowMs = System.currentTimeMillis())
+      assert(leases.exists(_.holder === "v2-lease-spec"))
+
+      // concurrent retention retires the sealed segment; reap must hold
+      // back because the stream's lease predates the retirement
+      val evicted = DeferredDelete.compactDeferred(spark, dir, "lt",
+        retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+        retireAtMs = System.currentTimeMillis()).filterNot(_.keep)
+      assert(evicted.map(_.baseOff) === Seq(0L))
+      val (del, held) = DeferredDelete.reap(spark, dir, "lt",
+        nowMs = System.currentTimeMillis())
+      assert(del.isEmpty && held === evicted.map(_.path))
+      assert(segExists(evicted.head.path))
+
+      // the in-flight tail keeps working: appends to the live head arrive
+      appendRaw(dir, "lt", 0, 3L,
+        FlyqCodec.encodeRecord(5L, str("k5"), str("v5"), 1005L, null))
+      q.processAllAvailable()
+      assert(spark.table("v2_lease").count() === 6)
+    } finally q.stop()
+    // stop() dropped the lease (the Arc drop) → reap unlinks
+    assert(DeferredDelete.liveLeases(spark, dir, "lt",
+      nowMs = System.currentTimeMillis()).isEmpty)
+    val (del2, held2) = DeferredDelete.reap(spark, dir, "lt",
+      nowMs = System.currentTimeMillis())
+    assert(del2.nonEmpty && held2.isEmpty)
   }
 
   test("v2 schema matches the batch reader's") {
