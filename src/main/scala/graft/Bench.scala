@@ -48,6 +48,9 @@ object Bench {
       ("artifact_minhash_pairs",
         () => graft.operators.Dedup.verifiedPairs(spark, sfDir)
           .queryExecution.toRdd.count()),
+      ("artifact_minhash_pairs_b",
+        () => graft.operators.Dedup.verifiedPairsB(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_ngram_signatures",
         () => {
           graft.operators.Dedup.ngramDocs(spark, sfDir)
@@ -157,6 +160,7 @@ object Bench {
     // query reconfirm below.
     val artifactCaches: Map[String, SparkSession => Unit] = Map(
       "artifact_minhash_pairs" -> graft.operators.Dedup.clearCaches,
+      "artifact_minhash_pairs_b" -> graft.operators.Dedup.clearCaches,
       "artifact_ngram_signatures" -> graft.operators.Dedup.clearCaches,
       "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
       "artifact_dup_spans" -> graft.operators.Curation.clearCaches,

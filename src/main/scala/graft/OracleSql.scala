@@ -136,39 +136,67 @@ object OracleSql {
       FROM qs1)"""
 
   /** MinHash/LSH CTEs, generated from the SAME constants the Spark side
-    * uses (Dedup.hashA/hashB/MinHashPrime/...) so the two can't drift. */
-  val dedupCtes: String = {
+    * uses (Dedup.hashA/hashB/MinHashPrime/...) so the two can't drift.
+    * The word-set base (`words`/`hw`) is hash-family-independent; the
+    * signature→verify chain is generated per family (`offset` indexes into
+    * the universal (a, b) family exactly like Dedup.bandsOf's
+    * familyOffset; `prefix` disambiguates CTE names when two families
+    * coexist in one query, as in minhash_recall). */
+  private def dedupFamilyCtes(offset: Int, prefix: String): String = {
     val sigExprs = (0 until Dedup.NumHashes).map { i =>
-      s"list_min(list_transform(hws, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinHashPrime})) AS s$i"
+      s"list_min(list_transform(hws, h -> (${Dedup.hashA(offset + i)} * h + ${Dedup.hashB(offset + i)}) % ${Dedup.MinHashPrime})) AS s$i"
     }.mkString(",\n             ")
     val bandSelects = (0 until Dedup.NumBands).map { j =>
       val cols = (0 until Dedup.BandSize)
         .map(r => s"s${j * Dedup.BandSize + r}").mkString(", ")
-      s"SELECT doc_id, nw, $j AS band_j, concat_ws('_', $cols) AS band_key FROM sig"
+      s"SELECT doc_id, nw, $j AS band_j, concat_ws('_', $cols) AS band_key FROM ${prefix}sig"
     }.mkString("\n      UNION ALL ")
-    s"""
+    s"""${prefix}sig AS (SELECT doc_id, nw,
+             $sigExprs
+            FROM hw WHERE nw >= ${Dedup.MinWords}),
+    ${prefix}bands AS ($bandSelects),
+    ${prefix}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ${prefix}bands a JOIN ${prefix}bands b
+               ON a.band_j = b.band_j AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+                  AND least(a.nw, b.nw) * 10 >= greatest(a.nw, b.nw) * 9),
+    ${prefix}ver AS (SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(ha.hws, hb.hws))
+                     / CAST(len(list_distinct(ha.hws)) + len(list_distinct(hb.hws))
+                            - len(list_intersect(ha.hws, hb.hws)) AS DOUBLE), 6) AS jaccard
+            FROM ${prefix}cand c JOIN hw ha ON c.doc_a = ha.doc_id
+                        JOIN hw hb ON c.doc_b = hb.doc_id),
+    ${prefix}nd_pairs AS (SELECT doc_a, doc_b, jaccard FROM ${prefix}ver
+                 WHERE jaccard >= ${Dedup.JaccardThreshold})"""
+  }
+
+  val dedupCtes: String = s"""
     words AS (SELECT doc_id, lang, list_distinct(toks) AS ws FROM tok),
     hw AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
            list_transform(ws, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hws
            FROM words),
-    sig AS (SELECT doc_id, nw,
-             $sigExprs
-            FROM hw WHERE nw >= ${Dedup.MinWords}),
-    bands AS ($bandSelects),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_j = b.band_j AND a.band_key = b.band_key
-                  AND a.doc_id < b.doc_id
-                  AND least(a.nw, b.nw) * 10 >= greatest(a.nw, b.nw) * 9),
-    ver AS (SELECT c.doc_a, c.doc_b,
-                   round(len(list_intersect(ha.hws, hb.hws))
-                     / CAST(len(list_distinct(ha.hws)) + len(list_distinct(hb.hws))
-                            - len(list_intersect(ha.hws, hb.hws)) AS DOUBLE), 6) AS jaccard
-            FROM cand c JOIN hw ha ON c.doc_a = ha.doc_id
-                        JOIN hw hb ON c.doc_b = hb.doc_id),
-    nd_pairs AS (SELECT doc_a, doc_b, jaccard FROM ver
-                 WHERE jaccard >= ${Dedup.JaccardThreshold})"""
-  }
+    ${dedupFamilyCtes(0, "")}"""
+
+  /** minhash_recall's oracle: the primary family's pairs, the independent
+    * second family's pairs (offset = NumHashes, mirroring
+    * Dedup.verifiedPairsB), the pooled-truth union, and the recall
+    * arithmetic — all in one query. */
+  private[graft] def minhashRecallSql: String = s"""
+    WITH $textCtes, $dedupCtes,
+    ${dedupFamilyCtes(Dedup.NumHashes, "b_")},
+    pa AS (SELECT doc_a, doc_b FROM nd_pairs),
+    pb AS (SELECT doc_a, doc_b FROM b_nd_pairs),
+    u AS (SELECT doc_a, doc_b FROM pa UNION SELECT doc_a, doc_b FROM pb),
+    s AS (SELECT (SELECT count(*) FROM u) AS n_truth,
+                 (SELECT count(*) FROM pa) AS n_a,
+                 (SELECT count(*) FROM pb) AS n_b)
+    SELECT n_truth, n_a, n_b,
+           n_truth - n_a AS n_missed_by_a,
+           n_truth - n_b AS n_missed_by_b,
+           round(n_a / CAST(n_truth AS DOUBLE), 6) AS recall_a,
+           round(n_b / CAST(n_truth AS DOUBLE), 6) AS recall_b,
+           round(n_a / CAST(n_truth AS DOUBLE), 6) >= 0.95 AS recall_ok
+    FROM s"""
 
   /** Embedding CTEs (double-cast + sequential-fold dot, matching
     * graft.operators.Similarity bit-for-bit). */
@@ -1022,6 +1050,8 @@ object OracleSql {
 
     "dedup_minhash_pairs" -> s"""WITH $textCtes, $dedupCtes
       SELECT doc_a, doc_b, jaccard FROM nd_pairs""",
+
+    "minhash_recall" -> minhashRecallSql,
 
     "dedup_similar_keep" -> s"""WITH $textCtes, $dedupCtes,
       dropped AS (SELECT DISTINCT doc_b AS doc_id FROM nd_pairs)

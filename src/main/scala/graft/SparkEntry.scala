@@ -87,6 +87,7 @@ object SparkEntry {
     // dedup / similarity / multimodal (north-star extension block)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),
+    "minhash_recall" -> (Dedup.minhashRecall(_, _)),
     "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
     "dedup_components" -> (Dedup.dedupComponents(_, _)),
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),

@@ -104,11 +104,11 @@ object Dedup {
     * word count) rides along for the size-ratio prune. The whole k-hash
     * signature is ONE expression (TextHashes.minhash_sigs) computing all
     * mins in a single pass over the word hashes. */
-  private[graft] def bandsOf(base: DataFrame): DataFrame = {
+  private[graft] def bandsOf(base: DataFrame, familyOffset: Int = 0): DataFrame = {
     val sig = base.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hws"),
-        (0 until NumHashes).map(hashA),
-        (0 until NumHashes).map(hashB), MinHashPrime))
+        (0 until NumHashes).map(i => hashA(familyOffset + i)),
+        (0 until NumHashes).map(i => hashB(familyOffset + i)), MinHashPrime))
     val keys = array((0 until NumBands).map { j =>
       struct(lit(j).as("band_j"),
         concat_ws("_", (0 until BandSize).map(r =>
@@ -200,6 +200,15 @@ object Dedup {
     getOrUpdateEvicting(pairsCache, spark, sfDir, "pairs")(
       computeMinhashPairs(spark, sfDir))
 
+  /** Verified pairs under an INDEPENDENT second hash family (indices
+    * 16..31 of the same universal family) — the pooled-truth leg of
+    * [[minhashRecall]]. Same pipeline, same collapse, same verify; only
+    * the (a, b) coefficients differ, so any pair it finds and the primary
+    * family misses is a primary-banding miss, not a semantics difference. */
+  private[graft] def verifiedPairsB(spark: SparkSession, sfDir: String): DataFrame =
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "pairsB")(
+      computeMinhashPairs(spark, sfDir, familyOffset = NumHashes))
+
   /** Unpersist and drop every cached intermediate for `spark` — call when
     * a session's input files changed or the session is being retired (the
     * cache would otherwise pin the session and its blocks for the process
@@ -231,7 +240,8 @@ object Dedup {
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     verifiedPairs(spark, sfDir)
 
-  private def computeMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def computeMinhashPairs(spark: SparkSession, sfDir: String,
+                                  familyOffset: Int = 0): DataFrame = {
     // EAGER build over ONE persisted tokenize+md5 base (sf1 stress
     // finding): the lazy composite plan evaluates the docWords subtree up
     // to FOUR times (self-join sides + both verify probes; ReuseExchange
@@ -276,7 +286,7 @@ object Dedup {
     // side's group
     val base = reps.select(col("doc_id"), col("nw"), col("hws"),
       col("set_id"))
-    val b = bandsOf(base)
+    val b = bandsOf(base, familyOffset)
       .select(col("doc_id"), col("nw"), col("set_id"),
         col("band_j"), col("band_key"))
       .persist(lvl)
@@ -372,6 +382,34 @@ object Dedup {
     docs(spark, sfDir).select(col("doc_id"))
       .join(dropped.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dropped").isNull.as("is_kept"))
+  }
+
+  /** Measured banding recall of the production MinHash family against a
+    * POOLED ground truth (the IR-evaluation pooling method): truth = the
+    * union of verified pairs found by the primary family and by an
+    * independent second family ([[verifiedPairsB]]). Both legs verify with
+    * EXACT Jaccard at the same threshold, so neither contributes a false
+    * positive — a pair in truth missing from a leg is precisely a banding
+    * miss of that leg. The analytic design point (4 bands × 4 rows at
+    * s = 0.9 → 1-(1-0.9⁴)⁴ ≈ 0.986 per near-miss pair, 1.0 for identical
+    * sets) becomes a MEASURED, oracle-hash-checked number instead of a
+    * claim. Scale: both legs are the output-sized verified-pair slivers;
+    * the full-outer membership join and the 1-row aggregates are free. */
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = verifiedPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val b = verifiedPairsB(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val truth = a.unionByName(b).distinct()
+    truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      .crossJoin(a.agg(count(lit(1)).cast("long").as("n_a")))
+      .crossJoin(b.agg(count(lit(1)).cast("long").as("n_b")))
+      .select(
+        col("n_truth"), col("n_a"), col("n_b"),
+        (col("n_truth") - col("n_a")).as("n_missed_by_a"),
+        (col("n_truth") - col("n_b")).as("n_missed_by_b"),
+        round(col("n_a") / col("n_truth").cast("double"), 6).as("recall_a"),
+        round(col("n_b") / col("n_truth").cast("double"), 6).as("recall_b"),
+        (round(col("n_a") / col("n_truth").cast("double"), 6) >= 0.95)
+          .as("recall_ok"))
   }
 
   /** Edge-count threshold below which connected components runs as a

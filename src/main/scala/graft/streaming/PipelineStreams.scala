@@ -410,7 +410,7 @@ object PipelineStreams {
       .withColumn("nw", size(col("hws")).cast("long"))
       .filter(col("nw") >= Dedup.MinWords)
       .select(col("doc_id"), col("nw"), col("hws"))
-      .transform(Dedup.bandsOf)
+      .transform(Dedup.bandsOf(_))
       .join(base, Seq("band_j", "band_key"))
       .filter(least(col("nw"), col("base_nw")) * 10 >=
         greatest(col("nw"), col("base_nw")) * 9)

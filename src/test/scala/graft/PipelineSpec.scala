@@ -44,6 +44,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(identical.exceptAll(found).count() === 0)
   }
 
+  test("minhash_recall: pooled truth has no false positives and the verdict holds") {
+    val r = Dedup.minhashRecall(spark, sf).head()
+    val nTruth = r.getAs[Long]("n_truth")
+    val nA = r.getAs[Long]("n_a")
+    val nB = r.getAs[Long]("n_b")
+    assert(nTruth > 0, "corpus must contain verified near-dup pairs")
+    assert(nA <= nTruth && nB <= nTruth)
+    assert(r.getAs[Long]("n_missed_by_a") === nTruth - nA)
+    assert(r.getAs[Long]("n_missed_by_b") === nTruth - nB)
+    assert(r.getAs[Boolean]("recall_ok"), s"recall_a=${r.getAs[Double]("recall_a")}")
+    // no false positives in the pooled truth: every pair either leg found
+    // really is at-or-above the threshold — recomputed here with Spark
+    // built-ins (array_intersect over the word sets), independent of the
+    // TextHashes.jaccard_long kernel both legs verify with
+    val w = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("ws"))
+    val truth = Dedup.dedupMinhashPairs(spark, sf).select("doc_a", "doc_b")
+      .unionByName(Dedup.verifiedPairsB(spark, sf).select("doc_a", "doc_b"))
+      .distinct()
+    val bad = truth
+      .join(w.as("wa"), $"doc_a" === $"wa.doc_id")
+      .join(w.as("wb"), $"doc_b" === $"wb.doc_id")
+      .withColumn("j", size(array_intersect($"wa.ws", $"wb.ws")) /
+        (size($"wa.ws") + size($"wb.ws") -
+          size(array_intersect($"wa.ws", $"wb.ws"))).cast("double"))
+      .filter(round($"j", 6) < Dedup.JaccardThreshold)
+    assert(bad.count() === 0)
+    assert(truth.count() === nTruth)
+  }
+
   test("simhash hamming pairs: ordered, bounded, and exhaustive for identical word sets") {
     val p = Dedup.dedupSimhashPairs(spark, sf).cache()
     assert(p.filter($"doc_a" >= $"doc_b").count() === 0)
