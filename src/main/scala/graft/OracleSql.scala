@@ -135,16 +135,33 @@ object OracleSql {
                  + (1 - punct_ratio) * 0.2, 6) AS quality_score
       FROM qs1)"""
 
+  /** Per-coordinate MinHash value in DuckDB: min over elements of
+    * mix32((mix32(h XOR key) + key) mod 2^32) — the exact arithmetic of
+    * [[graft.functions.TextHashes.MinHashSigs]] (double Mueller
+    * avalanche with key re-injection; all intermediates < 2^59, exact in
+    * BIGINT). The chained list_transforms bind each round's value once,
+    * so the expression stays linear-sized. */
+  private def mixSigSql(src: String, key: Long): String = {
+    val round2 =
+      s"z -> (xor(z, z >> 16) * ${Dedup.MixMultiplier}) % 4294967296), " +
+        s"z -> (xor(z, z >> 16) * ${Dedup.MixMultiplier}) % 4294967296), " +
+        s"z -> xor(z, z >> 16))"
+    s"list_min(list_transform(list_transform(list_transform(" +
+      s"list_transform(list_transform(list_transform(list_transform(" +
+      s"list_transform($src, h -> xor(h, $key)), " + round2 +
+      s", z -> (z + $key) % 4294967296), " + round2 + ")"
+  }
+
   /** MinHash/LSH CTEs, generated from the SAME constants the Spark side
-    * uses (Dedup.hashA/hashB/MinHashPrime/...) so the two can't drift.
+    * uses (Dedup.mixKey/MixMultiplier/...) so the two can't drift.
     * The word-set base (`words`/`hw`) is hash-family-independent; the
     * signature→verify chain is generated per family (`offset` indexes into
-    * the universal (a, b) family exactly like Dedup.bandsOf's
+    * the mixKey family exactly like Dedup.bandsOf's
     * familyOffset; `prefix` disambiguates CTE names when two families
     * coexist in one query, as in minhash_recall). */
   private def dedupFamilyCtes(offset: Int, prefix: String): String = {
     val sigExprs = (0 until Dedup.NumHashes).map { i =>
-      s"list_min(list_transform(hws, h -> (${Dedup.hashA(offset + i)} * h + ${Dedup.hashB(offset + i)}) % ${Dedup.MinHashPrime})) AS s$i"
+      s"${mixSigSql("hws", Dedup.mixKey(offset + i))} AS s$i"
     }.mkString(",\n             ")
     val bandSelects = (0 until Dedup.NumBands).map { j =>
       val cols = (0 until Dedup.BandSize)
@@ -168,6 +185,51 @@ object OracleSql {
                         JOIN hw hb ON c.doc_b = hb.doc_id),
     ${prefix}nd_pairs AS (SELECT doc_a, doc_b, jaccard FROM ${prefix}ver
                  WHERE jaccard >= ${Dedup.JaccardThreshold})"""
+  }
+
+  /** The shared 3-gram table CTE (`g`) for the n-gram family — the SQL
+    * twin of Dedup.ngramDocs' gram/hash derivation. */
+  private val ngramGramCte: String = s"""
+      g AS (SELECT doc_id, lang, n_chars_norm,
+                   list_transform(
+                     list_distinct(list_transform(
+                       generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
+                       i -> substr(ntext, i, 3))),
+                     g3 -> CAST('0x' || substr(md5(g3), 1, 8) AS BIGINT)) AS hgs
+            FROM tok WHERE n_chars_norm >= ${Dedup.NgramMinChars})"""
+
+  /** The n-gram family's LSH chain (signatures → 8×2 bands → blocked
+    * candidates → exact-Jaccard verify → thresholded pairs), generated
+    * from the SAME constants as Dedup.ngramJaccard and parameterized
+    * like [[dedupFamilyCtes]] (offset = hash-family index base, prefix =
+    * CTE namespace for multi-family queries like ngram_recall). */
+  private def ngramFamilyCtes(offset: Int, prefix: String,
+                              src: String = "g"): String = {
+    val sigExprs = (0 until Dedup.NumHashes).map { i =>
+      s"${mixSigSql("hgs", Dedup.mixKey(offset + i))} AS s$i"
+    }.mkString(",\n               ")
+    val bandSelects = (0 until Dedup.NgramNumBands).map { j =>
+      val cols = (0 until Dedup.NgramBandSize)
+        .map(r => s"s${j * Dedup.NgramBandSize + r}").mkString(", ")
+      s"SELECT doc_id, lang, n_chars_norm, $j AS band_j, concat_ws('_', $cols) AS band_key FROM ${prefix}gsig"
+    }.mkString("\n        UNION ALL ")
+    s"""${prefix}gsig AS (SELECT doc_id, lang, n_chars_norm,
+               $sigExprs
+               FROM $src),
+      ${prefix}gbands AS ($bandSelects),
+      ${prefix}gcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ${prefix}gbands a JOIN ${prefix}gbands b
+                 ON a.band_j = b.band_j AND a.band_key = b.band_key
+                    AND a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
+                    AND a.doc_id < b.doc_id),
+      ${prefix}gp AS (SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(ga.hgs, gb.hgs))
+                     / CAST(len(list_distinct(ga.hgs)) + len(list_distinct(gb.hgs))
+                            - len(list_intersect(ga.hgs, gb.hgs)) AS DOUBLE), 6) AS ngram_jaccard
+            FROM ${prefix}gcand c JOIN $src ga ON c.doc_a = ga.doc_id
+                        JOIN $src gb ON c.doc_b = gb.doc_id),
+      ${prefix}gnd AS (SELECT doc_a, doc_b, ngram_jaccard FROM ${prefix}gp
+               WHERE ngram_jaccard >= ${Dedup.NgramJaccardThreshold})"""
   }
 
   val dedupCtes: String = s"""
@@ -1459,41 +1521,89 @@ object OracleSql {
       WHERE hamming <= ${Dedup.SimHammingMax}"""
     },
 
-    "ngram_jaccard" -> {
-      // LSH-band CTEs generated from the SAME constants as Dedup.ngramJaccard.
-      val sigExprs = (0 until Dedup.NumHashes).map { i =>
-        s"list_min(list_transform(hgs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.MinHashPrime})) AS s$i"
-      }.mkString(",\n               ")
-      val bandSelects = (0 until Dedup.NgramNumBands).map { j =>
-        val cols = (0 until Dedup.NgramBandSize)
-          .map(r => s"s${j * Dedup.NgramBandSize + r}").mkString(", ")
-        s"SELECT doc_id, lang, n_chars_norm, $j AS band_j, concat_ws('_', $cols) AS band_key FROM gsig"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH $textCtes,
-      g AS (SELECT doc_id, lang, n_chars_norm,
-                   list_transform(
-                     list_distinct(list_transform(
-                       generate_series(1, CAST(length(ntext) AS INTEGER) - 2),
-                       i -> substr(ntext, i, 3))),
-                     g3 -> CAST('0x' || substr(md5(g3), 1, 8) AS BIGINT)) AS hgs
-            FROM tok WHERE n_chars_norm >= ${Dedup.NgramMinChars}),
-      gsig AS (SELECT doc_id, lang, n_chars_norm,
-               $sigExprs
-               FROM g),
-      gbands AS ($bandSelects),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM gbands a JOIN gbands b
-                 ON a.band_j = b.band_j AND a.band_key = b.band_key
-                    AND a.lang = b.lang AND a.n_chars_norm = b.n_chars_norm
-                    AND a.doc_id < b.doc_id),
-      p AS (SELECT c.doc_a, c.doc_b,
-                   round(len(list_intersect(ga.hgs, gb.hgs))
-                     / CAST(len(list_distinct(ga.hgs)) + len(list_distinct(gb.hgs))
-                            - len(list_intersect(ga.hgs, gb.hgs)) AS DOUBLE), 6) AS ngram_jaccard
-            FROM cand c JOIN g ga ON c.doc_a = ga.doc_id
-                        JOIN g gb ON c.doc_b = gb.doc_id)
-      SELECT doc_a, doc_b, ngram_jaccard FROM p WHERE ngram_jaccard >= ${Dedup.NgramJaccardThreshold}"""
-    },
+    "ngram_jaccard" -> s"""WITH $textCtes,
+      $ngramGramCte,
+      ${ngramFamilyCtes(0, "")}
+      SELECT doc_a, doc_b, ngram_jaccard FROM gnd""",
+
+    // theory-calibrated recall gate: per truth pair, p = 1-(1-j²)^8 via
+    // an explicit multiplication chain (pow() is not bit-specified
+    // across engines), conditional catch q = 1/(2-p), expectation and
+    // variance summed as floor(x·2^20) BIGINTs (order-free — matches the
+    // Spark side's distributed sum exactly)
+    // rep-level calibration: the banding trial happens once per pair of
+    // DISTINCT collapse groups (lang, n_chars, gram set) — member-level
+    // counting double-weights copy-cluster expansions and correlates
+    // their misses, so the binomial σ would be a fiction there. `gr`
+    // mirrors Dedup.ngramReps: one row per group, rep = min doc_id
+    // (minhash/Jaccard are set functions, so the sorted hgs serves)
+    // theory-calibrated recall gate against EXHAUSTIVE within-block
+    // ground truth (candidates require exact (lang, n_chars_norm)
+    // equality, so all-pairs truth is block-bounded): per truth pair,
+    // catch probability p = 1-(1-j²)^8 via an explicit multiplication
+    // chain (pow() is not bit-specified across engines); σ uses the
+    // block-bound variance Σ_blocks (Σ sd)², robust to arbitrary
+    // within-block correlation; every floating accumulation is a
+    // floor(x·2^20) BIGINT sum (order-free — matches the Spark side's
+    // distributed sums exactly)
+    "ngram_recall" -> s"""WITH $textCtes,
+      $ngramGramCte,
+      gr AS (SELECT min(doc_id) AS doc_id, lang, n_chars_norm,
+                    list_sort(hgs) AS hgs
+             FROM g GROUP BY lang, n_chars_norm, list_sort(hgs)),
+      ${ngramFamilyCtes(0, "", "gr")},
+      ${ngramFamilyCtes(Dedup.NumHashes, "b_", "gr")},
+      tr0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     x.lang, x.n_chars_norm,
+                     round(len(list_intersect(x.hgs, y.hgs))
+                       / CAST(len(list_distinct(x.hgs)) + len(list_distinct(y.hgs))
+                              - len(list_intersect(x.hgs, y.hgs)) AS DOUBLE), 6) AS j
+              FROM gr x JOIN gr y
+                ON x.lang = y.lang AND x.n_chars_norm = y.n_chars_norm
+                   AND x.doc_id < y.doc_id),
+      tr AS (SELECT * FROM tr0 WHERE j >= ${Dedup.NgramJaccardThreshold}),
+      pa AS (SELECT doc_a, doc_b FROM gnd),
+      pb AS (SELECT doc_a, doc_b FROM b_gnd),
+      w0 AS (SELECT tr.lang, tr.n_chars_norm,
+                    CASE WHEN pa.doc_a IS NULL THEN 0 ELSE 1 END AS in_a,
+                    CASE WHEN pb.doc_a IS NULL THEN 0 ELSE 1 END AS in_b,
+                    (CAST(1 AS DOUBLE) - tr.j*tr.j)
+                      * (CAST(1 AS DOUBLE) - tr.j*tr.j) AS x2
+             FROM tr
+             LEFT JOIN pa ON tr.doc_a = pa.doc_a AND tr.doc_b = pa.doc_b
+             LEFT JOIN pb ON tr.doc_a = pb.doc_a AND tr.doc_b = pb.doc_b),
+      w1 AS (SELECT lang, n_chars_norm, in_a, in_b,
+                    CAST(1 AS DOUBLE) - (x2*x2)*(x2*x2) AS p
+             FROM w0),
+      w2 AS (SELECT lang, n_chars_norm, in_a, in_b,
+                    CAST(floor(p * 1048576) AS BIGINT) AS pfp,
+                    CAST(floor(sqrt(p * (CAST(1 AS DOUBLE) - p)) * 1048576) AS BIGINT) AS sdfp
+             FROM w1),
+      blk AS (SELECT lang, n_chars_norm,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(in_a) AS BIGINT) AS na,
+                     CAST(sum(in_b) AS BIGINT) AS nb,
+                     CAST(sum(pfp) AS BIGINT) AS pfp_sum,
+                     CAST(sum(sdfp) AS BIGINT) AS sdfp_sum
+              FROM w2 GROUP BY lang, n_chars_norm),
+      blk2 AS (SELECT n, na, nb, pfp_sum,
+                      CAST(floor(((sdfp_sum / CAST(1048576 AS DOUBLE))
+                        * (sdfp_sum / CAST(1048576 AS DOUBLE))) * 1048576) AS BIGINT) AS vfp
+               FROM blk),
+      s AS (SELECT CAST(sum(n) AS BIGINT) AS n_truth,
+                   CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(pfp_sum) AS BIGINT) AS exp_fp,
+                   CAST(sum(vfp) AS BIGINT) AS var_fp
+            FROM blk2)
+      SELECT n_truth, n_a, n_b,
+             round(n_a / CAST(n_truth AS DOUBLE), 6) AS recall_a,
+             round(n_b / CAST(n_truth AS DOUBLE), 6) AS recall_b,
+             round(exp_fp / CAST(1048576 AS DOUBLE), 6) AS expected_catch,
+             round(sqrt(var_fp / CAST(1048576 AS DOUBLE)), 6) AS sigma_catch,
+             CAST(n_a AS DOUBLE) >= exp_fp / CAST(1048576 AS DOUBLE) - 3 * sqrt(var_fp / CAST(1048576 AS DOUBLE)) AS consistent_a,
+             CAST(n_b AS DOUBLE) >= exp_fp / CAST(1048576 AS DOUBLE) - 3 * sqrt(var_fp / CAST(1048576 AS DOUBLE)) AS consistent_b
+      FROM s""",
 
     "doc_fingerprint" -> s"""WITH $textCtes,
       g AS (SELECT doc_id,

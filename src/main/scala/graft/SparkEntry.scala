@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),
     "minhash_recall" -> (Dedup.minhashRecall(_, _)),
+    "ngram_recall" -> (Dedup.ngramRecall(_, _)),
     "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
     "dedup_components" -> (Dedup.dedupComponents(_, _)),
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),

@@ -60,13 +60,29 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  /** minhash_sigs(array<long>) -> array<long>: for each (a,b) in the hash
-    * family, min over elements of (a*h + b) mod prime. Null on an empty
-    * array (as array_min would be). */
-  case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long],
-                         prime: Long)
+  /** minhash_sigs(array<long>) -> array<long>: for each per-coordinate
+    * key K, min over elements of mix32((mix32(h XOR K) + K) mod 2^32),
+    * where mix32 is the public-domain two-round avalanche mixer
+    * (x ^= x>>16; x *= 0x45d9f3b, twice, then x ^= x>>16 — Mueller's
+    * 32-bit hash, derived by avalanche optimization; widely published).
+    *
+    * Family history, all MEASURED by the r12 `ngram_recall` gate against
+    * exhaustive within-block ground truth: the round-3 2-independent
+    * linear family (a·h+b) mod P had per-coordinate match probability
+    * ~6pp BELOW the true Jaccard (2-independence provably does not give
+    * minwise independence — Pătraşcu–Thorup), compounding through 8
+    * bands to 0.81 observed recall where theory says 0.90; a single
+    * mix32(h XOR K) round removed the mean bias but left family-to-
+    * family spread (one 16-key family read −12σ, its sibling +9σ at
+    * sf0.1); the double-mix with the key re-injected between rounds
+    * brought BOTH families within ~1.5 binomial σ of the theoretical
+    * expectation at every tested SF. All intermediates stay below 2^59
+    * (inputs are 32-bit, the multiplier is 27-bit), so the identical
+    * arithmetic runs exactly in DuckDB BIGINTs — the oracle twin is
+    * generated from the same constants. Null on an empty array (as
+    * array_min would be). */
+  case class MinHashSigs(child: Expression, keys: Seq[Long])
       extends UnaryExpression with KernelCodegenUnary {
-    require(as.length == bs.length)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     // an EMPTY gram set has no signature: nullSafeEval returns null on
     // non-null input, so nullability must not be inherited from the child
@@ -77,17 +93,23 @@ object TextHashes {
       val h = arr.asInstanceOf[ArrayData]
       val n = h.numElements()
       if (n == 0) return null
-      val k = as.length
+      val k = keys.length
       val mins = Array.fill(k)(Long.MaxValue)
-      val aArr = as.toArray
-      val bArr = bs.toArray
+      val kArr = keys.toArray
       var i = 0
       while (i < n) {
         val hv = h.getLong(i)
         var j = 0
         while (j < k) {
-          val v = (aArr(j) * hv + bArr(j)) % prime
-          if (v < mins(j)) mins(j) = v
+          var z = hv ^ kArr(j)
+          z = ((z ^ (z >>> 16)) * 73244475L) & 0xFFFFFFFFL
+          z = ((z ^ (z >>> 16)) * 73244475L) & 0xFFFFFFFFL
+          z = z ^ (z >>> 16)
+          z = (z + kArr(j)) & 0xFFFFFFFFL
+          z = ((z ^ (z >>> 16)) * 73244475L) & 0xFFFFFFFFL
+          z = ((z ^ (z >>> 16)) * 73244475L) & 0xFFFFFFFFL
+          z = z ^ (z >>> 16)
+          if (z < mins(j)) mins(j) = z
           j += 1
         }
         i += 1
@@ -611,8 +633,8 @@ object TextHashes {
     column(CharGramsDistinct(expression(c), n))
   def mod_filter_stats(c: Column, mod: Int): Column =
     column(ModFilterStats(expression(c), mod))
-  def minhash_sigs(c: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
-    column(MinHashSigs(expression(c), as, bs, prime))
+  def minhash_sigs(c: Column, keys: Seq[Long]): Column =
+    column(MinHashSigs(expression(c), keys))
   def simhash16(c: Column): Column = column(SimHash16(expression(c)))
   def simhash_bits(c: Column, bits: Int): Column =
     column(SimHashBits(expression(c), bits))

@@ -35,13 +35,36 @@ object Dedup {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   // ---- MinHash parameters (shared with the generated oracle SQL) ----
-  /** Prime > 2^32 for the universal hash family (a*h + b) mod P. */
-  val MinHashPrime = 4294967311L
   val NumHashes = 16
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
-  def hashA(i: Int): Long = 97L + 131L * i
-  def hashB(i: Int): Long = 13L + 911L * i
+
+  /** The per-coordinate permutation is mix32((mix32(h XOR K) + K) mod
+    * 2^32) with K = mixKey(i) — Mueller's two-round avalanche mixer
+    * (public domain, multiplier 0x45d9f3b) applied twice with the key
+    * re-injected between applications. Replaced the 2-independent linear
+    * family (a·h+b) mod P in r12 after `ngram_recall` MEASURED that
+    * family's minwise bias against exhaustive ground truth: ~6pp below
+    * the true Jaccard per coordinate, compounding to 0.81 observed
+    * banding recall where the 8×2 design predicts 0.90 (2-independence
+    * does not give minwise independence — the classic Pătraşcu–Thorup
+    * separation, reproduced empirically here). A single-mix variant
+    * removed the mean bias but left per-family spread (−12σ/+9σ for the
+    * two 16-key families at sf0.1); the double-mix holds both within
+    * ~1.5σ at every tested SF. All intermediates < 2^59, so the
+    * identical arithmetic is exact in DuckDB BIGINTs
+    * ([[graft.OracleSql]] generates the SQL twin from these constants). */
+  val MixMultiplier = 73244475L // 0x45d9f3b
+  /** Key-derivation multiplier (Knuth's 2654435761 = golden ratio · 2^32). */
+  val MixKeyDeriv = 2654435761L
+  def mix32(z0: Long): Long = {
+    var z = z0
+    z = ((z ^ (z >>> 16)) * MixMultiplier) & 0xFFFFFFFFL
+    z = ((z ^ (z >>> 16)) * MixMultiplier) & 0xFFFFFFFFL
+    z ^ (z >>> 16)
+  }
+  /** Coordinate i's key (families index disjoint i ranges). */
+  def mixKey(i: Int): Long = mix32((MixKeyDeriv * (i + 1)) & 0xFFFFFFFFL)
   /** Verified-Jaccard near-dup threshold. */
   val JaccardThreshold = 0.9
 
@@ -107,8 +130,7 @@ object Dedup {
   private[graft] def bandsOf(base: DataFrame, familyOffset: Int = 0): DataFrame = {
     val sig = base.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hws"),
-        (0 until NumHashes).map(i => hashA(familyOffset + i)),
-        (0 until NumHashes).map(i => hashB(familyOffset + i)), MinHashPrime))
+        (0 until NumHashes).map(i => mixKey(familyOffset + i))))
     val keys = array((0 until NumBands).map { j =>
       struct(lit(j).as("band_j"),
         concat_ws("_", (0 until BandSize).map(r =>
@@ -987,6 +1009,99 @@ object Dedup {
     ngramPairsFrom(ngramDocs(spark, sfDir), ngramReps(spark, sfDir))
   }
 
+  /** [[minhashRecall]]'s sibling for the n-gram family, and the stronger
+    * measurement of the two: because candidate pairs REQUIRE exact
+    * (lang, n_chars_norm) equality, EXHAUSTIVE ground truth is
+    * block-bounded — all-pairs exact Jaccard inside each equality block,
+    * no pooling approximation (at sf0.1: 2,070 blocks, max 11 reps,
+    * 17.6k brute pairs). Truth lives at the REPRESENTATIVE level, where
+    * the banding trials actually happen (member-level counting
+    * double-weights copy-cluster expansions and correlates its misses).
+    *
+    * The verdict is theory-calibrated: a truth pair at Jaccard j is
+    * caught by an 8-band × 2-row family with p = 1-(1-j²)⁸, so the
+    * observed catch count must sit within 3σ of Σp. σ uses the
+    * BLOCK-BOUND variance Σ_blocks (Σ_pairs sd)² — within a block pairs
+    * share documents (hence signatures), and sd(ΣX) ≤ Σ sd(X) holds
+    * under ARBITRARY correlation, while blocks partition the documents
+    * so cross-block terms vanish. Both families are reported: A is
+    * production, B (keys 16..31) is an independent control. This gate is
+    * what caught the linear family's minwise bias and the single-mix
+    * family spread (see [[MixMultiplier]]).
+    *
+    * All floating accumulation is floor(x·2^20) BIGINT sums — order-free,
+    * so the distributed sums match DuckDB's sequential ones exactly; the
+    * j² and p chains are explicit multiplications (pow() is not
+    * bit-specified across engines; *, -, /, sqrt are IEEE-exact in both).
+    *
+    * Scale: truth costs Σ_blocks s² where s = reps per (lang, exact
+    * normalized length) — tiny at evaluation scale by construction. On a
+    * corpus where equal-length blocks grow large, run the evaluator on a
+    * salted block sample (filter blocks by hash32(lang, n_chars) mod K —
+    * an unbiased recall estimate at 1/K the cost); the production pair
+    * build never pays this, only the evaluator does. */
+  def ngramRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = ngramDocs(spark, sfDir)
+    val reps = ngramReps(spark, sfDir)
+    val r = reps.select(col("doc_id"), col("lang"), col("n_chars_norm"),
+      col("hgs"))
+    val truth = r.as("x").join(r.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.n_chars_norm") === col("y.n_chars_norm") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("j",
+        round(graft.functions.TextHashes.jaccard_long(
+          col("x.hgs"), col("y.hgs")), 6))
+      .filter(col("j") >= NgramJaccardThreshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.lang").as("lang"),
+        col("x.n_chars_norm").as("n_chars_norm"), col("j"))
+    val a = ngramRepPairs(g, reps)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_a"))
+    val b = ngramRepPairs(g, reps, familyOffset = NumHashes)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_b"))
+    val x = lit(1.0) - col("j") * col("j")
+    val x2 = x * x
+    val p = lit(1.0) - (x2 * x2) * (x2 * x2)
+    val perPair = truth
+      .join(a, Seq("doc_a", "doc_b"), "left")
+      .join(b, Seq("doc_a", "doc_b"), "left")
+      .select(col("lang"), col("n_chars_norm"),
+        coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"),
+        floor(p * lit(1048576.0)).cast("long").as("pfp"),
+        floor(sqrt(p * (lit(1.0) - p)) * lit(1048576.0)).cast("long")
+          .as("sdfp"))
+    val perBlock = perPair.groupBy("lang", "n_chars_norm").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("in_a")).cast("long").as("na"),
+      sum(col("in_b")).cast("long").as("nb"),
+      sum(col("pfp")).cast("long").as("pfp_sum"),
+      sum(col("sdfp")).cast("long").as("sdfp_sum"))
+    val bsd = col("sdfp_sum") / lit(1048576.0)
+    val stats = perBlock
+      .select(col("n"), col("na"), col("nb"), col("pfp_sum"),
+        floor((bsd * bsd) * lit(1048576.0)).cast("long").as("vfp"))
+      .agg(
+        sum(col("n")).cast("long").as("n_truth"),
+        sum(col("na")).cast("long").as("n_a"),
+        sum(col("nb")).cast("long").as("n_b"),
+        sum(col("pfp_sum")).cast("long").as("exp_fp"),
+        sum(col("vfp")).cast("long").as("var_fp"))
+    val expected = col("exp_fp") / lit(1048576.0)
+    val sigma = sqrt(col("var_fp") / lit(1048576.0))
+    stats.select(
+      col("n_truth"), col("n_a"), col("n_b"),
+      round(col("n_a") / col("n_truth").cast("double"), 6).as("recall_a"),
+      round(col("n_b") / col("n_truth").cast("double"), 6).as("recall_b"),
+      round(expected, 6).as("expected_catch"),
+      round(sigma, 6).as("sigma_catch"),
+      (col("n_a").cast("double") >= expected - lit(3.0) * sigma)
+        .as("consistent_a"),
+      (col("n_b").cast("double") >= expected - lit(3.0) * sigma)
+        .as("consistent_b"))
+  }
+
   /** One representative row per distinct collapse key. Persist-once
     * (same registry as the gram table): the rep aggregation shuffles the
     * hgs arrays, and both the pair query and the threshold sweep consume
@@ -1017,11 +1132,11 @@ object Dedup {
     * are NOT kept (callers needing the set re-join or re-select). The
     * shared candidate-index shape for the batch pair build and the
     * streaming gate, mirroring [[simhashBlockKeys]]. */
-  private[graft] def ngramBandKeys(fp: DataFrame): DataFrame = {
+  private[graft] def ngramBandKeys(fp: DataFrame,
+                                   familyOffset: Int = 0): DataFrame = {
     val sig = fp.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hgs"),
-        (0 until NumHashes).map(hashA),
-        (0 until NumHashes).map(hashB), MinHashPrime))
+        (0 until NumHashes).map(i => mixKey(familyOffset + i))))
     val keys = array((0 until NgramNumBands).map { j =>
       struct(lit(j).as("band_j"),
         concat_ws("_", (0 until NgramBandSize).map(r =>
@@ -1034,11 +1149,19 @@ object Dedup {
       .drop("k", "sigs", "hgs")
   }
 
-  private[graft] def ngramPairsFrom(g: DataFrame, reps: DataFrame): DataFrame = {
+  /** Verified pairs at REPRESENTATIVE level (one per distinct collapse
+    * group, doc ids = the groups' reps) — the sliver [[ngramPairsFrom]]
+    * expands to members, and the granularity at which banding trials
+    * actually happen (one Bernoulli draw per rep pair, which is why
+    * [[ngramRecall]] calibrates HERE: a missed rep pair expands to
+    * |ma|·|mb| member misses that are perfectly correlated, so a
+    * member-level binomial σ is a fiction). */
+  private[graft] def ngramRepPairs(g: DataFrame, reps: DataFrame,
+                                   familyOffset: Int = 0): DataFrame = {
     // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
     // same plan discipline as the SimHash collapse), so the expansion
     // needs no joins back to `reps` to recover each side's group
-    val b = ngramBandKeys(reps)
+    val b = ngramBandKeys(reps, familyOffset)
       .select(col("doc_id"), col("lang"), col("n_chars_norm"),
         col("set_id"), col("band_j"), col("band_key"))
     val pairs = b.as("a").join(b.as("b"),
@@ -1055,15 +1178,22 @@ object Dedup {
     // multi-band collisions (≤ NgramNumBands rows per pair) runs AFTER
     // the jaccard filter on the survivor sliver — the deleted Exchange
     // was candidate-sized, the remaining one is output-sized
-    val repPairs = pairs
+    pairs
       .join(h.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(h.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("ngram_jaccard",
         round(graft.functions.TextHashes.jaccard_long(
           col("ga.hgs"), col("gb.hgs")), 6))
       .filter(col("ngram_jaccard") >= NgramJaccardThreshold)
-      .select(col("sid_a"), col("sid_b"), col("ngram_jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sid_a"), col("sid_b"), col("ngram_jaccard"))
       .distinct()
+  }
+
+  private[graft] def ngramPairsFrom(g: DataFrame, reps: DataFrame,
+                                    familyOffset: Int = 0): DataFrame = {
+    val repPairs = ngramRepPairs(g, reps, familyOffset)
+      .select(col("sid_a"), col("sid_b"), col("ngram_jaccard"))
     // expand rep pairs to member pairs — output-bounded work
     val members = g.select(col("set_id"), col("doc_id"))
     val cross = repPairs
@@ -1181,10 +1311,11 @@ object Dedup {
       s"combos=${SimBlockCombos.map(_.mkString("")).mkString("/")}"
   private[graft] val MinhashBanding: String =
     s"minhash:k=$NumHashes;bands=$NumBands;rows=$BandSize;" +
-      s"p=$MinHashPrime;minwords=$MinWords"
+      s"mix=mueller2x:$MixMultiplier;kderiv=$MixKeyDeriv;minwords=$MinWords"
   private[graft] val NgramBanding: String =
     s"ngram:k=$NumHashes;bands=$NgramNumBands;rows=$NgramBandSize;" +
-      s"p=$MinHashPrime;minchars=$NgramMinChars;n=3"
+      s"mix=mueller2x:$MixMultiplier;kderiv=$MixKeyDeriv;" +
+      s"minchars=$NgramMinChars;n=3"
 
   /** Bucketed+sorted on the band/block join key: the base-side shuffle
     * AND sort are paid once at write time, so an indexed probe joins

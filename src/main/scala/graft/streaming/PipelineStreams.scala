@@ -479,7 +479,7 @@ object PipelineStreams {
       .withColumn("hgs", graft.functions.TextHashes.hash32_array(
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
       .withColumn("stream_hgs", col("hgs"))
-      .transform(Dedup.ngramBandKeys)
+      .transform(Dedup.ngramBandKeys(_))
       .withColumn("pkey", Dedup.ngramProbeKey(
         col("lang"), col("n_chars_norm"), col("band_key")))
       .join(base, Seq("band_j", "pkey"))

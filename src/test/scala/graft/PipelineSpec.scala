@@ -74,6 +74,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(truth.count() === nTruth)
   }
 
+  test("ngram_recall: pooled truth has no false positives and the verdict holds") {
+    val r = Dedup.ngramRecall(spark, sf).head()
+    val nTruth = r.getAs[Long]("n_truth")
+    val nA = r.getAs[Long]("n_a")
+    val nB = r.getAs[Long]("n_b")
+    assert(nTruth > 0 && nA <= nTruth && nB <= nTruth)
+    // theory calibration: expected catch ≤ truth size, and the observed
+    // counts sit within 3σ of the LSH-theory prediction
+    assert(r.getAs[Double]("expected_catch") <= nTruth.toDouble)
+    assert(r.getAs[Boolean]("consistent_a"),
+      s"n_a=$nA expected=${r.getAs[Double]("expected_catch")} σ=${r.getAs[Double]("sigma_catch")}")
+    assert(r.getAs[Boolean]("consistent_b"),
+      s"n_b=$nB expected=${r.getAs[Double]("expected_catch")} σ=${r.getAs[Double]("sigma_catch")}")
+    // truth has no false positives: every rep pair either family found is
+    // at-or-above the 0.5 threshold when its Jaccard is recomputed with
+    // Spark built-ins over the gram-hash sets
+    val gd = Dedup.ngramDocs(spark, sf)
+    val g = gd.select($"doc_id", $"hgs")
+    val truth = Dedup.ngramRepPairs(gd, Dedup.ngramReps(spark, sf))
+      .select("doc_a", "doc_b")
+      .unionByName(Dedup.ngramRepPairs(gd, Dedup.ngramReps(spark, sf),
+        Dedup.NumHashes).select("doc_a", "doc_b"))
+      .distinct()
+    val bad = truth
+      .join(g.as("ga"), $"doc_a" === $"ga.doc_id")
+      .join(g.as("gb"), $"doc_b" === $"gb.doc_id")
+      .withColumn("j", size(array_intersect($"ga.hgs", $"gb.hgs")) /
+        (size($"ga.hgs") + size($"gb.hgs") -
+          size(array_intersect($"ga.hgs", $"gb.hgs"))).cast("double"))
+      .filter(round($"j", 6) < Dedup.NgramJaccardThreshold)
+    assert(bad.count() === 0)
+    assert(truth.count() === nTruth)
+  }
+
   test("simhash hamming pairs: ordered, bounded, and exhaustive for identical word sets") {
     val p = Dedup.dedupSimhashPairs(spark, sf).cache()
     assert(p.filter($"doc_a" >= $"doc_b").count() === 0)

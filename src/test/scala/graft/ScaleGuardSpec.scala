@@ -240,18 +240,17 @@ class ScaleGuardSpec extends AnyFunSuite {
     // IllegalStateException while the interpreted path returned null
     // (round-8 advice). Both paths must agree: null for the empty gram
     // set, a real signature otherwise.
-    val as = Seq(97L, 228L); val bs = Seq(13L, 924L)
+    val keys = Seq(graft.operators.Dedup.mixKey(0),
+      graft.operators.Dedup.mixKey(1))
     val out = spark.range(3).select(
-      TextHashes.minhash_sigs(array().cast("array<long>"),
-        as, bs, graft.operators.Dedup.MinHashPrime).as("s_empty"),
-      TextHashes.minhash_sigs(array(col("id"), col("id") + 7L),
-        as, bs, graft.operators.Dedup.MinHashPrime).as("s_full"))
+      TextHashes.minhash_sigs(array().cast("array<long>"), keys).as("s_empty"),
+      TextHashes.minhash_sigs(array(col("id"), col("id") + 7L), keys).as("s_full"))
     val a = out.collect()
     val b = interpretedOnly(out.collect())
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     a.foreach { r =>
       assert(r.isNullAt(0), "empty gram set must have no signature")
-      assert(!r.isNullAt(1) && r.getSeq[Long](1).length === as.length)
+      assert(!r.isNullAt(1) && r.getSeq[Long](1).length === keys.length)
     }
   }
 
@@ -389,8 +388,7 @@ class ScaleGuardSpec extends AnyFunSuite {
     // brute force = the pre-collapse shape over ALL docs, same constants
     val sig = g.withColumn("sigs",
       graft.functions.TextHashes.minhash_sigs(col("hgs"),
-        (0 until Dedup.NumHashes).map(Dedup.hashA),
-        (0 until Dedup.NumHashes).map(Dedup.hashB), Dedup.MinHashPrime))
+        (0 until Dedup.NumHashes).map(Dedup.mixKey)))
     val bandKeys = array((0 until Dedup.NgramNumBands).map { j =>
       concat_ws("_", (0 until Dedup.NgramBandSize).map(r =>
         element_at(col("sigs"), j * Dedup.NgramBandSize + r + 1)): _*)
