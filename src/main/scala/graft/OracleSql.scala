@@ -1756,6 +1756,35 @@ object OracleSql {
       SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
       FROM p WHERE cos >= ${Similarity.NearDupCosine}""",
 
+    // pool-exhaustive recall of the banded near-dup detector, per cosine
+    // bucket; truth filters RAW cosine (like the detector) and rounds
+    // for output/bucketing — all arithmetic exact or rounded, the acos
+    // theory calibration lives in PipelineSpec
+    "near_dup_recall" -> s"""WITH $embCtes,
+      $nearDupPairCtes,
+      nd AS (SELECT vec_a, vec_b FROM p
+             WHERE cos >= ${Similarity.NearDupCosine}),
+      q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+            WHERE vec_id % ${Similarity.QueryMod} = 0
+              AND vec_id < ${Similarity.QueryMod.toLong * Similarity.QueryCap}),
+      t0 AS (SELECT q.q_id, n.vec_id,
+                    list_sum(list_transform(generate_series(1, ${Similarity.Dim}), k -> q.qv[k]*n.v[k]))
+                      / (sqrt(q.qn2) * sqrt(n.n2)) AS cos_raw
+             FROM q JOIN n ON n.vec_id <> q.q_id),
+      t1 AS (SELECT DISTINCT least(q_id, vec_id) AS vec_a,
+                    greatest(q_id, vec_id) AS vec_b,
+                    round(cos_raw, 6) AS cos
+             FROM t0 WHERE cos_raw >= ${Similarity.NearDupCosine}),
+      jj AS (SELECT t1.cos,
+                    CASE WHEN nd.vec_a IS NULL THEN 0 ELSE 1 END AS caught
+             FROM t1 LEFT JOIN nd
+               ON t1.vec_a = nd.vec_a AND t1.vec_b = nd.vec_b)
+      SELECT CAST(floor(cos * 20) AS BIGINT) AS cos_bucket,
+             CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(caught) AS BIGINT) AS n_caught,
+             round(CAST(sum(caught) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM jj GROUP BY 1""",
+
     "embedding_dedup_keep" -> s"""WITH RECURSIVE $embCtes,
       $nearDupPairCtes,
       nd AS (SELECT vec_a, vec_b FROM p WHERE cos >= ${Similarity.NearDupCosine}),

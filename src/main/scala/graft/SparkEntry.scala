@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (Dedup.dedupMinhashPairs(_, _)),
     "minhash_recall" -> (Dedup.minhashRecall(_, _)),
     "ngram_recall" -> (Dedup.ngramRecall(_, _)),
+    "near_dup_recall" -> (Similarity.nearDupRecall(_, _)),
     "dedup_similar_keep" -> (Dedup.dedupSimilarKeep(_, _)),
     "dedup_components" -> (Dedup.dedupComponents(_, _)),
     "simhash_fingerprint" -> (Dedup.simhashFingerprint(_, _)),

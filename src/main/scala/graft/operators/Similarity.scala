@@ -191,6 +191,58 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Measured recall of the banded SRP near-dup detector against
+    * POOL-EXHAUSTIVE ground truth, reported per cosine bucket — the
+    * embedding leg of the recall-gate programme (word: minhash_recall,
+    * pooled; gram: ngram_recall, block-exhaustive; simhash: exact by
+    * pigeonhole, no measurement needed). Truth: every pair touching the
+    * FIXED [[isQueryVec]] pool (20 ids at any corpus size — the
+    * established linearization) with raw cosine at-or-above
+    * [[NearDupCosine]], computed exhaustively (pool × corpus = 20·N dot
+    * products, linear). The per-bucket shape IS the SRP S-curve:
+    * boundary-cosine pairs are caught with prob 1-(1-p^P)^B for
+    * per-plane agreement p = 1-θ/π, which is LOW near the threshold by
+    * design (candidates, not guarantees — production tunes Bands up for
+    * recall); the bucket rows make that tradeoff a measured table
+    * instead of a Scaladoc claim. Theory calibration (which needs acos —
+    * not bit-specified across engines) lives in PipelineSpec, not the
+    * oracle row: the row itself is exact integer/rounded arithmetic. */
+  /** The pool-exhaustive truth frame of [[nearDupRecall]]: every pair
+    * touching the fixed pool with raw cosine ≥ the threshold, filtered
+    * RAW and rounded after (the detector's boundary call), deduped for
+    * the pool×pool overlap. Shared with the PipelineSpec calibration. */
+  private[graft] def nearDupPoolTruth(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val n = vectors(spark, sfDir)
+    val q = n.filter(isQueryVec(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    // corpus streams, the FIXED pool broadcasts (the embedding_topk
+    // shape) — writing it the other way round planned the corpus as a
+    // nested-loop build side, which PlanBudgetSpec rightly rejects
+    n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .filter(col("cos_raw") >= NearDupCosine)
+      .select(least(col("q_id"), col("vec_id")).as("vec_a"),
+        greatest(col("q_id"), col("vec_id")).as("vec_b"),
+        round(col("cos_raw"), 6).as("cos"))
+      .distinct() // both endpoints in pool → the pair arrives twice
+  }
+
+  def nearDupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = nearDupPoolTruth(spark, sfDir)
+    val nd = embeddingNearDup(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("caught"))
+    truth.join(nd, Seq("vec_a", "vec_b"), "left")
+      .groupBy(floor(col("cos") * lit(20)).cast("long").as("cos_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("caught"), lit(0L))).cast("long").as("n_caught"))
+      .select(col("cos_bucket"), col("n_truth"), col("n_caught"),
+        round(col("n_caught") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Centroid set for the IVF variant: every 100th vector starting at 50
     * (disjoint from the query set), below the fixed id bound. At real
     * scale these come from k-means; a deterministic subsample keeps the

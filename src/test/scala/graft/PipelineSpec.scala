@@ -108,6 +108,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(truth.count() === nTruth)
   }
 
+  test("near_dup_recall: observed catches match SRP banding theory") {
+    val rows = Similarity.nearDupRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("cos_bucket") >= 7L) // ≥ floor(0.35·20)
+    }
+    val caught = rows.map(_.getAs[Long]("n_caught")).sum
+    // theory calibration (acos is JVM-side only — not bit-portable to the
+    // oracle): a truth pair at cosine c survives one SRP band of P planes
+    // with p^P, p = 1-acos(c)/π, and any of B independent bands with
+    // 1-(1-p^P)^B; the observed total must sit within 4σ + slack of the
+    // summed expectation
+    val nVecs = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    val planes = Similarity.nearDupPlanesPerBand(nVecs)
+    val truth = Similarity.nearDupPoolTruth(spark, sf)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(truth.length === rows.map(_.getAs[Long]("n_truth")).sum)
+    val probs = truth.map { c =>
+      val p = 1.0 - math.acos(math.min(c, 1.0)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, planes), Similarity.NearDupBands)
+    }
+    val expected = probs.sum
+    val sd = math.sqrt(probs.map(q => q * (1 - q)).sum)
+    assert(math.abs(caught - expected) <= 4 * sd + 3.0,
+      s"caught=$caught expected=$expected sd=$sd planes=$planes n=${truth.length}")
+  }
+
   test("simhash hamming pairs: ordered, bounded, and exhaustive for identical word sets") {
     val p = Dedup.dedupSimhashPairs(spark, sf).cache()
     assert(p.filter($"doc_a" >= $"doc_b").count() === 0)

@@ -92,6 +92,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "embedding_topk", "embedding_ann_ivf2", "kmeans_refine",
     "ann_recall", "ann_recall_trained", "semantic_decontaminate",
     "hourly_anomalies", "event_funnel",
+    // r12: near_dup_recall's pool-exhaustive truth broadcasts the same
+    // isQueryVec pool as embedding_topk (witness: the pool FilterExec)
+    "near_dup_recall",
     // r12: the dense leg inherits embedding_topk's fixed-query-pool
     // bound, narrowed further by the pushed q_id = HybridDenseQuery
     // equality (Catalyst constant-folds the pool predicate away once
