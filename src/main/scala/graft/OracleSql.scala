@@ -1553,12 +1553,19 @@ object OracleSql {
              FROM g GROUP BY lang, n_chars_norm, list_sort(hgs)),
       ${ngramFamilyCtes(0, "", "gr")},
       ${ngramFamilyCtes(Dedup.NumHashes, "b_", "gr")},
+      km AS (SELECT (count(*) + ${Dedup.RecallTruthTargetReps - 1})
+                      // ${Dedup.RecallTruthTargetReps} AS block_mod
+             FROM gr),
+      grs AS (SELECT gr.* FROM gr CROSS JOIN km
+              WHERE CAST('0x' || substr(md5(gr.lang || '|'
+                      || CAST(gr.n_chars_norm AS VARCHAR)), 1, 8) AS BIGINT)
+                    % km.block_mod = 0),
       tr0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                      x.lang, x.n_chars_norm,
                      round(len(list_intersect(x.hgs, y.hgs))
                        / CAST(len(list_distinct(x.hgs)) + len(list_distinct(y.hgs))
                               - len(list_intersect(x.hgs, y.hgs)) AS DOUBLE), 6) AS j
-              FROM gr x JOIN gr y
+              FROM grs x JOIN grs y
                 ON x.lang = y.lang AND x.n_chars_norm = y.n_chars_norm
                    AND x.doc_id < y.doc_id),
       tr AS (SELECT * FROM tr0 WHERE j >= ${Dedup.NgramJaccardThreshold}),
@@ -1602,7 +1609,8 @@ object OracleSql {
              round(exp_fp / CAST(1048576 AS DOUBLE), 6) AS expected_catch,
              round(sqrt(var_fp / CAST(1048576 AS DOUBLE)), 6) AS sigma_catch,
              CAST(n_a AS DOUBLE) >= exp_fp / CAST(1048576 AS DOUBLE) - 3 * sqrt(var_fp / CAST(1048576 AS DOUBLE)) AS consistent_a,
-             CAST(n_b AS DOUBLE) >= exp_fp / CAST(1048576 AS DOUBLE) - 3 * sqrt(var_fp / CAST(1048576 AS DOUBLE)) AS consistent_b
+             CAST(n_b AS DOUBLE) >= exp_fp / CAST(1048576 AS DOUBLE) - 3 * sqrt(var_fp / CAST(1048576 AS DOUBLE)) AS consistent_b,
+             (SELECT block_mod FROM km) AS block_mod
       FROM s""",
 
     "doc_fingerprint" -> s"""WITH $textCtes,

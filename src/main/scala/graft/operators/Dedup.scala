@@ -1035,16 +1035,23 @@ object Dedup {
     * bit-specified across engines; *, -, /, sqrt are IEEE-exact in both).
     *
     * Scale: truth costs Σ_blocks s² where s = reps per (lang, exact
-    * normalized length) — tiny at evaluation scale by construction. On a
-    * corpus where equal-length blocks grow large, run the evaluator on a
-    * salted block sample (filter blocks by hash32(lang, n_chars) mod K —
-    * an unbiased recall estimate at 1/K the cost); the production pair
-    * build never pays this, only the evaluator does. */
+    * normalized length). Above [[RecallTruthTargetReps]] reps the truth
+    * is computed on a SALTED BLOCK SAMPLE — blocks where
+    * hash32(lang|n_chars) mod K = 0, K = ⌈reps/target⌉ (integer
+    * arithmetic, so both engines derive the same K from the same count,
+    * the adaptive-planes discipline) — an unbiased recall estimate at
+    * ~1/K the quadratic cost, keeping the evaluator linear while the
+    * production pair build never pays any of this. At the oracle SFs
+    * K = 1 (full truth). The `block_mod` column reports K. */
+  val RecallTruthTargetReps = 5000L
   def ngramRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val g = ngramDocs(spark, sfDir)
     val reps = ngramReps(spark, sfDir)
+    val mod = (reps.count() + RecallTruthTargetReps - 1) / RecallTruthTargetReps
     val r = reps.select(col("doc_id"), col("lang"), col("n_chars_norm"),
       col("hgs"))
+      .filter(hash32(concat(col("lang"), lit("|"),
+        col("n_chars_norm").cast("string"))) % lit(mod) === 0)
     val truth = r.as("x").join(r.as("y"),
         col("x.lang") === col("y.lang") &&
           col("x.n_chars_norm") === col("y.n_chars_norm") &&
@@ -1099,7 +1106,8 @@ object Dedup {
       (col("n_a").cast("double") >= expected - lit(3.0) * sigma)
         .as("consistent_a"),
       (col("n_b").cast("double") >= expected - lit(3.0) * sigma)
-        .as("consistent_b"))
+        .as("consistent_b"),
+      lit(mod).as("block_mod"))
   }
 
   /** One representative row per distinct collapse key. Persist-once
@@ -1227,7 +1235,11 @@ object Dedup {
     * are bounded by |pairs|, never |corpus|. */
   def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = ngramJaccard(spark, sfDir)
+    // materialize the pair SLIVER once: the sweep's two aggregate
+    // branches would otherwise each re-evaluate the whole lazy pair
+    // pipeline (measured 2× the pipeline per action at sf1 — the only
+    // consumer where the build ran more than once per query)
+    val pairs = ngramJaccard(spark, sfDir).localCheckpoint(true)
     val t = SweepThresholds.toDF("threshold")
     val j = t.crossJoin(pairs)
       .filter(col("ngram_jaccard") >= col("threshold"))
