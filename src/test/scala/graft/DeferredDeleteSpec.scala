@@ -113,6 +113,38 @@ class DeferredDeleteSpec extends AnyFunSuite {
         .agg(min("msg_offset")).head().getLong(0) === wm(p.toLong)._1)
   }
 
+  test("renewal extends expiry but keeps the acquire time (reap still gated)") {
+    val dir = Files.createTempDirectory("flyq-deferred3").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(200)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "ev3", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    val id = DeferredDelete.acquireLease(spark, dir, "ev3",
+      holder = "tail", ttlMs = 1000L, nowMs = 1000L)
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "ev3",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 1500L).filterNot(_.keep)
+    assert(evicted.nonEmpty)
+    // renew AFTER the retirement: expiry extends, acquire time must NOT
+    // move — a renewal that reset it would make this pre-retirement
+    // reader look post-retirement, and reap would unlink under it
+    DeferredDelete.renewLease(spark, dir, "ev3", id, ttlMs = 1000000L,
+      nowMs = 1800L)
+    val l = DeferredDelete.liveLeases(spark, dir, "ev3", nowMs = 2000L)
+      .find(_.id == id).get
+    assert(l.acquiredMs === 1000L && l.expiresMs === 1001800L
+      && l.holder === "tail")
+    val (del, held) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 5000L)
+    assert(del.isEmpty && held.size === evicted.size,
+      "renewed pre-retirement lease must still gate the reap")
+    DeferredDelete.releaseLease(spark, dir, "ev3", id)
+    val (del2, _) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 6000L)
+    assert(del2.toSet === evicted.map(_.path).toSet)
+  }
+
   test("an expired pre-retirement lease cannot pin storage (crashed reader)") {
     val dir = Files.createTempDirectory("flyq-deferred2").toString
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
