@@ -609,6 +609,22 @@ class CurationSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("bloomLiteral: zero false negatives, measured FPR within 3x design fpp") {
+    val members = spark.range(0, 5000)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val mc = Curation.bloomLiteral(members, "k").get
+    // a bloom NEVER false-negatives — every member must pass
+    assert(members.filter(mc).count() === 5000)
+    // measured FPR on 20k disjoint keys: expected 1% ± binomial noise;
+    // 3x the design fpp is ~40σ of headroom, so this only fails on a
+    // genuinely mis-sized filter (wrong n or fpp plumbing)
+    val non = spark.range(100000, 120000)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val fpr = non.filter(mc).count().toDouble / 20000
+    assert(fpr <= 3 * Curation.BloomFpp,
+      s"measured FPR $fpr vs design ${Curation.BloomFpp}")
+  }
+
   test("bloomSemiFlag edge cases: empty batch, empty base") {
     val someKeys = Seq("a", "b").toDF("k")
     val noKeys = Seq.empty[String].toDF("k")
