@@ -868,6 +868,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("ngram gate state survives a checkpointed stop/restart") {
+    // restart-coverage symmetry (continuation session): exact dedup (r7)
+    // and the minhash gate (r12) have it; the ngram gate carries the
+    // same update-mode per-doc aggregate and gets the same contract —
+    // restored state ACCUMULATES a replayed duplicate, fresh docs pass
+    import graft.streaming.PipelineStreams.StreamDoc
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 50)
+      .select("text", "lang").limit(1).collect()(0)
+    val (twin, lang) = (row.getString(0), row.getString(1))
+    val ckpt = Files.createTempDirectory("ng_gate_ckpt").toString
+    val out = Files.createTempDirectory("ng_gate_out").toString
+    val input = MemoryStream[StreamDoc](spark)
+    def start() = PipelineStreams.ngramNearDupStream(spark, input.toDF(), sf)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def latest(): Map[Long, (Long, Double)] = {
+      val rows = spark.read.parquet(out).collect()
+      rows.groupBy(_.getAs[Long]("doc_id")).map { case (d, rs) =>
+        val last = rs.maxBy(_.getAs[Long]("batch_id"))
+        d -> (last.getAs[Long]("n_collisions"),
+          last.getAs[Double]("max_jaccard"))
+      }
+    }
+    val q1 = start()
+    val phase1 =
+      try {
+        input.addData(
+          StreamDoc(910001L, lang, twin, new java.sql.Timestamp(0L)),
+          StreamDoc(910002L, lang,
+            "zqxgl vorptak wibblum cranxo deftig yulmar pezzik",
+            new java.sql.Timestamp(0L)))
+        q1.processAllAvailable()
+        val got = latest()
+        assert(got.contains(910001L), s"twin not flagged before restart: $got")
+        assert(!got.contains(910002L), s"gibberish flagged: $got")
+        assert(got(910001L)._2 === 1.0)
+        got(910001L)._1
+      } finally q1.stop()
+    assert(phase1 >= 8L) // all 8 bands collide with at least the rep
+    val q2 = start()
+    try {
+      input.addData(
+        StreamDoc(910001L, lang, twin, new java.sql.Timestamp(0L)),
+        StreamDoc(910003L, lang,
+          "blorfin quandrex mizzulp taverok gnilpots wexfurb",
+          new java.sql.Timestamp(0L)))
+      q2.processAllAvailable()
+      val got = latest()
+      assert(got(910001L)._1 === 2 * phase1,
+        s"restored state must accumulate (expected ${2 * phase1}): $got")
+      assert(got(910001L)._2 === 1.0)
+      assert(!got.contains(910003L), s"fresh doc flagged after restart: $got")
+    } finally q2.stop()
+  }
+
   test("streaming anomaly gate flags a burst hour against historical moments") {
     import graft.streaming.PipelineStreams.StreamEvent
     val sf = "/root/testdata/sf0.001"
