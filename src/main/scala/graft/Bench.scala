@@ -108,17 +108,60 @@ object Bench {
     // optional args = query-name subset for local iteration; the full run
     // (driver) passes none. Subset runs never advance the baseline.
     val subset = args.toSet
+    // Subset runs time the artifact builds the subset NAMES explicitly
+    // (r12 verdict #1: the five flagged rows were mostly artifact builds,
+    // and subset mode could not isolate them at all); unnamed builds stay
+    // skipped — first-consumer-pays is fine for local iteration, and
+    // subset runs still never advance the baseline.
+    // Cache-droppers per artifact row, shared by the min-of-2 build loop
+    // below and the end-of-run reconfirm (a build trial against a warm
+    // persist-once cache would time nothing).
+    val artifactCaches: Map[String, SparkSession => Unit] = Map(
+      "artifact_minhash_pairs" -> graft.operators.Dedup.clearCaches,
+      "artifact_minhash_pairs_b" -> graft.operators.Dedup.clearCaches,
+      "artifact_ngram_signatures" -> graft.operators.Dedup.clearCaches,
+      "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
+      "artifact_dup_spans" -> graft.operators.Curation.clearCaches,
+      "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
+      "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
+      "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
+      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
+      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches)
+    val artSelected =
+      if (subset.isEmpty) artifactBuilds
+      else artifactBuilds.filter(b => subset(b._1))
     val artResults: Seq[(String, Double, Option[String])] =
-      if (subset.nonEmpty) Seq.empty
-      else artifactBuilds.map { case (name, build) =>
+      artSelected.map { case (name, build) =>
         System.err.println(s"[bench] $name")
-        val t0 = System.nanoTime()
-        try { build(); (name, (System.nanoTime() - t0) / 1e9, None) }
-        catch { case e: Throwable =>
-          (name, -1.0, Some(s"${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(120)))
+        def trial(): (Double, Option[String]) = {
+          val t0 = System.nanoTime()
+          try { build(); ((System.nanoTime() - t0) / 1e9, None) }
+          catch { case e: Throwable =>
+            (-1.0, Some(s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120)))
+          }
         }
+        // min-of-2 with a cache-dropping rebuild between trials: artifact
+        // rows were min-of-1 while query rows were min-of-2, so a host
+        // spike over the bench's first seconds flagged EXACTLY the build
+        // rows (all five r12 flags ran in the run's opening window —
+        // attribution in SURVEY §7.13). The drop is required or trial 2
+        // would read the warm persist-once cache and time nothing.
+        val r1 = trial()
+        val r2 =
+          if (r1._2.isDefined) r1
+          else { artifactCaches.get(name).foreach(_(spark)); trial() }
+        val ok = Seq(r1, r2).collect { case (s, None) => s }
+        (name, if (ok.nonEmpty) ok.min else -1.0,
+          if (ok.isEmpty) r1._2 else None)
       }
+    // Untimed re-warm: a later sibling's cache drop (the modules share
+    // clearCaches) may have evicted an earlier artifact — rebuild all
+    // selected artifacts once so every consumer below measures net of a
+    // WARM artifact set, the contract the per-row floors were set under.
+    artSelected.foreach { case (_, build) =>
+      try build() catch { case _: Throwable => () }
+    }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (subset.isEmpty) names0 else names0.filter(subset)
     val results0 = names.map { name =>
@@ -158,17 +201,6 @@ object Bench {
     // minutes away from the original window, so it discriminates
     // transient host spikes from structural regressions exactly like the
     // query reconfirm below.
-    val artifactCaches: Map[String, SparkSession => Unit] = Map(
-      "artifact_minhash_pairs" -> graft.operators.Dedup.clearCaches,
-      "artifact_minhash_pairs_b" -> graft.operators.Dedup.clearCaches,
-      "artifact_ngram_signatures" -> graft.operators.Dedup.clearCaches,
-      "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
-      "artifact_dup_spans" -> graft.operators.Curation.clearCaches,
-      "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
-      "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
-      "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
-      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
-      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches)
     val results = artResults.map {
       case (name, sec, None) if looksRegressed(name, sec) =>
         System.err.println(s"[bench] reconfirm $name (cache-dropping rebuild)")
@@ -203,14 +235,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
 
-    // Per-query regression guard (round-3 verdict #3): >1.5× over a 0.2 s
-    // noise floor vs the previous run at the same SF — and the measurement
-    // loop above has already given every such query a confirmation trial
-    // (queries: a third timing; artifact rows: a cache-dropping rebuild),
-    // so every row here cleared the confirmation bar the flag promises.
-    // The baseline then advances so each round compares to the one before.
+    // Per-query regression guard (round-3 verdict #3), WINDOW-NORMALIZED
+    // (r13, after the r12 flag attribution in SURVEY §7.13): the committed
+    // floors are all-time minima while host conditions vary ±50% run to
+    // run, so a uniformly slow window pushed every thin-margin row over a
+    // RAW 1.5× threshold — five rows flagged in BENCH_r12 and every one
+    // bisected flat (environment, not code). A uniform window moves ALL
+    // rows together; a real plan regression stands out AGAINST the run's
+    // own level. So the final flag compares each row to 1.5× floor ×
+    // the run's median floor-ratio (never < 1, so a fast run keeps the
+    // raw threshold), still over the 0.2 s noise floor. The window factor
+    // itself is reported, and a window above 1.4 is surfaced as a
+    // run-level signal — a GLOBAL regression (config change slowing
+    // everything) shows up there, not silently normalized away.
+    // Every flagged row already cleared its confirmation trials above
+    // (queries: a third timing; artifact rows: a cache-dropping rebuild).
+    val ratios = results.collect {
+      case (k, v, None) if v > 0 && prev.get(k).exists(_ > 0) => v / prev(k)
+    }.sorted
+    val windowFactor =
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, ratios(ratios.length / 2))
     val regressions = results.collect {
-      case (k, v, None) if looksRegressed(k, v) =>
+      case (k, v, None) if prev.get(k).exists(p =>
+          p > 0.0 && v > 1.5 * p * windowFactor && v - p > 0.2) =>
         val p = prev(k)
         s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
     }.mkString("{", ",", "}")
@@ -245,7 +293,7 @@ object Bench {
       s""""mem_mb":${rddInfo.map(_.memSize).sum / 1024 / 1024},""" +
       s""""disk_mb":${rddInfo.map(_.diskSize).sum / 1024 / 1024}}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"storage":$storage,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"window_factor":$windowFactor,"window_regressed":${windowFactor > 1.4},"storage":$storage,"sf":"$sfDir"}""")
     // release the session-scoped persist-once artifacts (verified pairs,
     // n-gram signatures, inverted index) before retiring the session
     graft.operators.Dedup.clearCaches(spark)

@@ -225,8 +225,10 @@ object Dedup {
   /** Verified pairs under an INDEPENDENT second hash family (indices
     * 16..31 of the same universal family) — the pooled-truth leg of
     * [[minhashRecall]]. Same pipeline, same collapse, same verify; only
-    * the (a, b) coefficients differ, so any pair it finds and the primary
-    * family misses is a primary-banding miss, not a semantics difference. */
+    * the mixKey family slot differs (`familyOffset = NumHashes` selects
+    * mix indices 16..31 instead of 0..15), so any pair it finds and the
+    * primary family misses is a primary-banding miss, not a semantics
+    * difference. */
   private[graft] def verifiedPairsB(spark: SparkSession, sfDir: String): DataFrame =
     getOrUpdateEvicting(pairsCache, spark, sfDir, "pairsB")(
       computeMinhashPairs(spark, sfDir, familyOffset = NumHashes))

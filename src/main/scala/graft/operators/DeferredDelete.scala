@@ -35,10 +35,37 @@ import graft.model.LogModel
   */
 object DeferredDelete {
 
+  /** `sizeBytes` is the segment's size AT retirement — retention only
+    * retires sealed (non-active) segments, so this is its final size and
+    * a restarted tail can decide "fully consumed" against it long after
+    * the file itself is reaped. -1 on entries written before the field
+    * existed (treated as unknown → conservative). */
   case class RetiredSegment(path: String, partId: Long, baseOff: Long,
-                            retiredAtMs: Long)
+                            retiredAtMs: Long, sizeBytes: Long = -1L)
   case class Lease(id: String, holder: String, acquiredMs: Long,
                    expiresMs: Long)
+
+  /** Tombstone left behind by [[reap]] when it unlinks a retired segment:
+    * the only durable record that the file's disappearance was the
+    * PROTOCOL's doing (vs external deletion), and the final size a
+    * restarted reader compares its checkpointed offset against to
+    * distinguish "fully consumed, safe" from "reaped under me, data
+    * loss". Trimmed by age at each reap ([[DefaultTombstoneHorizonMs]]). */
+  case class ReapedSegment(path: String, partId: Long, baseOff: Long,
+                           sizeBytes: Long, reapedAtMs: Long)
+
+  /** How long [[reap]] keeps tombstones of unlinked segments: long enough
+    * that any checkpoint a user would realistically restart from can
+    * still classify a missing file, short enough that `_reaped.json`
+    * stays a metadata file (entries ≈ segments reaped per week). */
+  val DefaultTombstoneHorizonMs: Long = 7L * 86400000L
+
+  /** Default clock-skew allowance for [[reap]]: the margin by which the
+    * reaper distrusts ITS OWN clock against lease writers'. A lease is
+    * treated as live until `expiresMs + maxSkew`, and as predating a
+    * retirement up to `retiredAtMs + maxSkew` — both err toward holding
+    * the file, never toward unlinking under a live reader. */
+  val DefaultMaxSkewMs: Long = 60000L
 
   private def topicDir(baseDir: String, topic: String) =
     s"$baseDir/topic_$topic"
@@ -63,11 +90,14 @@ object DeferredDelete {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
+    // size_bytes optional: manifests written before the field existed
+    // parse with sizeBytes = -1 (unknown → readers stay conservative)
     val entry = ("""\{"path":"((?:[^"\\]|\\.)*)","part_id":(\d+),""" +
-      """"base_off":(\d+),"retired_at_ms":(\d+)\}""").r
+      """"base_off":(\d+),"retired_at_ms":(\d+)(?:,"size_bytes":(-?\d+))?\}""").r
     entry.findAllMatchIn(text).map { m =>
       RetiredSegment(unescape(m.group(1)), m.group(2).toLong,
-        m.group(3).toLong, m.group(4).toLong)
+        m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L))
     }.toSeq
   }
 
@@ -92,7 +122,8 @@ object DeferredDelete {
     val fs = dst.getFileSystem(conf)
     val body = entries.map { e =>
       s"""{"path":"${escape(e.path)}","part_id":${e.partId},""" +
-        s""""base_off":${e.baseOff},"retired_at_ms":${e.retiredAtMs}}"""
+        s""""base_off":${e.baseOff},"retired_at_ms":${e.retiredAtMs},""" +
+        s""""size_bytes":${e.sizeBytes}}"""
     }.mkString("[", ",", "]")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -107,9 +138,18 @@ object DeferredDelete {
 
   /** Register a reader. Returns the lease id to release later. */
   def acquireLease(spark: SparkSession, baseDir: String, topic: String,
+                   holder: String, ttlMs: Long, nowMs: Long): String =
+    acquireLease(spark.sessionState.newHadoopConf(), baseDir, topic,
+      holder, ttlMs, nowMs)
+
+  /** Conf-based form: lease operations are pure metadata-file writes, so
+    * long-lived readers (the v2 streaming source's heartbeat thread) can
+    * run them WITHOUT touching a SparkSession — `spark.sessionState` is
+    * not safe to race from a background timer during session init. */
+  def acquireLease(conf: org.apache.hadoop.conf.Configuration,
+                   baseDir: String, topic: String,
                    holder: String, ttlMs: Long,
                    nowMs: Long): String = {
-    val conf = spark.sessionState.newHadoopConf()
     val dir = leaseDir(baseDir, topic)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
@@ -132,14 +172,19 @@ object DeferredDelete {
     * correct: the protection did lapse, and a fresh lease only pins
     * retirements that happen after it. */
   def renewLease(spark: SparkSession, baseDir: String, topic: String,
+                 id: String, ttlMs: Long, nowMs: Long): Unit =
+    renewLease(spark.sessionState.newHadoopConf(), baseDir, topic, id,
+      ttlMs, nowMs)
+
+  def renewLease(conf: org.apache.hadoop.conf.Configuration,
+                 baseDir: String, topic: String,
                  id: String, ttlMs: Long, nowMs: Long): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
     val fs = p.getFileSystem(conf)
     val (holder, acquiredMs) =
       if (!fs.exists(p)) ("renewed", nowMs)
       else {
-        val lease = liveLeases(spark, baseDir, topic, nowMs = Long.MinValue)
+        val lease = liveLeases(conf, baseDir, topic, nowMs = Long.MinValue)
           .find(_.id == id)
         lease.map(l => (l.holder, l.acquiredMs)).getOrElse(("renewed", nowMs))
       }
@@ -160,16 +205,24 @@ object DeferredDelete {
   /** Drop a lease (the reader finished — the Arc drop). Missing ids are
     * fine: release after expiry-reap is a no-op, not an error. */
   def releaseLease(spark: SparkSession, baseDir: String, topic: String,
-                   id: String): Unit = {
+                   id: String): Unit =
+    releaseLease(spark.sessionState.newHadoopConf(), baseDir, topic, id)
+
+  def releaseLease(conf: org.apache.hadoop.conf.Configuration,
+                   baseDir: String, topic: String, id: String): Unit = {
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf)
     fs.delete(p, false)
   }
 
   /** Unexpired leases at `nowMs`. */
   def liveLeases(spark: SparkSession, baseDir: String, topic: String,
+                 nowMs: Long): Seq[Lease] =
+    liveLeases(spark.sessionState.newHadoopConf(), baseDir, topic, nowMs)
+
+  def liveLeases(conf: org.apache.hadoop.conf.Configuration,
+                 baseDir: String, topic: String,
                  nowMs: Long): Seq[Lease] = {
-    val conf = spark.sessionState.newHadoopConf()
     val dir = leaseDir(baseDir, topic)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Seq.empty
@@ -217,7 +270,7 @@ object DeferredDelete {
     if (evicted.nonEmpty) {
       writeManifest(spark, baseDir, topic,
         already ++ evicted.map(d =>
-          RetiredSegment(d.path, d.partId, d.baseOff, retireAtMs)))
+          RetiredSegment(d.path, d.partId, d.baseOff, retireAtMs, d.segBytes)))
     }
     decisions.filter(_.keep).groupBy(_.partId).foreach {
       case (partId, kept) =>
@@ -233,14 +286,35 @@ object DeferredDelete {
   /** Unlink retired segments no live lease can still see: a lease BLOCKS a
     * retired segment iff it was acquired BEFORE the retirement (readers
     * that came later planned against a manifest that already excluded it).
-    * Returns (deleted paths, still-held paths). Idempotent. */
+    * Returns (deleted paths, still-held paths). Idempotent.
+    *
+    * Clock skew (r12 verdict #4): acquire/expiry times are written by
+    * READER processes on THEIR clocks; `nowMs` and `retiredAtMs` come from
+    * the reaper/retention job. The reference's `Arc` refcount has no such
+    * failure mode, so the distributed analog must buy the safety
+    * explicitly: `maxSkewMs` widens BOTH comparisons toward holding —
+    * a lease expired by less than the skew is still treated as live, and
+    * a lease acquired up to the skew AFTER a retirement still blocks it
+    * (its read plan may have been built from a pre-retirement listing on
+    * a fast clock). The cost of the margin is only reap LATENCY (a file
+    * lives up to maxSkew longer), never extra deletions.
+    *
+    * Each unlinked segment leaves a TOMBSTONE in `_reaped.json` (path,
+    * final size, reap time) so a reader restarting from an old checkpoint
+    * can distinguish "file gone because fully-consumed + reaped" from
+    * "file gone with bytes I never read" — see
+    * [[graft.sources.v2.FlyqMicroBatchStream]]'s lost-segment check.
+    * Tombstones older than `tombstoneHorizonMs` are trimmed in the same
+    * write. */
   def reap(spark: SparkSession, baseDir: String, topic: String,
-           nowMs: Long): (Seq[String], Seq[String]) = {
+           nowMs: Long, maxSkewMs: Long = DefaultMaxSkewMs,
+           tombstoneHorizonMs: Long = DefaultTombstoneHorizonMs)
+      : (Seq[String], Seq[String]) = {
     val entries = retired(spark, baseDir, topic)
     if (entries.isEmpty) return (Seq.empty, Seq.empty)
-    val leases = liveLeases(spark, baseDir, topic, nowMs)
+    val leases = liveLeases(spark, baseDir, topic, nowMs - maxSkewMs)
     val (held, free) = entries.partition(e =>
-      leases.exists(_.acquiredMs <= e.retiredAtMs))
+      leases.exists(_.acquiredMs <= e.retiredAtMs + maxSkewMs))
     if (free.nonEmpty) {
       val conf = spark.sessionState.newHadoopConf()
       free.foreach { e =>
@@ -249,9 +323,63 @@ object DeferredDelete {
         fs.delete(p, false)
         fs.delete(new Path(e.path.replaceAll("\\.log$", ".index")), false)
       }
+      val kept = reaped(spark, baseDir, topic)
+        .filter(_.reapedAtMs >= nowMs - tombstoneHorizonMs)
+      writeReaped(spark, baseDir, topic, kept ++ free.map(e =>
+        ReapedSegment(e.path, e.partId, e.baseOff, e.sizeBytes, nowMs)))
       writeManifest(spark, baseDir, topic, held)
     }
     (free.map(_.path), held.map(_.path))
+  }
+
+  // ---- reaped tombstones (_reaped.json, atomic tmp+rename) ----
+
+  private def reapedPath(baseDir: String, topic: String) =
+    new Path(s"${topicDir(baseDir, topic)}/_reaped.json")
+
+  /** Tombstones of segments [[reap]] has unlinked (within the horizon). */
+  def reaped(spark: SparkSession, baseDir: String,
+             topic: String): Seq[ReapedSegment] =
+    reaped(spark.sessionState.newHadoopConf(), baseDir, topic)
+
+  def reaped(conf: org.apache.hadoop.conf.Configuration, baseDir: String,
+             topic: String): Seq[ReapedSegment] = {
+    val p = reapedPath(baseDir, topic)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val entry = ("""\{"path":"((?:[^"\\]|\\.)*)","part_id":(\d+),""" +
+      """"base_off":(\d+),"size_bytes":(-?\d+),"reaped_at_ms":(\d+)\}""").r
+    entry.findAllMatchIn(text).map { m =>
+      ReapedSegment(unescape(m.group(1)), m.group(2).toLong,
+        m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+    }.toSeq
+  }
+
+  private def writeReaped(spark: SparkSession, baseDir: String,
+                          topic: String,
+                          entries: Seq[ReapedSegment]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = reapedPath(baseDir, topic)
+    val tmp = new Path(dst.toString + ".tmp")
+    val fs = dst.getFileSystem(conf)
+    val body = entries.map { e =>
+      s"""{"path":"${escape(e.path)}","part_id":${e.partId},""" +
+        s""""base_off":${e.baseOff},"size_bytes":${e.sizeBytes},""" +
+        s""""reaped_at_ms":${e.reapedAtMs}}"""
+    }.mkString("[", ",", "]")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Retired (partId, baseOff) pairs — the exclusion set for the local

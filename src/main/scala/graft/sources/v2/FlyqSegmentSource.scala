@@ -55,7 +55,8 @@ class FlyqSegmentSource extends TableProvider {
     new FlyqSegmentTable(opts.get("path"), Option(opts.get("topic")),
       Option(opts.get("lease.holder")),
       Option(opts.get("lease.ttl.ms")).map(_.toLong)
-        .getOrElse(FlyqSegmentSource.DefaultLeaseTtlMs))
+        .getOrElse(FlyqSegmentSource.DefaultLeaseTtlMs),
+      Option(opts.get("fail.on.lost.segments")).forall(_.toBoolean))
   }
 }
 
@@ -79,7 +80,8 @@ object FlyqSegmentSource {
 
 class FlyqSegmentTable(path: String, topic: Option[String],
                        leaseHolder: Option[String] = None,
-                       leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs)
+                       leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs,
+                       failOnLostSegments: Boolean = true)
     extends Table with SupportsRead {
   require(path != null, "flyq-segments source requires a path")
   override def name(): String = s"flyq-segments(`$path`, topic=$topic)"
@@ -87,16 +89,18 @@ class FlyqSegmentTable(path: String, topic: Option[String],
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FlyqScan(path, topic, leaseHolder, leaseTtlMs)
+    () => new FlyqScan(path, topic, leaseHolder, leaseTtlMs, failOnLostSegments)
 }
 
 class FlyqScan(path: String, topic: Option[String],
                leaseHolder: Option[String] = None,
-               leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs) extends Scan {
+               leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs,
+               failOnLostSegments: Boolean = true) extends Scan {
   override def readSchema(): StructType = FlyqSegmentSource.schema
   override def description(): String = s"FlyqScan($path)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FlyqMicroBatchStream(path, topic, leaseHolder, leaseTtlMs)
+    new FlyqMicroBatchStream(path, topic, leaseHolder, leaseTtlMs,
+      Option(checkpointLocation), failOnLostSegments)
 }
 
 /** Offset = per-file processed byte counts, JSON `{"path":bytes,...}`. */
@@ -117,7 +121,9 @@ object FlyqOffset {
 
 class FlyqMicroBatchStream(path: String, topic: Option[String],
                            leaseHolder: Option[String] = None,
-                           leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs)
+                           leaseTtlMs: Long = FlyqSegmentSource.DefaultLeaseTtlMs,
+                           checkpointLocation: Option[String] = None,
+                           failOnLostSegments: Boolean = true)
     extends MicroBatchStream {
 
   /** M2 lease integration (`lease.holder` option): the stream registers
@@ -125,29 +131,119 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
     * handle of [[graft.operators.DeferredDelete]] — so a concurrent
     * retention job's [[graft.operators.DeferredDelete.reap]] cannot
     * unlink a segment this stream planned before retirement. Acquired on
-    * first listing, RENEWED every trigger (expiry only matters if the
-    * stream dies without stop()), released in stop(). */
+    * first listing, renewed by a daemon HEARTBEAT (quarter-TTL period —
+    * trigger-path renewal alone lapses the lease whenever one micro-batch
+    * or the trigger interval exceeds the TTL, and a concurrent reap could
+    * then unlink mid-read), released in stop().
+    *
+    * RESTART continuity: the lease id is persisted under the stream's
+    * checkpoint dir at acquire time and RE-ADOPTED on restart while the
+    * lease file still lives — the restarted stream keeps the ORIGINAL
+    * acquire time, so segments retired while it was down (still visible
+    * to it through its checkpointed offsets) stay reap-blocked. If the
+    * lease lapsed while down, protection DID lapse — a fresh lease is
+    * taken and the lost-segment check in [[latestOffset]] is what turns
+    * any actual loss into a loud error instead of silent skipping. */
   private val leaseIds = scala.collection.mutable.Map.empty[String, String]
   private val leaseRenewedMs = scala.collection.mutable.Map.empty[String, Long]
+  private var heartbeat: Option[java.util.Timer] = None
+
+  private def renewAll(): Unit = leaseIds.synchronized {
+    val now = System.currentTimeMillis()
+    leaseIds.foreach { case (t, id) =>
+      graft.operators.DeferredDelete
+        .renewLease(driverConf, path, t, id, leaseTtlMs, now)
+      leaseRenewedMs(t) = now
+    }
+  }
+
+  private def startHeartbeat(): Unit = if (heartbeat.isEmpty) {
+    val timer = new java.util.Timer(s"flyq-lease-heartbeat-$path", true)
+    val period = math.max(leaseTtlMs / 4, 50L)
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit =
+        try renewAll()
+        catch { case scala.util.control.NonFatal(_) => () } // next beat retries
+    }, period, period)
+    heartbeat = Some(timer)
+  }
+
+  // ---- lease persistence across restarts (checkpoint-scoped) ----
+
+  private def leaseStatePath: Option[Path] =
+    checkpointLocation.map(c => new Path(s"$c/flyq_leases.json"))
+
+  /** topic -> lease id persisted by a PREVIOUS incarnation of this
+    * checkpoint's stream (empty if none). Read once per stream. */
+  private lazy val persistedLeases: Map[String, String] =
+    leaseStatePath.fold(Map.empty[String, String]) { p =>
+      val fs = p.getFileSystem(driverConf)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val text =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](4096)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8")
+          } finally in.close()
+        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+      }
+    }
+
+  private def persistLeases(): Unit = leaseStatePath.foreach { p =>
+    val fs = p.getFileSystem(driverConf)
+    val body = leaseIds.toSeq.sortBy(_._1)
+      .map { case (t, id) => s""""$t":"$id"""" }.mkString("{", ",", "}")
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, driverConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   private def ensureLeases(topics: Seq[String]): Unit = leaseHolder.foreach { h =>
-    val now = System.currentTimeMillis()
-    topics.foreach { t =>
-      leaseIds.get(t) match {
-        case Some(id) =>
-          // renew at quarter-TTL cadence, not per trigger: a 0-interval
-          // trigger loop would otherwise rewrite the lease file
-          // continuously for nothing
-          if (now - leaseRenewedMs.getOrElse(t, 0L) >= leaseTtlMs / 4) {
-            graft.operators.DeferredDelete
-              .renewLease(SparkSession.active, path, t, id, leaseTtlMs, now)
+    leaseIds.synchronized {
+      val now = System.currentTimeMillis()
+      var changed = false
+      topics.foreach { t =>
+        leaseIds.get(t) match {
+          case Some(id) =>
+            // renew at quarter-TTL cadence, not per trigger: a 0-interval
+            // trigger loop would otherwise rewrite the lease file
+            // continuously for nothing (the heartbeat covers long gaps)
+            if (now - leaseRenewedMs.getOrElse(t, 0L) >= leaseTtlMs / 4) {
+              graft.operators.DeferredDelete
+                .renewLease(driverConf, path, t, id, leaseTtlMs, now)
+              leaseRenewedMs(t) = now
+            }
+          case None =>
+            val adopted = persistedLeases.get(t).filter { id =>
+              graft.operators.DeferredDelete
+                .liveLeases(driverConf, path, t, nowMs = Long.MinValue)
+                .exists(_.id == id)
+            }
+            leaseIds(t) = adopted match {
+              case Some(id) =>
+                // previous incarnation's lease survived the downtime —
+                // renew under the SAME id (acquire time preserved, reap
+                // stays blocked for everything retired while down)
+                graft.operators.DeferredDelete
+                  .renewLease(driverConf, path, t, id, leaseTtlMs, now)
+                id
+              case None =>
+                graft.operators.DeferredDelete
+                  .acquireLease(driverConf, path, t, h, leaseTtlMs, now)
+            }
             leaseRenewedMs(t) = now
-          }
-        case None =>
-          leaseIds(t) = graft.operators.DeferredDelete
-            .acquireLease(SparkSession.active, path, t, h, leaseTtlMs, now)
-          leaseRenewedMs(t) = now
+            changed = true
+        }
       }
+      if (changed) persistLeases()
+      startHeartbeat()
     }
   }
 
@@ -202,7 +298,13 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
       else statuses.filter { st =>
         st.getPath.toString match {
           case p @ FlyqSegmentSource.TopicSegRe(t, part, base) =>
-            !retiredKeys((t, part.toLong, base.toLong)) || known.contains(p)
+            // the already-tailing exemption must also match LEGACY
+            // checkpoint keys (scheme-stripped paths) — planInputPartitions
+            // already falls back this way; without the same fallback here
+            // a retired segment tailed under a legacy checkpoint would
+            // lose the exemption and its remaining bytes would be skipped
+            !retiredKeys((t, part.toLong, base.toLong)) ||
+              known.contains(p) || known.contains(new Path(p).toUri.getPath)
           case _ => true
         }
       }
@@ -216,9 +318,61 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
 
   /** Listing on the driver (metadata only); boundary alignment of each
     * grown file's byte delta on EXECUTORS, one task per file. */
+  /** Classify every file this stream was tailing that has VANISHED from
+    * the listing (r12 advice #1: the silent-drop path). A vanished file is
+    * fine only when the deferred-deletion protocol can prove it was fully
+    * consumed: its reap tombstone records the final size and our
+    * checkpointed boundary has reached it. Anything else — reaped with
+    * unconsumed bytes (lease lapsed while the stream was down), or gone
+    * with no tombstone at all (external deletion / non-deferred retention)
+    * — is data loss and FAILS the stream instead of silently dropping the
+    * offset entry. */
+  private def checkVanished(sizes: Map[String, Long],
+                            known: Map[String, Long]): Unit = {
+    val listed = sizes.keySet
+    val listedLegacy = listed.map(p => new Path(p).toUri.getPath)
+    val vanished = known.keys.filterNot(k =>
+      listed(k) || listedLegacy(k) || listedLegacy(new Path(k).toUri.getPath))
+    if (vanished.isEmpty) return
+    val tombs = vanished.flatMap(_ match {
+      case FlyqSegmentSource.TopicSegRe(t, _, _) => Some(t)
+      case _ => None
+    }).toSeq.distinct.flatMap { t =>
+      graft.operators.DeferredDelete.reaped(driverConf, path, t)
+        .map(e => (t, e.partId, e.baseOff) -> e.sizeBytes)
+    }.toMap
+    vanished.foreach { file =>
+      val consumed = known(file)
+      file match {
+        case FlyqSegmentSource.TopicSegRe(t, part, base) =>
+          tombs.get((t, part.toLong, base.toLong)) match {
+            case Some(size) if size >= 0 && consumed >= size =>
+              () // fully consumed before the reap — the normal lifecycle
+            case Some(size) =>
+              throw new IllegalStateException(
+                s"flyq-segments: segment $file was reaped with unconsumed " +
+                s"bytes (consumed $consumed of $size). The stream's lease " +
+                "lapsed while it was down (lease.ttl.ms shorter than the " +
+                "downtime) — restart from a fresh checkpoint or re-ingest " +
+                "the lost range.")
+            case None =>
+              throw new IllegalStateException(
+                s"flyq-segments: segment $file disappeared from the " +
+                s"listing outside the deferred-deletion protocol " +
+                s"(consumed $consumed bytes, no reap tombstone). Use " +
+                "DeferredDelete.compactDeferred for retention on tailed " +
+                "topics, or pass fail.on.lost.segments=false to tolerate " +
+                "external deletions.")
+          }
+        case _ => () // non-topic layout: no protocol metadata to check
+      }
+    }
+  }
+
   override def latestOffset(): Offset = {
     val sizes = listSegments()
     val known = lastKnown
+    if (failOnLostSegments) checkVanished(sizes, known)
     val grown = sizes.toSeq.collect {
       case (file, size) if size > known.getOrElse(file, 0L) =>
         (file, known.getOrElse(file, 0L), size)
@@ -250,12 +404,19 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = {
-    leaseIds.foreach { case (t, id) =>
-      try graft.operators.DeferredDelete
-        .releaseLease(SparkSession.active, path, t, id)
-      catch { case _: Throwable => () } // expiry will collect it
+    heartbeat.foreach(_.cancel())
+    heartbeat = None
+    leaseIds.synchronized {
+      leaseIds.foreach { case (t, id) =>
+        // NonFatal only: swallowing OOM/interrupts here would lose the
+        // interrupt flag and mask a dying JVM (r12 advice #3); a failed
+        // release is fine — expiry collects the lease
+        try graft.operators.DeferredDelete
+          .releaseLease(driverConf, path, t, id)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      leaseIds.clear()
     }
-    leaseIds.clear()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

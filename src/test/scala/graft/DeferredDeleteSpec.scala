@@ -83,7 +83,9 @@ class DeferredDeleteSpec extends AnyFunSuite {
     assert(held > 0)
 
     // reap while the pre-retirement lease lives: nothing unlinks
-    val (del1, held1) = DeferredDelete.reap(spark, base, "ev", nowMs = 3000L)
+    // (maxSkewMs = 0 throughout this file's synthetic millisecond clocks;
+    // the production default margin has its own test below)
+    val (del1, held1) = DeferredDelete.reap(spark, base, "ev", nowMs = 3000L, maxSkewMs = 0L)
     assert(del1.isEmpty && held1.size === evicted.size)
     assert(logFiles().size === filesBefore)
 
@@ -94,12 +96,12 @@ class DeferredDeleteSpec extends AnyFunSuite {
 
     // the last pre-retirement handle drops → reap unlinks
     DeferredDelete.releaseLease(spark, base, "ev", leaseA)
-    val (del2, held2) = DeferredDelete.reap(spark, base, "ev", nowMs = 4000L)
+    val (del2, held2) = DeferredDelete.reap(spark, base, "ev", nowMs = 4000L, maxSkewMs = 0L)
     assert(del2.toSet === evicted.map(_.path).toSet && held2.isEmpty)
     assert(logFiles().size === filesBefore - evicted.size)
     assert(DeferredDelete.retired(spark, base, "ev").isEmpty)
     // idempotent: nothing left to reap, nothing new to retire
-    assert(DeferredDelete.reap(spark, base, "ev", nowMs = 5000L) ===
+    assert(DeferredDelete.reap(spark, base, "ev", nowMs = 5000L, maxSkewMs = 0L) ===
       ((Seq.empty, Seq.empty)))
     assert(DeferredDelete.compactDeferred(spark, base, "ev",
       retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
@@ -137,12 +139,58 @@ class DeferredDeleteSpec extends AnyFunSuite {
       .find(_.id == id).get
     assert(l.acquiredMs === 1000L && l.expiresMs === 1001800L
       && l.holder === "tail")
-    val (del, held) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 5000L)
+    val (del, held) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 5000L, maxSkewMs = 0L)
     assert(del.isEmpty && held.size === evicted.size,
       "renewed pre-retirement lease must still gate the reap")
     DeferredDelete.releaseLease(spark, dir, "ev3", id)
-    val (del2, _) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 6000L)
+    val (del2, _) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 6000L, maxSkewMs = 0L)
     assert(del2.toSet === evicted.map(_.path).toSet)
+  }
+
+  test("clock-skew margin: a skewed reaper must NOT unlink under a live lease") {
+    // r12 verdict #4: acquire/expiry stamps come from READER clocks,
+    // nowMs/retiredAtMs from the reaper's — the margin must absorb a
+    // disagreement of up to maxSkewMs in EITHER comparison, erring toward
+    // holding the file. Reader clock runs 500ms AHEAD of the retention
+    // job's here.
+    val dir = Files.createTempDirectory("flyq-deferred4").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(200)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "ev4", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    // reader stamps acquire=10000 on ITS clock; the retention job's clock
+    // is 500ms behind, so the retirement this reader actually PRECEDED is
+    // stamped 9500 — the raw acquiredMs <= retiredAtMs rule would call
+    // the reader post-retirement and unlink under it
+    val id = DeferredDelete.acquireLease(spark, dir, "ev4",
+      holder = "tail", ttlMs = 2000L, nowMs = 10000L)
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "ev4",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 9500L).filterNot(_.keep)
+    assert(evicted.nonEmpty)
+    // reaper's clock reads 12500: the lease (expires 12000 on the
+    // reader's clock) LOOKS expired by 500 — inside the margin, and the
+    // acquire-vs-retirement gap (10000 vs 9500) is inside it too. Both
+    // comparisons must hold the file.
+    val (del, held) = DeferredDelete.reap(spark, dir, "ev4",
+      nowMs = 12500L, maxSkewMs = 1000L)
+    assert(del.isEmpty && held.size === evicted.size,
+      "a reap inside the skew margin must hold the file")
+    // past expiry + margin the crashed-reader rule takes over: the margin
+    // delays the reap, it can never pin storage forever
+    val (del2, held2) = DeferredDelete.reap(spark, dir, "ev4",
+      nowMs = 13100L, maxSkewMs = 1000L)
+    assert(del2.toSet === evicted.map(_.path).toSet && held2.isEmpty)
+    // tombstones recorded with the segments' final sizes (the restart
+    // classification input for the v2 source's lost-segment check)
+    val tombs = DeferredDelete.reaped(spark, dir, "ev4")
+    assert(tombs.map(_.path).toSet === evicted.map(_.path).toSet)
+    assert(tombs.forall(t => t.sizeBytes > 0 && t.reapedAtMs === 13100L))
+    assert(tombs.map(t => (t.partId, t.baseOff)).toSet ===
+      evicted.map(d => (d.partId, d.baseOff)).toSet)
   }
 
   test("an expired pre-retirement lease cannot pin storage (crashed reader)") {
@@ -163,7 +211,7 @@ class DeferredDeleteSpec extends AnyFunSuite {
     assert(evicted.nonEmpty)
     // the lease predates retirement but is EXPIRED at reap time
     val (deleted, heldBack) =
-      DeferredDelete.reap(spark, dir, "ev2", nowMs = 5000L)
+      DeferredDelete.reap(spark, dir, "ev2", nowMs = 5000L, maxSkewMs = 0L)
     assert(deleted.toSet === evicted.map(_.path).toSet && heldBack.isEmpty)
   }
 }

@@ -234,6 +234,115 @@ class V2SourceSpec extends AnyFunSuite {
     assert(del2.nonEmpty && held2.isEmpty)
   }
 
+  test("restart re-adopts the persisted lease: acquire time survives, reap stays blocked") {
+    import graft.operators.DeferredDelete
+    val dir = Files.createTempDirectory("flyq-v2-readopt").toString
+    val ckpt = Files.createTempDirectory("flyq-v2-readopt-ckpt").toString
+    SegmentFiles.writeSegment(dir, "ra", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    SegmentFiles.writeSegment(dir, "ra", 0,
+      (3L until 5L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    // first incarnation: acquires a lease and persists its id under the
+    // checkpoint; "crashes" (never stop()s, so the lease is not released)
+    val s1 = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("ra"),
+      Some("readopt-spec"), checkpointLocation = Some(ckpt))
+    val off1 = s1.latestOffset()
+    val lease1 = DeferredDelete.liveLeases(spark, dir, "ra",
+      nowMs = System.currentTimeMillis()).find(_.holder == "readopt-spec").get
+    // retention retires the sealed segment while the stream is DOWN
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "ra",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = System.currentTimeMillis()).filterNot(_.keep)
+    assert(evicted.map(_.baseOff) === Seq(0L))
+    // second incarnation, same checkpoint: Spark replays the offsets,
+    // then the first listing must RE-ADOPT lease1 — a fresh lease (new
+    // acquire time) would post-date the retirement and reap would unlink
+    // a segment this checkpoint still has in its offset map (r12 advice #1)
+    val s2 = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("ra"),
+      Some("readopt-spec"), checkpointLocation = Some(ckpt))
+    s2.deserializeOffset(off1.json())
+    s2.latestOffset()
+    val leases2 = DeferredDelete.liveLeases(spark, dir, "ra",
+      nowMs = System.currentTimeMillis()).filter(_.holder == "readopt-spec")
+    assert(leases2.map(_.id) === Seq(lease1.id),
+      "restart must re-adopt the persisted lease, not acquire a second one")
+    assert(leases2.head.acquiredMs === lease1.acquiredMs,
+      "re-adoption must preserve the ORIGINAL acquire time")
+    val (del, held) = DeferredDelete.reap(spark, dir, "ra",
+      nowMs = System.currentTimeMillis())
+    assert(del.isEmpty && held === evicted.map(_.path))
+    DeferredDelete.releaseLease(spark, dir, "ra", lease1.id)
+  }
+
+  test("heartbeat renews the lease between triggers: a slow batch cannot lapse it") {
+    import graft.operators.DeferredDelete
+    val _ = spark // force session so SparkSession.active resolves
+    val dir = Files.createTempDirectory("flyq-v2-hb").toString
+    SegmentFiles.writeSegment(dir, "hb", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    // TTL far below the coming trigger gap: with renewal only on the
+    // trigger path (the r12 design) the lease would lapse mid-gap and a
+    // concurrent reap could unlink under a still-running batch
+    val s = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("hb"),
+      Some("hb-spec"), leaseTtlMs = 400L)
+    s.latestOffset()
+    val id = DeferredDelete.liveLeases(spark, dir, "hb",
+      nowMs = System.currentTimeMillis()).find(_.holder == "hb-spec").get.id
+    Thread.sleep(1200) // 3x the TTL, zero triggers
+    val l = DeferredDelete.liveLeases(spark, dir, "hb",
+      nowMs = System.currentTimeMillis()).find(_.id == id)
+    assert(l.nonEmpty, "daemon heartbeat must keep the lease live with no triggers")
+    s.stop()
+    assert(DeferredDelete.liveLeases(spark, dir, "hb",
+      nowMs = System.currentTimeMillis()).isEmpty, "stop() releases the lease")
+  }
+
+  test("a segment reaped with unconsumed bytes fails the restart LOUDLY") {
+    import graft.operators.DeferredDelete
+    val dir = Files.createTempDirectory("flyq-v2-lost").toString
+    SegmentFiles.writeSegment(dir, "dl", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    SegmentFiles.writeSegment(dir, "dl", 0,
+      (3L until 5L).map(i => Record(i, 1000 + i, null, str(s"v$i"))))
+    // retire + reap with NO live lease (the tailing stream's lease lapsed
+    // during a long downtime) — tombstone records the final size
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "dl",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = System.currentTimeMillis()).filterNot(_.keep)
+    DeferredDelete.reap(spark, dir, "dl", nowMs = System.currentTimeMillis())
+    assert(!segExists(evicted.head.path))
+    val segPath = evicted.head.path
+    val segSize = evicted.head.segBytes
+    // restart from a checkpoint that had consumed only PART of the
+    // segment: silent offset-drop here is silent record loss — the
+    // default contract is a loud failure
+    val s = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("dl"))
+    s.deserializeOffset(FlyqOffset(Map(segPath -> (segSize - 10))).json())
+    val err = intercept[IllegalStateException](s.latestOffset())
+    assert(err.getMessage.contains("unconsumed"))
+    // fully-consumed checkpoint: the same disappearance is the NORMAL
+    // retire→reap lifecycle — restart proceeds and drops the entry
+    val sOk = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("dl"))
+    sOk.deserializeOffset(FlyqOffset(Map(segPath -> segSize)).json())
+    val off = sOk.latestOffset().asInstanceOf[FlyqOffset]
+    assert(!off.fileBytes.contains(segPath))
+    // opt-out for topics managed outside the deferred-deletion protocol
+    val sTolerant = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("dl"),
+      failOnLostSegments = false)
+    sTolerant.deserializeOffset(FlyqOffset(Map(segPath -> (segSize - 10))).json())
+    sTolerant.latestOffset() // no throw
+    // a file gone with NO tombstone (external deletion) also fails loudly
+    val live = new java.io.File(s"$dir/topic_dl/partition_0")
+      .listFiles().filter(_.getName.endsWith(".log")).head
+    val livePath = "file:" + live.getAbsolutePath
+    val liveSize = live.length()
+    assert(live.delete())
+    val sExt = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("dl"))
+    sExt.deserializeOffset(FlyqOffset(Map(livePath -> liveSize)).json())
+    val err2 = intercept[IllegalStateException](sExt.latestOffset())
+    assert(err2.getMessage.contains("outside the deferred-deletion protocol"))
+  }
+
   test("v2 schema matches the batch reader's") {
     assert(FlyqSegmentSource.schema.fieldNames.toSeq ===
       Seq("part_id", "base_off", "msg_offset", "ts_ms", "mkey", "mvalue", "headers"))
