@@ -70,6 +70,74 @@ object DeferredDelete {
   private def topicDir(baseDir: String, topic: String) =
     s"$baseDir/topic_$topic"
 
+  // ---- metadata-file IO (manifest / tombstones / leases) ----
+  //
+  // All graft metadata files go through the RAW (checksum-free) view of
+  // the filesystem. On the local fs, the default checksummed
+  // LocalFileSystem writes a sidecar `.name.crc` on create, but the
+  // atomic tmp+rename PUBLISH path (FileContext / raw rename) does not
+  // reliably keep that sidecar in sync with the data file — a reader
+  // then dies with ChecksumException on a lease that was just renewed
+  // (observed: the v2 heartbeat renewing at quarter-TTL while the spec
+  // polled liveLeases). Torn-write protection here comes from the atomic
+  // rename, not client-side CRCs, so the raw view loses nothing. Remote
+  // stores (HDFS/S3A) are not ChecksumFileSystems — metaFs is the
+  // identity there and the FileContext rename keeps its atomicity.
+
+  /** Checksum-free filesystem view for metadata files. */
+  private[graft] def metaFs(p: Path,
+                     conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
+  /** Atomically publish `body` at `dst` (overwrite allowed): write a tmp
+    * sibling, then rename over. Readers see the old or the new content,
+    * never a torn half-write. */
+  private[graft] def atomicWriteMeta(dst: Path,
+                              conf: org.apache.hadoop.conf.Configuration,
+                              body: Array[Byte]): Unit = {
+    val tmp = new Path(dst.toString + ".tmp")
+    dst.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val raw = c.getRawFileSystem
+        val out = raw.create(tmp, true)
+        try out.write(body) finally out.close()
+        // POSIX rename(2) replaces an existing dst atomically; the false
+        // branch is a portability fallback that keeps correctness (the
+        // brief absence window parses as "no file", the conservative read)
+        if (!raw.rename(tmp, dst)) {
+          raw.delete(dst, false)
+          require(raw.rename(tmp, dst), s"metadata publish failed: $dst")
+        }
+      case _ =>
+        val out = dst.getFileSystem(conf).create(tmp, true)
+        try out.write(body) finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Full content of metadata file `p`, None if absent (or deleted
+    * between the caller's listing and this read — released leases). */
+  private[graft] def readMeta(p: Path,
+                       conf: org.apache.hadoop.conf.Configuration)
+      : Option[String] = {
+    val fs = metaFs(p, conf)
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(bos.toByteArray, "UTF-8"))
+    } finally in.close()
+  }
+
   // ---- retirement manifest (_retired.json, atomic tmp+rename) ----
 
   private def manifestPath(baseDir: String, topic: String) =
@@ -79,17 +147,8 @@ object DeferredDelete {
   def retired(spark: SparkSession, baseDir: String,
               topic: String): Seq[RetiredSegment] = {
     val p = manifestPath(baseDir, topic)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val text =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
+    val text = readMeta(p, spark.sessionState.newHadoopConf())
+      .getOrElse(return Seq.empty)
     // size_bytes optional: manifests written before the field existed
     // parse with sizeBytes = -1 (unknown → readers stay conservative)
     val entry = ("""\{"path":"((?:[^"\\]|\\.)*)","part_id":(\d+),""" +
@@ -118,17 +177,12 @@ object DeferredDelete {
                             entries: Seq[RetiredSegment]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dst = manifestPath(baseDir, topic)
-    val tmp = new Path(dst.toString + ".tmp")
-    val fs = dst.getFileSystem(conf)
     val body = entries.map { e =>
       s"""{"path":"${escape(e.path)}","part_id":${e.partId},""" +
         s""""base_off":${e.baseOff},"retired_at_ms":${e.retiredAtMs},""" +
         s""""size_bytes":${e.sizeBytes}}"""
     }.mkString("[", ",", "]")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicWriteMeta(dst, conf, body.getBytes("UTF-8"))
   }
 
   // ---- leases (the distributed Arc handle) ----
@@ -151,7 +205,7 @@ object DeferredDelete {
                    holder: String, ttlMs: Long,
                    nowMs: Long): String = {
     val dir = leaseDir(baseDir, topic)
-    val fs = dir.getFileSystem(conf)
+    val fs = metaFs(dir, conf)
     fs.mkdirs(dir)
     val id = java.util.UUID.randomUUID().toString
     val p = new Path(dir, s"$id.json")
@@ -165,41 +219,34 @@ object DeferredDelete {
 
   /** Extend a live lease's expiry WITHOUT touching its acquire time (the
     * acquire time is the retirement-ordering key [[reap]] compares, so a
-    * renewal must not make an old reader look new). A long-running reader
-    * (a streaming tail) renews once per trigger; if the lease file is
-    * gone (expired and collected, or externally released) it is
-    * re-acquired FRESH under the same id — acquire time resets, which is
-    * correct: the protection did lapse, and a fresh lease only pins
-    * retirements that happen after it. */
+    * renewal must not make an old reader look new). */
   def renewLease(spark: SparkSession, baseDir: String, topic: String,
-                 id: String, ttlMs: Long, nowMs: Long): Unit =
+                 id: String, ttlMs: Long, nowMs: Long): Boolean =
     renewLease(spark.sessionState.newHadoopConf(), baseDir, topic, id,
       ttlMs, nowMs)
 
+  /** Push lease `id`'s expiry to `nowMs + ttlMs`. Returns false — WITHOUT
+    * recreating the file — when the lease no longer exists (released or
+    * reaped): a released lease must stay released, or a leaked heartbeat
+    * timer would resurrect it and block reaps forever. The caller decides
+    * whether to re-acquire (and must then re-check segment liveness — the
+    * protection window had a gap). */
   def renewLease(conf: org.apache.hadoop.conf.Configuration,
                  baseDir: String, topic: String,
-                 id: String, ttlMs: Long, nowMs: Long): Unit = {
+                 id: String, ttlMs: Long, nowMs: Long): Boolean = {
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
-    val fs = p.getFileSystem(conf)
-    val (holder, acquiredMs) =
-      if (!fs.exists(p)) ("renewed", nowMs)
-      else {
-        val lease = liveLeases(conf, baseDir, topic, nowMs = Long.MinValue)
-          .find(_.id == id)
-        lease.map(l => (l.holder, l.acquiredMs)).getOrElse(("renewed", nowMs))
-      }
-    // tmp+rename like writeManifest: a reaper's liveLeases scan running
-    // concurrently with a renewal must see the old or the new lease,
-    // never a torn half-write (a torn lease parses as NO lease — exactly
-    // the window in which it would wrongly unlink)
-    val tmp = new Path(p.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
+    val lease = liveLeases(conf, baseDir, topic, nowMs = Long.MinValue)
+      .find(_.id == id)
+    if (lease.isEmpty) return false
+    val (holder, acquiredMs) = (lease.get.holder, lease.get.acquiredMs)
+    // atomic publish like writeManifest: a reaper's liveLeases scan
+    // running concurrently with a renewal must see the old or the new
+    // lease, never a torn half-write (a torn lease parses as NO lease —
+    // exactly the window in which it would wrongly unlink)
+    atomicWriteMeta(p, conf,
       (s"""{"holder":"${escape(holder)}","acquired_ms":$acquiredMs,""" +
         s""""expires_ms":${nowMs + ttlMs}}""").getBytes("UTF-8"))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    true
   }
 
   /** Drop a lease (the reader finished — the Arc drop). Missing ids are
@@ -211,8 +258,7 @@ object DeferredDelete {
   def releaseLease(conf: org.apache.hadoop.conf.Configuration,
                    baseDir: String, topic: String, id: String): Unit = {
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, false)
+    metaFs(p, conf).delete(p, false): Unit
   }
 
   /** Unexpired leases at `nowMs`. */
@@ -224,19 +270,12 @@ object DeferredDelete {
                  baseDir: String, topic: String,
                  nowMs: Long): Seq[Lease] = {
     val dir = leaseDir(baseDir, topic)
-    val fs = dir.getFileSystem(conf)
+    val fs = metaFs(dir, conf)
     if (!fs.exists(dir)) return Seq.empty
     val files = fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
     files.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val text =
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](512)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          new String(bos.toByteArray, "UTF-8")
-        } finally in.close()
+      // readMeta: None = released between the listing and this read
+      val text = readMeta(st.getPath, conf).getOrElse("")
       def num(name: String) =
         ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
           .map(_.group(1).toLong)
@@ -345,17 +384,7 @@ object DeferredDelete {
   def reaped(conf: org.apache.hadoop.conf.Configuration, baseDir: String,
              topic: String): Seq[ReapedSegment] = {
     val p = reapedPath(baseDir, topic)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val text =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
+    val text = readMeta(p, conf).getOrElse(return Seq.empty)
     val entry = ("""\{"path":"((?:[^"\\]|\\.)*)","part_id":(\d+),""" +
       """"base_off":(\d+),"size_bytes":(-?\d+),"reaped_at_ms":(\d+)\}""").r
     entry.findAllMatchIn(text).map { m =>
@@ -369,17 +398,12 @@ object DeferredDelete {
                           entries: Seq[ReapedSegment]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dst = reapedPath(baseDir, topic)
-    val tmp = new Path(dst.toString + ".tmp")
-    val fs = dst.getFileSystem(conf)
     val body = entries.map { e =>
       s"""{"path":"${escape(e.path)}","part_id":${e.partId},""" +
         s""""base_off":${e.baseOff},"size_bytes":${e.sizeBytes},""" +
         s""""reaped_at_ms":${e.reapedAtMs}}"""
     }.mkString("[", ",", "]")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicWriteMeta(dst, conf, body.getBytes("UTF-8"))
   }
 
   /** Retired (partId, baseOff) pairs — the exclusion set for the local

@@ -150,11 +150,16 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
 
   private def renewAll(): Unit = leaseIds.synchronized {
     val now = System.currentTimeMillis()
-    leaseIds.foreach { case (t, id) =>
-      graft.operators.DeferredDelete
+    val lost = leaseIds.filter { case (t, id) =>
+      !graft.operators.DeferredDelete
         .renewLease(driverConf, path, t, id, leaseTtlMs, now)
-      leaseRenewedMs(t) = now
-    }
+    }.keys.toSeq
+    leaseIds.keys.foreach(t => leaseRenewedMs(t) = now)
+    // a lease that vanished was released or reaped — renewal must not
+    // resurrect it (DeferredDelete.renewLease contract); drop it so the
+    // next trigger's ensureLeases re-acquires, and the lost-segment check
+    // in latestOffset turns any gap-window loss into a loud error
+    lost.foreach { t => leaseIds.remove(t); leaseRenewedMs.remove(t) }
   }
 
   private def startHeartbeat(): Unit = if (heartbeat.isEmpty) {
@@ -174,35 +179,24 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
     checkpointLocation.map(c => new Path(s"$c/flyq_leases.json"))
 
   /** topic -> lease id persisted by a PREVIOUS incarnation of this
-    * checkpoint's stream (empty if none). Read once per stream. */
+    * checkpoint's stream (empty if none). Read once per stream.
+    * Raw-fs metadata IO via DeferredDelete's helpers — same
+    * ChecksumException-under-concurrent-publish hazard as the lease
+    * files themselves. */
   private lazy val persistedLeases: Map[String, String] =
     leaseStatePath.fold(Map.empty[String, String]) { p =>
-      val fs = p.getFileSystem(driverConf)
-      if (!fs.exists(p)) Map.empty
-      else {
-        val in = fs.open(p)
-        val text =
-          try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](4096)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            new String(bos.toByteArray, "UTF-8")
-          } finally in.close()
-        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
-      }
+      graft.operators.DeferredDelete.readMeta(p, driverConf)
+        .fold(Map.empty[String, String]) { text =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+            .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+        }
     }
 
   private def persistLeases(): Unit = leaseStatePath.foreach { p =>
-    val fs = p.getFileSystem(driverConf)
     val body = leaseIds.toSeq.sortBy(_._1)
       .map { case (t, id) => s""""$t":"$id"""" }.mkString("{", ",", "}")
-    val tmp = new Path(p.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, driverConf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.operators.DeferredDelete.atomicWriteMeta(p, driverConf,
+      body.getBytes("UTF-8"))
   }
 
   private def ensureLeases(topics: Seq[String]): Unit = leaseHolder.foreach { h =>
@@ -216,8 +210,15 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
             // trigger loop would otherwise rewrite the lease file
             // continuously for nothing (the heartbeat covers long gaps)
             if (now - leaseRenewedMs.getOrElse(t, 0L) >= leaseTtlMs / 4) {
-              graft.operators.DeferredDelete
-                .renewLease(driverConf, path, t, id, leaseTtlMs, now)
+              if (!graft.operators.DeferredDelete
+                    .renewLease(driverConf, path, t, id, leaseTtlMs, now)) {
+                // lease vanished (reaped after a lapse, or released
+                // elsewhere) — re-acquire; the lost-segment check in
+                // latestOffset turns any gap-window loss into a loud error
+                leaseIds(t) = graft.operators.DeferredDelete
+                  .acquireLease(driverConf, path, t, h, leaseTtlMs, now)
+                changed = true
+              }
               leaseRenewedMs(t) = now
             }
           case None =>
@@ -227,14 +228,15 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
                 .exists(_.id == id)
             }
             leaseIds(t) = adopted match {
-              case Some(id) =>
-                // previous incarnation's lease survived the downtime —
-                // renew under the SAME id (acquire time preserved, reap
-                // stays blocked for everything retired while down)
-                graft.operators.DeferredDelete
-                  .renewLease(driverConf, path, t, id, leaseTtlMs, now)
+              // previous incarnation's lease survived the downtime — renew
+              // under the SAME id (acquire time preserved, reap stays
+              // blocked for everything retired while down); if it vanishes
+              // in the race window between the liveness probe above and
+              // this renewal, fall through to a fresh acquire
+              case Some(id) if graft.operators.DeferredDelete
+                  .renewLease(driverConf, path, t, id, leaseTtlMs, now) =>
                 id
-              case None =>
+              case _ =>
                 graft.operators.DeferredDelete
                   .acquireLease(driverConf, path, t, h, leaseTtlMs, now)
             }

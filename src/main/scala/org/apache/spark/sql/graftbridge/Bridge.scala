@@ -68,4 +68,11 @@ object Bridge {
     quietLineageWarn
     checkpointRdd(df).foreach(_.unpersist(blocking))
   }
+
+  /** Drain the async listener bus so SparkListener-accumulated metrics
+    * (e.g. per-batch inputMetrics.bytesRead in BenchGateCold) are
+    * complete before the caller reads them. `waitUntilEmpty` is
+    * private[spark] — hence this bridge accessor. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

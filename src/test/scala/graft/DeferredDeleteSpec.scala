@@ -145,6 +145,13 @@ class DeferredDeleteSpec extends AnyFunSuite {
     DeferredDelete.releaseLease(spark, dir, "ev3", id)
     val (del2, _) = DeferredDelete.reap(spark, dir, "ev3", nowMs = 6000L, maxSkewMs = 0L)
     assert(del2.toSet === evicted.map(_.path).toSet)
+    // renewal of the RELEASED lease must not resurrect it (r13: a leaked
+    // heartbeat timer firing after releaseLease would otherwise re-create
+    // the file under holder "renewed" and block every future reap)
+    assert(!DeferredDelete.renewLease(spark, dir, "ev3", id,
+      ttlMs = 1000000L, nowMs = 7000L), "renew of a released lease must report lost")
+    assert(DeferredDelete.liveLeases(spark, dir, "ev3", nowMs = Long.MinValue)
+      .isEmpty, "renew of a released lease must not recreate the file")
   }
 
   test("clock-skew margin: a skewed reaper must NOT unlink under a live lease") {

@@ -284,14 +284,22 @@ class V2SourceSpec extends AnyFunSuite {
     // trigger path (the r12 design) the lease would lapse mid-gap and a
     // concurrent reap could unlink under a still-running batch
     val s = new graft.sources.v2.FlyqMicroBatchStream(dir, Some("hb"),
-      Some("hb-spec"), leaseTtlMs = 400L)
+      Some("hb-spec"), leaseTtlMs = 600L)
     s.latestOffset()
     val id = DeferredDelete.liveLeases(spark, dir, "hb",
       nowMs = System.currentTimeMillis()).find(_.holder == "hb-spec").get.id
-    Thread.sleep(1200) // 3x the TTL, zero triggers
-    val l = DeferredDelete.liveLeases(spark, dir, "hb",
-      nowMs = System.currentTimeMillis()).find(_.id == id)
-    assert(l.nonEmpty, "daemon heartbeat must keep the lease live with no triggers")
+    Thread.sleep(1800) // 3x the TTL, zero triggers
+    // sample a few times: a DEAD heartbeat shows expired on every sample
+    // (last possible expiry was acquire+TTL, 2 TTLs ago), while a live
+    // one could lose a single-shot check to a GC-delayed beat on a busy
+    // suite box (the flake this retry loop replaced)
+    val live = (1 to 5).exists { _ =>
+      val ok = DeferredDelete.liveLeases(spark, dir, "hb",
+        nowMs = System.currentTimeMillis()).exists(_.id == id)
+      if (!ok) Thread.sleep(150)
+      ok
+    }
+    assert(live, "daemon heartbeat must keep the lease live with no triggers")
     s.stop()
     assert(DeferredDelete.liveLeases(spark, dir, "hb",
       nowMs = System.currentTimeMillis()).isEmpty, "stop() releases the lease")

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Cold-cache gate-probe measurement (round-13 verdict #6).
+#
+# Builds the six bucketed on-disk gate indices at each base scale in its
+# own JVM, then probes each scale in a FRESH JVM with the OS page cache
+# dropped in between — so batch 1 of each probe pays real disk reads
+# against a disk-resident index, the condition the 100 TB claim is about.
+# Requires root (drop_caches). Scales: x1 = sf0.1 (5k docs / 2k vecs),
+# x10 = .localdata/sf1, x100 = .localdata/sf10.
+#
+# Usage: tools/gate_cold.sh [out.jsonl]
+set -e
+cd /root/repo
+OUT="${1:-/tmp/gate_cold.jsonl}"
+: > "$OUT"
+WH=/root/repo/.localdata/gatewh
+rm -rf "$WH"
+
+drop_caches() { sync; echo 3 > /proc/sys/vm/drop_caches; }
+
+run() { # run <main args...>
+  sbt -batch "runMain graft.BenchGateCold $*" 2>/dev/null \
+    | grep -E '^\{' | tee -a "$OUT"
+}
+
+run build /root/testdata/sf0.1 x1
+[ -d .localdata/sf1 ] && run build /root/repo/.localdata/sf1 x10
+[ -d .localdata/sf10 ] && run build /root/repo/.localdata/sf10 x100
+
+drop_caches
+run probe x1
+drop_caches
+[ -d .localdata/sf1 ] && run probe x10
+drop_caches
+[ -d .localdata/sf10 ] && run probe x100
+echo "results: $OUT"
