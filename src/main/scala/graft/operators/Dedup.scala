@@ -459,7 +459,7 @@ object Dedup {
     * Scale shape — two paths chosen by the measured pair count (a cache
     * read; the pairs table is persist-once):
     *
-    *  - **pairs ≤ localEdgeLimit (default 5M)**: collect the pair list and
+    *  - **pairs ≤ localEdgeLimit (default 50M)**: collect the pair list and
     *    run union-find on the driver, then broadcast the doc→component map
     *    back. This is NOT a collect-the-data anti-pattern: the collected
     *    set is the verified-duplicate EDGE list, already reduced by the
@@ -522,7 +522,7 @@ object Dedup {
     * the measured pair count (a cache read; the pairs table is
     * persist-once):
     *
-    *  - **pairs ≤ localEdgeLimit (default 5M)**: collect the verified
+    *  - **pairs ≤ localEdgeLimit (default 50M)**: collect the verified
     *    EDGE list (the sliver the LSH+verify pipeline already reduced the
     *    corpus to) and run the [[PrIters]] integer iterations on primitive
     *    arrays driver-side, then broadcast (doc_id, rank, deg) back. An
@@ -646,12 +646,12 @@ object Dedup {
     *
     * Edges arrive as per-partition PRIMITIVE long arrays packed executor-
     * side (one job, no per-partition job latency like toLocalIterator),
-    * so driver heap at the 5M-edge limit is the ~80 MB the limit is sized
-    * against — never 5M boxed Rows. */
+    * so driver heap stays two primitive longs per edge (~800 MB at the
+    * 50M-edge limit) — never boxed Rows. */
   /** Collect a two-long-column pair frame to the driver as two primitive
     * arrays, packed executor-side (one job, no per-partition job latency
-    * like toLocalIterator) — driver heap at the 5M-edge limit is the
-    * ~80 MB the limit is sized against, never 5M boxed Rows. Shared by
+    * like toLocalIterator) — driver heap stays two primitive longs per
+    * edge (~800 MB at the 50M-edge limit), never boxed Rows. Shared by
     * the driver union-find and the driver PageRank. */
   private def collectEdgePairs(pairs: DataFrame): (Array[Long], Array[Long]) = {
     val packed: Array[(Array[Long], Array[Long])] =
