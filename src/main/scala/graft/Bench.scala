@@ -19,7 +19,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+    // Shuffle sizing is a DEPLOYMENT knob (SPARK_GRAFT_INITIAL_PARTITIONS,
+    // default = cpus): at the 100x stress decade, pinned cpus-way shuffles
+    // put ~10x-oversized partitions through every wide sort and the run
+    // degraded to spill churn — raising AQE's initialPartitionNum to 512
+    // fixed that band (partition_health 24x -> 5.8x at 100x rows) but
+    // taxed small iterative queries ~2-5x at sf0.1 (512 map-side buckets
+    // per tiny stage), so it opts IN per run instead of moving the
+    // default. Both sides measured in SURVEY §7.13.
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

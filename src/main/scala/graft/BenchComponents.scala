@@ -42,6 +42,11 @@ object BenchComponents {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
+      // the whole point of this tool is timing the DRIVER path at edge
+      // counts past the production default — give the collect room
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,6 +57,9 @@ object BenchComponents {
                  forceDistributed: Boolean): (Double, (Long, Long, Long)) = {
       spark.conf.set(graft.operators.Dedup.ComponentsLocalEdgeLimitKey,
         if (forceDistributed) "0" else Long.MaxValue.toString)
+      // Long.MaxValue here is still capped by componentsLocalLimit's
+      // maxResultSize/2/20 guard = 8g/40 ≈ 214M edges — above every set
+      // this tool times, so the local path really runs local
       val t0 = System.nanoTime()
       val out = graft.operators.Dedup.componentsOf(spark, pairs, nPairs)
       val s = summarize(out)

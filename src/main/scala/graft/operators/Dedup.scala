@@ -451,6 +451,23 @@ object Dedup {
   val ComponentsLocalEdgeLimitKey = "spark.graft.components.localEdgeLimit"
   val ComponentsLocalEdgeLimitDefault = 50000000L
 
+  /** The edge count up to which the driver paths (union-find, PageRank)
+    * are allowed to collect the edge list: the configured limit, further
+    * capped so ~20 bytes/edge of serialized task results stays inside
+    * HALF of `spark.driver.maxResultSize` — without the cap, a limit
+    * raised past the result-size budget fails mid-collect (observed at
+    * the sf10 stress decade: the 100x pairs set is ~60M edges, and the
+    * forced-local BenchComponents run died at 1 GiB maxResultSize well
+    * before the 50M-edge heap guard was the binding constraint). */
+  private[graft] def componentsLocalLimit(spark: SparkSession): Long = {
+    val configured = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
+      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    if (maxResult <= 0) configured // 0 = unlimited
+    else math.min(configured, maxResult / 2 / 20)
+  }
+
   /** Connected components over the verified near-dup pairs (round-3
     * stretch #9): component_id = min doc_id transitively reachable, so
     * chains a−b, b−c keep ONE doc where greedy keep-first would keep two.
@@ -540,8 +557,7 @@ object Dedup {
   def centralityKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedPairs(spark, sfDir)
     val nPairs = pairs.count() // cache read: pairs is persist-once
-    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
-      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    val localLimit = componentsLocalLimit(spark)
     val ranked: DataFrame = // (doc_id, rank, deg)
       if (nPairs <= localLimit)
         broadcast(localPageRank(spark, pairs.select("doc_a", "doc_b")))
@@ -631,8 +647,7 @@ object Dedup {
   def componentsOf(spark: SparkSession, pairsRaw: DataFrame,
                    nPairs: Long): DataFrame = {
     val pairs = pairsRaw.toDF("doc_a", "doc_b")
-    val localLimit = spark.conf.getOption(ComponentsLocalEdgeLimitKey)
-      .map(_.toLong).getOrElse(ComponentsLocalEdgeLimitDefault)
+    val localLimit = componentsLocalLimit(spark)
     // broadcast hint only on the bounded path — the distributed path's
     // mapping can exceed broadcast size, so let AQE decide there
     if (nPairs <= localLimit) broadcast(localComponents(spark, pairs))

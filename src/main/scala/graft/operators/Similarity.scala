@@ -175,20 +175,28 @@ object Similarity {
     val n = vectors(spark, sfDir)
     val planes = nearDupPlanesPerBand(
       emb(spark, sfDir).select(col("vec_id")).count())
+    // Band rows CARRY (v, n2) into the self-join — the streaming gate's
+    // nearDupProbe shape — so the join's shuffle/sort is the band-key
+    // index itself: corpus × Bands rows, LINEAR in N. The r12 form
+    // dropped the payloads here and re-joined them per CANDIDATE (two
+    // SortMergeJoins sorting ~Bands·N·bucket rows each dragging a
+    // 64-double vector) — at the 100x stress decade those sorts spilled
+    // the disk to exhaustion (sf10 run, SURVEY §7.13). The cosine now
+    // verifies INLINE in the streamed join output (whole-stage codegen,
+    // never materialized); a pair colliding in k bands is verified k
+    // times (k ≤ Bands, each one 64-mult dot — cheap) and the distinct
+    // runs on the verified SURVIVOR sliver instead of the candidate set.
     val e = nearDupBandKeys(n, planes)
-      .select(col("vec_id"), col("band_j"), col("bkey"))
-    val cand = e.as("x").join(e.as("y"),
+    e.as("x").join(e.as("y"),
         col("x.band_j") === col("y.band_j") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand.join(n.as("ga"), col("vec_a") === col("ga.vec_id"))
-      .join(n.as("gb"), col("vec_b") === col("gb.vec_id"))
       .withColumn("cos",
-        dot(col("ga.v"), col("gb.v")) / (sqrt(col("ga.n2")) * sqrt(col("gb.n2"))))
+        dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))))
       .filter(col("cos") >= NearDupCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .distinct()
   }
 
   /** Measured recall of the banded SRP near-dup detector against
