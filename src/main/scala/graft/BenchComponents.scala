@@ -57,6 +57,8 @@ object BenchComponents {
                  forceDistributed: Boolean): (Double, (Long, Long, Long)) = {
       spark.conf.set(graft.operators.Dedup.ComponentsLocalEdgeLimitKey,
         if (forceDistributed) "0" else Long.MaxValue.toString)
+      spark.conf.set(graft.operators.Dedup.ComponentsLocalVertexLimitKey,
+        if (forceDistributed) "0" else Long.MaxValue.toString)
       // Long.MaxValue here is still capped by componentsLocalLimit's
       // maxResultSize/2/20 guard = 8g/40 ≈ 214M edges — above every set
       // this tool times, so the local path really runs local

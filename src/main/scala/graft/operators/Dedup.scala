@@ -436,20 +436,45 @@ object Dedup {
           .as("recall_ok"))
   }
 
-  /** Edge-count threshold below which connected components runs as a
-    * driver-side union-find over the collected pair list instead of the
-    * distributed fixpoint loop. 50M edges = two long columns ≈ 800 MB of
-    * driver heap — comfortable for any production driver, and the near-dup
-    * EDGE list is orders of magnitude smaller than the corpus by
-    * construction (it only contains verified duplicate pairs). Raised from
-    * 5M after the sf1 stress run measured both sides of the crossover:
-    * the driver path processes 9.6M edges in ~3 s while the distributed
-    * loop pays ~3 shuffle stages of scheduler latency per round — the
-    * fixpoint is the correctness backstop for billion-edge graphs, not
-    * the fast path at tens of millions. Overridable per session for
-    * testing or very small drivers. */
+  /** Local/distributed routing for the components/centrality driver
+    * paths — TWO gates, both measured (BenchComponents, r13, 32 threads):
+    *
+    *  - EDGE limit (collect feasibility): the edge list must fit the
+    *    driver collect — capped by [[componentsLocalLimit]] at half of
+    *    `spark.driver.maxResultSize` (the forced-local 60M-edge run died
+    *    on result size long before heap).
+    *  - VERTEX limit (cost model): union-find/PageRank driver cost
+    *    scales with DISTINCT VERTICES (LongMap size + mapping build +
+    *    broadcast), not edges. Real copy-cluster pairs are DENSE — sf1's
+    *    9.6M edges touch ~10^5 vertices and run local in ~3 s — while a
+    *    sparse 5M-edge star set (5.25M vertices) took 29.2 s local vs
+    *    13.3 s distributed (20M: 140 s vs 34 s). Routing on edges alone
+    *    mis-routes one topology or the other; the vertex estimate
+    *    (approx_count_distinct, one agg on the cached sliver) routes
+    *    both correctly. Default 2M vertices ≈ the measured break-even.
+    *
+    * Both overridable per session. */
   val ComponentsLocalEdgeLimitKey = "spark.graft.components.localEdgeLimit"
   val ComponentsLocalEdgeLimitDefault = 50000000L
+  val ComponentsLocalVertexLimitKey = "spark.graft.components.localVertexLimit"
+  val ComponentsLocalVertexLimitDefault = 2000000L
+
+  /** Estimated distinct endpoints of a two-long-column pair frame (HLL++,
+    * ~2% err — a routing decision, not an answer). One agg job over the
+    * persist-once pair sliver. */
+  private def approxVertices(pairs: DataFrame): Long = {
+    val c = pairs.columns
+    pairs.select(explode(array(col(c(0)), col(c(1)))).as("v"))
+      .agg(approx_count_distinct(col("v")).as("n")).head().getLong(0)
+  }
+
+  private def routeLocal(spark: SparkSession, pairs: DataFrame,
+                         nPairs: Long): Boolean = {
+    val vertexLimit = spark.conf.getOption(ComponentsLocalVertexLimitKey)
+      .map(_.toLong).getOrElse(ComponentsLocalVertexLimitDefault)
+    nPairs <= componentsLocalLimit(spark) &&
+      approxVertices(pairs) <= vertexLimit
+  }
 
   /** The edge count up to which the driver paths (union-find, PageRank)
     * are allowed to collect the edge list: the configured limit, further
@@ -476,7 +501,7 @@ object Dedup {
     * Scale shape — two paths chosen by the measured pair count (a cache
     * read; the pairs table is persist-once):
     *
-    *  - **pairs ≤ localEdgeLimit (default 50M)**: collect the pair list and
+    *  - **edge+vertex gates pass (see [[routeLocal]])**: collect the pair list and
     *    run union-find on the driver, then broadcast the doc→component map
     *    back. This is NOT a collect-the-data anti-pattern: the collected
     *    set is the verified-duplicate EDGE list, already reduced by the
@@ -539,7 +564,7 @@ object Dedup {
     * the measured pair count (a cache read; the pairs table is
     * persist-once):
     *
-    *  - **pairs ≤ localEdgeLimit (default 50M)**: collect the verified
+    *  - **edge+vertex gates pass (see [[routeLocal]])**: collect the verified
     *    EDGE list (the sliver the LSH+verify pipeline already reduced the
     *    corpus to) and run the [[PrIters]] integer iterations on primitive
     *    arrays driver-side, then broadcast (doc_id, rank, deg) back. An
@@ -557,9 +582,8 @@ object Dedup {
   def centralityKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedPairs(spark, sfDir)
     val nPairs = pairs.count() // cache read: pairs is persist-once
-    val localLimit = componentsLocalLimit(spark)
     val ranked: DataFrame = // (doc_id, rank, deg)
-      if (nPairs <= localLimit)
+      if (routeLocal(spark, pairs.select("doc_a", "doc_b"), nPairs))
         broadcast(localPageRank(spark, pairs.select("doc_a", "doc_b")))
       else {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -647,10 +671,9 @@ object Dedup {
   def componentsOf(spark: SparkSession, pairsRaw: DataFrame,
                    nPairs: Long): DataFrame = {
     val pairs = pairsRaw.toDF("doc_a", "doc_b")
-    val localLimit = componentsLocalLimit(spark)
     // broadcast hint only on the bounded path — the distributed path's
     // mapping can exceed broadcast size, so let AQE decide there
-    if (nPairs <= localLimit) broadcast(localComponents(spark, pairs))
+    if (routeLocal(spark, pairs, nPairs)) broadcast(localComponents(spark, pairs))
     else distributedComponents(spark, pairs, nPairs)
   }
 
@@ -661,12 +684,12 @@ object Dedup {
     *
     * Edges arrive as per-partition PRIMITIVE long arrays packed executor-
     * side (one job, no per-partition job latency like toLocalIterator),
-    * so driver heap stays two primitive longs per edge (~800 MB at the
-    * 50M-edge limit) — never boxed Rows. */
+    * so driver heap stays two primitive longs per edge, result-size
+    * capped — never boxed Rows. */
   /** Collect a two-long-column pair frame to the driver as two primitive
     * arrays, packed executor-side (one job, no per-partition job latency
     * like toLocalIterator) — driver heap stays two primitive longs per
-    * edge (~800 MB at the 50M-edge limit), never boxed Rows. Shared by
+    * edge, result-size capped, never boxed Rows. Shared by
     * the driver union-find and the driver PageRank. */
   private def collectEdgePairs(pairs: DataFrame): (Array[Long], Array[Long]) = {
     val packed: Array[(Array[Long], Array[Long])] =

@@ -8,7 +8,7 @@
 # Requires root (drop_caches). Scales: x1 = sf0.1 (5k docs / 2k vecs),
 # x10 = .localdata/sf1, x100 = .localdata/sf10.
 #
-# Usage: tools/gate_cold.sh [out.jsonl]
+# Usage: tools/gate_cold.sh [out.jsonl]   (set GATE_X10=1 to include the x10 decade)
 set -e
 cd /root/repo
 OUT="${1:-/tmp/gate_cold.jsonl}"
@@ -24,13 +24,13 @@ run() { # run <main args...>
 }
 
 run build /root/testdata/sf0.1 x1
-[ -d .localdata/sf1 ] && run build /root/repo/.localdata/sf1 x10
+[ -n "$GATE_X10" ] && [ -d .localdata/sf1 ] && run build /root/repo/.localdata/sf1 x10
 [ -d .localdata/sf10 ] && run build /root/repo/.localdata/sf10 x100
 
 drop_caches
 run probe x1
 drop_caches
-[ -d .localdata/sf1 ] && run probe x10
+[ -n "$GATE_X10" ] && [ -d .localdata/sf1 ] && run probe x10
 drop_caches
 [ -d .localdata/sf10 ] && run probe x100
 echo "results: $OUT"
