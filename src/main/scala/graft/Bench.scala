@@ -13,6 +13,54 @@ import org.apache.spark.sql.SparkSession
   *  - failures are not swallowed into fast green bars: a failed query
   *    reports -1 seconds and lands in the top-level "errors" object.
   */
+/** Window-factor drift rule (r13 verdict #7): the window-NORMALIZED
+  * regression flag correctly de-flags a uniformly slow host window, but a
+  * genuine uniform code regression of ~1.25x/round would compound
+  * invisibly — each run normalizes to its own median and floors only
+  * ratchet down on fast runs. So every FULL run's `window_factor` is
+  * persisted (sidecar JSONL next to the floor file) and a monotone
+  * multi-run rise is surfaced as `window_drift` in the bench JSON even
+  * when every individual factor is under the 1.4 `window_regressed` bar.
+  * Pure function so the rule is spec-pinned. */
+object BenchWindow {
+  /** Runs of monotone rise before drift is considered (3+ per verdict). */
+  val DriftRuns = 3
+  /** Cumulative rise across the monotone suffix that counts as drift:
+    * 1.15 is ~half a round of the 1.25x/round compounding the rule
+    * exists to catch, while run-to-run host noise (measured ±5% on an
+    * idle box) cannot produce a MONOTONE 15% rise across three runs. */
+  val DriftRise = 1.15
+
+  /** True iff the last [[DriftRuns]] factors (including `cur`) are
+    * monotonically non-decreasing AND the cumulative rise over that
+    * suffix is ≥ [[DriftRise]]. A single fast run anywhere in the suffix
+    * resets the alarm — exactly the "floors ratchet down on fast runs"
+    * recovery the normalized flag already relies on. */
+  def drift(history: Seq[Double], cur: Double): Boolean = {
+    val h = (history :+ cur).takeRight(DriftRuns)
+    h.length == DriftRuns &&
+      h.sliding(2).forall(p => p(1) >= p(0)) &&
+      h.last >= DriftRise * h.head
+  }
+
+  /** Sidecar history path for a floor file. */
+  def historyFile(baselineFile: java.io.File): java.io.File =
+    new java.io.File(baselineFile.getPath.stripSuffix(".json") +
+      "_window_factors.jsonl")
+
+  def loadHistory(f: java.io.File): Seq[Double] =
+    if (!f.exists()) Seq.empty
+    else scala.io.Source.fromFile(f).getLines().toSeq
+      .flatMap("\"window_factor\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findFirstMatchIn(_).map(_.group(1).toDouble))
+
+  def appendHistory(f: java.io.File, factor: Double, total: Double): Unit = {
+    val w = new java.io.FileWriter(f, true)
+    try w.write(s"""{"ts":${System.currentTimeMillis()},"window_factor":$factor,"total":$total}""" + "\n")
+    finally w.close()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -298,12 +346,21 @@ object Bench {
     // recorded so a future "slow query X" can be checked against the
     // memory-pressure hypothesis from data (r7's bm25_search flag turned
     // out to be VM noise; disk_mb > 0 here would have said "spill" instead).
+    // Window-factor drift (r13 verdict #7): compare against the persisted
+    // full-run history BEFORE appending this run, append only on full
+    // runs (subsets measure a biased sliver of the surface).
+    val histFile = BenchWindow.historyFile(baselineFile)
+    val windowHistory = BenchWindow.loadHistory(histFile)
+    val windowDrift = BenchWindow.drift(windowHistory, windowFactor)
+    if (subset.isEmpty)
+      BenchWindow.appendHistory(histFile, windowFactor, total)
+
     val rddInfo = spark.sparkContext.getRDDStorageInfo
     val storage = s"""{"n_cached_rdds":${rddInfo.length},""" +
       s""""mem_mb":${rddInfo.map(_.memSize).sum / 1024 / 1024},""" +
       s""""disk_mb":${rddInfo.map(_.diskSize).sum / 1024 / 1024}}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"window_factor":$windowFactor,"window_regressed":${windowFactor > 1.4},"storage":$storage,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"window_factor":$windowFactor,"window_regressed":${windowFactor > 1.4},"window_drift":$windowDrift,"storage":$storage,"sf":"$sfDir"}""")
     // release the session-scoped persist-once artifacts (verified pairs,
     // n-gram signatures, inverted index) before retiring the session
     graft.operators.Dedup.clearCaches(spark)

@@ -180,6 +180,43 @@ object Dedup {
   private[graft] def cacheKey(sfDir: String, variant: String): String =
     cacheKeyFor(sfDir, variant, "documents")
 
+  /** Compressed on-disk bytes of a backing table — the cheap (fs metadata
+    * only) input-size measure the data-proportional shuffle sizing keys
+    * off. */
+  private[graft] def inputBytes(sfDir: String, table: String): Long = {
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    if (src.isDirectory) src.listFiles().map(_.length).sum else src.length
+  }
+
+  /** Source-compressed bytes per shuffle partition for the big artifact
+    * builds. The constant is set from the r13 sf10 measurement, not
+    * guessed: the inverted-index / band-explode shuffles expand the
+    * compressed source ~40–70x (term and band rows per text byte), and
+    * the sweep showed 512 partitions over the 59 MB sf10 documents table
+    * (≈ 115 KB source bytes each → ~5–8 MB shuffle partitions) fixing the
+    * spill band (`partition_health` 24x→5.8x, `ngram_jaccard` 58x→29x)
+    * where cpus-pinned 32 put ~100 MB through every sort. 128 KB lands
+    * the same decade. */
+  val BuildBytesPerPartition = 128L * 1024
+
+  /** Data-proportional partition count for a build's wide exchanges:
+    * never below the session's configured shuffle partitions (so small
+    * scales keep today's plans and floors exactly — the measured 2–5x
+    * small-query tax of a GLOBAL 512 default was why r13 shipped the env
+    * knob instead), growing linearly with the backing table's size above
+    * that, capped at 4096 (at real cluster scale the cap is the point
+    * where per-partition size, not count, should be retuned). This is the
+    * per-operator replacement for the `SPARK_GRAFT_INITIAL_PARTITIONS`
+    * env knob: the operator sizes its own shuffles from its own measured
+    * input, per the r13 verdict's follow-through item. */
+  private[graft] def buildShufflePartitions(
+      spark: SparkSession, sfDir: String,
+      table: String = "documents"): Int = {
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val sized = inputBytes(sfDir, table) / BuildBytesPerPartition + 1
+    math.max(floor, math.min(4096L, sized).toInt)
+  }
+
   /** getOrElseUpdate with STALE-FINGERPRINT EVICTION: before inserting,
     * any entry for the same (session, sfDir, variant) whose fingerprint no
     * longer matches is unpersisted and dropped — regenerated testdata under
@@ -310,9 +347,18 @@ object Dedup {
     // side's group
     val base = reps.select(col("doc_id"), col("nw"), col("hws"),
       col("set_id"))
+    // Persisted PRE-PARTITIONED on the band key at a data-proportional
+    // count (r13 verdict #4): the self-join below consumes this exact
+    // hash partitioning on both sides, so the explicit repartition is the
+    // join's only exchange of the band table — and its size scales with
+    // the corpus instead of pinning to the session's cpus-sized default,
+    // which at the sf10 decade put ~10x-oversized partitions through the
+    // join sort (the measured 15–25x spill band, SURVEY §7.13).
+    val nParts = buildShufflePartitions(spark, sfDir)
     val b = bandsOf(base, familyOffset)
       .select(col("doc_id"), col("nw"), col("set_id"),
         col("band_j"), col("band_key"))
+      .repartition(nParts, col("band_j"), col("band_key"))
       .persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
@@ -573,8 +619,11 @@ object Dedup {
     *    PER ITERATION of sub-second work each (measured 8–9 s at sf0.1 vs
     *    <0.5 s on the driver), the exact pathology the components gate
     *    already documents.
-    *  - **above the limit**: the distributed loop below — [[PrIters]]
-    *    joins+aggregations keyed on doc ids over 2|E| directed edges.
+    *  - **above the limit**: [[distributedPageRank]] — [[PrIters]]
+    *    joins+aggregations keyed on doc ids over 2|E| directed edges,
+    *    with the [[distributedComponents]] iterative-fixpoint discipline
+    *    (inputs shuffled+persisted once, every round eagerly
+    *    localCheckpointed, superseded rounds released).
     *
     * Either way the final window runs per component, whose size the
     * dedup semantics bound (a component is a set of near-identical
@@ -585,29 +634,7 @@ object Dedup {
     val ranked: DataFrame = // (doc_id, rank, deg)
       if (routeLocal(spark, pairs.select("doc_a", "doc_b"), nPairs))
         broadcast(localPageRank(spark, pairs.select("doc_a", "doc_b")))
-      else {
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .select(col("src").as("doc_id"), col("deg"))
-        val r0 = deg.select(col("doc_id"), lit(PrBase).as("rank"))
-        val rN = (1 to PrIters).foldLeft(r0) { (r, _) =>
-          val contrib = edges
-            .join(r.join(deg, Seq("doc_id"))
-                .select(col("doc_id").as("src"),
-                  expr("rank div deg").as("give")),
-              Seq("src"))
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum(col("give")).as("s"))
-          deg.select(col("doc_id"))
-            .join(contrib, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              (lit(PrTeleport) +
-                expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen"))
-                .as("rank"))
-        }
-        rN.join(deg, Seq("doc_id"))
-      }
+      else distributedPageRank(spark, pairs.select("doc_a", "doc_b"), nPairs)
     val comp = dedupComponents(spark, sfDir)
       .select(col("doc_id"), col("component_id"))
     val w = org.apache.spark.sql.expressions.Window
@@ -617,6 +644,94 @@ object Dedup {
       .withColumn("is_canonical", row_number().over(w) === 1)
       .select(col("doc_id"), col("component_id"), col("deg").as("degree"),
         col("rank"), col("is_canonical"))
+  }
+
+  /** Distributed [[PrIters]]-round integer PageRank over the verified
+    * pair graph, with the SAME iterative-fixpoint discipline as
+    * [[distributedComponents]] (the r13 sf10 sweep measured this loop at
+    * 199x/100x data — 148.6 s — against components' 54.5 s on the same
+    * ~60M-edge graph, and the gap was exactly the missing discipline):
+    *
+    *  - the directed edge list is shuffled ONCE, keyed by `src`, with the
+    *    source degree carried inline (`deg` rides the edge row), and
+    *    persisted — before, `edges` and `deg` were re-derived from the
+    *    pairs cache inside EVERY iteration, so each round re-ran the
+    *    union + the degree aggregation + a rank⋈deg join;
+    *  - every round's rank frame is an EAGER localCheckpoint at the loop's
+    *    explicit partitioning (plan truncation: round N's plan references
+    *    round N−1 twice — contribution probe + teleport base join — so an
+    *    unchecked foldLeft grows the logical tree geometrically);
+    *  - superseded rounds' checkpoint storage is released via
+    *    [[org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage]],
+    *    and the loop inputs are unpersisted once the final
+    *    (doc_id, rank, deg) frame is materialized, so nothing from the
+    *    loop outlives the call but the result itself (registered in
+    *    [[loopResidue]] for end-of-query release, the components pattern).
+    *
+    * Arithmetic is bit-identical to [[localPageRank]] and the DuckDB
+    * oracle: `teleport + (num · Σ rank div deg) div den` on non-negative
+    * longs. Returns (doc_id, rank, deg). */
+  private def distributedPageRank(spark: SparkSession, pairs: DataFrame,
+                                  nPairs: Long): DataFrame = {
+    // ~100k directed edges per task, capped at cluster parallelism —
+    // the distributedComponents sizing, from the same measured input
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nPairs / 100000L + 1L)).toInt
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .repartition(nParts, col("src"))
+      .persist(lvl) // read twice (deg build, deg-carrying join), then freed
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+      .repartition(nParts, col("doc_id"))
+      .persist(lvl) // read every round (teleport base) + the final join
+    // The loop's sole large input: (src, dst, deg(src)) keyed by src, so
+    // each round's contribution join co-locates with the rank frame's
+    // repartition(doc_id) output without touching the pairs cache again.
+    val edgesD = edges
+      .join(deg.select(col("doc_id").as("src"), col("deg")), Seq("src"))
+      .repartition(nParts, col("src"))
+      .persist(lvl)
+    edgesD.count() // materialize, then drop the raw edge shuffle
+    edges.unpersist(blocking = false)
+    var rank = deg.select(col("doc_id"), lit(PrBase).as("rank"))
+      .repartition(nParts, col("doc_id"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < PrIters) {
+      val contrib = edgesD
+        .join(rank, col("doc_id") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("give"))
+        .repartition(nParts, col("dst"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("give")).as("s"))
+      val next = deg.select(col("doc_id"))
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(PrTeleport) +
+            expr(s"($PrDampNum * coalesce(s, 0L)) div $PrDampDen"))
+            .as("rank"))
+        .repartition(nParts, col("doc_id"))
+        .localCheckpoint(true) // eager: materializes every partition
+      // next is fully materialized; releasing the superseded round is safe
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage(rank)
+      rank = next
+      it += 1
+    }
+    // Materialize the result BEFORE unpersisting the loop inputs: the
+    // caller consumes `ranked` lazily (component join + window), and a
+    // live plan over an unpersisted deg would silently recompute it.
+    val ranked = rank.join(deg, Seq("doc_id"))
+      .repartition(nParts, col("doc_id"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage(rank)
+    edgesD.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    pairsCache.synchronized { loopResidue += ((spark, ranked)) }
+    ranked
   }
 
   /** Driver twin of the distributed PageRank loop: identical integer

@@ -172,6 +172,15 @@ object DeferredDelete {
     b.toString
   }
 
+  /** Test hook: rewrite the manifest to an arbitrary entry list —
+    * simulates the on-disk state of a reap killed between its tombstone
+    * write and the manifest truncation (DeferredDeleteSpec's
+    * crash-idempotence case). Not part of the operator surface. */
+  private[graft] def restoreManifestForTest(
+      spark: SparkSession, baseDir: String, topic: String,
+      entries: Seq[RetiredSegment]): Unit =
+    writeManifest(spark, baseDir, topic, entries)
+
   private def writeManifest(spark: SparkSession, baseDir: String,
                             topic: String,
                             entries: Seq[RetiredSegment]): Unit = {
@@ -246,8 +255,27 @@ object DeferredDelete {
     atomicWriteMeta(p, conf,
       (s"""{"holder":"${escape(holder)}","acquired_ms":$acquiredMs,""" +
         s""""expires_ms":${nowMs + ttlMs}}""").getBytes("UTF-8"))
+    // Close the check-then-write race (ADVICE r13 #1): a concurrent
+    // releaseLease between the pre-check and the write above would have
+    // deleted the lease file, and the unconditional write just recreated
+    // it. Release is two ordered steps — tombstone FIRST, then unlink —
+    // so if that interleaving happened, the tombstone is already visible
+    // here: undo the recreation and report the lease gone. If the release
+    // instead lands entirely after this check, the renewal legitimately
+    // won and the release still deletes the file it meant to.
+    if (metaFs(p, conf).exists(releasedTombstone(baseDir, topic, id))) {
+      metaFs(p, conf).delete(p, false)
+      return false
+    }
     true
   }
+
+  /** Released-lease tombstone path: written by [[releaseLease]] BEFORE it
+    * unlinks the lease file, so "this id was released" is a monotone fact
+    * every racing renewal can observe (see [[renewLease]]). GC'd by
+    * [[reap]] once older than the tombstone horizon. */
+  private def releasedTombstone(baseDir: String, topic: String, id: String) =
+    new Path(leaseDir(baseDir, topic), s"$id.released")
 
   /** Drop a lease (the reader finished — the Arc drop). Missing ids are
     * fine: release after expiry-reap is a no-op, not an error. */
@@ -258,6 +286,10 @@ object DeferredDelete {
   def releaseLease(conf: org.apache.hadoop.conf.Configuration,
                    baseDir: String, topic: String, id: String): Unit = {
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
+    // tombstone first (atomic publish), THEN unlink: the ordering is what
+    // lets a racing renewLease detect this release after its own write
+    atomicWriteMeta(releasedTombstone(baseDir, topic, id), conf,
+      s"""{"released_ms":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
     metaFs(p, conf).delete(p, false): Unit
   }
 
@@ -272,7 +304,17 @@ object DeferredDelete {
     val dir = leaseDir(baseDir, topic)
     val fs = metaFs(dir, conf)
     if (!fs.exists(dir)) return Seq.empty
-    val files = fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+    val all = fs.listStatus(dir).toSeq
+    // a `.released` tombstone is monotone proof the id was released —
+    // even if a racing renewal recreated the lease file, it is DEAD
+    // (renewLease undoes such recreations; skipping here makes the reaper
+    // correct in the interim window too)
+    val released = all.map(_.getPath.getName).filter(_.endsWith(".released"))
+      .map(_.stripSuffix(".released")).toSet
+    val files = all.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".json") && !released(n.stripSuffix(".json"))
+    }
     files.flatMap { st =>
       // readMeta: None = released between the listing and this read
       val text = readMeta(st.getPath, conf).getOrElse("")
@@ -288,6 +330,34 @@ object DeferredDelete {
         exp <- num("expires_ms")
       } yield Lease(st.getPath.getName.stripSuffix(".json"), holder, acq, exp)
     }.filter(_.expiresMs > nowMs)
+  }
+
+  /** Drop released-lease tombstones older than `horizonMs` whose lease
+    * file is gone (normal case — release unlinks it). Correctness window:
+    * deleting a tombstone re-opens the renew/release race ONLY for a
+    * renewal whose pre-check predates the release, i.e. a check-to-write
+    * span longer than the tombstone's whole lifetime — milliseconds vs
+    * the multi-hour horizon. A tombstone whose lease file still EXISTS is
+    * kept (that is the raced-recreation state liveLeases must keep
+    * masking until the next renewal cleans it up). */
+  private def gcReleasedTombstones(
+      conf: org.apache.hadoop.conf.Configuration,
+      baseDir: String, topic: String, horizonMs: Long): Unit = {
+    val dir = leaseDir(baseDir, topic)
+    val fs = metaFs(dir, conf)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".released")) {
+        val releasedMs = readMeta(st.getPath, conf).flatMap(t =>
+          "\"released_ms\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t)
+            .map(_.group(1).toLong))
+        val leaseGone = !fs.exists(
+          new Path(dir, n.stripSuffix(".released") + ".json"))
+        if (leaseGone && releasedMs.forall(_ < horizonMs))
+          fs.delete(st.getPath, false)
+      }
+    }
   }
 
   // ---- the deferred compact + reap pair ----
@@ -349,6 +419,8 @@ object DeferredDelete {
            nowMs: Long, maxSkewMs: Long = DefaultMaxSkewMs,
            tombstoneHorizonMs: Long = DefaultTombstoneHorizonMs)
       : (Seq[String], Seq[String]) = {
+    gcReleasedTombstones(spark.sessionState.newHadoopConf(), baseDir, topic,
+      nowMs - tombstoneHorizonMs)
     val entries = retired(spark, baseDir, topic)
     if (entries.isEmpty) return (Seq.empty, Seq.empty)
     val leases = liveLeases(spark, baseDir, topic, nowMs - maxSkewMs)
@@ -362,8 +434,15 @@ object DeferredDelete {
         fs.delete(p, false)
         fs.delete(new Path(e.path.replaceAll("\\.log$", ".index")), false)
       }
+      // drop prior tombstones for paths re-reaped NOW: a reap that
+      // crashed between this write and the manifest truncation below
+      // leaves the segment both tombstoned and still-retired; the re-run
+      // frees it again, and without the filter the path would carry two
+      // tombstone entries forever (crash-idempotence: re-running reap
+      // must CONVERGE, spec-pinned in DeferredDeleteSpec)
       val kept = reaped(spark, baseDir, topic)
-        .filter(_.reapedAtMs >= nowMs - tombstoneHorizonMs)
+        .filter(k => k.reapedAtMs >= nowMs - tombstoneHorizonMs &&
+          !free.exists(_.path == k.path))
       writeReaped(spark, baseDir, topic, kept ++ free.map(e =>
         ReapedSegment(e.path, e.partId, e.baseOff, e.sizeBytes, nowMs)))
       writeManifest(spark, baseDir, topic, held)

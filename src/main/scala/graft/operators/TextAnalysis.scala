@@ -97,9 +97,14 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      // regexp_count, not size(regexp_extract_all(...)): the count is all
+      // the query needs, and materializing every match as an array row
+      // was ~half this scan's cost at the 100x decade (pure per-doc scan,
+      // no shuffle — allocation was the only thing left to cut). Same
+      // value for every input: |extract_all(s, p)| ≡ count of matches.
       .withColumn("n_bpe_tokens",
-        size(regexp_extract_all(normText(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+        regexp_count(normText(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
       .withColumn("bytes_per_token",
         round(octet_length(col("text")).cast("double") / col("n_bpe_tokens"), 6))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
@@ -158,8 +163,17 @@ object TextAnalysis {
 
   def termCounts(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.getOrUpdateEvicting(termCountsCache, spark, sfDir, "term_counts")(
+      // Data-proportional explicit repartition on the grouping key
+      // (r13 verdict #4): the repartition IS the aggregation's exchange
+      // (hash partitioning on the full grouping key satisfies the agg's
+      // required distribution — no second shuffle), sized from the
+      // backing table instead of the cpus-pinned session default that
+      // degraded the 100x run to sort spill. At sf0.1 the sizing floors
+      // at the session default, so small-scale plans are unchanged.
       docs(spark, sfDir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .repartition(Dedup.buildShufflePartitions(spark, sfDir),
+          col("doc_id"), col("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("term_count")))
 
@@ -359,8 +373,22 @@ object TextAnalysis {
 
   def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val tc = termCounts(spark, sfDir)
+    val nP = Dedup.buildShufflePartitions(spark, sfDir)
     val df = tc.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    tc.join(df, Seq("term"))
+    // The sf10 decade's worst text row (78x) was THIS query, not its
+    // artifact: the doc_freq attach sort-merge-sorted the whole inverted
+    // index by term, and the final agg exchanged it again, both at
+    // cpus-pinned width. Three changes, each measured-shape (r13 verdict
+    // #4): the index side is explicitly repartitioned at the
+    // data-proportional width; the doc_freq side joins as a SHUFFLE_HASH
+    // build (vocab-sized — the index stream is never sorted, the
+    // verify-join discipline from the pairs build); and the top-k agg is
+    // fed by an explicit doc_id repartition at the same width, so the
+    // aggregation itself needs no further exchange. Small scales floor at
+    // the session default: plans unchanged.
+    tc.repartition(nP, col("term"))
+      .join(df.hint("SHUFFLE_HASH"), Seq("term"))
+      .repartition(nP, col("doc_id"))
       .groupBy("doc_id")
       .agg(graft.functions.TopK.top_k_structs(
         struct((-col("term_count")).as("neg_cnt"),

@@ -160,6 +160,12 @@ class FlyqMicroBatchStream(path: String, topic: Option[String],
     // next trigger's ensureLeases re-acquires, and the lost-segment check
     // in latestOffset turns any gap-window loss into a loud error
     lost.foreach { t => leaseIds.remove(t); leaseRenewedMs.remove(t) }
+    // keep the checkpointed topic->lease map in sync with reality
+    // (ADVICE r13 #2): without this, flyq_leases.json keeps mapping the
+    // topic to the dead id until some later ensureLeases change — restart
+    // stays correct only because adoption re-validates liveness, but the
+    // persisted state would be silently stale in the interim
+    if (lost.nonEmpty) persistLeases()
   }
 
   private def startHeartbeat(): Unit = if (heartbeat.isEmpty) {

@@ -221,4 +221,68 @@ class DeferredDeleteSpec extends AnyFunSuite {
       DeferredDelete.reap(spark, dir, "ev2", nowMs = 5000L, maxSkewMs = 0L)
     assert(deleted.toSet === evicted.map(_.path).toSet && heldBack.isEmpty)
   }
+
+  test("crash-mid-reap is idempotent: re-running reap converges (r13 #8)") {
+    val dir = Files.createTempDirectory("flyq-deferred3").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(400)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "ev3", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "ev3",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 2000L).filterNot(_.keep)
+    assert(evicted.size >= 2, s"need >=2 retired segments, got $evicted")
+    val paths = evicted.map(_.path).toSet
+
+    // CRASH SHAPE 1 — killed between the unlinks and the tombstone write:
+    // on disk that is "files gone, manifest still lists them, no
+    // tombstones". Simulate by unlinking exactly what reap would.
+    val hconf = spark.sessionState.newHadoopConf()
+    evicted.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(e.path)
+      assert(p.getFileSystem(hconf).delete(p, false))
+      val idx = new org.apache.hadoop.fs.Path(
+        e.path.replaceAll("\\.log$", ".index"))
+      idx.getFileSystem(hconf).delete(idx, false)
+    }
+    assert(DeferredDelete.retired(spark, dir, "ev3").size === evicted.size)
+    // the re-run reaps the same set: unlinks are no-ops, tombstones and
+    // the manifest truncation land
+    val (del1, held1) =
+      DeferredDelete.reap(spark, dir, "ev3", nowMs = 3000L, maxSkewMs = 0L)
+    assert(del1.toSet === paths && held1.isEmpty)
+    assert(DeferredDelete.retired(spark, dir, "ev3").isEmpty)
+    val ts1 = DeferredDelete.reaped(spark, dir, "ev3")
+    assert(ts1.map(_.path).toSet === paths)
+    assert(ts1.map(_.path).distinct.size === ts1.size, s"dup tombstones: $ts1")
+
+    // CRASH SHAPE 2 — killed between the tombstone write and the manifest
+    // truncation: "files gone, tombstones present, manifest STILL lists
+    // them". Simulate by restoring the pre-reap manifest over the
+    // truncated one.
+    val manifest = new java.io.File(s"$dir/topic_ev3/_retired.json")
+    val entries = evicted.map(e => graft.operators.DeferredDelete
+      .RetiredSegment(e.path, e.partId, e.baseOff, 2000L, e.segBytes))
+    DeferredDelete.restoreManifestForTest(spark, dir, "ev3", entries)
+    assert(DeferredDelete.retired(spark, dir, "ev3").size === evicted.size)
+    val (del2, held2) =
+      DeferredDelete.reap(spark, dir, "ev3", nowMs = 4000L, maxSkewMs = 0L)
+    assert(del2.toSet === paths && held2.isEmpty)
+    // CONVERGED: manifest empty, one tombstone per path (the re-reap
+    // supersedes the old tombstone instead of duplicating it)
+    assert(DeferredDelete.retired(spark, dir, "ev3").isEmpty)
+    val ts2 = DeferredDelete.reaped(spark, dir, "ev3")
+    assert(ts2.map(_.path).toSet === paths)
+    assert(ts2.map(_.path).distinct.size === ts2.size, s"dup tombstones: $ts2")
+    assert(ts2.forall(_.reapedAtMs === 4000L)) // superseded, not appended
+
+    // and a further reap is a clean no-op on the converged state
+    assert(DeferredDelete.reap(spark, dir, "ev3", nowMs = 5000L,
+      maxSkewMs = 0L) === ((Seq.empty, Seq.empty)))
+    assert(DeferredDelete.reaped(spark, dir, "ev3") === ts2)
+    assert(manifest.exists()) // truncation writes an empty manifest, not rm
+  }
 }

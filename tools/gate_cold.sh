@@ -9,18 +9,27 @@
 # x10 = .localdata/sf1, x100 = .localdata/sf10.
 #
 # Usage: tools/gate_cold.sh [out.jsonl]   (set GATE_X10=1 to include the x10 decade)
-set -e
+# pipefail: a failed build/probe JVM must abort the script loudly — a
+# swallowed failure here yields a silently-incomplete JSONL whose numbers
+# feed SURVEY crossover claims (ADVICE r13).
+set -eo pipefail
 cd /root/repo
 OUT="${1:-/tmp/gate_cold.jsonl}"
 : > "$OUT"
 WH=/root/repo/.localdata/gatewh
 rm -rf "$WH"
+LOG="${OUT%.jsonl}.log"
+: > "$LOG"
 
 drop_caches() { sync; echo 3 > /proc/sys/vm/drop_caches; }
 
 run() { # run <main args...>
-  sbt -batch "runMain graft.BenchGateCold $*" 2>/dev/null \
-    | grep -E '^\{' | tee -a "$OUT"
+  # sbt noise goes to a log file (not /dev/null: a failure must be
+  # diagnosable); the JSON lines are the only stdout. grep -E '^\{' would
+  # return 1 on zero matches and mask WHICH stage died, so filter in awk
+  # (exit 0 on no match) and let sbt's own exit status propagate.
+  sbt -batch "runMain graft.BenchGateCold $*" 2>>"$LOG" \
+    | tee -a "$LOG" | awk '/^\{/' | tee -a "$OUT"
 }
 
 run build /root/testdata/sf0.1 x1
