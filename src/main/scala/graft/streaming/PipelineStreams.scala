@@ -470,7 +470,14 @@ object PipelineStreams {
     * matches the bucketed index layout exactly — Jaccard-verify, roll
     * up per doc. One definition for the in-memory and bucketed-table
     * variants. */
-  private def ngramProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+  private def ngramProbe(docs: DataFrame, base: DataFrame): DataFrame =
+    ngramVerifyRollup(ngramBandFrame(docs), base)
+
+  /** Probe-side banding stage of [[ngramProbe]]: gram-hash + band the
+    * incoming docs and fold (lang, length) into the probe key. Split out
+    * so the pushed form ([[ngramNearDupBatchPushed]]) can derive the
+    * micro-batch's key set from the same definition the join uses. */
+  private def ngramBandFrame(docs: DataFrame): DataFrame = {
     import graft.operators.Dedup
     docs.select(col("doc_id"), col("lang"),
         TextAnalysis.normText(col("text")).as("ntext"))
@@ -482,7 +489,14 @@ object PipelineStreams {
       .transform(Dedup.ngramBandKeys(_))
       .withColumn("pkey", Dedup.ngramProbeKey(
         col("lang"), col("n_chars_norm"), col("band_key")))
-      .join(base, Seq("band_j", "pkey"))
+  }
+
+  /** Verify+rollup stage of [[ngramProbe]]: equi-join the banded probe
+    * rows against the base index, Jaccard-verify, roll up per doc. */
+  private def ngramVerifyRollup(banded: DataFrame,
+                                base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    banded.join(base, Seq("band_j", "pkey"))
       .withColumn("jacc", round(graft.functions.TextHashes.jaccard_long(
         col("stream_hgs"), col("base_hgs")), 6))
       .filter(col("jacc") >= Dedup.NgramJaccardThreshold)
@@ -499,6 +513,104 @@ object PipelineStreams {
                                 indexTable: String): DataFrame = {
     requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
     ngramProbe(docs, spark.table(indexTable))
+  }
+
+  /** Max batch-key count the pushed probes inline into the scan filter:
+    * above this ([[PushChunk]]-sized chunks × 16 scans) the pushed form
+    * stops paying — planning grows linearly in chunks — and the plain
+    * bucketed join is the right plan anyway: a batch that large is a
+    * backfill, not a stream trigger. */
+  private[graft] val MaxPushedKeys = 16384
+
+  /** Keys per pushed IN list. Spark translates an IN under the parquet
+    * pushdown threshold into a LEFT-DEEP or(eq, eq, ...) chain (this
+    * parquet version has no set-based In operator), and parquet's
+    * row-group-stat / column-index evaluators walk that chain with one
+    * stack frame per key — measured StackOverflowError at ~3.6k keys.
+    * 1024 bounds the recursion an order of magnitude under that while
+    * keeping a 100-doc × 8-band micro-batch in ONE chunk. */
+  private[graft] val PushChunk = 1024
+
+  /** Constrain a bucketed gate-index scan to a micro-batch's own key
+    * set: a parquet-pushed IN on the index's sortBy'd key column, so the
+    * per-batch read is the PAGES THE KEYS TOUCH (row-group dictionary +
+    * column-index skipping over the sorted layout), not a sorted-stream
+    * merge of the whole base — the reference's sparse-index floor-seek
+    * discipline (flyq-server/src/core/segment.rs:156-179) applied to the
+    * gate table.
+    *
+    * Two Spark mechanics handled here: (1) the session's parquet
+    * IN-pushdown threshold is lifted to [[PushChunk]] — above the
+    * threshold Spark pushes a min/max RANGE instead, which covers ~the
+    * whole file for hashed keys and silently reverts the probe to a full
+    * scan; (2) key sets beyond [[PushChunk]] split into chunked scans
+    * union'd together (keys are distinct, so a row matches at most one
+    * chunk — no duplicates), keeping each pushed or-chain's recursion
+    * depth bounded. The Catalyst-side residual stays an InSet hash
+    * lookup either way. */
+  private[graft] def pushKeysIntoScan(spark: SparkSession, base: DataFrame,
+                                      keyCol: String,
+                                      keys: Array[String]): DataFrame = {
+    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (keys.nonEmpty && spark.conf.get(thresholdKey).toInt <= PushChunk)
+      spark.conf.set(thresholdKey, PushChunk + 1)
+    keys.grouped(PushChunk)
+      .map(chunk => base.filter(col(keyCol).isin(chunk.toIndexedSeq: _*)))
+      .reduceOption(_ unionAll _)
+      .getOrElse(base.filter(lit(false)))
+  }
+
+  /** [[ngramNearDupStreamIndexed]] with BATCH-KEY PUSHDOWN — the
+    * foreachBatch form (round-13 verdict #2). Bands the micro-batch,
+    * collects its distinct probe keys (bounded: ≤ rows ×
+    * [[graft.operators.Dedup.NgramNumBands]] strings), and probes the
+    * bucketed index through [[pushKeysIntoScan]]; verify+rollup is the
+    * shared [[ngramVerifyRollup]], so the flag decision is identical to
+    * the stream-static join's per-batch contribution. The banding stage
+    * is computed twice (key collect + join) — deliberately: re-hashing
+    * the BATCH is batch-sized CPU, while persisting it per micro-batch
+    * would leak cache entries across thousands of triggers. Falls back
+    * to the plain bucketed join above [[MaxPushedKeys]]. */
+  def ngramNearDupBatchPushed(spark: SparkSession, batch: DataFrame,
+                              indexTable: String): DataFrame = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
+    ngramPushedProbe(spark, batch, spark.table(indexTable))
+  }
+
+  /** Core of the pushed probe against an ALREADY-RESOLVED base frame —
+    * split from [[ngramNearDupBatchPushed]] so the streaming writer pays
+    * catalog resolution + the banding check ONCE at construction, not
+    * once per micro-batch (measured ~2.5 s/batch of fixed overhead in
+    * the cold-gate harness before the split). */
+  private def ngramPushedProbe(spark: SparkSession, batch: DataFrame,
+                               base: DataFrame): DataFrame = {
+    val banded = ngramBandFrame(batch)
+    val keys = banded.select("pkey").distinct()
+      .limit(MaxPushedKeys + 1).collect().map(_.getString(0))
+    val pruned =
+      if (keys.length > MaxPushedKeys) base
+      else pushKeysIntoScan(spark, base, "pkey", keys)
+    ngramVerifyRollup(banded, pruned)
+  }
+
+  /** Wire [[ngramNearDupBatchPushed]] as a streaming sink: each
+    * micro-batch probes the bucketed index with its own key set pushed
+    * into the scan, and the per-batch flag frame goes to `sink`. Returns
+    * the writer — the caller sets checkpoint/trigger and starts. Note
+    * the contract shift vs the stream-static form: flags are PER BATCH
+    * (each doc decided once, when it arrives), not cumulative update-
+    * mode state — the gate decision is the same, the counts reset. */
+  def ngramNearDupPushedWriter(spark: SparkSession, docs: DataFrame,
+      indexTable: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
+    // resolve the catalog table ONCE: a per-batch spark.table() is a
+    // metastore round-trip per trigger, pure fixed overhead
+    val base = spark.table(indexTable)
+    docs.writeStream.foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(ngramPushedProbe(spark, b.toDF(), base), id)
+    }
   }
 
   /** Streaming line (span) dedup against a STATIC base corpus — the

@@ -446,6 +446,57 @@ class StreamGateScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed ngram gate: same answers as the bucketed probe, batch keys " +
+      "pushed into the scan, no base-side Exchange") {
+    import graft.operators.Dedup
+    val table = "gs_ngram_pushed_index"
+    Dedup.writeNgramIndexTable(spark, smallSf, table, nBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id") % 11 === 0)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      val plain = PipelineStreams
+        .ngramNearDupStreamIndexed(spark, probe, table)
+      val pushed = PipelineStreams
+        .ngramNearDupBatchPushed(spark, probe, table)
+      assert(rows(pushed) === rows(plain))
+      assert(rows(pushed).nonEmpty)
+      // the scan must carry the batch's key set as a parquet-pushed IN —
+      // THE point of the pushed form: per-batch reads are the pages the
+      // keys touch, not a sorted-stream merge of the whole base. (After
+      // pruning, BOTH join sides are batch-sized, so which side
+      // exchanges or broadcasts is immaterial — the corpus-sized base
+      // never enters the join at all. The sibling bucketed tests' no-
+      // base-exchange contract guards the UNPUSHED fallback path.)
+      val plan = PipelineStreams
+        .ngramNearDupBatchPushed(spark, probe, table)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(pkey"),
+        plan.take(2000))
+      // a key set larger than the parquet IN threshold must STILL push
+      // exactly (the helper lifts the session threshold to PushChunk):
+      // the default (10) would silently fall back to a min/max range
+      // that covers ~everything for hashed keys.
+      assert(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold").toInt >
+        PipelineStreams.PushChunk,
+        "pushKeysIntoScan did not raise the parquet IN-pushdown threshold")
+      // this probe (~450 docs x 8 bands ≈ 3.6k keys) exceeds PushChunk,
+      // so the plan must be CHUNKED scans union'd — an unchunked or(eq)
+      // chain at this depth StackOverflows parquet's recursive stat
+      // evaluators (measured; the reason PushChunk exists)
+      assert("PushedFilters: \\[In\\(pkey".r.findAllIn(plan).length >= 2,
+        s"expected multiple chunked pushed scans:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))
