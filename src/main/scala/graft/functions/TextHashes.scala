@@ -251,6 +251,46 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** bpe_count(string) -> long: count of matches of the BPE-ish token
+    * pattern `[a-z]+|[0-9]+|[^a-z0-9 ]` — one state-machine pass instead
+    * of a java.util.regex scan (regexp_count was the whole cost of the
+    * token_count row at the 100x decade; the classes are DISJOINT, so
+    * greedy alternation ≡ run-length counting: each maximal a-z run = 1,
+    * each maximal digit run = 1, every other non-space CODE POINT = 1,
+    * spaces match nothing). Byte-level UTF-8 walk: ASCII classified
+    * directly, a multi-byte lead byte counts one "other" code point and
+    * its continuation bytes are skipped — exactly the per-code-point
+    * semantics of Java regex and DuckDB's RE2 on the same string. */
+  case class BpeCount(child: Expression)
+      extends UnaryExpression with KernelCodegenUnary {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any = {
+      val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = str.numBytes()
+      var i = 0
+      var count = 0L
+      var state = 0 // 0 = none/space, 1 = in a-z run, 2 = in digit run
+      while (i < n) {
+        val b = str.getByte(i) & 0xFF
+        if (b < 0x80) {
+          if (b >= 'a' && b <= 'z') {
+            if (state != 1) { count += 1; state = 1 }
+          } else if (b >= '0' && b <= '9') {
+            if (state != 2) { count += 1; state = 2 }
+          } else if (b == ' ') state = 0
+          else { count += 1; state = 0 }
+          i += 1
+        } else {
+          count += 1; state = 0
+          i += 1
+          while (i < n && (str.getByte(i) & 0xC0) == 0x80) i += 1
+        }
+      }
+      count
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** jaccard_long(array<long>, array<long>) -> double: DISTINCT-set
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) via sort-merge (no boxing, no
     * intermediate arrays) — same value as
@@ -631,6 +671,7 @@ object TextHashes {
     column(JaccardLong(expression(a), expression(b)))
   def char_grams_distinct(c: Column, n: Int): Column =
     column(CharGramsDistinct(expression(c), n))
+  def bpe_count(c: Column): Column = column(BpeCount(expression(c)))
   def mod_filter_stats(c: Column, mod: Int): Column =
     column(ModFilterStats(expression(c), mod))
   def minhash_sigs(c: Column, keys: Seq[Long]): Column =

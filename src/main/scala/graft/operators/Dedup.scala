@@ -347,18 +347,18 @@ object Dedup {
     // side's group
     val base = reps.select(col("doc_id"), col("nw"), col("hws"),
       col("set_id"))
-    // Persisted PRE-PARTITIONED on the band key at a data-proportional
-    // count (r13 verdict #4): the self-join below consumes this exact
-    // hash partitioning on both sides, so the explicit repartition is the
-    // join's only exchange of the band table — and its size scales with
-    // the corpus instead of pinning to the session's cpus-sized default,
-    // which at the sf10 decade put ~10x-oversized partitions through the
-    // join sort (the measured 15–25x spill band, SURVEY §7.13).
-    val nParts = buildShufflePartitions(spark, sfDir)
+    // NOT pre-partitioned on the band key (r14 bisect): the r13 attempt
+    // (`.repartition(buildShufflePartitions(...), band_j, band_key)`
+    // before the persist, meant to pay the self-join's exchange once at
+    // a data-proportional width) measured SLOWER at BOTH decades —
+    // sf0.1 3.11 → 5.06 s, sf10 105.5 → 146.2 s (same box, three-point
+    // bisect) — because the cached pre-exchange pins the join's layout
+    // where ENSURE_REQUIREMENTS exchanges off the narrow cache leave AQE
+    // free to size the join stages. Data-proportional sizing stays where
+    // it measured a WIN (the termCounts aggregation).
     val b = bandsOf(base, familyOffset)
       .select(col("doc_id"), col("nw"), col("set_id"),
         col("band_j"), col("band_key"))
-      .repartition(nParts, col("band_j"), col("band_key"))
       .persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies

@@ -97,14 +97,15 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
-      // regexp_count, not size(regexp_extract_all(...)): the count is all
-      // the query needs, and materializing every match as an array row
-      // was ~half this scan's cost at the 100x decade (pure per-doc scan,
-      // no shuffle — allocation was the only thing left to cut). Same
-      // value for every input: |extract_all(s, p)| ≡ count of matches.
+      // One-pass state-machine kernel, not regexp_count: the pattern's
+      // classes are disjoint, so greedy alternation ≡ run-length counting
+      // (each maximal a-z / digit run = 1, other non-space code point
+      // = 1), and the regex scan WAS this row's whole cost at the 100x
+      // decade (pure per-doc scan, no shuffle). Value-identical to
+      // |regexp_extract_all(ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')| on both
+      // engines — spec-pinned against the regexp form in TextHashesSpec.
       .withColumn("n_bpe_tokens",
-        regexp_count(normText(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+        graft.functions.TextHashes.bpe_count(normText(col("text"))))
       .withColumn("bytes_per_token",
         round(octet_length(col("text")).cast("double") / col("n_bpe_tokens"), 6))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
@@ -170,12 +171,25 @@ object TextAnalysis {
       // backing table instead of the cpus-pinned session default that
       // degraded the 100x run to sort spill. At sf0.1 the sizing floors
       // at the session default, so small-scale plans are unchanged.
-      docs(spark, sfDir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .repartition(Dedup.buildShufflePartitions(spark, sfDir),
-          col("doc_id"), col("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("term_count")))
+      {
+        val wide = Dedup.buildShufflePartitions(spark, sfDir)
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .repartition(wide, col("doc_id"), col("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("term_count"))
+          // The WIDE partition count is for the aggregation (sort/spill
+          // safety on the exploded input); the CACHED artifact must not
+          // inherit it — at the 100x decade the 1.6k-partition cache made
+          // every consumer pay ~1.6k task launches per pass (tfidf_vectors
+          // 5.1 -> 10.7 s, vocab_coverage 2.7 -> 5.9 s in the sf10 gate).
+          // coalesce(wide/8) folds the post-agg output (~1/20 the exploded
+          // volume) into consumer-sized partitions WITHOUT a new shuffle
+          // and without changing the map-side spill profile; at small
+          // scale wide == the session floor and the coalesce is identity.
+          .coalesce(math.max(spark.sessionState.conf.numShufflePartitions,
+            wide / 8))
+      })
 
   // ---- hashed TF-IDF featurization ----
   /** Feature-hashing dimension: terms fold into a FIXED bucket count, so

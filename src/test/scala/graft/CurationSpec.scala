@@ -713,4 +713,35 @@ class CurationSpec extends AnyFunSuite {
       x.getAs[Long]("n_shared_terms"), x.getAs[Long]("dot_weight"))).toSeq
     assert(gotTop === expTop)
   }
+
+  test("bpe_count kernel matches regexp_count: real docs + boundary shapes") {
+    // the classes of '[a-z]+|[0-9]+|[^a-z0-9 ]' are disjoint, so the
+    // kernel's run-length state machine must equal the regex count on
+    // EVERY string: empties, pure runs, class alternations, multi-byte
+    // code points (each non-ASCII code point is one 'other' match), and
+    // the real corpus after the shared normalization
+    val edge = Seq(
+      950L -> "",
+      951L -> "abc",
+      952L -> "abc123def",
+      953L -> "a1b2c3!",
+      954L -> "  spaced   out  ",
+      955L -> "!!!...,,,",
+      956L -> "caf\u00e9 na\u00efve \u4e2d\u6587 \ud83d\ude00x9",
+      957L -> (("a" * 5000) + "!" + ("9" * 5000)))
+    import graft.operators.TextAnalysis.normText
+    val edgeDf = edge.toDF("doc_id", "text")
+    val real = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    for (df <- Seq(edgeDf, real)) {
+      val rows = df.select($"doc_id",
+          graft.functions.TextHashes.bpe_count(normText($"text")).as("k"),
+          regexp_count(normText($"text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("r"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}"))
+    }
+  }
 }
