@@ -497,6 +497,31 @@ class StreamGateScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed ngram gate fallback: a key set beyond MaxPushedKeys takes " +
+      "the plain bucketed join, same answers") {
+    import graft.operators.Dedup
+    val table = "gs_ngram_fallback_index"
+    Dedup.writeNgramIndexTable(spark, smallSf, table, nBuckets = 8)
+    try {
+      // the WHOLE corpus as one "batch": 5k docs x 8 bands ≈ 40k keys,
+      // over MaxPushedKeys (16384) — a backfill, not a stream trigger
+      val probe = graft.sources.Tables.load(spark, smallSf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pushed = PipelineStreams
+        .ngramNearDupBatchPushed(spark, probe, table)
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(!plan.contains("PushedFilters: [In(pkey"),
+        "fallback must NOT push a key filter:\n" + plan.take(2000))
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      val plain = PipelineStreams
+        .ngramNearDupStreamIndexed(spark, probe, table)
+      assert(rows(pushed) === rows(plain))
+      assert(rows(pushed).nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+  }
+
   test("DSIR importance gate: per-batch time flat at a 10x base") {
     val s = docGateBatchSeconds("gs_dsir_s", "update",
       PipelineStreams.importanceWeightStream(spark, _, smallSf))
