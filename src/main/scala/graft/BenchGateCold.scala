@@ -160,24 +160,30 @@ object BenchGateCold {
           } finally { stop(); spark.catalog.dropTempView(qname): Unit }
         }
 
-        // the PUSHED ngram probe (round-13 verdict #2): foreachBatch
-        // collects the micro-batch's band keys and constrains the
-        // bucketed scan — measured against the SAME index table as the
-        // plain "ngram" row above, so the two rows isolate exactly the
-        // batch-key pushdown.
-        locally {
-          val table = s"gate_ngram_$label"
+        // the PUSHED probes (round-13 verdict #2, generalized to the
+        // gate family in r14): foreachBatch collects the micro-batch's
+        // band keys and constrains the bucketed scan — measured against
+        // the SAME index tables as the plain rows above, so each row
+        // pair isolates exactly the batch-key pushdown.
+        type PushedWriter =
+          (DataFrame, String) => ((DataFrame, Long) => Unit) =>
+            org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
+        val pushedGates: Seq[(String, PushedWriter)] = Seq(
+          ("ngram", (df, t) => PipelineStreams
+            .ngramNearDupPushedWriter(spark, df, t)),
+          ("minhash", (df, t) => PipelineStreams
+            .minhashNearDupPushedWriter(spark, df, t)))
+        pushedGates.foreach { case (g, mkWriter) =>
+          val table = s"gate_${g}_$label"
           val in = MemoryStream[StreamDoc](spark)
-          val q = PipelineStreams
-            .ngramNearDupPushedWriter(spark, in.toDF(), table)(
-              (d, _) => { d.collect(): Unit })
+          val q = mkWriter(in.toDF(), table)((d, _) => { d.collect(): Unit })
             .start()
           try {
             val rows = (1 to nBatches).map { _ =>
               measured { in.addData(batchDocs); q.processAllAvailable() }
             }
             val idx = tableBytes(spark, table)
-            println(s"""{"gate":"ngram_pushed","label":"$label","index_bytes":$idx,""" +
+            println(s"""{"gate":"${g}_pushed","label":"$label","index_bytes":$idx,""" +
               rows.zipWithIndex.map { case ((s, b), i) =>
                 s""""batch${i + 1}_sec":$s,"batch${i + 1}_bytes":$b"""
               }.mkString(",") + "}")

@@ -339,12 +339,24 @@ object PipelineStreams {
   /** The shared SimHash probe: fingerprint + block-key the incoming
     * docs, equi-join the base index, Hamming-verify, roll up per doc.
     * One definition for the in-memory and bucketed-table variants. */
-  private def simhashProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+  private def simhashProbe(docs: DataFrame, base: DataFrame): DataFrame =
+    simhashVerifyRollup(simhashBandFrame(docs), base)
+
+  /** Probe-side fingerprint+block stage of [[simhashProbe]] — split out
+    * so the pushed form can derive the batch's key set from the same
+    * definition the join uses. */
+  private def simhashBandFrame(docs: DataFrame): DataFrame = {
     import graft.operators.Dedup
     Dedup.simhashBlockKeys(Dedup.withSimhash64(docs))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         col("combo_j"), col("combo_key"))
-      .join(base, Seq("combo_j", "combo_key"))
+  }
+
+  /** Verify+rollup stage of [[simhashProbe]]. */
+  private def simhashVerifyRollup(banded: DataFrame,
+                                  base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    banded.join(base, Seq("combo_j", "combo_key"))
       .filter(Dedup.hamming64(col("sh_lo"), col("sh_hi"),
         col("base_lo"), col("base_hi")) <= Dedup.SimHammingMax)
       .groupBy("doc_id")
@@ -363,6 +375,16 @@ object PipelineStreams {
     requireBanding(spark, indexTable, graft.operators.Dedup.SimhashBanding)
     simhashProbe(docs, spark.table(indexTable))
   }
+
+  // NO pushed form for the SimHash gate — measured counterproductive
+  // (r14 cold harness): combo_key is a 33-bit block-triple value
+  // INTERLEAVED across 20 combo_j runs per sorted bucket file, so a
+  // pushed IN's page min/max checks match nearly every page (20 runs ×
+  // wide value spans) and the probe read 91 MB / 30.7 s steady per batch
+  // at x100 vs the plain bucketed join's 2 MB / 1.5 s. The plain probe
+  // is already scale-flat there; pushdown pays only where the sorted key
+  // is selective at page granularity (ngram's composite pkey, minhash's
+  // band_key strings).
 
   /** Fail fast when an index table was banded under different constants
     * than this probe build — a silent mismatch would band probes into
@@ -402,7 +424,13 @@ object PipelineStreams {
     * docs, equi-join the base rep index, size-ratio prune,
     * Jaccard-verify, roll up per doc. One definition for the in-memory
     * and bucketed-table variants. */
-  private def minhashProbe(docs: DataFrame, base: DataFrame): DataFrame = {
+  private def minhashProbe(docs: DataFrame, base: DataFrame): DataFrame =
+    minhashVerifyRollup(minhashBandFrame(docs), base)
+
+  /** Probe-side banding stage of [[minhashProbe]] — split out so the
+    * pushed form can derive the micro-batch's key set from the same
+    * definition the join uses (the [[ngramBandFrame]] pattern). */
+  private def minhashBandFrame(docs: DataFrame): DataFrame = {
     import graft.operators.Dedup
     docs.select(col("doc_id"),
         array_distinct(TextAnalysis.tokens(col("text"))).as("ws"))
@@ -411,7 +439,13 @@ object PipelineStreams {
       .filter(col("nw") >= Dedup.MinWords)
       .select(col("doc_id"), col("nw"), col("hws"))
       .transform(Dedup.bandsOf(_))
-      .join(base, Seq("band_j", "band_key"))
+  }
+
+  /** Verify+rollup stage of [[minhashProbe]]. */
+  private def minhashVerifyRollup(banded: DataFrame,
+                                  base: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    banded.join(base, Seq("band_j", "band_key"))
       .filter(least(col("nw"), col("base_nw")) * 10 >=
         greatest(col("nw"), col("base_nw")) * 9)
       .withColumn("jacc", round(graft.functions.TextHashes.jaccard_long(
@@ -430,6 +464,35 @@ object PipelineStreams {
                                   indexTable: String): DataFrame = {
     requireBanding(spark, indexTable, graft.operators.Dedup.MinhashBanding)
     minhashProbe(docs, spark.table(indexTable))
+  }
+
+  /** [[minhashNearDupStreamIndexed]] with BATCH-KEY PUSHDOWN — the
+    * [[ngramNearDupBatchPushed]] mechanism on the word-set gate: the
+    * micro-batch's distinct band keys constrain the bucketed scan (the
+    * sortBy'd band_key column) before the join. Same per-batch flag
+    * contract; answers spec-pinned against the plain bucketed probe. */
+  def minhashNearDupBatchPushed(spark: SparkSession, batch: DataFrame,
+                                indexTable: String): DataFrame = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.MinhashBanding)
+    minhashPushedProbe(spark, batch, spark.table(indexTable))
+  }
+
+  private def minhashPushedProbe(spark: SparkSession, batch: DataFrame,
+                                 base: DataFrame): DataFrame =
+    minhashVerifyRollup(minhashBandFrame(batch),
+      prunedBase(spark, base, "band_key", minhashBandFrame(batch)))
+
+  /** foreachBatch writer for [[minhashNearDupBatchPushed]] — catalog
+    * resolution + banding check paid once at construction. */
+  def minhashNearDupPushedWriter(spark: SparkSession, docs: DataFrame,
+      indexTable: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.MinhashBanding)
+    val base = spark.table(indexTable)
+    docs.writeStream.foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(minhashPushedProbe(spark, b.toDF(), base), id)
+    }
   }
 
   /** Streaming char-3-gram Jaccard near-dup detection against a STATIC
@@ -550,7 +613,7 @@ object PipelineStreams {
     * lookup either way. */
   private[graft] def pushKeysIntoScan(spark: SparkSession, base: DataFrame,
                                       keyCol: String,
-                                      keys: Array[String]): DataFrame = {
+                                      keys: Array[Any]): DataFrame = {
     val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     if (keys.nonEmpty && spark.conf.get(thresholdKey).toInt <= PushChunk)
       spark.conf.set(thresholdKey, PushChunk + 1)
@@ -583,14 +646,21 @@ object PipelineStreams {
     * once per micro-batch (measured ~2.5 s/batch of fixed overhead in
     * the cold-gate harness before the split). */
   private def ngramPushedProbe(spark: SparkSession, batch: DataFrame,
-                               base: DataFrame): DataFrame = {
-    val banded = ngramBandFrame(batch)
-    val keys = banded.select("pkey").distinct()
-      .limit(MaxPushedKeys + 1).collect().map(_.getString(0))
-    val pruned =
-      if (keys.length > MaxPushedKeys) base
-      else pushKeysIntoScan(spark, base, "pkey", keys)
-    ngramVerifyRollup(banded, pruned)
+                               base: DataFrame): DataFrame =
+    ngramVerifyRollup(ngramBandFrame(batch),
+      prunedBase(spark, base, "pkey", ngramBandFrame(batch)))
+
+  /** Shared pruning step of every pushed probe: collect the banded
+    * batch's distinct keys (bounded by the doc × band fan-out; the
+    * collect is one batch-sized job) and constrain the index scan via
+    * [[pushKeysIntoScan]]; key sets beyond [[MaxPushedKeys]] fall back
+    * to the plain bucketed join (a batch that large is a backfill). */
+  private def prunedBase(spark: SparkSession, base: DataFrame,
+                         keyCol: String, banded: DataFrame): DataFrame = {
+    val keys = banded.select(keyCol).distinct()
+      .limit(MaxPushedKeys + 1).collect().map(_.get(0))
+    if (keys.length > MaxPushedKeys) base
+    else pushKeysIntoScan(spark, base, keyCol, keys)
   }
 
   /** Wire [[ngramNearDupBatchPushed]] as a streaming sink: each
