@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -1146,5 +1146,82 @@ object PipelineStreams {
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
           .as("ms_since_click"), col("click_value"))
+  }
+
+  /** Composite INGEST-TIME curation gate — the production firehose
+    * shape, composing this library's streaming gates into the batch
+    * [[graft.operators.Curation.curateCorpus]] decision chain per
+    * micro-batch (foreachBatch):
+    *
+    *  1. eval-holdout check (the same deterministic doc-id hash as the
+    *     batch ops — a contaminated doc must never reach training),
+    *  2. quality rules (the stateless batch kernels, integer-exact),
+    *  3. exact-dup evidence vs the base corpus (broadcast Bloom over
+    *     the base word-set hashes, built ONCE at construction —
+    *     `maybe_dup`, FPR-bounded),
+    *  4. near-dup evidence vs the base corpus (the PUSHED bucketed
+    *     ngram probe — per-batch index reads bounded by the batch's
+    *     own band keys, the 100 TB shape).
+    *
+    * Output per doc: the evidence flags + the first-match
+    * `drop_reason` ('eval_holdout' > 'quality' > 'duplicate' >
+    * 'near_duplicate' > 'kept') — curateCorpus's precedence over the
+    * evidence available at ingest. Sampling and n-gram eval
+    * decontamination stay downstream in the batch pass (their plans
+    * need corpus-wide state) — the standard lambda split every gate in
+    * this file documents. */
+  def curationIngestWriter(spark: SparkSession, docs: DataFrame,
+      ngramIndexTable: String, baseSfDir: String,
+      maxBloomBytes: Int = GateMaxBloomBytes)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Curation
+    requireBanding(spark, ngramIndexTable, graft.operators.Dedup.NgramBanding)
+    // resolved/built ONCE at construction (the pushed-writer lesson):
+    // the catalog table, and the base corpus's Bloom literal
+    val base = spark.table(ngramIndexTable)
+    val baseKeys = graft.sources.Tables.load(spark, baseSfDir, "documents")
+      .select(Curation.wordSetHash(col("text")).as("th"))
+    val bloomProbe = Curation.bloomLiteral(baseKeys, "th", maxBloomBytes)
+    docs.writeStream.foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(curationIngestBatch(spark, b.toDF(), base, bloomProbe), id)
+    }
+  }
+
+  /** One micro-batch of [[curationIngestWriter]] — split out so specs
+    * can drive it as a plain batch function. */
+  private[graft] def curationIngestBatch(
+      spark: SparkSession, batch: DataFrame, ngramBase: DataFrame,
+      bloomProbe: Option[Column]): DataFrame = {
+    import graft.operators.Curation
+    val flagged = Curation.qualityFlags(batch)
+      .withColumn("pass_quality", col("pass_word_count") &&
+        col("pass_word_len") && col("pass_stopword") &&
+        col("pass_repetition"))
+      .withColumn("is_eval", Curation.isEvalId(col("doc_id")))
+      .drop("toks", "chars_only")
+    val withDup = bloomProbe match {
+      case None => flagged.withColumn("maybe_dup", lit(false))
+      case Some(p) => flagged
+        .withColumn("th", Curation.wordSetHash(col("text")))
+        .withColumn("maybe_dup", p)
+        .drop("th")
+    }
+    val near = ngramPushedProbe(spark, batch, ngramBase)
+      .select(col("doc_id"), lit(true).as("near_flag"),
+        col("max_jaccard"), col("example_base_doc"))
+    withDup.join(near, Seq("doc_id"), "left")
+      .withColumn("is_near_dup", coalesce(col("near_flag"), lit(false)))
+      .withColumn("drop_reason",
+        when(col("is_eval"), lit("eval_holdout"))
+          .when(!col("pass_quality"), lit("quality"))
+          .when(col("maybe_dup"), lit("duplicate"))
+          .when(col("is_near_dup"), lit("near_duplicate"))
+          .otherwise(lit("kept")))
+      .withColumn("final_kept", col("drop_reason") === "kept")
+      .select(col("doc_id"), col("pass_quality"), col("is_eval"),
+        col("maybe_dup"), col("is_near_dup"), col("max_jaccard"),
+        col("example_base_doc"), col("final_kept"), col("drop_reason"))
   }
 }

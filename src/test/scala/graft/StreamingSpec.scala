@@ -765,6 +765,110 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composite ingest gate: component-consistent flags, curate_corpus precedence") {
+    import graft.streaming.PipelineStreams.StreamDoc
+    import graft.operators.{Curation, Dedup}
+    val sf = "/root/testdata/sf0.001"
+    val table = "si_curation_ngram_index"
+    Dedup.writeNgramIndexTable(spark, sf, table, nBuckets = 4)
+    try {
+      // a base doc that passes quality, is not eval-held, and is long
+      // enough for the gram gate — the seed for the planted cases
+      val cands = Curation.qualityFlags(
+          graft.sources.Tables.load(spark, sf, "documents"))
+        .withColumn("pq", col("pass_word_count") && col("pass_word_len") &&
+          col("pass_stopword") && col("pass_repetition"))
+        .filter(col("pq") && !Curation.isEvalId(col("doc_id")) &&
+          length(col("text")) > 300)
+        .select("lang", "text").take(20)
+      // need a long all-letter word to perturb without touching any
+      // quality rule (stopwords are short; a 6+-letter word is never one)
+      def goodWord(t: String) = t.split(" ")
+        .exists(w => w.length >= 6 && w.forall(_.isLetter))
+      val cand = cands.find(r => goodWord(r.getString(1))).get
+      val (lang, baseText) = (cand.getString(0), cand.getString(1))
+      // fresh ids with KNOWN eval status: eval membership requires
+      // id < DecontamEvalIdBound, so the 1M-range ids are never eval
+      // and an eval id must come from the bounded pool
+      val evalId: Long = spark.range(0L, Curation.DecontamEvalIdBound)
+        .filter(Curation.isEvalId(col("id"))).head()
+      val plainIds = Array(1000001L, 1000002L, 1000003L)
+      // perturb one letter INSIDE a long word: the word set changes
+      // (bloom w.h.p. misses) while gram Jaccard stays ~0.99 (near-dup)
+      // and no stopword/quality rule moves
+      val words = baseText.split(" ")
+      val wi = words.indexWhere(w => w.length >= 6 && w.forall(_.isLetter))
+      assert(wi >= 0)
+      val pw = words(wi)
+      val perturbed = words.updated(wi,
+        pw.updated(3, if (pw(3) == 'q') 'z' else 'q')).mkString(" ")
+      val ts0 = new java.sql.Timestamp(0L)
+      val batch = Seq(
+        StreamDoc(plainIds(0), lang, baseText, ts0),   // exact base copy
+        StreamDoc(plainIds(1), lang, perturbed, ts0),  // near-dup
+        StreamDoc(plainIds(2), lang, "aa aa aa", ts0), // quality reject
+        StreamDoc(evalId, lang, baseText, ts0)         // eval holdout
+      ).toDF()
+      val baseKeys = graft.sources.Tables.load(spark, sf, "documents")
+        .select(Curation.wordSetHash(col("text")).as("th"))
+      val bloom = Curation.bloomLiteral(baseKeys, "th",
+        PipelineStreams.GateMaxBloomBytes)
+      val got = PipelineStreams.curationIngestBatch(
+          spark, batch, spark.table(table), bloom)
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      // component consistency: every flag equals the standalone gate's
+      // answer on the same rows, and drop_reason is exactly the
+      // documented precedence over those flags
+      val bloomGot = PipelineStreams.bloomGateStream(spark, batch, sf)
+        .select("doc_id", "maybe_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val nearGot = PipelineStreams
+        .ngramNearDupStreamIndexed(spark, batch, table)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val qualGot = PipelineStreams.qualityFilterStream(batch)
+        .select("doc_id", "is_kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      got.foreach { case (id, r) =>
+        assert(r.getAs[Boolean]("maybe_dup") === bloomGot(id), s"doc $id bloom")
+        assert(r.getAs[Boolean]("is_near_dup") === nearGot(id), s"doc $id near")
+        assert(r.getAs[Boolean]("pass_quality") === qualGot(id), s"doc $id quality")
+        val expect =
+          if (r.getAs[Boolean]("is_eval")) "eval_holdout"
+          else if (!r.getAs[Boolean]("pass_quality")) "quality"
+          else if (r.getAs[Boolean]("maybe_dup")) "duplicate"
+          else if (r.getAs[Boolean]("is_near_dup")) "near_duplicate"
+          else "kept"
+        assert(r.getAs[String]("drop_reason") === expect, s"doc $id")
+        assert(r.getAs[Boolean]("final_kept") === (expect == "kept"), s"doc $id")
+      }
+      // the planted rows hit their designed reasons where deterministic
+      assert(got(evalId).getAs[String]("drop_reason") === "eval_holdout")
+      assert(got(plainIds(2)).getAs[String]("drop_reason") === "quality")
+      assert(got(plainIds(0)).getAs[String]("drop_reason") === "duplicate")
+      // the perturbed doc is near-dup EVIDENCE always; its reason is
+      // near_duplicate unless the changed word set happens to Bloom-FP
+      assert(got(plainIds(1)).getAs[Boolean]("is_near_dup") === true)
+
+      // and the streaming wiring end-to-end (writer form)
+      val input = MemoryStream[StreamDoc](spark)
+      @volatile var streamed: Map[Long, String] = Map.empty
+      val q = PipelineStreams
+        .curationIngestWriter(spark, input.toDF(), table, sf)(
+          (d, _) => streamed = d.select("doc_id", "drop_reason").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap)
+        .start()
+      try {
+        input.addData(
+          StreamDoc(plainIds(0), lang, baseText, ts0),
+          StreamDoc(plainIds(2), lang, "aa aa aa", ts0))
+        q.processAllAvailable()
+        assert(streamed ===
+          Map(plainIds(0) -> "duplicate", plainIds(2) -> "quality"))
+      } finally q.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+  }
+
   test("streaming dedup state survives a checkpointed stop/restart") {
     import graft.streaming.PipelineStreams.StreamDoc
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
