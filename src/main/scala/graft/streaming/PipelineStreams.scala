@@ -579,20 +579,41 @@ object PipelineStreams {
   }
 
   /** Max batch-key count the pushed probes inline into the scan filter:
-    * above this ([[PushChunk]]-sized chunks × 16 scans) the pushed form
-    * stops paying — planning grows linearly in chunks — and the plain
-    * bucketed join is the right plan anyway: a batch that large is a
-    * backfill, not a stream trigger. */
+    * above this the pushed form stops paying — planning and per-scan
+    * footer reads grow linearly in [[PushChunk]]-sized chunks — and the
+    * plain bucketed join is the right plan anyway: a batch that large
+    * is a backfill, not a stream trigger. */
   private[graft] val MaxPushedKeys = 16384
 
-  /** Keys per pushed IN list. Spark translates an IN under the parquet
-    * pushdown threshold into a LEFT-DEEP or(eq, eq, ...) chain (this
-    * parquet version has no set-based In operator), and parquet's
-    * row-group-stat / column-index evaluators walk that chain with one
-    * stack frame per key — measured StackOverflowError at ~3.6k keys.
-    * 1024 bounds the recursion an order of magnitude under that while
-    * keeping a 100-doc × 8-band micro-batch in ONE chunk. */
+  /** Default keys per pushed IN list.
+    *
+    * The precise In is the whole win: parquet evaluates it as an
+    * or(eq, ...) chain that prunes exactly (measured 2.6-3.4 s steady
+    * vs 5.0-5.4 s for the min/max-range form and 4.3 s for the plain
+    * bucketed join, x100 cold harness) - and depth-bounded ALTERNATIVE
+    * SHAPES are unreachable: a balanced Or-of-equals (or of degenerate
+    * ranges) collapses back to sources.In during optimization
+    * (verified empirically), and non-degenerate range trees push but
+    * do not prune like the chain (measured 4.96 s). So the chain's
+    * recursion depth is governed by CHUNKING alone, and chunk count is
+    * the fixed cost that matters: each chunk scan re-pays the index's
+    * per-scan read (~4.5 MB / ~1 s at the x100 index - the same fixed
+    * cost the plain scan pays once), so a typical 100-doc x 8-band
+    * micro-batch must stay in ONE chunk.
+    *
+    * Depth safety: 1024 is verified on every real gate index at both
+    * measured scales (including a 3.6k-key probe = three 1024-chunks);
+    * parquet's recursive evaluators overflowed ONLY on a toy
+    * short-string dictionary column, NON-deterministically (the same
+    * depth passed on retry - residual thread-stack depth decides).
+    * Deployments probing an index whose key column is short and
+    * dictionary-encoded can lower [[PushChunkConf]] (256 measured safe
+    * there under default 1 MB stacks) at the documented per-scan
+    * fixed-cost multiple; the chunk-edges spec pins the 256 path. */
   private[graft] val PushChunk = 1024
+
+  /** Session conf overriding [[PushChunk]] (see its scaladoc). */
+  private[graft] val PushChunkConf = "spark.graft.pushdown.chunk"
 
   /** Constrain a bucketed gate-index scan to a micro-batch's own key
     * set: a parquet-pushed IN on the index's sortBy'd key column, so the
@@ -603,21 +624,28 @@ object PipelineStreams {
     * gate table.
     *
     * Two Spark mechanics handled here: (1) the session's parquet
-    * IN-pushdown threshold is lifted to [[PushChunk]] — above the
+    * IN-pushdown threshold is lifted to the chunk size — above the
     * threshold Spark pushes a min/max RANGE instead, which covers ~the
-    * whole file for hashed keys and silently reverts the probe to a full
-    * scan; (2) key sets beyond [[PushChunk]] split into chunked scans
-    * union'd together (keys are distinct, so a row matches at most one
-    * chunk — no duplicates), keeping each pushed or-chain's recursion
-    * depth bounded. The Catalyst-side residual stays an InSet hash
-    * lookup either way. */
+    * whole file for hashed keys and silently reverts the probe to a
+    * full read; (2) key sets beyond the chunk size split into chunked
+    * scans union'd together (keys are distinct → no duplicate rows),
+    * bounding each pushed or-chain's recursion depth. The Catalyst-side
+    * residual stays an InSet hash lookup either way. Chunk size =
+    * [[PushChunkConf]] if set, else [[PushChunk]] — see the depth/cost
+    * trade documented there. */
   private[graft] def pushKeysIntoScan(spark: SparkSession, base: DataFrame,
                                       keyCol: String,
-                                      keys: Array[Any]): DataFrame = {
+                                      keys: Array[Any]): DataFrame =
+    pushKeysIntoScanChunked(spark, base, keyCol, keys,
+      spark.conf.getOption(PushChunkConf).map(_.toInt).getOrElse(PushChunk))
+
+  private[graft] def pushKeysIntoScanChunked(
+      spark: SparkSession, base: DataFrame, keyCol: String,
+      keys: Array[Any], chunkSize: Int): DataFrame = {
     val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (keys.nonEmpty && spark.conf.get(thresholdKey).toInt <= PushChunk)
-      spark.conf.set(thresholdKey, PushChunk + 1)
-    keys.grouped(PushChunk)
+    if (keys.nonEmpty && spark.conf.get(thresholdKey).toInt <= chunkSize)
+      spark.conf.set(thresholdKey, chunkSize + 1)
+    keys.grouped(chunkSize)
       .map(chunk => base.filter(col(keyCol).isin(chunk.toIndexedSeq: _*)))
       .reduceOption(_ unionAll _)
       .getOrElse(base.filter(lit(false)))

@@ -523,6 +523,43 @@ class StreamGateScaleSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
   }
 
+  test("pushKeysIntoScan chunk edges: empty, exact chunk, chunk+1, conf-driven") {
+    import graft.streaming.PipelineStreams
+    val dir = java.nio.file.Files.createTempDirectory("push_edges").toString
+    spark.range(0, 5000).select(col("id"),
+        concat(lit("k"), col("id")).as("key"))
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    // a 1-key chunk's In simplifies to EqualTo before pushdown — both
+    // forms are a pushed key predicate
+    def pushedScans(df: org.apache.spark.sql.DataFrame): Int =
+      "(In|EqualTo)\\(key,".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // this table is the worst measured case for chain depth (short
+    // dictionary-encoded keys, where the default chunk overflowed
+    // NON-deterministically) — the conf escape hatch pins the safe
+    // chunk, and this spec runs the edges under it
+    val C = 256
+    spark.conf.set(PipelineStreams.PushChunkConf, C.toString)
+    try {
+      // empty key set: no scan at all (constant-folded to empty)
+      val none = PipelineStreams.pushKeysIntoScan(spark, base, "key",
+        Array.empty[Any])
+      assert(none.count() === 0)
+      // exactly one chunk of keys: ONE pushed scan
+      val oneChunk = PipelineStreams.pushKeysIntoScan(spark, base, "key",
+        (0 until C).map(i => s"k$i": Any).toArray)
+      assert(pushedScans(oneChunk) === 1)
+      assert(oneChunk.count() === C)
+      // chunk+1: TWO pushed scans, no duplicate rows across chunks
+      val twoChunks = PipelineStreams.pushKeysIntoScan(spark, base, "key",
+        (0 to C).map(i => s"k$i": Any).toArray)
+      assert(pushedScans(twoChunks) === 2)
+      assert(twoChunks.count() === C + 1)
+      assert(twoChunks.select("key").distinct().count() === C + 1)
+    } finally spark.conf.unset(PipelineStreams.PushChunkConf)
+  }
+
   // No pushed simhash test: the pushed form was built, measured 20x
   // WORSE than the plain bucketed probe at x100 (combo_key's 20-run
   // interleaved sort defeats page pruning — 91 MB/30.7 s vs 2 MB/1.5 s
