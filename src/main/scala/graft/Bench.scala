@@ -31,16 +31,21 @@ object BenchWindow {
     * idle box) cannot produce a MONOTONE 15% rise across three runs. */
   val DriftRise = 1.15
 
-  /** True iff the last [[DriftRuns]] factors (including `cur`) are
-    * monotonically non-decreasing AND the cumulative rise over that
-    * suffix is ≥ [[DriftRise]]. A single fast run anywhere in the suffix
-    * resets the alarm — exactly the "floors ratchet down on fast runs"
-    * recovery the normalized flag already relies on. */
+  /** True iff the longest STRICTLY-increasing suffix of the factor
+    * series (including `cur`) spans ≥ [[DriftRuns]] runs AND rises ≥
+    * [[DriftRise]] cumulatively. The FULL rising suffix, not a fixed
+    * 3-run tail (r14 review): a fixed window misses any compounding
+    * slower than DriftRise^(1/(DriftRuns-1)) ≈ 7%/run forever — each
+    * 3-run slice stays under the bar while the series doubles. Strict
+    * increase so a flat history followed by one noisy window does not
+    * read as a "multi-run" rise (equality resets, as does any faster
+    * run — the same recovery semantics the normalized flag relies on). */
   def drift(history: Seq[Double], cur: Double): Boolean = {
-    val h = (history :+ cur).takeRight(DriftRuns)
-    h.length == DriftRuns &&
-      h.sliding(2).forall(p => p(1) >= p(0)) &&
-      h.last >= DriftRise * h.head
+    val h = history :+ cur
+    val suffix = h.reverse.zip(h.reverse.tail)
+      .takeWhile { case (later, earlier) => later > earlier }
+      .length + 1
+    suffix >= DriftRuns && h.last >= DriftRise * h(h.length - suffix)
   }
 
   /** Sidecar history path for a floor file. */
@@ -50,9 +55,13 @@ object BenchWindow {
 
   def loadHistory(f: java.io.File): Seq[Double] =
     if (!f.exists()) Seq.empty
-    else scala.io.Source.fromFile(f).getLines().toSeq
-      .flatMap("\"window_factor\"\\s*:\\s*([0-9.eE+-]+)".r
-        .findFirstMatchIn(_).map(_.group(1).toDouble))
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toSeq
+        .flatMap("\"window_factor\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findFirstMatchIn(_).map(_.group(1).toDouble))
+      finally src.close()
+    }
 
   def appendHistory(f: java.io.File, factor: Double, total: Double): Unit = {
     val w = new java.io.FileWriter(f, true)
@@ -349,9 +358,15 @@ object Bench {
     // Window-factor drift (r13 verdict #7): compare against the persisted
     // full-run history BEFORE appending this run, append only on full
     // runs (subsets measure a biased sliver of the surface).
+    // Subset runs neither append NOR evaluate drift (r14 review): a
+    // subset's windowFactor is the floor-ratio of a biased sliver (often
+    // one row), and comparing it against FULL-run history manufactures
+    // exactly the false "multi-run rise" the append-gate exists to
+    // prevent.
     val histFile = BenchWindow.historyFile(baselineFile)
     val windowHistory = BenchWindow.loadHistory(histFile)
-    val windowDrift = BenchWindow.drift(windowHistory, windowFactor)
+    val windowDrift =
+      subset.isEmpty && BenchWindow.drift(windowHistory, windowFactor)
     if (subset.isEmpty)
       BenchWindow.appendHistory(histFile, windowFactor, total)
 

@@ -246,7 +246,18 @@ object DeferredDelete {
     val p = new Path(leaseDir(baseDir, topic), s"$id.json")
     val lease = liveLeases(conf, baseDir, topic, nowMs = Long.MinValue)
       .find(_.id == id)
-    if (lease.isEmpty) return false
+    if (lease.isEmpty) {
+      // Orphan sweep (r14 review): a PRIOR renewal that crashed between
+      // its recreating write and its tombstone-check delete leaves the
+      // lease file + tombstone COEXISTING — liveLeases skips tombstoned
+      // ids, so without this cleanup no later renewal would ever reach
+      // the undo and the pair would pin a dir entry forever
+      // (gcReleasedTombstones keeps a tombstone while its file exists).
+      if (metaFs(p, conf).exists(releasedTombstone(baseDir, topic, id)) &&
+          metaFs(p, conf).exists(p))
+        metaFs(p, conf).delete(p, false)
+      return false
+    }
     val (holder, acquiredMs) = (lease.get.holder, lease.get.acquiredMs)
     // atomic publish like writeManifest: a reaper's liveLeases scan
     // running concurrently with a renewal must see the old or the new
@@ -354,7 +365,12 @@ object DeferredDelete {
             .map(_.group(1).toLong))
         val leaseGone = !fs.exists(
           new Path(dir, n.stripSuffix(".released") + ".json"))
-        if (leaseGone && releasedMs.forall(_ < horizonMs))
+        // exists(_ < horizon), NOT forall (r14 review): an unparseable
+        // released_ms (torn read on a store without atomic rename) must
+        // KEEP the tombstone — forall(None) = true would GC it while
+        // potentially seconds old, re-opening the renew/release race
+        // window the horizon exists to bound
+        if (leaseGone && releasedMs.exists(_ < horizonMs))
           fs.delete(st.getPath, false)
       }
     }

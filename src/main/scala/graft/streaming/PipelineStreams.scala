@@ -661,7 +661,16 @@ object PipelineStreams {
     * is computed twice (key collect + join) — deliberately: re-hashing
     * the BATCH is batch-sized CPU, while persisting it per micro-batch
     * would leak cache entries across thousands of triggers. Falls back
-    * to the plain bucketed join above [[MaxPushedKeys]]. */
+    * to the plain bucketed join above [[MaxPushedKeys]].
+    *
+    * SESSION SIDE EFFECT: the first pushed probe lifts the session's
+    * `spark.sql.parquet.pushdown.inFilterThreshold` to the pushdown
+    * chunk size (and leaves it there — the plan is compiled lazily, so
+    * a save/restore would race execution). Other queries in the same
+    * session with large `isin` filters then also push exact or-chains
+    * instead of min/max ranges; usually faster, but a deployment that
+    * objects can cap it via `spark.graft.pushdown.chunk` (see
+    * [[pushKeysIntoScan]]). */
   def ngramNearDupBatchPushed(spark: SparkSession, batch: DataFrame,
                               indexTable: String): DataFrame = {
     requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)

@@ -32,13 +32,27 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(!BenchWindow.drift(Seq(1.0), 1.5))
   }
 
-  test("only the last DriftRuns runs are considered") {
+  test("the FULL rising suffix is considered, not a fixed 3-run tail") {
     // ancient slow era followed by a recovered, re-rising window: the
     // suffix (1.0, 1.1, 1.2) rises 1.2x >= 1.15 -> alarms regardless of
     // the old prefix
     assert(BenchWindow.drift(Seq(2.0, 1.0, 1.1), 1.2))
-    // suffix (1.2, 1.25, 1.3): monotone but 1.083x < 1.15 -> quiet
-    assert(!BenchWindow.drift(Seq(1.0, 1.2, 1.25), 1.3))
+    // slow compounding (~4%/run): every 3-run slice stays under 1.15,
+    // but the full suffix crosses it — the case a fixed tail misses
+    // FOREVER (r14 review); this is the rule's reason to exist
+    assert(BenchWindow.drift(Seq(1.0, 1.04, 1.08, 1.12), 1.17))
+    // same series cut before the cumulative bar: quiet
+    assert(!BenchWindow.drift(Seq(1.0, 1.04), 1.08))
+    // the pre-r14 fixed-tail rule called this quiet (last-3 rise only
+    // 1.083x); the full suffix 1.0 -> 1.3 is real drift
+    assert(BenchWindow.drift(Seq(1.0, 1.2, 1.25), 1.3))
+  }
+
+  test("flat history plus one noisy window is not a multi-run rise") {
+    // equality is not a rise: a strictly-flat era followed by a single
+    // in-variance window must not read as sustained drift
+    assert(!BenchWindow.drift(Seq(1.0, 1.0), 1.16))
+    assert(!BenchWindow.drift(Seq(1.2, 1.2, 1.2), 1.38))
   }
 
   test("history round-trips through the sidecar JSONL") {

@@ -152,6 +152,22 @@ class DeferredDeleteSpec extends AnyFunSuite {
       ttlMs = 1000000L, nowMs = 7000L), "renew of a released lease must report lost")
     assert(DeferredDelete.liveLeases(spark, dir, "ev3", nowMs = Long.MinValue)
       .isEmpty, "renew of a released lease must not recreate the file")
+    // orphan sweep (r14 review): a renewal that crashed between its
+    // recreating write and its tombstone-check delete leaves lease file
+    // + tombstone coexisting, and liveLeases skips tombstoned ids — the
+    // NEXT renewal's miss path must clean the orphan up, or the pair
+    // pins a dir entry forever (gc keeps tombstones while files exist)
+    val conf = spark.sessionState.newHadoopConf()
+    val leaseFile = new org.apache.hadoop.fs.Path(
+      s"$dir/topic_ev3/_leases/$id.json")
+    val fs = leaseFile.getFileSystem(conf)
+    val out = fs.create(leaseFile, true)
+    out.write("""{"holder":"crashed","acquired_ms":1,"expires_ms":2}"""
+      .getBytes("UTF-8")); out.close()
+    assert(!DeferredDelete.renewLease(spark, dir, "ev3", id,
+      ttlMs = 1000000L, nowMs = 8000L))
+    assert(!fs.exists(leaseFile),
+      "a tombstoned orphan lease file must be swept by the next renewal")
   }
 
   test("clock-skew margin: a skewed reaper must NOT unlink under a live lease") {

@@ -26,10 +26,20 @@ LOG="${OUT%.json}.log"
 SF10=/root/repo/.localdata/sf10
 if [ ! -f "$SF10/documents.parquet" ]; then
   echo "[sf10_gate] generating 100x data at $SF10" >&2
-  python3 tools/gen_sf10.py "$SF10" 100
+  # generate into a temp dir and mv into place: gen_sf10.py writes
+  # incrementally to its final paths, so a crash mid-generation would
+  # otherwise leave a PARTIAL table behind the existence guard — and a
+  # later full run would min-merge artificially fast floors over the
+  # truncated data into the committed baseline (floors never ratchet
+  # back up)
+  TMP="$SF10.tmp.$$"
+  rm -rf "$TMP"
+  python3 tools/gen_sf10.py "$TMP" 100
   for t in region nation customer supplier part orders lineitem; do
-    [ -e "$SF10/$t.parquet" ] || ln -s "/root/testdata/sf0.1/$t.parquet" "$SF10/$t.parquet"
+    [ -e "$TMP/$t.parquet" ] || ln -s "/root/testdata/sf0.1/$t.parquet" "$TMP/$t.parquet"
   done
+  rm -rf "$SF10"
+  mv "$TMP" "$SF10"
 fi
 
 SPARK_GRAFT_SF_DIR="$SF10" \
