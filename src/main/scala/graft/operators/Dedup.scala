@@ -1498,7 +1498,102 @@ object Dedup {
       .saveAsTable(table)
     spark.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES('graft.banding' = '$banding')")
+    // r14 verdict #4: measure (don't hand-pick) whether batch-key
+    // pushdown pays on THIS index's layout, and stamp the verdict next
+    // to the banding descriptor so the gate writers can select the
+    // probe form from data. keys.last is the pushed column (the sortBy
+    // minor key the pushed IN constrains).
+    stampProbeStats(spark, table, keys.last)
   }
+
+  /** Max acceptable [[measureKeyRuns]] for the pushed probe form.
+    * Calibrated against the r14 single-run gate table's two regimes:
+    * the layouts where pushdown WON have run counts bounded by their
+    * (small) leading-column cardinality — minhash band_key = 4 band_j
+    * runs, ngram pkey = 8 band_j runs — while the layout where it lost
+    * 20× in time and 45× in bytes has 20 (simhash combo_key under 20
+    * combo_j runs), and a layout with no key ordering at all measures
+    * ~rows/2. 12 is the midpoint of the measured good (≤8) and bad
+    * (≥20) regimes. */
+  private[graft] val KeyRunsMax = 12.0
+
+  /** Measure + record the index key's page selectivity (r14 verdict #4,
+    * making the round-14 item-10 decision rule — "pushdown pays iff the
+    * sortBy key is page-selective for probe keys" — executable instead
+    * of hand-applied per family). Returns (runs, form) and stamps both
+    * into TBLPROPERTIES as `graft.key_runs` / `graft.probe_form` (plus
+    * `graft.probe_key`). One extra scan of the (small, artifact) index
+    * at build time. */
+  private[graft] def stampProbeStats(spark: SparkSession, table: String,
+                                     keyCol: String): (Double, String) = {
+    val runs = measureKeyRuns(spark, table, keyCol)
+    val form = if (runs <= KeyRunsMax) "pushed" else "plain"
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.probe_key' = '$keyCol', 'graft.key_runs' = '$runs', " +
+      s"'graft.probe_form' = '$form')")
+    (runs, form)
+  }
+
+  /** Page-selectivity statistic of `keyCol` under the table's PHYSICAL
+    * layout: the average number of maximal non-descending runs of the
+    * key per file, in stored row order (parquet's own orderings —
+    * signed numeric / lexicographic). This is the layout property that
+    * PREDICTS pushed-IN page pruning at any scale: a probe key can
+    * match at most min(runs, pages-per-file) of a file's column-index
+    * pages, so a run-count-bounded layout (key sorted under a
+    * small-cardinality leading column) stays page-selective as the
+    * index grows 100×, while a layout whose runs rival the page count
+    * degrades to "page min/max matches everything" — the measured
+    * simhash failure (91 MB / 30.7 s per batch vs plain 2 MB / 1.5 s).
+    * A direct simulated-read fraction was tried first and rejected: at
+    * build scales where the whole file is a handful of pages it
+    * saturates for EVERY layout (good and degenerate both measured ~41
+    * matched windows at sf0.1) and so cannot gate anything.
+    *
+    * Cost: one pass over the (artifact-sized) index per build; the run
+    * counter is a per-partition fold tracking file boundaries via
+    * `input_file_name`, so concatenated files in one scan partition
+    * don't charge a spurious descent. */
+  private[graft] def measureKeyRuns(spark: SparkSession, table: String,
+                                    keyCol: String): Double = {
+    val df = spark.table(table)
+      .select(col(keyCol).as("k"), input_file_name().as("f"))
+    val (runs, files) = df.rdd.mapPartitions { it =>
+      var runs = 0L
+      var files = 0L
+      var prevFile: String = null
+      var prevKey: Any = null
+      def descends(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, _) | (_, null) => false
+        case (x: String, y: String) => x.compareTo(y) > 0
+        case (x: Long, y: Long) => x > y
+        case (x: Int, y: Int) => x > y
+        case (x: Double, y: Double) => x > y
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+          x.compareTo(y) > 0
+        case _ => false // unordered type: no descent evidence
+      }
+      it.foreach { r =>
+        val k = r.get(0)
+        val f = r.getString(1)
+        if (f != prevFile) { files += 1; runs += 1; prevFile = f }
+        else if (descends(prevKey, k)) runs += 1
+        prevKey = k
+      }
+      Iterator.single((runs, files))
+    }.fold((0L, 0L)) { case ((r1, f1), (r2, f2)) => (r1 + r2, f1 + f2) }
+    if (files == 0L) 1.0 else runs.toDouble / files
+  }
+
+  /** The measured probe form stamped at index build time, if present
+    * (indexes written before r15 lack it — callers decide whether to
+    * demand a rebuild). */
+  private[graft] def gateProbeForm(spark: SparkSession,
+                                   table: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst {
+        case r if r.getString(0) == "graft.probe_form" => r.getString(1)
+      }
 
   /** The banding descriptor a gate index table was written with. */
   private[graft] def gateIndexBanding(spark: SparkSession,

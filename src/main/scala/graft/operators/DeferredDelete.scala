@@ -353,10 +353,20 @@ object DeferredDelete {
     * masking until the next renewal cleans it up). */
   private def gcReleasedTombstones(
       conf: org.apache.hadoop.conf.Configuration,
-      baseDir: String, topic: String, horizonMs: Long): Unit = {
+      baseDir: String, topic: String, nowMs: Long,
+      tombstoneHorizonMs: Long): Unit = {
+    val horizonMs = nowMs - tombstoneHorizonMs
+    // an unparseable released_ms keeps a tombstone past the primary
+    // horizon, but not FOREVER (r14 advice: the conservatism was right,
+    // the silent permanent dir-entry leak was not): once the FILE ITSELF
+    // is older than several full horizon windows by modification time —
+    // a bound no torn write can fake newer — the entry is garbage
+    val secondaryHorizonMs = nowMs - UnparseableTombstoneFactor *
+      tombstoneHorizonMs
     val dir = leaseDir(baseDir, topic)
     val fs = metaFs(dir, conf)
     if (!fs.exists(dir)) return
+    var unparseableKept = 0
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(".released")) {
@@ -372,9 +382,24 @@ object DeferredDelete {
         // window the horizon exists to bound
         if (leaseGone && releasedMs.exists(_ < horizonMs))
           fs.delete(st.getPath, false)
+        else if (leaseGone && releasedMs.isEmpty) {
+          if (st.getModificationTime < secondaryHorizonMs)
+            fs.delete(st.getPath, false)
+          else unparseableKept += 1
+        }
       }
     }
+    if (unparseableKept > 0)
+      System.err.println(s"[graft-reap] $topic: $unparseableKept lease " +
+        "tombstone(s) with unparseable released_ms retained (torn " +
+        "write?); each is GC'd by file age once " +
+        s"${UnparseableTombstoneFactor}x the tombstone horizon passes")
   }
+
+  /** How many tombstone-horizon windows an UNPARSEABLE released-lease
+    * tombstone survives before file-age GC reclaims it (see
+    * [[gcReleasedTombstones]]). */
+  private[graft] val UnparseableTombstoneFactor = 4L
 
   // ---- the deferred compact + reap pair ----
 
@@ -436,7 +461,7 @@ object DeferredDelete {
            tombstoneHorizonMs: Long = DefaultTombstoneHorizonMs)
       : (Seq[String], Seq[String]) = {
     gcReleasedTombstones(spark.sessionState.newHadoopConf(), baseDir, topic,
-      nowMs - tombstoneHorizonMs)
+      nowMs, tombstoneHorizonMs)
     val entries = retired(spark, baseDir, topic)
     if (entries.isEmpty) return (Seq.empty, Seq.empty)
     val leases = liveLeases(spark, baseDir, topic, nowMs - maxSkewMs)

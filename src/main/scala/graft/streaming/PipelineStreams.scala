@@ -491,9 +491,45 @@ object PipelineStreams {
     val base = spark.table(indexTable)
     docs.writeStream.foreachBatch {
       (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(minhashPushedProbe(spark, b.toDF(), base), id)
+        PushThresholdScope.scoped(spark, configuredChunk(spark)) {
+          sink(minhashPushedProbe(spark, b.toDF(), base), id)
+        }
     }
   }
+
+  /** [[minhashNearDupPushedWriter]] / plain bucketed probe, SELECTED BY
+    * THE INDEX'S MEASURED LAYOUT (r14 verdict #4): the build-time
+    * `graft.probe_form` stamp ([[graft.operators.Dedup.stampProbeStats]])
+    * decides pushed vs plain, so a future index whose key layout
+    * degrades page pruning cannot silently inherit the pushed path's
+    * simhash failure mode (91 MB / 30.7 s per batch, measured and
+    * removed in r14). Requires an index built after the stamp existed
+    * (rebuild with [[graft.operators.Dedup.writeMinhashIndexTable]]). */
+  def minhashNearDupWriter(spark: SparkSession, docs: DataFrame,
+      indexTable: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.MinhashBanding)
+    val base = spark.table(indexTable)
+    val pushed = selectedProbeForm(spark, indexTable) == "pushed"
+    docs.writeStream.foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (pushed)
+          PushThresholdScope.scoped(spark, configuredChunk(spark)) {
+            sink(minhashPushedProbe(spark, b.toDF(), base), id)
+          }
+        else sink(minhashVerifyRollup(minhashBandFrame(b.toDF()), base), id)
+    }
+  }
+
+  /** The `graft.probe_form` stamped on the index at build time; an
+    * unstamped (pre-r15) index fails fast with the rebuild hint instead
+    * of silently guessing a form. */
+  private def selectedProbeForm(spark: SparkSession, table: String): String =
+    graft.operators.Dedup.gateProbeForm(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"index table $table has no graft.probe_form property — rebuild " +
+          "it with the write*IndexTable builders (probe form is measured " +
+          "from the key layout at build time)"))
 
   /** Streaming char-3-gram Jaccard near-dup detection against a STATIC
     * base corpus — the ingest-time shape of `ngram_jaccard`, completing
@@ -615,6 +651,57 @@ object PipelineStreams {
   /** Session conf overriding [[PushChunk]] (see its scaladoc). */
   private[graft] val PushChunkConf = "spark.graft.pushdown.chunk"
 
+  /** [[PushChunkConf]] if set (validated: a malformed or non-positive
+    * value fails with an error NAMING the conf, not a bare
+    * NumberFormatException from inside a foreachBatch trigger — r14
+    * advice), else [[PushChunk]]. */
+  private[graft] def configuredChunk(spark: SparkSession): Int =
+    spark.conf.getOption(PushChunkConf) match {
+      case None => PushChunk
+      case Some(s) =>
+        val n =
+          try s.trim.toInt
+          catch {
+            case e: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$PushChunkConf must be a positive integer, got '$s'", e)
+          }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"$PushChunkConf must be a positive integer, got '$s'")
+        n
+    }
+
+  /** Scopes the session's parquet IN-pushdown threshold to a pushed
+    * probe's batch lifecycle (r14 verdict #5): the foreachBatch writer
+    * OWNS the action, so raising the threshold on entry and restoring
+    * the prior value after the sink returns cannot race lazy plan
+    * compilation the way a restore around mere DataFrame construction
+    * would. Ref-counted per session so two pushed gate streams whose
+    * batches interleave don't restore the threshold under each other
+    * mid-batch (the first scope in records the prior value; the last
+    * scope out restores it). Net effect: zero session-conf change once
+    * all in-flight pushed batches complete. */
+  private object PushThresholdScope {
+    private val Key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    private val states =
+      scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
+    def scoped[T](spark: SparkSession, chunkSize: Int)(body: => T): T = {
+      states.synchronized {
+        val (depth, prior) =
+          states.getOrElse(spark, (0, spark.conf.get(Key)))
+        states(spark) = (depth + 1, prior)
+        if (spark.conf.get(Key).toInt <= chunkSize)
+          spark.conf.set(Key, (chunkSize + 1).toString)
+      }
+      try body
+      finally states.synchronized {
+        val (depth, prior) = states(spark)
+        if (depth <= 1) { states.remove(spark); spark.conf.set(Key, prior) }
+        else states(spark) = (depth - 1, prior)
+      }
+    }
+  }
+
   /** Constrain a bucketed gate-index scan to a micro-batch's own key
     * set: a parquet-pushed IN on the index's sortBy'd key column, so the
     * per-batch read is the PAGES THE KEYS TOUCH (row-group dictionary +
@@ -637,7 +724,7 @@ object PipelineStreams {
                                       keyCol: String,
                                       keys: Array[Any]): DataFrame =
     pushKeysIntoScanChunked(spark, base, keyCol, keys,
-      spark.conf.getOption(PushChunkConf).map(_.toInt).getOrElse(PushChunk))
+      configuredChunk(spark))
 
   private[graft] def pushKeysIntoScanChunked(
       spark: SparkSession, base: DataFrame, keyCol: String,
@@ -663,14 +750,16 @@ object PipelineStreams {
     * would leak cache entries across thousands of triggers. Falls back
     * to the plain bucketed join above [[MaxPushedKeys]].
     *
-    * SESSION SIDE EFFECT: the first pushed probe lifts the session's
-    * `spark.sql.parquet.pushdown.inFilterThreshold` to the pushdown
-    * chunk size (and leaves it there — the plan is compiled lazily, so
-    * a save/restore would race execution). Other queries in the same
-    * session with large `isin` filters then also push exact or-chains
-    * instead of min/max ranges; usually faster, but a deployment that
-    * objects can cap it via `spark.graft.pushdown.chunk` (see
-    * [[pushKeysIntoScan]]). */
+    * SESSION SIDE EFFECT (direct API only): a pushed probe lifts the
+    * session's `spark.sql.parquet.pushdown.inFilterThreshold` to the
+    * pushdown chunk size, and this DIRECT form leaves it raised — the
+    * returned plan is compiled lazily, so a save/restore here would
+    * race execution. The STREAMING WRITERS restore it: they own the
+    * batch lifecycle, so each trigger runs inside
+    * [[PushThresholdScope]] and the session conf is back to its prior
+    * value once in-flight pushed batches drain (r14 verdict #5).
+    * Deployments using the direct form can cap the raise via
+    * `spark.graft.pushdown.chunk` (see [[pushKeysIntoScan]]). */
   def ngramNearDupBatchPushed(spark: SparkSession, batch: DataFrame,
                               indexTable: String): DataFrame = {
     requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
@@ -716,7 +805,28 @@ object PipelineStreams {
     val base = spark.table(indexTable)
     docs.writeStream.foreachBatch {
       (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(ngramPushedProbe(spark, b.toDF(), base), id)
+        PushThresholdScope.scoped(spark, configuredChunk(spark)) {
+          sink(ngramPushedProbe(spark, b.toDF(), base), id)
+        }
+    }
+  }
+
+  /** [[ngramNearDupPushedWriter]] / plain bucketed probe, SELECTED BY
+    * THE INDEX'S MEASURED LAYOUT — see [[minhashNearDupWriter]] for the
+    * mechanism (r14 verdict #4). */
+  def ngramNearDupWriter(spark: SparkSession, docs: DataFrame,
+      indexTable: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireBanding(spark, indexTable, graft.operators.Dedup.NgramBanding)
+    val base = spark.table(indexTable)
+    val pushed = selectedProbeForm(spark, indexTable) == "pushed"
+    docs.writeStream.foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (pushed)
+          PushThresholdScope.scoped(spark, configuredChunk(spark)) {
+            sink(ngramPushedProbe(spark, b.toDF(), base), id)
+          }
+        else sink(ngramProbe(b.toDF(), base), id)
     }
   }
 
@@ -1220,9 +1330,18 @@ object PipelineStreams {
     val baseKeys = graft.sources.Tables.load(spark, baseSfDir, "documents")
       .select(Curation.wordSetHash(col("text")).as("th"))
     val bloomProbe = Curation.bloomLiteral(baseKeys, "th", maxBloomBytes)
+    // probe form from the index's build-time layout measurement (r14
+    // verdict #4); an unstamped index fails fast at construction.
+    val pushed = selectedProbeForm(spark, ngramIndexTable) == "pushed"
     docs.writeStream.foreachBatch {
       (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(curationIngestBatch(spark, b.toDF(), base, bloomProbe), id)
+        if (pushed)
+          PushThresholdScope.scoped(spark, configuredChunk(spark)) {
+            sink(curationIngestBatch(spark, b.toDF(), base, bloomProbe,
+              pushed = true), id)
+          }
+        else sink(curationIngestBatch(spark, b.toDF(), base, bloomProbe,
+          pushed = false), id)
     }
   }
 
@@ -1230,7 +1349,7 @@ object PipelineStreams {
     * can drive it as a plain batch function. */
   private[graft] def curationIngestBatch(
       spark: SparkSession, batch: DataFrame, ngramBase: DataFrame,
-      bloomProbe: Option[Column]): DataFrame = {
+      bloomProbe: Option[Column], pushed: Boolean = true): DataFrame = {
     import graft.operators.Curation
     val flagged = Curation.qualityFlags(batch)
       .withColumn("pass_quality", col("pass_word_count") &&
@@ -1245,7 +1364,8 @@ object PipelineStreams {
         .withColumn("maybe_dup", p)
         .drop("th")
     }
-    val near = ngramPushedProbe(spark, batch, ngramBase)
+    val near = (if (pushed) ngramPushedProbe(spark, batch, ngramBase)
+                else ngramProbe(batch, ngramBase))
       .select(col("doc_id"), lit(true).as("near_flag"),
         col("max_jaccard"), col("example_base_doc"))
     withDup.join(near, Seq("doc_id"), "left")

@@ -301,4 +301,29 @@ class DeferredDeleteSpec extends AnyFunSuite {
     assert(DeferredDelete.reaped(spark, dir, "ev3") === ts2)
     assert(manifest.exists()) // truncation writes an empty manifest, not rm
   }
+
+  test("unparseable lease tombstone: retained past the primary horizon, " +
+      "GC'd by file age at the secondary one (r14 advice)") {
+    val dir = Files.createTempDirectory("flyq-deferred-torn").toString
+    val leases = new java.io.File(s"$dir/topic_evt/_leases")
+    assert(leases.mkdirs())
+    val torn = new java.io.File(leases, "deadbeef.released")
+    // a torn write on a non-atomic store: content with no released_ms
+    java.nio.file.Files.write(torn.toPath,
+      """{"released_""".getBytes("UTF-8"))
+    // primary horizon long past the (synthetic) release time, file mtime
+    // recent: the conservative rule must RETAIN it
+    DeferredDelete.reap(spark, dir, "evt", nowMs = 100000L,
+      maxSkewMs = 0L, tombstoneHorizonMs = 1000L)
+    assert(torn.exists(),
+      "a fresh unparseable tombstone must survive the primary horizon")
+    // age the FILE past the secondary horizon (4x the tombstone window):
+    // modification time is a bound no torn content can fake newer
+    java.nio.file.Files.setLastModifiedTime(torn.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    DeferredDelete.reap(spark, dir, "evt", nowMs = 100000L,
+      maxSkewMs = 0L, tombstoneHorizonMs = 1000L)
+    assert(!torn.exists(),
+      "an unparseable tombstone must not leak forever — file-age GC")
+  }
 }

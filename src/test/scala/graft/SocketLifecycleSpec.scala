@@ -278,4 +278,81 @@ class SocketLifecycleSpec extends AnyFunSuite {
       assert(gr.offset === 2L, "group offset survives restart")
     } finally { c2.close(); s2.stop() }
   }
+
+  test("live-socket stream (r14 verdict #6): produced messages arrive as " +
+      "a DataFrame; watermarks/lag match the batch twins") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-sock-stream").toString
+    val server = new FlyqServer(dir, numPartitions = 2)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    val q = spark.readStream
+      .format("graft.sources.v2.FlyqSocketSource")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("topic", "t").option("partitions", "2")
+      .load()
+      .writeStream.format("memory").queryName("flyq_sock")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-sock-ckpt").toString)
+      .start()
+    try {
+      // 8 keyed (two keys, deterministic xxh3 routing) + 4 keyless (rr)
+      val acks = (0 until 8).map { i =>
+        val Right(a) = c.produce("t", WireMessage(3000L + i,
+          Some(b(if (i % 2 == 0) "alpha" else "beta")), b(s"m$i"),
+          Nil)): @unchecked
+        (a.partition, a.offset, 3000L + i, s"m$i")
+      } ++ (0 until 4).map { i =>
+        val Right(a) = c.produce("t", WireMessage(4000L + i, None,
+          b(s"rr$i"), Nil)): @unchecked
+        (a.partition, a.offset, 4000L + i, s"rr$i")
+      }
+      // a committed group for the lag twin
+      assert(c.commitOffset("t", 0L, "g", 1L).isRight)
+      q.processAllAvailable()
+      val got = spark.table("flyq_sock")
+      // row-level: every produced message arrives exactly once, with the
+      // ack's (partition, offset) and the original payload
+      val rows = got.select("part_id", "msg_offset", "ts_ms", "mvalue")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+      assert(rows === acks.toSet)
+
+      // watermark twin #1: the streamed frame's per-partition triple
+      // equals the batch FILE source's over the same broker dir (the
+      // server writes the layout SegmentFiles reads)
+      def wm(df: org.apache.spark.sql.DataFrame) =
+        graft.model.LogModel.watermarks(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      val streamWm = wm(got)
+      val batchWm = wm(
+        graft.sources.SegmentFiles.readTopic(spark, dir, "t"))
+      assert(streamWm === batchWm)
+      // watermark twin #2: and both equal the server's own Watermark RPC
+      streamWm.foreach { case (p, low, high, end) =>
+        val Right(w) = c.watermark("t", p): @unchecked
+        assert((w.lowWatermark, w.highWatermark, w.logEndOffset) ===
+          ((low, high, end)), s"partition $p")
+      }
+      // lag twin: server RPC lag == streamed log_end - committed
+      val Right(lag) = c.consumerLag("g"): @unchecked
+      val streamEnd = streamWm.find(_._1 == 0L).get._4
+      val pl = lag.partitions.find(p => p.topic == "t" && p.partition == 0L).get
+      assert(pl.lag === streamEnd - 2L) // committed offset 1 => 2 consumed
+      assert(pl.highWatermark === streamEnd - 1L)
+
+      // live tail: later produces arrive as a DELTA batch (the planner
+      // diffs offsets; nothing re-read)
+      val Right(a2) = c.produce("t", WireMessage(5000L, Some(b("alpha")),
+        b("late"), Nil)): @unchecked
+      q.processAllAvailable()
+      val after = spark.table("flyq_sock")
+      assert(after.count() === acks.size + 1)
+      assert(after.filter(col("msg_offset") === a2.offset &&
+        col("part_id") === a2.partition).count() === 1)
+    } finally { q.stop(); c.close(); server.stop() }
+  }
 }

@@ -18,10 +18,15 @@ REPS=100 with two changes gen_sf1.py could not absorb:
   density stays exactly sf0.1's. Both directions are how real event
   stores actually grow 100x (more users AND longer history).
 
-Only documents / embeddings / events are generated: the sf10 sweep
-targets the pair builds, span family, SRP path and dedup_components
-(SURVEY §7.13), none of which touch the TPC-H relational family — the
-relational 10x evidence stands at sf1.
+documents / embeddings / events are generated at 100x; the TPC-H fact
+tables (customer / supplier / part / orders / lineitem) at 10x via
+key-offset replicas with referential integrity preserved (o_custkey
+offsets track the customer stride, lineitem's three foreign keys track
+orders/part/supplier — every join row count scales exactly 10x).
+region / nation stay 1x symlinks: they are the FIXED 5/25-row dimension
+tables; scaling them would change join semantics, not stress anything.
+(r14 verdict #3: before this, TPC-H rode at 1x symlinks and the
+relational rows in the sf10 gate measured nothing beyond sf0.1.)
 
 Usage: python3 tools/gen_sf10.py [outdir=/tmp/sf10] [reps=100]
 """
@@ -155,3 +160,50 @@ for k in range(REPS):
 writer.close()
 print(f"events: {total_ev} (user-disjoint replicas: {user_reps}, "
       f"time-shift unit us: {shift_unit_us})")
+
+# ---- TPC-H fact tables at 10x (r14 verdict #3) ----
+# Key-offset replicas: every primary key gets k*stride; every foreign
+# key gets k*(referenced table's stride), so each replica's joins hit
+# exactly its own replica — row counts, join fan-outs and group sizes
+# all scale 10x with no cross-replica collisions. Non-key columns ride
+# verbatim (duplicate names/prices across replicas are how a real store
+# grows: more entities, same value distributions).
+TPCH_REPS = 10
+
+
+def stride(tab, col):
+    return pc.max(tab.column(col)).as_py() + 1
+
+
+tpch = {t: pq.read_table(f"{SRC}/{t}.parquet")
+        for t in ["customer", "supplier", "part", "orders", "lineitem"]}
+strides = {
+    "c": stride(tpch["customer"], "c_custkey"),
+    "s": stride(tpch["supplier"], "s_suppkey"),
+    "p": stride(tpch["part"], "p_partkey"),
+    "o": stride(tpch["orders"], "o_orderkey"),
+}
+# column -> stride key (primary and foreign keys share the referenced
+# table's stride)
+key_cols = {
+    "c_custkey": "c", "o_custkey": "c",
+    "s_suppkey": "s", "l_suppkey": "s",
+    "p_partkey": "p", "l_partkey": "p",
+    "o_orderkey": "o", "l_orderkey": "o",
+}
+for name, tab in tpch.items():
+    writer = pq.ParquetWriter(f"{OUT}/{name}.parquet", tab.schema)
+    total = 0
+    for k in range(TPCH_REPS):
+        arrays = []
+        for c in tab.column_names:
+            colv = tab.column(c).combine_chunks()
+            if c in key_cols and k > 0:
+                off = k * strides[key_cols[c]]
+                colv = pc.add(colv, pa.scalar(off, tab.schema.field(c).type))
+            arrays.append(colv)
+        rep = pa.table(arrays, names=tab.column_names)
+        writer.write_table(rep)
+        total += rep.num_rows
+    writer.close()
+    print(f"{name}: {total}")
