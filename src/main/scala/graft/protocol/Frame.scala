@@ -18,8 +18,10 @@ import net.jpountz.xxhash.XXHashFactory
   * network reader can re-buffer (frame.rs:57-77), and fails on checksum
   * mismatch or unknown frame type.
   *
-  * This codec exists for protocol parity tests and a future live-socket
-  * ingestion source; the batch/streaming query surface never touches it.
+  * This codec serves the protocol parity tests, [[FlyqServer]] /
+  * [[FlyqClient]], and the live-socket ingestion source
+  * ([[graft.sources.v2.FlyqSocketSource]], r15); the batch query surface
+  * never touches it.
   */
 object Frame {
 
