@@ -355,4 +355,68 @@ class SocketLifecycleSpec extends AnyFunSuite {
         col("part_id") === a2.partition).count() === 1)
     } finally { q.stop(); c.close(); server.stop() }
   }
+
+  test("socket producer sink: a streaming frame lands on the broker with " +
+      "server-side routing; full wire round-trip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("flyq-sock-produce").toString
+    val server = new FlyqServer(dir, numPartitions = 2)
+    val port = server.start()
+    val input = MemoryStream[(Array[Byte], Array[Byte], Long)](spark)
+    val w = graft.streaming.SocketProduce.socketProduceWriter(
+        input.toDF().toDF("mkey", "mvalue", "ts_ms"),
+        "127.0.0.1", port, "t")
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-sock-produce-ckpt").toString)
+      .start()
+    try {
+      val keyed = (0 until 6).map(i =>
+        (b("user-9"), b(s"kv$i"), 7000L + i))
+      val keyless = (0 until 4).map(i =>
+        (null: Array[Byte], b(s"nk$i"), 8000L + i))
+      input.addData(keyed ++ keyless: _*)
+      w.processAllAvailable()
+
+      // the broker's files (the same layout every batch source reads)
+      // hold all 10 rows; the 6 keyed rows landed on ONE partition
+      // (server-side xxh3 routing) with 6 distinct offsets
+      val got = graft.sources.SegmentFiles.readTopic(spark, dir, "t")
+        .select(col("part_id"), col("msg_offset"), col("ts_ms"),
+          col("mvalue").cast("string").as("v"))
+        .collect()
+      assert(got.length === 10)
+      val keyedRows = got.filter(_.getString(3).startsWith("kv"))
+      assert(keyedRows.map(_.getLong(0)).distinct.length === 1,
+        "keyed rows must route to one partition")
+      assert(keyedRows.map(_.getLong(1)).distinct.length === 6)
+      assert(got.map(_.getString(3)).toSet ===
+        (keyed ++ keyless).map(t => new String(t._2, "UTF-8")).toSet)
+      // keyless rows round-robin across both partitions
+      assert(got.filter(_.getString(3).startsWith("nk"))
+        .map(_.getLong(0)).toSet === Set(0L, 1L))
+      // client-supplied timestamps survive the wire
+      assert(got.find(_.getString(3) == "kv3").get.getLong(2) === 7003L)
+
+      // full wire round-trip: what the sink produced over TCP, the
+      // socket SOURCE streams back, byte-for-byte
+      val q = spark.readStream
+        .format("graft.sources.v2.FlyqSocketSource")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("topic", "t").option("partitions", "2")
+        .load()
+        .writeStream.format("memory").queryName("flyq_rt")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("flyq-rt-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val rt = spark.table("flyq_rt")
+          .select(col("mvalue").cast("string")).as[String].collect().toSet
+        assert(rt === got.map(_.getString(3)).toSet)
+      } finally q.stop()
+    } finally { w.stop(); server.stop() }
+  }
 }
