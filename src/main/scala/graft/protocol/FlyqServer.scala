@@ -390,18 +390,33 @@ class FlyqServer(baseDir: String,
 
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
+  /** Accepted connections, closed on [[stop]]: a bounced broker must
+    * release every server-side socket or the port stays occupied by
+    * ESTABLISHED/CLOSE_WAIT fds (which SO_REUSEADDR does NOT override)
+    * and the restarted incarnation cannot rebind. */
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
-  def start(): Int = {
+  /** Bind (loopback, ephemeral by default; pass `port` to rebind a
+    * RESTARTED broker where its clients expect it) and serve. */
+  def start(port: Int = 0): Int = {
     // loopback only — the scaladoc promises a loopback lifecycle, and
-    // binding 0.0.0.0 would expose the dispatch surface to the network
-    server = new ServerSocket(0, 50,
-      java.net.InetAddress.getLoopbackAddress)
+    // binding 0.0.0.0 would expose the dispatch surface to the network.
+    // SO_REUSEADDR before bind: a restarted broker must rebind its port
+    // while the previous incarnation's connections sit in TIME_WAIT.
+    server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, port), 50)
     running = true
     val t = new Thread(() => {
       while (running) {
         try {
           val sock = server.accept()
-          val w = new Thread(() => serve(sock), "flyq-conn")
+          conns.add(sock)
+          val w = new Thread(() => {
+            try serve(sock) finally conns.remove(sock)
+          }, "flyq-conn")
           w.setDaemon(true)
           w.start()
         } catch { case NonFatal(_) => /* closed */ }
@@ -459,6 +474,8 @@ class FlyqServer(baseDir: String,
       }
     }
     if (server != null) server.close()
+    conns.forEach(s => try s.close() catch { case NonFatal(_) => () })
+    conns.clear()
   }
 }
 

@@ -111,20 +111,59 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
                                  numPartitions: Int)
     extends MicroBatchStream {
 
-  private lazy val client = new FlyqClient(host, port)
+  /** Driver-side metadata connection. Recreated once per failed call
+    * ([[withClient]]): a broker RESTART kills the socket, and a stream
+    * that cached the dead connection would fail every future trigger
+    * even though the broker is back (its write heads and committed
+    * offsets recover from disk — SocketLifecycleSpec's restart case). */
+  @volatile private var clientOpt: Option[FlyqClient] = None
+
+  private def withClient[T](body: FlyqClient => T): T = synchronized {
+    val c = clientOpt.getOrElse {
+      val fresh = new FlyqClient(host, port); clientOpt = Some(fresh); fresh
+    }
+    try body(c)
+    catch {
+      case e: java.io.IOException =>
+        // one reconnect attempt: transient (restart) vs gone (propagate)
+        try c.close() catch { case _: Exception => () }
+        val fresh = new FlyqClient(host, port)
+        clientOpt = Some(fresh)
+        body(fresh)
+    }
+  }
 
   /** One Watermark RPC per partition; `f` picks which edge. */
   private def offsets(f: graft.protocol.Payloads.WatermarkResponse => Long)
       : FlyqSocketOffset =
     FlyqSocketOffset((0L until numPartitions.toLong).map { p =>
-      p -> client.watermark(topic, p).fold(
+      p -> withClient(_.watermark(topic, p)).fold(
         err => throw new java.io.IOException(
           s"watermark($topic, $p) failed: $err"),
         f)
     }.toMap)
 
+  /** Last successfully fetched log-end offsets: [[latestOffset]] HOLDS
+    * here through a broker outage (a bounced broker must not kill the
+    * stream — the trigger loop polls continuously, so it always hits
+    * the down window; with no progress the engine plans empty batches
+    * and the next trigger after the broker returns reconnects). Initial
+    * offset has no fallback: a stream that cannot reach the broker at
+    * START has nothing to tail and should fail loudly. */
+  @volatile private var lastKnownEnd: Option[FlyqSocketOffset] = None
+
   override def initialOffset(): Offset = offsets(_.lowWatermark)
-  override def latestOffset(): Offset = offsets(_.logEndOffset)
+  override def latestOffset(): Offset =
+    try {
+      val o = offsets(_.logEndOffset)
+      lastKnownEnd = Some(o)
+      o
+    } catch {
+      case e: java.io.IOException if lastKnownEnd.isDefined =>
+        System.err.println(s"[flyq-socket] broker unreachable, holding " +
+          s"at last known offsets: ${e.getMessage}")
+        lastKnownEnd.get
+    }
   override def deserializeOffset(json: String): Offset =
     FlyqSocketOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // checkpoint is the ledger
@@ -144,7 +183,10 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new FlyqSocketReaderFactory
 
-  override def stop(): Unit = client.close()
+  override def stop(): Unit = synchronized {
+    clientOpt.foreach(c => try c.close() catch { case _: Exception => () })
+    clientOpt = None
+  }
 }
 
 case class FlyqSocketInputPartition(host: String, port: Int, topic: String,

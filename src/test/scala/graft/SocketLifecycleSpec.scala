@@ -419,4 +419,60 @@ class SocketLifecycleSpec extends AnyFunSuite {
       } finally q.stop()
     } finally { w.stop(); server.stop() }
   }
+
+  test("socket stream survives a broker restart: driver reconnects, " +
+      "offsets continue from the recovered write head") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-sock-restart").toString
+    var server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    var c = new FlyqClient("127.0.0.1", port)
+    val q = spark.readStream
+      .format("graft.sources.v2.FlyqSocketSource")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("topic", "t").option("partitions", "1")
+      .load()
+      .writeStream.format("memory").queryName("flyq_restart")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-restart-ckpt").toString)
+      .start()
+    try {
+      (0 until 3).foreach { i =>
+        assert(c.produce("t", WireMessage(100L + i, Some(b("k")),
+          b(s"pre$i"), Nil)).isRight)
+      }
+      q.processAllAvailable()
+      assert(spark.table("flyq_restart").count() === 3)
+
+      // broker bounce: the stream's cached driver connection and any
+      // reader connections are now dead sockets
+      c.close(); server.stop()
+      server = new FlyqServer(dir, numPartitions = 1)
+      // a real restarted broker retries its configured port: the old
+      // incarnation's fds (deferred NIO close, FIN_WAIT conns from the
+      // live stream) can hold the addr for a beat even with REUSEADDR
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      var bound = -1
+      while (bound < 0) {
+        try bound = server.start(port)
+        catch {
+          case _: java.net.BindException if System.nanoTime < deadline =>
+            Thread.sleep(100)
+        }
+      }
+      assert(bound === port)
+      c = new FlyqClient("127.0.0.1", port)
+      val Right(ack) = c.produce("t", WireMessage(200L, Some(b("k")),
+        b("post"), Nil)): @unchecked
+      assert(ack.offset === 3L, "write head recovers from disk")
+      q.processAllAvailable()
+      val got = spark.table("flyq_restart")
+        .select(col("msg_offset"), col("mvalue").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size === 4)
+      assert(got(3L) === "post",
+        "post-restart produce must stream through the reconnected source")
+    } finally { q.stop(); c.close(); server.stop() }
+  }
 }
