@@ -850,6 +850,20 @@ class StreamingSpec extends AnyFunSuite {
       // near_duplicate unless the changed word set happens to Bloom-FP
       assert(got(plainIds(1)).getAs[Boolean]("is_near_dup") === true)
 
+      // route equality (r15: the writer picks pushed vs plain from the
+      // index's measured probe-form stamp): the PLAIN near-dup route
+      // must produce the exact same decision table as the pushed one
+      val gotPlain = PipelineStreams.curationIngestBatch(
+          spark, batch, spark.table(table), bloom, pushed = false)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      got.foreach { case (id, r) =>
+        val p = gotPlain(id)
+        assert(p.getAs[String]("drop_reason") ===
+          r.getAs[String]("drop_reason"), s"doc $id route parity")
+        assert(p.getAs[Boolean]("is_near_dup") ===
+          r.getAs[Boolean]("is_near_dup"), s"doc $id route parity")
+      }
+
       // and the streaming wiring end-to-end (writer form)
       val input = MemoryStream[StreamDoc](spark)
       @volatile var streamed: Map[Long, String] = Map.empty
