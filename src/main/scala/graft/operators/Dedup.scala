@@ -1571,6 +1571,12 @@ object Dedup {
         case (x: Double, y: Double) => x > y
         case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
           x.compareTo(y) > 0
+        case (x: Array[Byte], y: Array[Byte]) =>
+          // unsigned lexicographic — parquet's binary stats ordering
+          val n = math.min(x.length, y.length)
+          var i = 0; var r = 0
+          while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+          (if (r != 0) r else x.length - y.length) > 0
         case _ => false // unordered type: no descent evidence
       }
       it.foreach { r =>
