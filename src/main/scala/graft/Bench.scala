@@ -31,21 +31,37 @@ object BenchWindow {
     * idle box) cannot produce a MONOTONE 15% rise across three runs. */
   val DriftRise = 1.15
 
+  /** Minimum cumulative rise the suffix must show EXCLUDING its last
+    * run (r16, after the alarm's first false fire): a 0.6%-then-one-
+    * extreme-window series ([1.2022, 1.2090] + 1.5847, measured on a
+    * box with load ~4 from zero local CPU) satisfied "3 strictly
+    * rising runs, ≥15% cumulative" with ~100% of the rise in the
+    * final run — that is one noisy window wearing a suffix, not
+    * compounding. Real compounding fast enough to matter (≥~5%/run;
+    * the rule's target is 25%/run) shows ≥ this much rise BEFORE its
+    * last run; run-to-run noise (±5% measured) rarely produces a
+    * strictly-rising ≥5% body AND a ≥15% total. */
+  val DriftBodyRise = 1.05
+
   /** True iff the longest STRICTLY-increasing suffix of the factor
     * series (including `cur`) spans ≥ [[DriftRuns]] runs AND rises ≥
-    * [[DriftRise]] cumulatively. The FULL rising suffix, not a fixed
+    * [[DriftRise]] cumulatively AND rises ≥ [[DriftBodyRise]] up to
+    * its penultimate run. The FULL rising suffix, not a fixed
     * 3-run tail (r14 review): a fixed window misses any compounding
     * slower than DriftRise^(1/(DriftRuns-1)) ≈ 7%/run forever — each
     * 3-run slice stays under the bar while the series doubles. Strict
     * increase so a flat history followed by one noisy window does not
     * read as a "multi-run" rise (equality resets, as does any faster
-    * run — the same recovery semantics the normalized flag relies on). */
+    * run — the same recovery semantics the normalized flag relies on);
+    * the body-rise bar so a NEAR-flat pair topped by one loaded window
+    * does not either (the r16 false fire above). */
   def drift(history: Seq[Double], cur: Double): Boolean = {
     val h = history :+ cur
     val suffix = h.reverse.zip(h.reverse.tail)
       .takeWhile { case (later, earlier) => later > earlier }
       .length + 1
-    suffix >= DriftRuns && h.last >= DriftRise * h(h.length - suffix)
+    suffix >= DriftRuns && h.last >= DriftRise * h(h.length - suffix) &&
+      h(h.length - 2) >= DriftBodyRise * h(h.length - suffix)
   }
 
   /** Sidecar history path for a floor file. */
@@ -68,6 +84,27 @@ object BenchWindow {
     try w.write(s"""{"ts":${System.currentTimeMillis()},"window_factor":$factor,"total":$total}""" + "\n")
     finally w.close()
   }
+
+  /** The run's window factor: median floor-ratio across rows with a
+    * baseline, never below 1 (a fast run keeps the raw thresholds).
+    * Pure so the r16 flag rule below is spec-pinned with it. */
+  def windowFactor(ratios: Seq[Double]): Double = {
+    val s = ratios.sorted
+    if (s.isEmpty) 1.0 else math.max(1.0, s(s.length / 2))
+  }
+
+  /** Per-row regression flag, WINDOW-NORMALIZED (r15 verdict #1 made
+    * this a named rule): a row flags iff its ratio to floor exceeds
+    * 1.5× AFTER dividing out the run's window factor, still over the
+    * 0.2 s noise floor. A uniformly loaded host window moves every
+    * row's raw ratio together and is divided out (bm25_search/
+    * doc_similarity were re-litigated three rounds running on exactly
+    * this); a real single-row plan regression stands out against the
+    * run's own level and still flags. The RAW ratio stays in the
+    * emitted entry for drift eyeballing; `ratio_normalized` is the
+    * judged number. */
+  def flagged(prev: Double, cur: Double, factor: Double): Boolean =
+    prev > 0.0 && cur > 0.0 && cur > 1.5 * prev * factor && cur - prev > 0.2
 }
 
 object Bench {
@@ -319,15 +356,14 @@ object Bench {
     // (queries: a third timing; artifact rows: a cache-dropping rebuild).
     val ratios = results.collect {
       case (k, v, None) if v > 0 && prev.get(k).exists(_ > 0) => v / prev(k)
-    }.sorted
-    val windowFactor =
-      if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios(ratios.length / 2))
+    }
+    val windowFactor = BenchWindow.windowFactor(ratios)
     val regressions = results.collect {
       case (k, v, None) if prev.get(k).exists(p =>
-          p > 0.0 && v > 1.5 * p * windowFactor && v - p > 0.2) =>
+          BenchWindow.flagged(p, v, windowFactor)) =>
         val p = prev(k)
-        s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}}"
+        s"${jstr(k)}:{\"prev\":$p,\"cur\":$v,\"ratio\":${v / p}," +
+          s"\"ratio_normalized\":${v / (p * windowFactor)}}"
     }.mkString("{", ",", "}")
     if (subset.isEmpty) {
       // MIN-MERGE, not overwrite (r11): the committed file is a per-row

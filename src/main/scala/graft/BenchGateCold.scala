@@ -98,8 +98,18 @@ object BenchGateCold {
           val t = s"gate_${g}_$label"
           val t0 = System.nanoTime()
           write(sfDir, t)
+          // emit the measured probe-form stamp (where the writer set
+          // one) so tools/probe_runs.py's pyarrow recomputation lands
+          // byte-adjacent to the Scala value in the same JSONL (r15
+          // verdict #5 — the external check is one command now)
+          val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          val stamp = props.get("graft.key_runs").fold("") { kr =>
+            s""","key_runs":$kr,"probe_form":"${props("graft.probe_form")}"""" +
+              s""","probe_key":"${props("graft.probe_key")}""""
+          }
           println(s"""{"built":"$t","sec":${(System.nanoTime() - t0) / 1e9},""" +
-            s""""bytes":${tableBytes(spark, t)}}""")
+            s""""bytes":${tableBytes(spark, t)}$stamp}""")
         }
 
       case "probe" =>

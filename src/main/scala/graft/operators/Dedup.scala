@@ -1534,6 +1534,25 @@ object Dedup {
     (runs, form)
   }
 
+  /** Key types [[measureKeyRuns]] can order the way parquet's page
+    * stats do. Anything else FAILS the stamping build loudly (r15
+    * verdict #6 / advice): the old `case _ => false` measured an
+    * unordered struct/array key as "no descent evidence" → runs ≈
+    * files → stamped `pushed` for a layout parquet cannot page-prune
+    * at all — the exact simhash-style degradation the stamp exists to
+    * prevent, silently re-opened for any future index keyed on a
+    * composite type. */
+  private def runsComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
   /** Page-selectivity statistic of `keyCol` under the table's PHYSICAL
     * layout: the average number of maximal non-descending runs of the
     * key per file, in stored row order (parquet's own orderings —
@@ -1553,42 +1572,72 @@ object Dedup {
     * Cost: one pass over the (artifact-sized) index per build; the run
     * counter is a per-partition fold tracking file boundaries via
     * `input_file_name`, so concatenated files in one scan partition
-    * don't charge a spurious descent. */
+    * don't charge a spurious descent.
+    *
+    * Split discipline (r15 advice): the scan runs with
+    * `spark.sql.files.maxPartitionBytes` pinned high enough that no
+    * index file is SPLIT across scan partitions — a split file would
+    * count once per split and restart a run at each split boundary,
+    * deflating runs/file exactly on the borderline layouts the gate
+    * exists to catch (true runs ~40 split 4 ways measures ~11 <
+    * KeyRunsMax). The pin is safe to save/restore here because the
+    * measurement is an EAGER action inside the index build (no lazy
+    * plan escapes the restore window). The denominator additionally
+    * counts DISTINCT file names (merged across partitions), not
+    * split-first-rows, as a belt-and-braces invariant. */
   private[graft] def measureKeyRuns(spark: SparkSession, table: String,
                                     keyCol: String): Double = {
-    val df = spark.table(table)
-      .select(col(keyCol).as("k"), input_file_name().as("f"))
-    val (runs, files) = df.rdd.mapPartitions { it =>
-      var runs = 0L
-      var files = 0L
-      var prevFile: String = null
-      var prevKey: Any = null
-      def descends(a: Any, b: Any): Boolean = (a, b) match {
-        case (null, _) | (_, null) => false
-        case (x: String, y: String) => x.compareTo(y) > 0
-        case (x: Long, y: Long) => x > y
-        case (x: Int, y: Int) => x > y
-        case (x: Double, y: Double) => x > y
-        case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
-          x.compareTo(y) > 0
-        case (x: Array[Byte], y: Array[Byte]) =>
-          // unsigned lexicographic — parquet's binary stats ordering
-          val n = math.min(x.length, y.length)
-          var i = 0; var r = 0
-          while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-          (if (r != 0) r else x.length - y.length) > 0
-        case _ => false // unordered type: no descent evidence
-      }
-      it.foreach { r =>
-        val k = r.get(0)
-        val f = r.getString(1)
-        if (f != prevFile) { files += 1; runs += 1; prevFile = f }
-        else if (descends(prevKey, k)) runs += 1
-        prevKey = k
-      }
-      Iterator.single((runs, files))
-    }.fold((0L, 0L)) { case ((r1, f1), (r2, f2)) => (r1 + r2, f1 + f2) }
-    if (files == 0L) 1.0 else runs.toDouble / files
+    val keyType = spark.table(table).schema(keyCol).dataType
+    if (!runsComparable(keyType))
+      throw new IllegalArgumentException(
+        s"measureKeyRuns: key column '$keyCol' of table '$table' has " +
+          s"unordered type ${keyType.simpleString} — parquet page stats " +
+          "cannot prune this type, so a runs/file measurement would be " +
+          "vacuously optimistic and the index must not stamp a probe " +
+          "form from it; key the index on a string/integral/binary " +
+          "column or stamp 'plain' explicitly")
+    val MPB = "spark.sql.files.maxPartitionBytes"
+    val prior = spark.conf.get(MPB)
+    val (runs, fileSets) =
+      try {
+        spark.conf.set(MPB, (8L << 40).toString) // no file splits below 8 TiB
+        val df = spark.table(table)
+          .select(col(keyCol).as("k"), input_file_name().as("f"))
+        df.rdd.mapPartitions { it =>
+          var runs = 0L
+          val files = scala.collection.mutable.HashSet.empty[String]
+          var prevFile: String = null
+          var prevKey: Any = null
+          def descends(a: Any, b: Any): Boolean = (a, b) match {
+            case (null, _) | (_, null) => false
+            case (x: String, y: String) => x.compareTo(y) > 0
+            case (x: Long, y: Long) => x > y
+            case (x: Int, y: Int) => x > y
+            case (x: Double, y: Double) => x > y
+            case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+              x.compareTo(y) > 0
+            case (x: Array[Byte], y: Array[Byte]) =>
+              // unsigned lexicographic — parquet's binary stats ordering
+              val n = math.min(x.length, y.length)
+              var i = 0; var r = 0
+              while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+              (if (r != 0) r else x.length - y.length) > 0
+            case _ => throw new IllegalStateException(
+              s"measureKeyRuns: unorderable key value of ${a.getClass}")
+          }
+          it.foreach { r =>
+            val k = r.get(0)
+            val f = r.getString(1)
+            if (f != prevFile) { files += f; runs += 1; prevFile = f }
+            else if (descends(prevKey, k)) runs += 1
+            prevKey = k
+          }
+          Iterator.single((runs, files.toSet))
+        }.fold((0L, Set.empty[String])) {
+          case ((r1, f1), (r2, f2)) => (r1 + r2, f1 ++ f2)
+        }
+      } finally spark.conf.set(MPB, prior)
+    if (fileSets.isEmpty) 1.0 else runs.toDouble / fileSets.size
   }
 
   /** The measured probe form stamped at index build time, if present

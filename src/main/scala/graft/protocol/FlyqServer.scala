@@ -34,11 +34,33 @@ import graft.protocol.Payloads._
   * `(xxh3_64(key) as u32) % n` (`topic.rs:90-93` — truncate to u32, then
   * mod) via [[graft.functions.Xxh3.partitionOf]] — the independently
   * implemented, golden-vector-verified XXH3.
+  *
+  * `quirks = true` (r15 verdict #2) REPRODUCES those transport quirks
+  * instead, acting as the quirk-faithful stand-in for a true reference
+  * broker so the client-side `quirkCompat` path has something real to
+  * integrate against:
+  *  - responses carry the reference's 1-byte `ResponsePayload` opcode
+  *    envelope (`payload.rs:42-47`);
+  *  - network Produce bytes are the RAW VALUE — stored with key=None,
+  *    headers=None and a server wall-clock timestamp
+  *    (`listener.rs:91-96`), so keyless round-robin placement;
+  *  - Consume reads partition 0 regardless of the requested partition
+  *    and echoes the REQUESTED offset back (`listener.rs:122-129`);
+  *  - "no message" is an empty response payload, not an Error frame
+  *    (`listener.rs:133-136`), for Consume and ConsumeWithGroup both;
+  *  - CommitOffset acks with an empty payload (`listener.rs:200-203`);
+  *  - Heartbeat frames are ignored without a reply (`listener.rs:49-52`
+  *    skips non-Request frames).
+  * One deliberate softening: malformed requests still get an Error
+  * frame on a live connection (the reference propagates the error and
+  * drops the connection) — strictly more diagnosable, and the client
+  * treats both as failure.
   */
 class FlyqServer(baseDir: String,
                  numPartitions: Int = graft.model.LogModel.NumPartitions.toInt,
                  segMaxBytes: Long = graft.model.LogModel.SegmentMaxBytes,
-                 indexInterval: Int = graft.sources.SegmentFiles.IndexInterval) {
+                 indexInterval: Int = graft.sources.SegmentFiles.IndexInterval,
+                 quirks: Boolean = false) {
 
   // ---- per-partition write head (reference `partition_state.rs`) ----
   private case class Head(var nextOffset: Long, var segBase: Long,
@@ -289,6 +311,9 @@ class FlyqServer(baseDir: String,
       val out = for {
         req <- RequestPayload.decode(f.payload)
         resp <- handleOp(req)
+          // the reference wraps every response in the 1-byte opcode
+          // envelope (`payload.rs:42-47`, `listener.rs:57-63`)
+          .map(p => if (quirks) req.opCode +: p else p)
       } yield resp
       out.fold(err => errorFrame(f.correlationId, err),
         p => respond(f.correlationId, p))
@@ -297,6 +322,17 @@ class FlyqServer(baseDir: String,
 
   private def handleOp(req: RequestPayload): Either[String, Array[Byte]] =
     req.opCode match {
+      case OpCode.Produce if quirks =>
+        // `listener.rs:91-96`: message bytes ARE the value; key/headers
+        // dropped; server wall-clock timestamp
+        for {
+          p <- ProduceRequest.decode(req.data)
+          _ <- validTopic(p.topic)
+        } yield {
+          val (part, off) =
+            append(p.topic, null, p.message, System.currentTimeMillis())
+          ProduceAck.encode(ProduceAck(part, off))
+        }
       case OpCode.Produce =>
         for {
           p <- ProduceRequest.decode(req.data)
@@ -305,6 +341,19 @@ class FlyqServer(baseDir: String,
         } yield {
           val (part, off) = append(p.topic, m.key.orNull, m.value, m.tsMs)
           ProduceAck.encode(ProduceAck(part, off))
+        }
+      case OpCode.Consume if quirks =>
+        // `listener.rs:122-129`: partition hardcoded to 0, the REQUESTED
+        // offset echoed back, empty payload when nothing is found
+        ConsumeRequest.decode(req.data).flatMap { c =>
+          validTopic(c.topic).map { _ =>
+            consumeAt(c.topic, 0L, c.offset) match {
+              case None => Array.emptyByteArray
+              case Some((_, ts, k, v)) =>
+                ConsumeResponse.encode(ConsumeResponse(c.offset,
+                  WireMessage(ts, Option(k), v, Nil)))
+            }
+          }
         }
       case OpCode.Consume =>
         ConsumeRequest.decode(req.data).flatMap { c =>
@@ -320,7 +369,14 @@ class FlyqServer(baseDir: String,
             .flatMap(c => validTopic(c.topic).map(_ => c)).flatMap { c =>
           val from = lock.synchronized(
             committed.getOrElse((c.topic, c.partition, c.group), 0L))
-          consumeAt(c.topic, c.partition, from)
+          val found = consumeAt(c.topic, c.partition, from)
+          // `listener.rs:177-181`: caught-up is an empty payload there
+          if (quirks)
+            Right(found.fold(Array.emptyByteArray) { case (off, ts, k, v) =>
+              ConsumeResponse.encode(ConsumeResponse(off,
+                WireMessage(ts, Option(k), v, Nil)))
+            })
+          else found
             .toRight(s"group ${c.group} caught up past the log end")
             .map { case (off, ts, k, v) =>
               ConsumeResponse.encode(ConsumeResponse(off,
@@ -339,7 +395,9 @@ class FlyqServer(baseDir: String,
             committed((c.topic, c.partition, c.group)) = c.offset
             persistOffsets()
           }
-          ProduceAck.encode(ProduceAck(c.partition, c.offset))
+          // `listener.rs:200-203`: the reference acks with empty bytes
+          if (quirks) Array.emptyByteArray
+          else ProduceAck.encode(ProduceAck(c.partition, c.offset))
         }
       case OpCode.Watermark =>
         WatermarkRequest.decode(req.data)
@@ -442,12 +500,19 @@ class FlyqServer(baseDir: String,
         System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
         in.readFully(buf, Frame.HeaderLen, payloadLen)
         val reply = Frame.decode(buf) match {
+          // the reference listener silently skips non-Request frames
+          // (`listener.rs:49-52`) — in quirk mode so do we (heartbeats
+          // get no reply; the client knows not to send them)
+          case Right(Some((frame, _)))
+              if quirks && frame.frameType != FrameType.Request => null
           case Right(Some((frame, _))) => dispatch(frame)
           case Right(None) => errorFrame(0, "incomplete frame")
           case Left(err) => errorFrame(0, err)
         }
-        out.write(Frame.encode(reply))
-        out.flush()
+        if (reply != null) {
+          out.write(Frame.encode(reply))
+          out.flush()
+        }
       }
     } catch { case NonFatal(_) => /* connection closed */ }
     finally sock.close()

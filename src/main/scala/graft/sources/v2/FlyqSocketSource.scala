@@ -15,15 +15,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.protocol.FlyqClient
+import graft.protocol.{FlyqClient, FlyqProtocolException}
 
 /** DataSourceV2 micro-batch source that consumes a LIVE FlyQ socket —
   * the reference's actual ingest boundary (`listener.rs:23-32,86-96`),
   * closing the one §1.3-mapped surface ("Frame/protocol →
   * MicroBatchStream") the segment-file source leaves open: that source
-  * tails the broker's FILES; this one speaks the broker's WIRE, so it
-  * works against any reference-compatible server, not just one whose
-  * storage we can mount.
+  * tails the broker's FILES; this one speaks the broker's WIRE.
   *
   * Offset model: per-partition next-offset map. `latestOffset` asks the
   * server for each partition's log-end offset (one Watermark RPC per
@@ -42,10 +40,44 @@ import graft.protocol.FlyqClient
   * bulk reads through the file sources. A 1000-executor cluster pointed
   * at ONE broker socket is bottlenecked by the broker, exactly like the
   * reference; the per-batch delta planning keeps Spark's side of the
-  * cost proportional to new messages.
+  * cost proportional to new messages. Measured loopback ceiling in
+  * SURVEY §7.16 (r15 verdict #4).
   *
-  * Options: `host`, `port`, `topic`, `partitions` (default
-  * [[graft.model.LogModel.NumPartitions]]).
+  * Options:
+  *  - `host`, `port`, `topic`, `partitions` (default
+  *    [[graft.model.LogModel.NumPartitions]]);
+  *  - `startingOffsets` = `earliest` (default — replay the retained
+  *    log from each partition's low watermark) or `latest` (tail only
+  *    post-attach produces; the right mode for a monitoring consumer
+  *    attaching to a long-lived broker, r15 verdict #3 — earliest
+  *    replays the whole log at one RPC per record);
+  *  - `readTimeoutMs` (default 30000): SO_TIMEOUT on every connection,
+  *    so a broker that HANGS mid-batch fails the task (and Spark
+  *    retries) instead of blocking it forever (r15 advice #4); 0
+  *    disables;
+  *  - `quirkCompat` (default false): speak the REFERENCE BROKER's
+  *    actual transport (r15 verdict #2) — its listener hardcodes
+  *    partition 0 on Consume (`listener.rs:122`), echoes the REQUESTED
+  *    offset instead of the record's (`listener.rs:125-129`), answers
+  *    "nothing there" with an empty payload, and wraps responses in a
+  *    1-byte opcode envelope. Under quirkCompat the source therefore
+  *    (a) requires `partitions` ≤ 1 — the transport exposes only
+  *    partition 0, and asking for more would silently read partition 0
+  *    N times; (b) labels each row with the offset it ASKED for and
+  *    advances by exactly 1 — with echoed offsets that is the only
+  *    sound walk (and it faithfully reproduces the reference's own
+  *    mislabeling across retention-trimmed gaps: the server serves the
+  *    first surviving record under each asked offset). Without
+  *    quirkCompat the source expects engine semantics (this repo's
+  *    [[graft.protocol.FlyqServer]] — real offsets, per-partition
+  *    consume), which is also what its scaladoc'd claims are scoped to.
+  *
+  * Error discipline (r15 advice #2): protocol-level server errors
+  * (Error frames — e.g. unknown/deleted topic) throw
+  * [[graft.protocol.FlyqProtocolException]] and FAIL the stream;
+  * transport failures (connect refused/reset/timeout) are
+  * `IOException`s and `latestOffset` HOLDS through them at the last
+  * known end — a bounced broker comes back, a deleted topic does not.
   */
 class FlyqSocketSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -53,6 +85,21 @@ class FlyqSocketSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val quirk = Option(opts.get("quirkCompat")).exists(_.toBoolean)
+    val partitions = Option(opts.get("partitions")).map(_.toInt)
+      .getOrElse(if (quirk) 1 else graft.model.LogModel.NumPartitions.toInt)
+    if (quirk && partitions > 1)
+      throw new IllegalArgumentException(
+        "quirkCompat=true supports only partitions=1: the reference " +
+          "transport consumes partition 0 regardless of the requested " +
+          "partition (listener.rs:122), so N>1 would read partition 0 " +
+          "N times")
+    val starting =
+      Option(opts.get("startingOffsets")).getOrElse("earliest") match {
+        case s @ ("earliest" | "latest") => s
+        case other => throw new IllegalArgumentException(
+          s"startingOffsets must be 'earliest' or 'latest', got '$other'")
+      }
     new FlyqSocketTable(
       Option(opts.get("host")).getOrElse("127.0.0.1"),
       Option(opts.get("port")).map(_.toInt).getOrElse(
@@ -61,8 +108,8 @@ class FlyqSocketSource extends TableProvider {
       Option(opts.get("topic")).getOrElse(
         throw new IllegalArgumentException(
           "flyq-socket source requires a topic option")),
-      Option(opts.get("partitions")).map(_.toInt)
-        .getOrElse(graft.model.LogModel.NumPartitions.toInt))
+      partitions, starting, quirk,
+      Option(opts.get("readTimeoutMs")).map(_.toInt).getOrElse(30000))
   }
 }
 
@@ -76,21 +123,26 @@ object FlyqSocketSource {
 }
 
 class FlyqSocketTable(host: String, port: Int, topic: String,
-                      numPartitions: Int) extends Table with SupportsRead {
+                      numPartitions: Int, startingOffsets: String,
+                      quirk: Boolean, readTimeoutMs: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"flyq-socket($host:$port, topic=$topic)"
   override def schema(): StructType = FlyqSocketSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FlyqSocketScan(host, port, topic, numPartitions)
+    () => new FlyqSocketScan(host, port, topic, numPartitions,
+      startingOffsets, quirk, readTimeoutMs)
 }
 
 class FlyqSocketScan(host: String, port: Int, topic: String,
-                     numPartitions: Int) extends Scan {
+                     numPartitions: Int, startingOffsets: String,
+                     quirk: Boolean, readTimeoutMs: Int) extends Scan {
   override def readSchema(): StructType = FlyqSocketSource.schema
   override def description(): String = s"FlyqSocketScan($host:$port/$topic)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FlyqSocketMicroBatchStream(host, port, topic, numPartitions)
+    new FlyqSocketMicroBatchStream(host, port, topic, numPartitions,
+      startingOffsets, quirk, readTimeoutMs)
 }
 
 /** Offset = per-partition NEXT offset to consume, JSON `{"0":n,...}`. */
@@ -108,7 +160,8 @@ object FlyqSocketOffset {
 }
 
 class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
-                                 numPartitions: Int)
+                                 numPartitions: Int, startingOffsets: String,
+                                 quirk: Boolean, readTimeoutMs: Int)
     extends MicroBatchStream {
 
   /** Driver-side metadata connection. Recreated once per failed call
@@ -118,27 +171,33 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
     * offsets recover from disk — SocketLifecycleSpec's restart case). */
   @volatile private var clientOpt: Option[FlyqClient] = None
 
+  private def newClient() = new FlyqClient(host, port, quirk, readTimeoutMs)
+
   private def withClient[T](body: FlyqClient => T): T = synchronized {
     val c = clientOpt.getOrElse {
-      val fresh = new FlyqClient(host, port); clientOpt = Some(fresh); fresh
+      val fresh = newClient(); clientOpt = Some(fresh); fresh
     }
     try body(c)
     catch {
       case e: java.io.IOException =>
         // one reconnect attempt: transient (restart) vs gone (propagate)
         try c.close() catch { case _: Exception => () }
-        val fresh = new FlyqClient(host, port)
+        val fresh = newClient()
         clientOpt = Some(fresh)
         body(fresh)
     }
   }
 
-  /** One Watermark RPC per partition; `f` picks which edge. */
+  /** One Watermark RPC per partition; `f` picks which edge. A server
+    * Left here is a PROTOCOL error (the broker answered, and said no)
+    * — [[FlyqProtocolException]], which [[latestOffset]] deliberately
+    * does NOT swallow: a stream holding forever on "unknown topic"
+    * with only stderr spam was r15 advice #2. */
   private def offsets(f: graft.protocol.Payloads.WatermarkResponse => Long)
       : FlyqSocketOffset =
     FlyqSocketOffset((0L until numPartitions.toLong).map { p =>
       p -> withClient(_.watermark(topic, p)).fold(
-        err => throw new java.io.IOException(
+        err => throw new FlyqProtocolException(
           s"watermark($topic, $p) failed: $err"),
         f)
     }.toMap)
@@ -152,13 +211,17 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
     * START has nothing to tail and should fail loudly. */
   @volatile private var lastKnownEnd: Option[FlyqSocketOffset] = None
 
-  override def initialOffset(): Offset = offsets(_.lowWatermark)
+  override def initialOffset(): Offset =
+    if (startingOffsets == "latest") offsets(_.logEndOffset)
+    else offsets(_.lowWatermark)
   override def latestOffset(): Offset =
     try {
       val o = offsets(_.logEndOffset)
       lastKnownEnd = Some(o)
       o
     } catch {
+      // IOException only: transport outages hold, protocol errors
+      // (FlyqProtocolException) propagate and fail the query
       case e: java.io.IOException if lastKnownEnd.isDefined =>
         System.err.println(s"[flyq-socket] broker unreachable, holding " +
           s"at last known offsets: ${e.getMessage}")
@@ -174,8 +237,8 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
     e.flatMap { case (p, until) =>
       val from = s.getOrElse(p, 0L)
       if (until > from)
-        Some(FlyqSocketInputPartition(host, port, topic, p, from, until)
-          : InputPartition)
+        Some(FlyqSocketInputPartition(host, port, topic, p, from, until,
+          quirk, readTimeoutMs): InputPartition)
       else None
     }.toArray
   }
@@ -190,7 +253,8 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
 }
 
 case class FlyqSocketInputPartition(host: String, port: Int, topic: String,
-                                    partId: Long, from: Long, until: Long)
+                                    partId: Long, from: Long, until: Long,
+                                    quirk: Boolean, readTimeoutMs: Int)
     extends InputPartition
 
 class FlyqSocketReaderFactory extends PartitionReaderFactory {
@@ -199,24 +263,35 @@ class FlyqSocketReaderFactory extends PartitionReaderFactory {
 }
 
 /** Walks Consume responses over [from, until) on its own connection.
-  * The server answers each request with the FIRST record at ≥ the asked
-  * offset, so a retention-trimmed gap advances cleanly; a record the
-  * server hands back at ≥ `until` belongs to a later batch and is
-  * dropped, keeping batch replays exact. */
+  * Engine semantics: the server answers each request with the FIRST
+  * record at ≥ the asked offset, so a retention-trimmed gap advances
+  * cleanly; a record the server hands back at ≥ `until` belongs to a
+  * later batch and is dropped, keeping batch replays exact. Quirk
+  * semantics: the server echoes the asked offset, so the reader labels
+  * rows with it and advances by 1 — see the source scaladoc. Either
+  * way, an empty "nothing there" answer (quirk transport) ends the
+  * split. The connection carries the configured SO_TIMEOUT, so a hung
+  * broker fails the task instead of wedging it (r15 advice #4). */
 class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
     extends PartitionReader[InternalRow] {
-  private val client = new FlyqClient(split.host, split.port)
+  private val client =
+    new FlyqClient(split.host, split.port, split.quirk, split.readTimeoutMs)
   private var nextOff = split.from
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (nextOff >= split.until) return false
-    client.consume(split.topic, split.partId, nextOff) match {
+    client.consumeOpt(split.topic, split.partId, nextOff) match {
       case Left(err) =>
         throw new java.io.IOException(
           s"consume(${split.topic}, ${split.partId}, $nextOff) failed " +
             s"(planned until ${split.until}): $err")
-      case Right(resp) =>
+      case Right(None) =>
+        // quirk transport's "nothing there": the planned range outran
+        // the readable log (e.g. a torn tail) — end the split
+        nextOff = split.until
+        false
+      case Right(Some(resp)) =>
         if (resp.offset >= split.until) { nextOff = split.until; return false }
         val m = resp.message
         val headers = new GenericArrayData(m.headers.map { case (k, v) =>

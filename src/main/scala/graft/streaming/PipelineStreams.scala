@@ -685,6 +685,23 @@ object PipelineStreams {
     private val Key = "spark.sql.parquet.pushdown.inFilterThreshold"
     private val states =
       scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
+    /** Sticky per-session floor set by DIRECT-API raises (r15 advice
+      * #3): a scope-out never restores the threshold below it, so a
+      * direct plan's lazy compilation cannot be degraded to a min/max
+      * range by an interleaved scoped stream draining. Sticky by
+      * design — it IS the direct form's documented "leaves it raised"
+      * contract, now honored even in sessions that also run scoped
+      * writers. */
+    private val directFloor =
+      scala.collection.mutable.Map.empty[SparkSession, Int]
+    /** Marks the scoped batch body's thread: raises made INSIDE it are
+      * the writer's own (fully executed before scope-out, safe to
+      * restore) and must NOT set the sticky floor — otherwise every
+      * pushed writer batch would permanently pin the session conf and
+      * the restore contract (r14 verdict #5) would be dead code. */
+    private val inScope = new ThreadLocal[java.lang.Boolean] {
+      override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+    }
     def scoped[T](spark: SparkSession, chunkSize: Int)(body: => T): T = {
       states.synchronized {
         val (depth, prior) =
@@ -693,14 +710,51 @@ object PipelineStreams {
         if (spark.conf.get(Key).toInt <= chunkSize)
           spark.conf.set(Key, (chunkSize + 1).toString)
       }
+      val outer = inScope.get
+      inScope.set(true)
       try body
-      finally states.synchronized {
-        val (depth, prior) = states(spark)
-        if (depth <= 1) { states.remove(spark); spark.conf.set(Key, prior) }
-        else states(spark) = (depth - 1, prior)
+      finally {
+        inScope.set(outer)
+        states.synchronized {
+          val (depth, prior) = states(spark)
+          if (depth <= 1) {
+            states.remove(spark)
+            val target = directFloor.get(spark) match {
+              case Some(f) if prior.toInt < f => f.toString
+              case _ => prior
+            }
+            spark.conf.set(Key, target)
+          } else states(spark) = (depth - 1, prior)
+        }
       }
     }
+
+    /** Every pushed probe's raise goes through here. Inside a scoped
+      * batch body it is a plain restorable raise; outside one (the
+      * direct `*BatchPushed` API, possibly on a user thread while a
+      * scoped stream's batch is in flight) it additionally records the
+      * sticky [[directFloor]]. Recorded even when the conf is already
+      * high enough — the enclosing scope may be what raised it, and
+      * its scope-out would otherwise restore below the direct plan's
+      * need. */
+    def raise(spark: SparkSession, chunkSize: Int): Unit =
+      states.synchronized {
+        if (spark.conf.get(Key).toInt <= chunkSize)
+          spark.conf.set(Key, (chunkSize + 1).toString)
+        if (!inScope.get)
+          directFloor(spark) =
+            math.max(directFloor.getOrElse(spark, 0), chunkSize + 1)
+      }
+
+    /** Test/diagnostic hook: forget the session's sticky direct floor
+      * (e.g. between suite cases sharing one session). */
+    def resetDirectFloor(spark: SparkSession): Unit =
+      states.synchronized { directFloor.remove(spark): Unit }
   }
+
+  /** See [[PushThresholdScope.resetDirectFloor]]. */
+  private[graft] def resetPushFloor(spark: SparkSession): Unit =
+    PushThresholdScope.resetDirectFloor(spark)
 
   /** Constrain a bucketed gate-index scan to a micro-batch's own key
     * set: a parquet-pushed IN on the index's sortBy'd key column, so the
@@ -729,9 +783,7 @@ object PipelineStreams {
   private[graft] def pushKeysIntoScanChunked(
       spark: SparkSession, base: DataFrame, keyCol: String,
       keys: Array[Any], chunkSize: Int): DataFrame = {
-    val thresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (keys.nonEmpty && spark.conf.get(thresholdKey).toInt <= chunkSize)
-      spark.conf.set(thresholdKey, chunkSize + 1)
+    if (keys.nonEmpty) PushThresholdScope.raise(spark, chunkSize)
     keys.grouped(chunkSize)
       .map(chunk => base.filter(col(keyCol).isin(chunk.toIndexedSeq: _*)))
       .reduceOption(_ unionAll _)
@@ -758,7 +810,12 @@ object PipelineStreams {
     * batch lifecycle, so each trigger runs inside
     * [[PushThresholdScope]] and the session conf is back to its prior
     * value once in-flight pushed batches drain (r14 verdict #5).
-    * Deployments using the direct form can cap the raise via
+    * Mixing both forms in ONE session is safe (r15 advice #3): the
+    * direct raise records a sticky session floor with
+    * [[PushThresholdScope]], and scope-outs never restore the
+    * threshold below it — so a draining scoped stream cannot degrade a
+    * direct plan's lazy compilation to a range scan. Deployments
+    * using the direct form can cap the raise via
     * `spark.graft.pushdown.chunk` (see [[pushKeysIntoScan]]). */
   def ngramNearDupBatchPushed(spark: SparkSession, batch: DataFrame,
                               indexTable: String): DataFrame = {

@@ -18,8 +18,10 @@ import graft.protocol.Payloads.WireMessage
   * reach over TCP.
   *
   * Input columns: `mvalue` (binary, required), optional `mkey`
-  * (binary) and `ts_ms` (long, default 0 — the reference's produce
-  * path timestamps are client-supplied).
+  * (binary) and `ts_ms` (long, default 0 — the reference ENGINE's
+  * produce takes the caller's timestamp, `topic.rs` Message; its
+  * NETWORK listener stamps server time instead, which is quirk
+  * territory — see `quirkCompat` below).
   *
   * Delivery is AT-LEAST-ONCE: a failed micro-batch is retried by the
   * engine and re-produces its rows — the log is append-only and the
@@ -35,10 +37,26 @@ import graft.protocol.Payloads.WireMessage
   */
 object SocketProduce {
 
+  /** `quirkCompat = true` targets a TRUE reference broker (r15 verdict
+    * #2): its transport carries the raw value only — keys and headers
+    * are dropped server-side (`listener.rs:91-96`) and the timestamp
+    * is the SERVER's wall clock, so routing is always round-robin. A
+    * frame with an `mkey` or `ts_ms` column is REJECTED at
+    * construction rather than silently stripped of its routing/time
+    * data. Engine-semantics mode (default) keeps key+timestamp on the
+    * wire, as [[graft.protocol.FlyqServer]] stores them. */
   def socketProduceWriter(docs: DataFrame, host: String, port: Int,
-                          topic: String): DataStreamWriter[Row] = {
+                          topic: String, quirkCompat: Boolean = false,
+                          readTimeoutMs: Int = 30000): DataStreamWriter[Row] = {
     val hasKey = docs.columns.contains("mkey")
     val hasTs = docs.columns.contains("ts_ms")
+    if (quirkCompat && (hasKey || hasTs))
+      throw new IllegalArgumentException(
+        "quirkCompat=true cannot carry mkey/ts_ms: the reference " +
+          "transport drops keys and stamps server time on network " +
+          "Produce (listener.rs:91-96) — drop the columns to " +
+          "acknowledge the loss, or produce to an engine-semantics " +
+          "server")
     docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val cols = Seq(org.apache.spark.sql.functions.col("mvalue")) ++
         (if (hasKey) Seq(org.apache.spark.sql.functions.col("mkey"))
@@ -48,7 +66,7 @@ object SocketProduce {
       batch.select(cols: _*).foreachPartition {
         (rows: Iterator[Row]) =>
           if (rows.nonEmpty) {
-            val client = new FlyqClient(host, port)
+            val client = new FlyqClient(host, port, quirkCompat, readTimeoutMs)
             try rows.foreach { r =>
               val value = r.getAs[Array[Byte]](0)
               val key =

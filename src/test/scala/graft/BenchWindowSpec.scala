@@ -55,6 +55,69 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(!BenchWindow.drift(Seq(1.2, 1.2, 1.2), 1.38))
   }
 
+  test("a NEAR-flat pair topped by one loaded window is not drift " +
+      "(the r16 false fire), while compounding with a real body still is") {
+    // the measured series that falsely fired: 0.6% step, then a 1.585
+    // co-tenant window (load ~4, zero local CPU) — ~100% of the
+    // cumulative rise in the final run is one noisy window, not
+    // compounding
+    assert(!BenchWindow.drift(Seq(1.2022, 1.2090), 1.5847))
+    assert(!BenchWindow.drift(Seq(1.0, 1.004), 1.30))
+    // real compounding has a rising BODY before its last run — all of
+    // these keep alarming under the body-rise bar
+    assert(BenchWindow.drift(Seq(1.0, 1.1), 1.25))            // 10% body
+    assert(BenchWindow.drift(Seq(1.0, 1.05, 1.10), 1.27))     // 5%/run
+    assert(BenchWindow.drift(Seq(1.0, 1.04, 1.08, 1.12), 1.17)) // slow
+  }
+
+  test("a uniformly loaded window produces zero flags (r15 verdict #1)") {
+    // every row elevated 2.2x by a co-tenant window: the factor IS 2.2
+    // and divides every row back under the bar — no judge-facing flags
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "d" -> 4.0)
+    val cur = prev.view.mapValues(_ * 2.2).toMap
+    val f = BenchWindow.windowFactor(
+      prev.keys.toSeq.map(k => cur(k) / prev(k)))
+    assert(f === 2.2)
+    assert(prev.keys.forall(k => !BenchWindow.flagged(prev(k), cur(k), f)))
+  }
+
+  test("a real single-row regression on a quiet window still flags, " +
+      "with the normalized ratio equal to the raw one") {
+    // window ~1.0 (three steady rows), one row 3x: flags, and because
+    // the factor is 1.0 the normalized ratio the driver reads IS 3x
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "slow" -> 1.0)
+    val cur = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "slow" -> 3.0)
+    val f = BenchWindow.windowFactor(
+      prev.keys.toSeq.map(k => cur(k) / prev(k)))
+    assert(f === 1.0)
+    assert(BenchWindow.flagged(prev("slow"), cur("slow"), f))
+    assert(cur("slow") / (prev("slow") * f) === 3.0)
+    assert(prev.keys.filter(_ != "slow")
+      .forall(k => !BenchWindow.flagged(prev(k), cur(k), f)))
+  }
+
+  test("a single-row regression survives normalization on a LOADED window") {
+    // loaded window (x1.8 uniform) AND one row genuinely 5x: the row's
+    // normalized ratio 5/1.8 = 2.78 > 1.5 still flags — normalization
+    // de-flags the window, not real regressions riding on top of it
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "slow" -> 1.0)
+    val cur = Map("a" -> 1.8, "b" -> 3.6, "c" -> 0.9, "slow" -> 5.0)
+    val f = BenchWindow.windowFactor(
+      prev.keys.toSeq.map(k => cur(k) / prev(k)))
+    assert(f === 1.8)
+    assert(BenchWindow.flagged(prev("slow"), cur("slow"), f))
+    assert(prev.keys.filter(_ != "slow")
+      .forall(k => !BenchWindow.flagged(prev(k), cur(k), f)))
+  }
+
+  test("sub-noise-floor absolute deltas never flag") {
+    // 10x ratio but 0.1 s absolute: under the 0.2 s noise floor
+    assert(!BenchWindow.flagged(0.01, 0.1, 1.0))
+    // and rows with no valid floor never flag
+    assert(!BenchWindow.flagged(0.0, 5.0, 1.0))
+    assert(!BenchWindow.flagged(-1.0, 5.0, 1.0))
+  }
+
   test("history round-trips through the sidecar JSONL") {
     val f = java.io.File.createTempFile("wf_hist", ".jsonl")
     f.deleteOnExit()

@@ -133,7 +133,11 @@ class ProbeFormSpec extends AnyFunSuite {
     Dedup.writeNgramIndexTable(spark, sf, table, 8)
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     // pin a known prior (the direct-API tests elsewhere may have left it
-    // raised — the scope must restore to WHATEVER was set before)
+    // raised — the scope must restore to WHATEVER was set before) and
+    // forget any sticky direct floor a sibling suite's direct-API calls
+    // left on the shared session (the floor is session-lifetime by
+    // contract; this test is about the scope's own restore)
+    PipelineStreams.resetPushFloor(spark)
     spark.conf.set(key, "10")
     try {
       val input = MemoryStream[StreamDoc](spark)
@@ -157,6 +161,98 @@ class ProbeFormSpec extends AnyFunSuite {
       assert(spark.conf.get(key) === "10",
         "threshold not restored after the pushed batch drained")
     } finally {
+      spark.conf.unset(key)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("measureKeyRuns is split-proof: a session forcing tiny scan splits " +
+      "measures the same runs/file as the default (r15 advice #1)") {
+    val table = "pf_splits"
+    Dedup.writeNgramIndexTable(spark, sf, table, 8)
+    val mpb = "spark.sql.files.maxPartitionBytes"
+    try {
+      val base = Dedup.measureKeyRuns(spark, table, "pkey")
+      // force every index file to split into many scan partitions: the
+      // old per-split fold counted each split as a file and restarted a
+      // run at each boundary, deflating the statistic toward 1 and
+      // stamping borderline layouts 'pushed'
+      spark.conf.set(mpb, "16384")
+      val underSplits = Dedup.measureKeyRuns(spark, table, "pkey")
+      assert(underSplits === base,
+        s"runs/file must not depend on scan splitting: $underSplits vs $base")
+      // the internal pin restores the session's own setting
+      assert(spark.conf.get(mpb) === "16384")
+    } finally {
+      spark.conf.unset(mpb)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("an index keyed on an unordered type fails the stamp loudly " +
+      "instead of measuring vacuous 'no descent evidence' (r15 verdict #6)") {
+    import spark.implicits._
+    val table = "pf_unordered"
+    Seq((Seq(1L, 2L), "x"), (Seq(3L), "y")).toDF("arr_key", "v")
+      .write.mode("overwrite").saveAsTable(table)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.stampProbeStats(spark, table, "arr_key")
+      }
+      assert(e.getMessage.contains("arr_key"))
+      assert(e.getMessage.contains(table))
+      assert(e.getMessage.contains("array<bigint>"))
+      // nothing was stamped: the optimistic 'pushed' verdict must not
+      // exist for a layout parquet cannot page-prune
+      assert(Dedup.gateProbeForm(spark, table).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+  }
+
+  test("direct pushed API inside a scoped stream keeps its documented " +
+      "leave-raised behavior — scope-out must not clobber it (r15 advice #3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.PipelineStreams.StreamDoc
+    import spark.implicits._
+    val table = "pf_direct_in_scope"
+    Dedup.writeNgramIndexTable(spark, sf, table, 8)
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    PipelineStreams.resetPushFloor(spark)
+    spark.conf.set(key, "10")
+    try {
+      val input = MemoryStream[StreamDoc](spark)
+      val q = PipelineStreams.ngramNearDupPushedWriter(
+          spark, input.toDF(), table) { (df, _) =>
+          df.collect(): Unit
+          // a user mixing the forms: a DIRECT pushed probe fires on the
+          // user's own thread while the writer's batch is in flight —
+          // the advice's exact interleaving. Its raise must survive the
+          // scope-out. (pushKeysIntoScan is the primitive every direct
+          // *BatchPushed form raises through, driven with a non-empty
+          // key set so the raise definitely happens; the separate
+          // thread is what makes it a DIRECT raise rather than the
+          // writer's own restorable one.)
+          val t = new Thread(() =>
+            PipelineStreams.pushKeysIntoScan(spark, spark.table(table),
+              "pkey", Array[Any]("probe-key")).count(): Unit)
+          t.start(); t.join()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("pf_direct").toString)
+        .start()
+      try {
+        val doc = graft.sources.Tables.load(spark, sf, "documents")
+          .select("doc_id", "lang", "text").head()
+        input.addData(StreamDoc(doc.getLong(0), doc.getString(1),
+          doc.getString(2), new java.sql.Timestamp(0L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // before the fix: scope-out restored the captured prior ("10"),
+      // silently degrading the direct plan's pushed IN to a range scan;
+      // now the scope's recorded prior is rewritten by the direct raise
+      assert(spark.conf.get(key).toInt > PipelineStreams.PushChunk,
+        "direct raise was clobbered by the enclosing scope's restore")
+    } finally {
+      PipelineStreams.resetPushFloor(spark)
       spark.conf.unset(key)
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }

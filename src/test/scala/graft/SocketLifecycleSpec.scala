@@ -420,6 +420,210 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { w.stop(); server.stop() }
   }
 
+  test("quirk transport (r15 verdict #2): the quirk client speaks the " +
+      "reference listener's envelope/raw-value/partition-0/echoed-offset " +
+      "dialect against the quirk-faithful stub server") {
+    val dir = Files.createTempDirectory("flyq-quirk").toString
+    val server = new FlyqServer(dir, numPartitions = 1, quirks = true)
+    val c = new FlyqClient("127.0.0.1", server.start(), quirk = true)
+    try {
+      // network produce carries the RAW value; server stamps its own
+      // time and stores key=None (listener.rs:91-96)
+      val t0 = System.currentTimeMillis()
+      val acks = (0 until 5).map { i =>
+        val Right(a) = c.produce("t",
+          WireMessage(0L, None, b(s"v$i"), Nil)): @unchecked
+        a
+      }
+      assert(acks.map(_.offset) === (0L until 5L))
+      // a keyed produce is REFUSED client-side, not silently stripped
+      val keyed = c.produce("t", WireMessage(0L, Some(b("k")), b("x"), Nil))
+      assert(keyed.isLeft)
+      assert(keyed.swap.toOption.get.contains("drops keys"))
+
+      // echoed offset + partition-0 hardcode: asking partition 1 still
+      // reads partition 0's log (listener.rs:122), labeled with the
+      // ASKED offset (listener.rs:125-129)
+      val Right(Some(r1)) = c.consumeOpt("t", 1L, 2L): @unchecked
+      assert(r1.offset === 2L)
+      assert(new String(r1.message.value, "UTF-8") === "v2")
+      assert(r1.message.key.isEmpty, "key dropped by the transport")
+      assert(r1.message.tsMs >= t0, "server-stamped timestamp")
+
+      // past-end is an EMPTY payload -> Right(None), not an Error frame
+      assert(c.consumeOpt("t", 0L, 99L) === Right(None))
+
+      // CommitOffset acks with empty bytes; the synthesized ack echoes
+      // the request and the committed offset is really stored
+      val Right(ack) = c.commitOffset("t", 0L, "g", 3L): @unchecked
+      assert((ack.partition, ack.offset) === ((0L, 3L)))
+      val Right(gr) = c.consumeWithGroup("t", 0L, "g"): @unchecked
+      assert(gr.offset === 3L)
+      // caught-up group is also an empty payload under quirks
+      assert(c.commitOffset("t", 0L, "g", 5L).isRight)
+      assert(c.consumeWithGroup("t", 0L, "g").isLeft) // decode of empty
+
+      // the server-side files are STILL the shared layout (the quirk is
+      // transport-level, not storage-level)
+      val df = graft.sources.SegmentFiles.readTopic(spark, dir, "t")
+      assert(df.count() === 5)
+    } finally { c.close(); server.stop() }
+  }
+
+  test("quirkCompat source + producer: full Spark round-trip against the " +
+      "quirk-faithful stub, and loud rejection of what the transport drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("flyq-quirk-spark").toString
+    val server = new FlyqServer(dir, numPartitions = 1, quirks = true)
+    val port = server.start()
+
+    // a keyed frame cannot be quirk-produced: construction fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.SocketProduce.socketProduceWriter(
+        MemoryStream[(Array[Byte], Array[Byte])](spark)
+          .toDF().toDF("mkey", "mvalue"),
+        "127.0.0.1", port, "t", quirkCompat = true)
+    }
+    assert(e.getMessage.contains("mkey"))
+    // and the source refuses multi-partition quirk reads (thrown at
+    // table resolution or at stream start, depending on the engine's
+    // laziness — either way loudly, with the quirk named)
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("topic", "t").option("partitions", "2")
+        .option("quirkCompat", "true").load()
+        .writeStream.format("memory").queryName("flyq_quirk_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("flyq-quirk-bad-ckpt").toString)
+        .start().processAllAvailable()
+    }
+    assert(e2.toString.contains("partition 0") ||
+      String.valueOf(e2.getCause).contains("partition 0"))
+
+    // value-only producer lands over the quirk wire
+    val input = MemoryStream[Array[Byte]](spark)
+    val w = graft.streaming.SocketProduce.socketProduceWriter(
+        input.toDF().toDF("mvalue"), "127.0.0.1", port, "t",
+        quirkCompat = true)
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-quirk-prod-ckpt").toString)
+      .start()
+    try {
+      input.addData((0 until 6).map(i => b(s"qv$i")): _*)
+      w.processAllAvailable()
+    } finally w.stop()
+
+    // quirkCompat source streams them back: offsets labeled exactly as
+    // asked (the echo discipline), all on partition 0
+    val q = spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("topic", "t").option("quirkCompat", "true").load()
+      .writeStream.format("memory").queryName("flyq_quirk_rt")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-quirk-rt-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("flyq_quirk_rt")
+        .select(col("part_id"), col("msg_offset"),
+          col("mvalue").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.map(_._3).toSet === (0 until 6).map(i => s"qv$i").toSet)
+      assert(rows.map(_._1).toSet === Set(0L))
+      assert(rows.map(_._2).sorted.toSeq === (0L until 6L))
+      // live tail still works over the quirk wire
+      val c = new FlyqClient("127.0.0.1", port, quirk = true)
+      try assert(c.produce("t", WireMessage(0L, None, b("late"), Nil)).isRight)
+      finally c.close()
+      q.processAllAvailable()
+      assert(spark.table("flyq_quirk_rt").count() === 7)
+    } finally { q.stop(); server.stop() }
+  }
+
+  test("startingOffsets=latest attaches to a pre-loaded broker and " +
+      "receives only post-start produces (r15 verdict #3)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-sock-latest").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      // the retained history a monitoring consumer must NOT replay
+      (0 until 50).foreach { i =>
+        assert(c.produce("t", WireMessage(1L + i, Some(b("k")),
+          b(s"old$i"), Nil)).isRight)
+      }
+      val q = spark.readStream
+        .format("graft.sources.v2.FlyqSocketSource")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("topic", "t").option("partitions", "1")
+        .option("startingOffsets", "latest").load()
+        .writeStream.format("memory").queryName("flyq_latest")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("flyq-latest-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("flyq_latest").count() === 0,
+          "latest must not replay the retained log")
+        (0 until 3).foreach { i =>
+          assert(c.produce("t", WireMessage(100L + i, Some(b("k")),
+            b(s"new$i"), Nil)).isRight)
+        }
+        q.processAllAvailable()
+        val got = spark.table("flyq_latest")
+          .select(col("msg_offset"), col("mvalue").cast("string"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === Map(50L -> "new0", 51L -> "new1", 52L -> "new2"))
+      } finally q.stop()
+    } finally { c.close(); server.stop() }
+  }
+
+  test("a protocol-level server error FAILS the stream instead of " +
+      "holding forever (r15 advice #2); bogus startingOffsets rejected") {
+    // invalid topic: the server ANSWERS (Error frame) on the very first
+    // watermark RPC — that is a protocol error, not an outage, and the
+    // query must die with FlyqProtocolException in its cause chain
+    val dir = Files.createTempDirectory("flyq-sock-err").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("topic", "bad/topic").option("partitions", "1").load()
+          .writeStream.format("memory").queryName("flyq_protoerr")
+          .option("checkpointLocation",
+            Files.createTempDirectory("flyq-protoerr-ckpt").toString)
+          .start().processAllAvailable()
+      }
+      var cause: Throwable = e
+      var sawProto = false
+      while (cause != null && !sawProto) {
+        sawProto = cause.isInstanceOf[graft.protocol.FlyqProtocolException]
+        cause = cause.getCause
+      }
+      assert(sawProto, s"expected FlyqProtocolException in: $e")
+
+      val e2 = intercept[Exception] {
+        spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("topic", "t").option("startingOffsets", "bogus").load()
+          .writeStream.format("memory").queryName("flyq_badopt")
+          .option("checkpointLocation",
+            Files.createTempDirectory("flyq-badopt-ckpt").toString)
+          .start().processAllAvailable()
+      }
+      assert(e2.toString.contains("startingOffsets") ||
+        String.valueOf(e2.getCause).contains("startingOffsets"))
+    } finally server.stop()
+  }
+
   test("socket stream survives a broker restart: driver reconnects, " +
       "offsets continue from the recovered write head") {
     import org.apache.spark.sql.functions._
