@@ -27,8 +27,14 @@ import java.nio.charset.StandardCharsets
   *  - PartitionHealthResponse `response/partition_health_response.rs:16-101`
   *    (optional last_cleanup behind a presence byte)
   *
-  * Like [[Frame]], these exist for protocol parity and a future live-socket
-  * source; the query surface never touches them.
+  * Like [[Frame]], these exist for protocol parity and the live-socket
+  * surfaces ([[graft.sources.v2.FlyqSocketSource]],
+  * [[graft.streaming.SocketProduce]], [[FlyqServer]]); the relational
+  * query surface never touches them. The reference's 1-byte
+  * `ResponsePayload` envelope (`payload.rs:42-47`) is NOT modeled as a
+  * codec here: the engine-semantics server answers with the bare
+  * response body, and the quirk-compat client/server add/strip the
+  * envelope byte inline (see [[FlyqClient]]'s quirk scaladoc).
   */
 object Payloads {
 
