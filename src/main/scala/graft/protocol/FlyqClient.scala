@@ -136,9 +136,20 @@ class FlyqClient(host: String, port: Int, quirk: Boolean = false,
 
   def consumeWithGroup(topic: String, partition: Long,
                        group: String): Either[String, ConsumeResponse] =
+    consumeWithGroupOpt(topic, partition, group)
+      .flatMap(_.toRight(s"group $group caught up past the log end"))
+
+  /** [[consumeWithGroup]] that distinguishes "caught up" from a server
+    * error — the reference transport answers a caught-up group with an
+    * EMPTY payload (`listener.rs:177-181`) → `Right(None)`; the engine
+    * server answers with an Error frame, which stays `Left`. */
+  def consumeWithGroupOpt(topic: String, partition: Long,
+                          group: String): Either[String, Option[ConsumeResponse]] =
     call(OpCode.ConsumeWithGroup, ConsumeWithGroupRequest.encode(
-      ConsumeWithGroupRequest(topic, partition, group)))
-      .flatMap(ConsumeResponse.decode)
+      ConsumeWithGroupRequest(topic, partition, group))).flatMap { data =>
+      if (quirk && data.isEmpty) Right(None)
+      else ConsumeResponse.decode(data).map(Some(_))
+    }
 
   def commitOffset(topic: String, partition: Long, group: String,
                    offset: Long): Either[String, ProduceAck] =

@@ -248,13 +248,28 @@ object Payloads {
 
   // ---- responses ----
 
+  /** Response decodes are STRICT about trailing bytes (r16): a response
+    * longer than its codec is a dialect mismatch — most commonly the
+    * reference transport's 1-byte opcode envelope hitting an
+    * engine-semantics client, where a lenient fixed-width decode would
+    * return byte-shifted GARBAGE (e.g. a watermark low of 0x05<<56)
+    * instead of an error. Requests stay lenient like the reference's
+    * own deserializers. */
+  private def strict[T](in: Reader, what: String)(v: T): Either[String, T] =
+    if (in.atEnd) Right(v)
+    else Left(s"trailing bytes after $what — response dialect mismatch " +
+      "(enveloped response to a bare-body client, or vice versa)?")
+
   final case class ProduceAck(partition: Long, offset: Long)
   object ProduceAck {
     def encode(r: ProduceAck): Array[Byte] =
       new Writer().u32(r.partition).u64(r.offset).bytes
     def decode(b: Array[Byte]): Either[String, ProduceAck] = {
       val in = new Reader(b)
-      for { part <- in.u32(); off <- in.u64() } yield ProduceAck(part, off)
+      for {
+        part <- in.u32(); off <- in.u64()
+        r <- strict(in, "ProduceAck")(ProduceAck(part, off))
+      } yield r
     }
   }
 
@@ -311,7 +326,8 @@ object Payloads {
       for {
         off <- in.u64()
         msg <- WireMessage.decodeFrom(in)
-      } yield ConsumeResponse(off, msg)
+        r <- strict(in, "ConsumeResponse")(ConsumeResponse(off, msg))
+      } yield r
     }
   }
 
@@ -325,7 +341,8 @@ object Payloads {
       val in = new Reader(b)
       for {
         low <- in.u64(); high <- in.u64(); end <- in.u64()
-      } yield WatermarkResponse(low, high, end)
+        r <- strict(in, "WatermarkResponse")(WatermarkResponse(low, high, end))
+      } yield r
     }
   }
 
@@ -362,7 +379,9 @@ object Payloads {
             } yield v :+ PartitionLag(topic, part, committed, hwm, lag)
           }
         }
-      } yield ConsumerLagResponse(group, total, parts.toSeq)
+        r <- strict(in, "ConsumerLagResponse")(
+          ConsumerLagResponse(group, total, parts.toSeq))
+      } yield r
     }
   }
 
@@ -400,8 +419,9 @@ object Payloads {
           case 1 => in.u64().map(Some(_))
           case other => Left(s"bad last_cleanup presence flag $other")
         }
-      } yield PartitionHealthResponse(topic, part, segs, size, low, high,
-        end, cleanup)
+        r <- strict(in, "PartitionHealthResponse")(PartitionHealthResponse(
+          topic, part, segs, size, low, high, end, cleanup))
+      } yield r
     }
   }
 }

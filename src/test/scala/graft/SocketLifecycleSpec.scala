@@ -459,9 +459,13 @@ class SocketLifecycleSpec extends AnyFunSuite {
       assert((ack.partition, ack.offset) === ((0L, 3L)))
       val Right(gr) = c.consumeWithGroup("t", 0L, "g"): @unchecked
       assert(gr.offset === 3L)
-      // caught-up group is also an empty payload under quirks
+      // caught-up group is also an empty payload under quirks —
+      // Right(None) through the Opt form, a named Left through the plain
       assert(c.commitOffset("t", 0L, "g", 5L).isRight)
-      assert(c.consumeWithGroup("t", 0L, "g").isLeft) // decode of empty
+      assert(c.consumeWithGroupOpt("t", 0L, "g") === Right(None))
+      val caught = c.consumeWithGroup("t", 0L, "g")
+      assert(caught.isLeft)
+      assert(caught.swap.toOption.get.contains("caught up"))
 
       // the server-side files are STILL the shared layout (the quirk is
       // transport-level, not storage-level)
@@ -542,6 +546,46 @@ class SocketLifecycleSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("flyq_quirk_rt").count() === 7)
     } finally { q.stop(); server.stop() }
+  }
+
+  test("cross-dialect mismatches fail LOUDLY, not with silent misparses") {
+    // a quirk client pointed at an ENGINE-semantics server: the bare
+    // response body's first byte is not the opcode envelope — every
+    // call comes back Left naming the envelope, nothing half-decodes
+    val dir = Files.createTempDirectory("flyq-cross-a").toString
+    val engine = new FlyqServer(dir, numPartitions = 1)
+    val qc = new FlyqClient("127.0.0.1", engine.start(), quirk = true)
+    try {
+      // raw-value produce fails the engine's WireMessage decode — an
+      // Error frame, surfaced as a Left (not a stored garbage record)
+      val r = qc.produce("t", WireMessage(0L, None, b("v"), Nil))
+      assert(r.isLeft)
+      // watermark DOES get a Response frame — whose bare body fails the
+      // quirk client's envelope check with the opcode named
+      val w = qc.watermark("t", 0L)
+      assert(w.isLeft)
+      assert(w.swap.toOption.get.contains("opcode"),
+        s"expected an envelope complaint, got $w")
+    } finally { qc.close(); engine.stop() }
+
+    // an engine client pointed at a QUIRK server: the enveloped
+    // response fails the typed decode — Left, not a garbage ack
+    val dir2 = Files.createTempDirectory("flyq-cross-b").toString
+    val quirkSrv = new FlyqServer(dir2, numPartitions = 1, quirks = true)
+    val ec = new FlyqClient("127.0.0.1", quirkSrv.start())
+    try {
+      // (the engine client's WireMessage-encoded produce bytes are
+      // stored verbatim as a value by the quirk server — produce "works"
+      // at the transport level; the detectable mismatch is on RESPONSES,
+      // where the envelope byte would shift every fixed-width field —
+      // the strict response decodes turn that into a named Left instead
+      // of a byte-shifted garbage watermark)
+      val w = ec.watermark("t", 0L)
+      assert(w.isLeft, s"enveloped watermark must not half-decode: $w")
+      assert(w.swap.toOption.get.contains("dialect mismatch"))
+      val cr = ec.consume("t", 0L, 0L)
+      assert(cr.isLeft, s"enveloped consume response must not decode: $cr")
+    } finally { ec.close(); quirkSrv.stop() }
   }
 
   test("startingOffsets=latest attaches to a pre-loaded broker and " +
