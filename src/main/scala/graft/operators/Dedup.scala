@@ -1542,16 +1542,22 @@ object Dedup {
     * at all — the exact simhash-style degradation the stamp exists to
     * prevent, silently re-opened for any future index keyed on a
     * composite type. */
-  private def runsComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+  private def runsComparable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
     dt match {
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.BinaryType => true
-      case _: org.apache.spark.sql.types.DecimalType => true
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | BinaryType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
       case _ => false
     }
+  }
+
+  /** Serializes [[measureKeyRuns]]' session-conf pin: two concurrent
+    * builds interleaving their save/restores could otherwise leave the
+    * 8 TiB pin as the session value permanently (thread B reads A's pin
+    * as the "prior" and restores it last). */
+  private val measureLock = new Object
 
   /** Page-selectivity statistic of `keyCol` under the table's PHYSICAL
     * layout: the average number of maximal non-descending runs of the
@@ -1594,11 +1600,12 @@ object Dedup {
           s"unordered type ${keyType.simpleString} — parquet page stats " +
           "cannot prune this type, so a runs/file measurement would be " +
           "vacuously optimistic and the index must not stamp a probe " +
-          "form from it; key the index on a string/integral/binary " +
-          "column or stamp 'plain' explicitly")
+          "form from it; key the index on a scalar column (string, " +
+          "integral, float/double, decimal, binary, date, timestamp) " +
+          "or stamp 'plain' explicitly")
     val MPB = "spark.sql.files.maxPartitionBytes"
-    val prior = spark.conf.get(MPB)
-    val (runs, fileSets) =
+    val (runs, fileSets) = measureLock.synchronized {
+      val prior = spark.conf.get(MPB)
       try {
         spark.conf.set(MPB, (8L << 40).toString) // no file splits below 8 TiB
         val df = spark.table(table)
@@ -1622,6 +1629,11 @@ object Dedup {
               var i = 0; var r = 0
               while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
               (if (r != 0) r else x.length - y.length) > 0
+            case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
+              // the remaining whitelisted scalars (float/short/byte,
+              // date/timestamp in either java.sql or java.time form,
+              // decimal) — all Comparable with parquet's own ordering
+              x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) > 0
             case _ => throw new IllegalStateException(
               s"measureKeyRuns: unorderable key value of ${a.getClass}")
           }
@@ -1637,6 +1649,7 @@ object Dedup {
           case ((r1, f1), (r2, f2)) => (r1 + r2, f1 ++ f2)
         }
       } finally spark.conf.set(MPB, prior)
+    }
     if (fileSets.isEmpty) 1.0 else runs.toDouble / fileSets.size
   }
 

@@ -269,8 +269,10 @@ class FlyqSocketReaderFactory extends PartitionReaderFactory {
   * later batch and is dropped, keeping batch replays exact. Quirk
   * semantics: the server echoes the asked offset, so the reader labels
   * rows with it and advances by 1 — see the source scaladoc. Either
-  * way, an empty "nothing there" answer (quirk transport) ends the
-  * split. The connection carries the configured SO_TIMEOUT, so a hung
+  * way, an empty "nothing there" answer below the planned end (quirk
+  * transport) fails the task — a planned offset the broker cannot
+  * serve is a torn tail, and skipping it would silently drop records.
+  * The connection carries the configured SO_TIMEOUT, so a hung
   * broker fails the task instead of wedging it (r15 advice #4). */
 class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
     extends PartitionReader[InternalRow] {
@@ -287,10 +289,18 @@ class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
           s"consume(${split.topic}, ${split.partId}, $nextOff) failed " +
             s"(planned until ${split.until}): $err")
       case Right(None) =>
-        // quirk transport's "nothing there": the planned range outran
-        // the readable log (e.g. a torn tail) — end the split
-        nextOff = split.until
-        false
+        // quirk transport's "nothing there" BELOW the planned end: the
+        // broker cannot serve an offset its own Watermark advertised —
+        // a torn/truncated tail. FAIL the task (Spark retries; if the
+        // data is really gone the stream dies loudly) rather than end
+        // the split: silently skipping planned-but-unread offsets
+        // would advance the checkpoint past records that were never
+        // delivered, breaking the replay-exactness the engine path
+        // enforces by erroring in the same situation.
+        throw new java.io.IOException(
+          s"consume(${split.topic}, ${split.partId}, $nextOff) returned " +
+            s"no message below the planned end ${split.until} — torn or " +
+            "truncated broker tail")
       case Right(Some(resp)) =>
         if (resp.offset >= split.until) { nextOff = split.until; return false }
         val m = resp.message

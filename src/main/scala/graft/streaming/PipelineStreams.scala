@@ -691,9 +691,12 @@ object PipelineStreams {
       * range by an interleaved scoped stream draining. Sticky by
       * design — it IS the direct form's documented "leaves it raised"
       * contract, now honored even in sessions that also run scoped
-      * writers. */
+      * writers. Weak keys: unlike [[states]] (which self-evicts at
+      * depth 0), floors have no natural removal point, and a strong
+      * map would pin every retired session a direct probe ever
+      * touched for the JVM lifetime. */
     private val directFloor =
-      scala.collection.mutable.Map.empty[SparkSession, Int]
+      new java.util.WeakHashMap[SparkSession, java.lang.Integer]
     /** Marks the scoped batch body's thread: raises made INSIDE it are
       * the writer's own (fully executed before scope-out, safe to
       * restore) and must NOT set the sticky floor — otherwise every
@@ -719,8 +722,8 @@ object PipelineStreams {
           val (depth, prior) = states(spark)
           if (depth <= 1) {
             states.remove(spark)
-            val target = directFloor.get(spark) match {
-              case Some(f) if prior.toInt < f => f.toString
+            val target = Option(directFloor.get(spark)) match {
+              case Some(f) if prior.toInt < f.intValue => f.toString
               case _ => prior
             }
             spark.conf.set(Key, target)
@@ -742,8 +745,9 @@ object PipelineStreams {
         if (spark.conf.get(Key).toInt <= chunkSize)
           spark.conf.set(Key, (chunkSize + 1).toString)
         if (!inScope.get)
-          directFloor(spark) =
-            math.max(directFloor.getOrElse(spark, 0), chunkSize + 1)
+          directFloor.put(spark, Int.box(math.max(
+            Option(directFloor.get(spark)).fold(0)(_.intValue),
+            chunkSize + 1))): Unit
       }
 
     /** Test/diagnostic hook: forget the session's sticky direct floor

@@ -14,6 +14,13 @@
 # feed SURVEY crossover claims (ADVICE r13).
 set -eo pipefail
 cd /root/repo
+# preflight: probe_stat (below) needs pyarrow — fail BEFORE the expensive
+# builds, not between builds and probes (which would leave a silently
+# probe-less JSONL, the exact truncation this script's pipefail guards)
+python3 -c "import pyarrow.parquet" || {
+  echo "gate_cold.sh: python3 pyarrow is required (tools/probe_runs.py)" >&2
+  exit 1
+}
 OUT="${1:-/tmp/gate_cold.jsonl}"
 : > "$OUT"
 WH=/root/repo/.localdata/gatewh

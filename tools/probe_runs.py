@@ -16,13 +16,16 @@ Usage:
     tools/probe_runs.py <table_dir> <key_column> [--max-runs 12]
 
 <table_dir> is the warehouse directory of a bucketed gate index (the
-directory holding its part-*.parquet files). Prints one JSON line:
+directory holding its part-*.parquet files). Prints one JSON line with
+runs_per_file at FULL float precision (it must compare equal to the
+Scala-stamped `graft.key_runs` in the adjacent build line):
 
     {"table": ..., "key": ..., "files": N, "runs": R,
      "runs_per_file": R/N, "form": "pushed"|"plain"}
 
-Exit status 0 always (the caller compares); the verdict rule mirrors
-the Scala constant KeyRunsMax = 12 (Dedup.scala).
+Exit status: 0 on success, 1 when no parquet files are found, 2 on a
+usage error. The verdict rule mirrors the Scala constant
+KeyRunsMax = 12 (Dedup.scala); override with --max-runs.
 
 Ordering parity with the Scala measurement:
   - strings compare as UTF-8 code points (parquet's UNSIGNED byte
@@ -72,15 +75,16 @@ def descends(a, b) -> bool:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) != 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    table_dir, key = args
-    max_runs = 12.0
-    for a in sys.argv[1:]:
-        if a.startswith("--max-runs"):
-            max_runs = float(a.split("=", 1)[1]) if "=" in a else max_runs
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="pyarrow recomputation of the gate-index probe-form "
+                    "statistic (runs/file)")
+    ap.add_argument("table_dir")
+    ap.add_argument("key_column")
+    ap.add_argument("--max-runs", type=float, default=12.0,
+                    help="pushed/plain verdict bar (Scala KeyRunsMax)")
+    ns = ap.parse_args()
+    table_dir, key, max_runs = ns.table_dir, ns.key_column, ns.max_runs
     files = sorted(
         glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
         + glob.glob(os.path.join(table_dir, "**", "part-*"), recursive=True)
@@ -103,7 +107,7 @@ def main() -> int:
         "key": key,
         "files": len(parquet_files),
         "runs": total_runs,
-        "runs_per_file": round(rpf, 4),
+        "runs_per_file": rpf,  # full precision: compared to the Scala stamp
         "form": "pushed" if rpf <= max_runs else "plain",
     }))
     return 0
