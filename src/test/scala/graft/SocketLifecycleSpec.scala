@@ -548,6 +548,105 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop() }
   }
 
+  /** Minimal scripted wire stub for broker FAILURE modes a real
+    * [[FlyqServer]] cannot be made to exhibit on demand: a Watermark
+    * that advertises offsets the Consume path then cannot serve (torn
+    * tail), and a Consume that HANGS instead of answering. */
+  private class ScriptedBroker(quirkEnvelope: Boolean, low: Long,
+                               high: Long, end: Long,
+                               consumeBehavior: String) {
+    import graft.protocol.Frame
+    import graft.protocol.Frame.{Frame => WireFrame, FrameType}
+    private val server = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val accept = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          val w = new Thread(() => serve(sock))
+          w.setDaemon(true); w.start()
+        } catch { case _: Exception => () }
+      }
+    })
+    accept.setDaemon(true); accept.start()
+    private def serve(sock: java.net.Socket): Unit = {
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val out = sock.getOutputStream
+      try {
+        while (true) {
+          val header = new Array[Byte](Frame.HeaderLen)
+          in.readFully(header)
+          val len = java.nio.ByteBuffer.wrap(header, 6, 4).getInt
+          val buf = new Array[Byte](Frame.HeaderLen + len)
+          System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
+          in.readFully(buf, Frame.HeaderLen, len)
+          val Right(Some((frame, _))) = Frame.decode(buf): @unchecked
+          val Right(req) = RequestPayload.decode(frame.payload): @unchecked
+          val data: Option[Array[Byte]] = req.opCode match {
+            case OpCode.Watermark => Some(WatermarkResponse.encode(
+              WatermarkResponse(low, high, end)))
+            case OpCode.Consume if consumeBehavior == "hang" =>
+              Thread.sleep(600000L); None
+            case _ => Some(Array.emptyByteArray) // quirk "nothing there"
+          }
+          data.foreach { d =>
+            val payload = if (quirkEnvelope) req.opCode +: d else d
+            out.write(Frame.encode(
+              WireFrame(1, FrameType.Response, frame.correlationId, payload)))
+            out.flush()
+          }
+        }
+      } catch { case _: Exception => () } finally sock.close()
+    }
+    def stop(): Unit = server.close()
+  }
+
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20).toSeq
+
+  test("quirk torn tail: a planned offset the broker cannot serve FAILS " +
+      "the stream instead of silently skipping records") {
+    // Watermark advertises [0,5) but every Consume answers "nothing
+    // there" — the truncated-tail crash scenario. The checkpoint must
+    // NOT advance past offsets that were never delivered.
+    val stub = new ScriptedBroker(quirkEnvelope = true, 0L, 4L, 5L, "empty")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("topic", "t").option("quirkCompat", "true").load()
+          .writeStream.format("memory").queryName("flyq_torn")
+          .option("checkpointLocation",
+            Files.createTempDirectory("flyq-torn-ckpt").toString)
+          .start().processAllAvailable()
+      }
+      assert(causeChain(e).exists(c =>
+        String.valueOf(c.getMessage).contains("torn or truncated")),
+        s"expected the torn-tail failure, got: $e")
+    } finally stub.stop()
+  }
+
+  test("a broker that HANGS mid-batch fails the task via the read " +
+      "timeout instead of wedging it (r15 advice #4)") {
+    val stub = new ScriptedBroker(quirkEnvelope = false, 0L, 4L, 5L, "hang")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("topic", "t").option("partitions", "1")
+          .option("readTimeoutMs", "500").load()
+          .writeStream.format("memory").queryName("flyq_hang")
+          .option("checkpointLocation",
+            Files.createTempDirectory("flyq-hang-ckpt").toString)
+          .start().processAllAvailable()
+      }
+      assert(causeChain(e).exists(
+        _.isInstanceOf[java.net.SocketTimeoutException]),
+        s"expected SocketTimeoutException in the cause chain, got: $e")
+    } finally stub.stop()
+  }
+
   test("cross-dialect mismatches fail LOUDLY, not with silent misparses") {
     // a quirk client pointed at an ENGINE-semantics server: the bare
     // response body's first byte is not the opcode envelope — every
