@@ -1,0 +1,141 @@
+package graft.protocol
+
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Maintenance
+
+/** The standalone BROKER BINARY — the reference ships one
+  * (`flyq-server/src/main.rs`: parse params, load the engine, start the
+  * background runtime, serve TCP until ctrl-c, flush before exit), and a
+  * user switching from it should get the same `run a broker process`
+  * experience here:
+  *
+  * {{{
+  *   sbt "runMain graft.protocol.FlyqBrokerMain --base-dir ./data --port 9092"
+  * }}}
+  *
+  * Flags mirror the reference's `Params` (`server/params.rs`):
+  * `--base-dir` (env `FLYQ_BASE_DIR`, default `./data`), `--port` (env
+  * `FLYQ_PORT`, default 9092), plus `--partitions` (default
+  * [[graft.model.LogModel.NumPartitions]]), `--cleanup-interval-ms`
+  * (default [[Maintenance.DefaultIntervalMs]], the reference's
+  * `cleanup_interval`), `--quirks` (serve the reference's transport
+  * dialect instead of engine semantics), and `--no-maintenance` (serve
+  * only — no Spark session, no background loops).
+  *
+  * Composition parity with `main.rs`:
+  *  - `server::start`            → [[FlyqServer.start]];
+  *  - `runtime::run`'s periodic cleanup (`runtime/flush.rs`)
+  *                               → [[Maintenance.Runner]] (retention per
+  *    pass; discovery failures warn and keep ticking, like the
+  *    reference's cleanup task);
+  *  - `runtime::run`'s offset flush → not needed: [[FlyqServer]]
+  *    persists `consumer_offsets.json` synchronously per commit (a
+  *    documented durability upgrade over the 5 s flush loop);
+  *  - `runtime::run`'s metadata flush + ctrl-c "flush before exit"
+  *                               → the shutdown hook's final
+  *    [[Maintenance.Runner.close]] pass and [[FlyqServer.stop]]'s
+  *    meta.json watermark snapshot.
+  *
+  * The maintenance loops run on a Spark session (`local[2]` unless one
+  * already exists in the JVM) because retention/compaction ARE Spark
+  * jobs here — the same executable plans the library exposes, not a
+  * reimplementation.
+  */
+object FlyqBrokerMain {
+
+  final case class Config(baseDir: String, port: Int, partitions: Int,
+                          cleanupIntervalMs: Long, quirks: Boolean,
+                          maintenance: Boolean)
+
+  /** `--key value` / `--key=value` / bare flags; unknown keys fail
+    * loudly naming the flag (the reference's clap does the same). */
+  private[graft] def parseArgs(args: Array[String]): Config = {
+    var baseDir = sys.env.getOrElse("FLYQ_BASE_DIR", "./data")
+    var port = sys.env.get("FLYQ_PORT").map(_.toInt).getOrElse(9092)
+    var partitions = graft.model.LogModel.NumPartitions.toInt
+    var interval = Maintenance.DefaultIntervalMs
+    var quirks = false
+    var maintenance = true
+    var i = 0
+    def value(key: String, inline: Option[String]): String = inline match {
+      case Some(v) => v
+      case None =>
+        i += 1
+        if (i >= args.length)
+          throw new IllegalArgumentException(s"$key requires a value")
+        args(i)
+    }
+    while (i < args.length) {
+      val (key, inline) = args(i).split("=", 2) match {
+        case Array(k, v) => (k, Some(v))
+        case Array(k) => (k, None)
+      }
+      key match {
+        case "--base-dir" => baseDir = value(key, inline)
+        case "--port" => port = value(key, inline).toInt
+        case "--partitions" => partitions = value(key, inline).toInt
+        case "--cleanup-interval-ms" => interval = value(key, inline).toLong
+        case "--quirks" => quirks = true
+        case "--no-maintenance" => maintenance = false
+        case other => throw new IllegalArgumentException(
+          s"unknown flag '$other' (expected --base-dir, --port, " +
+            "--partitions, --cleanup-interval-ms, --quirks, " +
+            "--no-maintenance)")
+      }
+      i += 1
+    }
+    Config(baseDir, port, partitions, interval, quirks, maintenance)
+  }
+
+  /** A started broker: the TCP server plus (unless `--no-maintenance`)
+    * the background retention runner. [[close]] runs the final
+    * maintenance pass, then stops the server (which snapshots
+    * meta.json) — the reference's flush-before-exit order. The Spark
+    * session is NOT stopped here: it may be shared with an embedding
+    * application (or a test suite); [[main]] owns process exit. */
+  final class RunningBroker(val server: FlyqServer, val port: Int,
+                            val runner: Option[Maintenance.Runner])
+      extends AutoCloseable {
+    override def close(): Unit = {
+      runner.foreach(_.close())
+      server.stop()
+    }
+  }
+
+  def start(cfg: Config): RunningBroker = {
+    val server = new FlyqServer(cfg.baseDir, cfg.partitions,
+      quirks = cfg.quirks)
+    val port = server.start(cfg.port)
+    val runner =
+      if (!cfg.maintenance) None
+      else {
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("FLYQ_SPARK_MASTER", "local[2]"))
+          .appName("flyq-broker-maintenance")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        Some(new Maintenance.Runner(spark, cfg.baseDir,
+          intervalMs = cfg.cleanupIntervalMs).start())
+      }
+    new RunningBroker(server, port, runner)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val broker = start(cfg)
+    System.err.println(s"[flyq-broker] serving ${cfg.baseDir} on port " +
+      s"${broker.port} (partitions=${cfg.partitions}, " +
+      s"quirks=${cfg.quirks}, maintenance=${cfg.maintenance})")
+    val done = new CountDownLatch(1)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.err.println("[flyq-broker] shutting down: final maintenance " +
+        "pass + meta snapshot")
+      broker.close()
+      done.countDown()
+    }, "flyq-broker-shutdown"))
+    done.await() // serve until SIGINT/SIGTERM — the reference's ctrl_c
+  }
+}
