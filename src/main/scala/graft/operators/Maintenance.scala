@@ -155,12 +155,22 @@ object Maintenance {
       * flush-before-exit guarantee, so no bounded join that could return
       * with a rewrite mid-flight. The thread is a daemon: a caller that
       * genuinely must abandon a wedged pass can still exit the JVM. */
-    override def close(): Unit = {
+    override def close(): Unit = close(0L): Unit
+
+    /** [[close]] with a join bound for callers running inside a JVM
+      * SHUTDOWN HOOK (r16 review: there, the daemon-thread escape hatch
+      * is defeated — JVM exit blocks on the hook, so an unbounded join
+      * on a pass wedged in a stuck FS call makes the process unkillable
+      * by SIGTERM). `0` = unbounded. Returns false if the pass was
+      * still running when the bound expired (the caller should warn and
+      * proceed with its remaining teardown). */
+    def close(joinTimeoutMs: Long): Boolean = {
       lock.synchronized {
         shuttingDown = true
         lock.notifyAll()
       }
-      if (thread.isAlive) thread.join()
+      if (thread.isAlive) thread.join(math.max(joinTimeoutMs, 0L))
+      !thread.isAlive
     }
   }
 }

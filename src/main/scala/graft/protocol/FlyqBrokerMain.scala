@@ -99,8 +99,19 @@ object FlyqBrokerMain {
   final class RunningBroker(val server: FlyqServer, val port: Int,
                             val runner: Option[Maintenance.Runner])
       extends AutoCloseable {
-    override def close(): Unit = {
-      runner.foreach(_.close())
+    override def close(): Unit = close(0L)
+
+    /** Bounded variant for the SIGTERM shutdown hook: a maintenance
+      * pass wedged in a stuck FS call must not make the broker
+      * unkillable (JVM exit blocks on the hook), and the meta.json
+      * snapshot in [[FlyqServer.stop]] must still run. */
+    def close(runnerJoinTimeoutMs: Long): Unit = {
+      runner.foreach { r =>
+        if (!r.close(runnerJoinTimeoutMs))
+          System.err.println("[flyq-broker] WARNING: maintenance pass " +
+            s"still running after ${runnerJoinTimeoutMs} ms — abandoning " +
+            "it to complete shutdown")
+      }
       server.stop()
     }
   }
@@ -133,7 +144,7 @@ object FlyqBrokerMain {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       System.err.println("[flyq-broker] shutting down: final maintenance " +
         "pass + meta snapshot")
-      broker.close()
+      broker.close(runnerJoinTimeoutMs = 30000L)
       done.countDown()
     }, "flyq-broker-shutdown"))
     done.await() // serve until SIGINT/SIGTERM — the reference's ctrl_c

@@ -57,7 +57,13 @@ class FlyqProtocolException(msg: String) extends RuntimeException(msg)
 class FlyqClient(host: String, port: Int, quirk: Boolean = false,
                  readTimeoutMs: Int = 0) extends AutoCloseable {
 
-  private val sock = new Socket(host, port)
+  // connect with the same bound as reads: a blackholed/firewalled
+  // address otherwise hangs in the blocking constructor for the OS
+  // connect timeout (minutes of SYN retries) — on the DRIVER, per
+  // partition, per trigger (r16 review #9)
+  private val sock = new Socket()
+  sock.connect(new java.net.InetSocketAddress(host, port),
+    math.max(readTimeoutMs, 0))
   if (readTimeoutMs > 0) sock.setSoTimeout(readTimeoutMs)
   private val out = new BufferedOutputStream(sock.getOutputStream)
   private val in = new DataInputStream(sock.getInputStream)
@@ -69,7 +75,11 @@ class FlyqClient(host: String, port: Int, quirk: Boolean = false,
     val header = new Array[Byte](Frame.HeaderLen)
     in.readFully(header)
     val len = ByteBuffer.wrap(header, 6, 4).getInt
-    require(len >= 0 && len <= (1 << 26), s"bad payload_len $len")
+    // IOException, not require's IllegalArgumentException: a desynced or
+    // foreign-protocol stream is a TRANSPORT failure, and the reconnect/
+    // hold paths (withClient, latestOffset) classify on IOException
+    if (len < 0 || len > (1 << 26))
+      throw new java.io.IOException(s"bad payload_len $len")
     val buf = new Array[Byte](Frame.HeaderLen + len)
     System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
     in.readFully(buf, Frame.HeaderLen, len)

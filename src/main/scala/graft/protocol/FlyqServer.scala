@@ -6,6 +6,7 @@ import java.nio.ByteBuffer
 import java.nio.file.{Files, Path, Paths}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import graft.functions.FlyqCodec
@@ -152,11 +153,20 @@ class FlyqServer(baseDir: String,
     pos
   }
 
+  /** A decoded record on the serve path: offset, ts, key, value, headers
+    * — headers INCLUDED (r16 review: the engine dialect advertised them
+    * in its codecs and schema while every consume path served Nil). */
+  private type Rec = (Long, Long, Array[Byte], Array[Byte],
+    Seq[(String, Array[Byte])])
+
   /** Decode records of one segment from byte `fromPos` (0 = whole file;
     * pass an [[indexFloorPos]] result to skip ahead — `fromPos` MUST be a
-    * record boundary, which index entries are by construction). */
-  private def readSeg(topic: String, part: Long, base: Long,
-                      fromPos: Long = 0L): Seq[(Long, Long, Array[Byte], Array[Byte])] = {
+    * record boundary, which index entries are by construction). Also
+    * returns the VALID EXTENT: `start` + the byte position where the
+    * length-chain walk stopped — the recovery truncation point when the
+    * walk covers the whole file and stops before EOF (torn tail). */
+  private def readSegWithExtent(topic: String, part: Long, base: Long,
+                                fromPos: Long = 0L): (Seq[Rec], Long) = {
     val p = segPath(topic, part, base)
     val size = Files.size(p)
     val start = math.max(0L, math.min(fromPos, size))
@@ -169,22 +179,39 @@ class FlyqServer(baseDir: String,
       val buf = ByteBuffer.wrap(bytes)
       while (buf.hasRemaining && ch.read(buf) >= 0) ()
     } finally ch.close()
-    val out = mutable.ArrayBuffer.empty[(Long, Long, Array[Byte], Array[Byte])]
+    val out = mutable.ArrayBuffer.empty[Rec]
     var pos = 0
-    while (pos + 4 <= bytes.length) {
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
       val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-      if (recLen < 28 || pos + 4L + recLen > bytes.length) return out.toSeq
-      try {
-        val (r, _) = FlyqCodec.decodeRecordAt(bytes, pos)
-        out += ((r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3)))
-      } catch {
-        case NonFatal(_) => // body-corrupt, resync via outer length chain
+      if (recLen < 28 || pos + 4L + recLen > bytes.length) done = true
+      else {
+        try {
+          val (r, _) = FlyqCodec.decodeRecordAt(bytes, pos)
+          val headers =
+            if (r.isNullAt(4)) Nil
+            else {
+              val ad = r.getArray(4)
+              (0 until ad.numElements()).map { i =>
+                val h = ad.getStruct(i, 2)
+                (h.getUTF8String(0).toString, h.getBinary(1))
+              }
+            }
+          out += ((r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3),
+            headers))
+        } catch {
+          case NonFatal(_) => // body-corrupt, resync via outer length chain
+        }
+        pos += 4 + recLen
       }
-      pos += 4 + recLen
     }
-    out.toSeq
+    (out.toSeq, start + pos)
   }
+
+  private def readSeg(topic: String, part: Long, base: Long,
+                      fromPos: Long = 0L): Seq[Rec] =
+    readSegWithExtent(topic, part, base, fromPos)._1
 
   private def head(topic: String, part: Long): Head =
     heads.getOrElseUpdate(topic -> part, {
@@ -192,9 +219,27 @@ class FlyqServer(baseDir: String,
       if (bases.isEmpty) Head(0L, 0L, 0L, 0)
       else {
         val base = bases.last
-        val recs = readSeg(topic, part, base)
+        val (recs, extent) = readSegWithExtent(topic, part, base)
+        val p = segPath(topic, part, base)
+        val size = Files.size(p)
+        // torn tail (crash mid-append): TRUNCATE to the last complete
+        // record before seeding the write head (r16 review #1) — the
+        // torn bytes were never acked, and appending AFTER them would
+        // strand every later acked record behind an unparseable prefix
+        // (the length-chain walk stops at the torn record, so reads
+        // would never reach the new data). The reference's recovery
+        // replay likewise stops at the first parse failure
+        // (segment.rs:213-231); we additionally reclaim the bytes so
+        // the append path stays consistent with the read path.
+        if (extent < size) {
+          System.err.println(s"[flyq-server] $topic/$part segment $base: " +
+            s"truncating torn tail ($size -> $extent bytes)")
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.truncate(extent) finally ch.close()
+        }
         Head(if (recs.isEmpty) base else recs.last._1 + 1, base,
-          Files.size(segPath(topic, part, base)), recs.length)
+          extent, recs.length)
       }
     })
 
@@ -202,7 +247,9 @@ class FlyqServer(baseDir: String,
     * rotation + sparse index, the reference's `Partition::append`
     * (`partition.rs:107-142`) on the same on-disk layout Broker writes. */
   private def append(topic: String, key: Array[Byte], value: Array[Byte],
-                     tsMs: Long): (Long, Long) = lock.synchronized {
+                     tsMs: Long,
+                     headers: Seq[(String, Array[Byte])] = Nil): (Long, Long) =
+    lock.synchronized {
     // stop() flips `running` BEFORE taking the lock for its meta.json
     // snapshot: any append that wins the lock afterwards must fail, or
     // the persisted watermarks would trail an acknowledged write
@@ -215,7 +262,14 @@ class FlyqServer(baseDir: String,
       } else FlyqServer.routeKey(key, numPartitions)
     val h = head(topic, part)
     val off = h.nextOffset
-    val bytes = FlyqCodec.encodeRecord(off, key, value, tsMs, null)
+    val hdrs =
+      if (headers.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        headers.map { case (k, v) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(k), v)
+        }.toArray[Any])
+    val bytes = FlyqCodec.encodeRecord(off, key, value, tsMs, hdrs)
     if (h.segBytes > 0 && h.segBytes + bytes.length > segMaxBytes) {
       h.segBase = off; h.segBytes = 0L; h.appended = 0
     }
@@ -242,7 +296,7 @@ class FlyqServer(baseDir: String,
     * read touches ~index_interval records, not the whole segment; later
     * segments in the chain start at 0 (their whole range is >= from). */
   private def consumeAt(topic: String, part: Long,
-                        from: Long): Option[(Long, Long, Array[Byte], Array[Byte])] =
+                        from: Long): Option[Rec] =
     lock.synchronized {
       val bases = listSegBases(topic, part)
       val floor = bases.filter(_ <= from).lastOption
@@ -310,7 +364,15 @@ class FlyqServer(baseDir: String,
     case FrameType.Request =>
       val out = for {
         req <- RequestPayload.decode(f.payload)
-        resp <- handleOp(req)
+        // exceptions escaping a handler (e.g. NoSuchFileException when a
+        // concurrent retention pass unlinks a segment between
+        // listSegBases and the read — FlyqBrokerMain composes exactly
+        // that) become Error frames on a LIVE connection, not a silent
+        // connection close from serve()'s catch-all (r16 review #6)
+        resp <- (try handleOp(req)
+                 catch { case NonFatal(e) =>
+                   Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                 })
           // the reference wraps every response in the 1-byte opcode
           // envelope (`payload.rs:42-47`, `listener.rs:57-63`)
           .map(p => if (quirks) req.opCode +: p else p)
@@ -339,7 +401,8 @@ class FlyqServer(baseDir: String,
           _ <- validTopic(p.topic)
           m <- WireMessage.decode(p.message)
         } yield {
-          val (part, off) = append(p.topic, m.key.orNull, m.value, m.tsMs)
+          val (part, off) =
+            append(p.topic, m.key.orNull, m.value, m.tsMs, m.headers)
           ProduceAck.encode(ProduceAck(part, off))
         }
       case OpCode.Consume if quirks =>
@@ -349,9 +412,9 @@ class FlyqServer(baseDir: String,
           validTopic(c.topic).map { _ =>
             consumeAt(c.topic, 0L, c.offset) match {
               case None => Array.emptyByteArray
-              case Some((_, ts, k, v)) =>
+              case Some((_, ts, k, v, h)) =>
                 ConsumeResponse.encode(ConsumeResponse(c.offset,
-                  WireMessage(ts, Option(k), v, Nil)))
+                  WireMessage(ts, Option(k), v, h)))
             }
           }
         }
@@ -359,9 +422,9 @@ class FlyqServer(baseDir: String,
         ConsumeRequest.decode(req.data).flatMap { c =>
           validTopic(c.topic).flatMap(_ => consumeAt(c.topic, c.partition, c.offset)
             .toRight(s"offset ${c.offset} out of range")
-            .map { case (off, ts, k, v) =>
+            .map { case (off, ts, k, v, h) =>
               ConsumeResponse.encode(ConsumeResponse(off,
-                WireMessage(ts, Option(k), v, Nil)))
+                WireMessage(ts, Option(k), v, h)))
             })
         }
       case OpCode.ConsumeWithGroup =>
@@ -372,15 +435,15 @@ class FlyqServer(baseDir: String,
           val found = consumeAt(c.topic, c.partition, from)
           // `listener.rs:177-181`: caught-up is an empty payload there
           if (quirks)
-            Right(found.fold(Array.emptyByteArray) { case (off, ts, k, v) =>
+            Right(found.fold(Array.emptyByteArray) { case (off, ts, k, v, h) =>
               ConsumeResponse.encode(ConsumeResponse(off,
-                WireMessage(ts, Option(k), v, Nil)))
+                WireMessage(ts, Option(k), v, h)))
             })
           else found
             .toRight(s"group ${c.group} caught up past the log end")
-            .map { case (off, ts, k, v) =>
+            .map { case (off, ts, k, v, h) =>
               ConsumeResponse.encode(ConsumeResponse(off,
-                WireMessage(ts, Option(k), v, Nil)))
+                WireMessage(ts, Option(k), v, h)))
             }
         }
       case OpCode.CommitOffset =>
@@ -412,8 +475,25 @@ class FlyqServer(baseDir: String,
           }.map(_ => r)
         }.map { r =>
           val topics = lock.synchronized {
+            // in-memory caches PLUS the on-disk layout: heads is rebuilt
+            // lazily, so right after a restart "all subscribed" derived
+            // from memory alone is empty and a lag monitor would read
+            // totalLag 0 against a full log (r16 review #5)
+            val onDisk =
+              try {
+                val dir = Paths.get(baseDir)
+                if (!Files.isDirectory(dir)) Set.empty[String]
+                else {
+                  val s = Files.list(dir)
+                  try s.iterator().asScala
+                    .map(_.getFileName.toString)
+                    .filter(_.startsWith("topic_"))
+                    .map(_.stripPrefix("topic_")).toSet
+                  finally s.close()
+                }
+              } catch { case NonFatal(_) => Set.empty[String] }
             val known = heads.keys.map(_._1).toSet ++
-              committed.keys.map(_._1).toSet
+              committed.keys.map(_._1).toSet ++ onDisk
             r.topics.getOrElse(known.toSeq.sorted)
           }
           val parts = topics.flatMap { t =>

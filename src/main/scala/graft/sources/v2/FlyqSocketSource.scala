@@ -211,9 +211,27 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
     * START has nothing to tail and should fail loudly. */
   @volatile private var lastKnownEnd: Option[FlyqSocketOffset] = None
 
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    // partitions-too-low guard (r16 review #4): a `partitions` option
+    // below the broker's real count would silently never plan the
+    // excess partitions — keys xxh3-routed there would just not arrive
+    // while the stream runs green. Best-effort detection at stream
+    // start: if partition N (one past our range) has segments on the
+    // broker, the option is provably too low. One metadata RPC, engine
+    // semantics only (quirkCompat is partition-0-scoped by contract).
+    if (!quirk)
+      withClient(_.partitionHealth(topic, numPartitions.toLong)) match {
+        case Right(h) if h.segmentCount > 0 =>
+          throw new FlyqProtocolException(
+            s"partitions=$numPartitions but the broker has data in " +
+              s"partition $numPartitions for topic '$topic' — raise the " +
+              "partitions option to the broker's partition count or " +
+              "keyed records will be silently missed")
+        case _ => ()
+      }
     if (startingOffsets == "latest") offsets(_.logEndOffset)
     else offsets(_.lowWatermark)
+  }
   override def latestOffset(): Offset =
     try {
       val o = offsets(_.logEndOffset)
@@ -285,7 +303,11 @@ class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
     if (nextOff >= split.until) return false
     client.consumeOpt(split.topic, split.partId, nextOff) match {
       case Left(err) =>
-        throw new java.io.IOException(
+        // a Left is a PROTOCOL answer (an Error frame — e.g. the topic
+        // was deleted between planning and read), classified like the
+        // driver-side offsets() path, not disguised as a transport
+        // outage (r16 review #10)
+        throw new FlyqProtocolException(
           s"consume(${split.topic}, ${split.partId}, $nextOff) failed " +
             s"(planned until ${split.until}): $err")
       case Right(None) =>

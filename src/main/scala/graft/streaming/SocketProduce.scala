@@ -69,10 +69,18 @@ object SocketProduce {
             val client = new FlyqClient(host, port, quirkCompat, readTimeoutMs)
             try rows.foreach { r =>
               val value = r.getAs[Array[Byte]](0)
+              // a null value would NPE deep in the codec and poison the
+              // batch with an unnamed stack trace; name the column (the
+              // row retries forever under at-least-once otherwise)
+              if (value == null) throw new IllegalArgumentException(
+                "socketProduceWriter: mvalue is null — filter null " +
+                  "values out or encode an explicit empty payload")
               val key =
                 if (hasKey) Option(r.getAs[Array[Byte]](1)).filter(_.nonEmpty)
                 else None
-              val ts = if (hasTs) r.getLong(r.length - 1) else 0L
+              // null ts_ms follows the absent-column default (0)
+              val ts = if (hasTs && !r.isNullAt(r.length - 1))
+                r.getLong(r.length - 1) else 0L
               client.produce(topic, WireMessage(ts, key, value, Nil)) match {
                 case Left(err) => throw new java.io.IOException(
                   s"produce($topic) failed: $err")

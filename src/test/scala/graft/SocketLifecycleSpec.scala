@@ -420,6 +420,143 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { w.stop(); server.stop() }
   }
 
+  test("headers round-trip the engine wire: produce -> disk -> consume " +
+      "and the socket source's headers column (r16 review #2)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-headers").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      val hdrs = Seq("trace-id" -> b("abc123"), "src" -> b("ingest"))
+      assert(c.produce("t", WireMessage(9L, Some(b("k")), b("v0"), hdrs))
+        .isRight)
+      assert(c.produce("t", WireMessage(10L, Some(b("k")), b("v1"), Nil))
+        .isRight)
+      // point consume serves the stored headers, not Nil
+      val Right(r0) = c.consume("t", 0L, 0L): @unchecked
+      assert(r0.message.headers.map { case (k, v) =>
+        k -> new String(v, "UTF-8") } ===
+        Seq("trace-id" -> "abc123", "src" -> "ingest"))
+      val Right(r1) = c.consume("t", 0L, 1L): @unchecked
+      assert(r1.message.headers.isEmpty)
+      // the group path serves them too
+      val Right(g0) = c.consumeWithGroup("t", 0L, "g"): @unchecked
+      assert(g0.message.headers.map(_._1) === Seq("trace-id", "src"))
+
+      // and the LIVE SOCKET SOURCE's headers column carries them
+      val q = spark.readStream
+        .format("graft.sources.v2.FlyqSocketSource")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("topic", "t").option("partitions", "1").load()
+        .writeStream.format("memory").queryName("flyq_hdrs")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("flyq-hdrs-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("flyq_hdrs")
+          .select(col("msg_offset"),
+            expr("transform(headers, h -> h.hkey)").as("hkeys"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(rows(0L) === Seq("trace-id", "src"))
+        assert(rows(1L).isEmpty)
+      } finally q.stop()
+    } finally { c.close(); server.stop() }
+  }
+
+  test("torn-tail recovery: a crash mid-append is truncated on restart " +
+      "so post-restart acked records stay reachable (r16 review #1)") {
+    val dir = Files.createTempDirectory("flyq-torn-rec").toString
+    val s1 = new FlyqServer(dir, numPartitions = 1)
+    val c1 = new FlyqClient("127.0.0.1", s1.start())
+    (0 until 3).foreach { i =>
+      assert(c1.produce("t",
+        WireMessage(1L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+    }
+    c1.close(); s1.stop()
+    // simulate the crash: a PARTIAL record at the tail (plausible length
+    // prefix, body cut short)
+    val seg = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+      .toFile.listFiles().filter(_.getName.endsWith(".log")).head.toPath
+    val whole = Files.size(seg)
+    val torn = java.nio.ByteBuffer.allocate(12)
+    torn.putInt(64); torn.putLong(3L) // claims 64 bytes, delivers 8
+    Files.write(seg, torn.array(),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Files.size(seg) === whole + 12)
+
+    val s2 = new FlyqServer(dir, numPartitions = 1)
+    val c2 = new FlyqClient("127.0.0.1", s2.start())
+    try {
+      // the torn bytes were never acked; recovery must reclaim them so
+      // the next acked record is REACHABLE through the length chain
+      val Right(ack) = c2.produce("t",
+        WireMessage(9L, Some(b("k")), b("after"), Nil)): @unchecked
+      assert(ack.offset === 3L)
+      val Right(r) = c2.consume("t", 0L, 3L): @unchecked
+      assert(r.offset === 3L)
+      assert(new String(r.message.value, "UTF-8") === "after")
+      // pre-crash records are intact
+      val Right(r0) = c2.consume("t", 0L, 0L): @unchecked
+      assert(new String(r0.message.value, "UTF-8") === "v0")
+      // and the file no longer carries the torn prefix between them
+      val Right(wm) = c2.watermark("t", 0L): @unchecked
+      assert(wm.logEndOffset === 4L)
+    } finally { c2.close(); s2.stop() }
+  }
+
+  test("consumer lag sees on-disk topics right after a restart, before " +
+      "any traffic repopulates the write-head cache (r16 review #5)") {
+    val dir = Files.createTempDirectory("flyq-lag-restart").toString
+    val s1 = new FlyqServer(dir, numPartitions = 1)
+    val c1 = new FlyqClient("127.0.0.1", s1.start())
+    (0 until 5).foreach { i =>
+      assert(c1.produce("t",
+        WireMessage(1L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+    }
+    c1.close(); s1.stop()
+    val s2 = new FlyqServer(dir, numPartitions = 1)
+    val c2 = new FlyqClient("127.0.0.1", s2.start())
+    try {
+      // no topics argument = "all subscribed"; the group never
+      // committed, so memory alone knows nothing — the on-disk layout
+      // must supply the topic and the REAL lag, not a green zero
+      val Right(lag) = c2.consumerLag("monitor", None): @unchecked
+      assert(lag.partitions.map(_.topic).contains("t"),
+        s"restarted broker hid its on-disk topic: $lag")
+      assert(lag.totalLag === 4L) // high watermark 4, committed 0
+    } finally { c2.close(); s2.stop() }
+  }
+
+  test("a partitions option below the broker's real count fails the " +
+      "stream at start instead of silently missing keys (r16 review #4)") {
+    val dir = Files.createTempDirectory("flyq-partlow").toString
+    val server = new FlyqServer(dir, numPartitions = 2)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      // land data on BOTH partitions (keyless round-robin)
+      (0 until 4).foreach { i =>
+        assert(c.produce("t", WireMessage(1L + i, None, b(s"v$i"), Nil))
+          .isRight)
+      }
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        spark.readStream.format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("topic", "t").option("partitions", "1").load()
+          .writeStream.format("memory").queryName("flyq_partlow")
+          .option("checkpointLocation",
+            Files.createTempDirectory("flyq-partlow-ckpt").toString)
+          .start().processAllAvailable()
+      }
+      assert(causeChain(e).exists(c2 =>
+        String.valueOf(c2.getMessage).contains("partitions=1")),
+        s"expected the partitions guard, got: $e")
+    } finally { c.close(); server.stop() }
+  }
+
   test("quirk transport (r15 verdict #2): the quirk client speaks the " +
       "reference listener's envelope/raw-value/partition-0/echoed-offset " +
       "dialect against the quirk-faithful stub server") {
