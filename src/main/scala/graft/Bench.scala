@@ -105,6 +105,26 @@ object BenchWindow {
     * judged number. */
   def flagged(prev: Double, cur: Double, factor: Double): Boolean =
     prev > 0.0 && cur > 0.0 && cur > 1.5 * prev * factor && cur - prev > 0.2
+
+  /** The run-level window fields of the bench JSON. SUBSET runs emit
+    * nulls (r16 verdict #2): a subset's "window factor" is the
+    * floor-ratio of a biased sliver — often one sub-second row carrying
+    * session/plan cold-start that a full run amortizes (the judge
+    * measured a 3-row subset printing `window_regressed: true` on an
+    * IDLE box from cold-start alone). Subsets are the documented
+    * flag-confirmation tool and never advance floors or the sidecar, so
+    * an alarm field that fires on every subset invites exactly the
+    * misreading the window-normalization work eliminated elsewhere.
+    * Subset flagging likewise runs UN-normalized (factor 1): dividing a
+    * confirmation re-run by a sliver's factor could hide the very
+    * regression being confirmed. */
+  def windowFieldsJson(subset: Boolean, factor: Double,
+                       drift: Boolean): String =
+    if (subset)
+      """"window_factor":null,"window_regressed":null,"window_drift":null"""
+    else
+      s""""window_factor":$factor,"window_regressed":${factor > 1.4},""" +
+        s""""window_drift":$drift"""
 }
 
 object Bench {
@@ -184,7 +204,17 @@ object Bench {
         () => graft.operators.Similarity.trainedBook(spark, sfDir)),
       ("artifact_simhash_fp",
         () => graft.operators.Dedup.cachedSimhash(spark, sfDir)
-          .queryExecution.toRdd.count()))
+          .queryExecution.toRdd.count()),
+      // The once-per-MACHINE materialized log snapshots (r17): without
+      // these rows, whichever materialized-lag query ran first on a
+      // fresh machine — the driver's environment, EVERY round — paid the
+      // snapshot build inside its own timing, reading ~2.4x the floor set
+      // on warm-snapshot machines (the r16 consumer_lag_materialized
+      // flag, bisected to exactly this: 0.432 driver vs 0.18 warm).
+      ("artifact_log_snapshot",
+        () => graft.sources.LogTable.ensureMaterialized(spark, sfDir)),
+      ("artifact_topic_log_snapshot",
+        () => graft.sources.LogTable.ensureMaterializedTopicLog(spark, sfDir)))
 
     // Baseline from the previous run AT THE SAME SF (loaded up front so
     // the measurement loop can use it for regression confirmation).
@@ -230,7 +260,13 @@ object Bench {
       "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
       "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
       "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
-      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches)
+      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches,
+      // the snapshot "cache" is the on-disk tmpdir directory itself;
+      // dropping it makes the min-of-2 second trial a real rebuild
+      "artifact_log_snapshot" ->
+        ((_: SparkSession) => graft.sources.LogTable.dropSnapshots(sfDir)),
+      "artifact_topic_log_snapshot" ->
+        ((_: SparkSession) => graft.sources.LogTable.dropSnapshots(sfDir)))
     val artSelected =
       if (subset.isEmpty) artifactBuilds
       else artifactBuilds.filter(b => subset(b._1))
@@ -251,7 +287,12 @@ object Bench {
         // rows (all five r12 flags ran in the run's opening window —
         // attribution in SURVEY §7.13). The drop is required or trial 2
         // would read the warm persist-once cache and time nothing.
-        val r1 = trial()
+        // Trial 1 is ALSO preceded by a drop (r17): in-session caches are
+        // empty at bench start so it is a no-op for them, but the
+        // once-per-MACHINE snapshot rows would otherwise time a no-op on
+        // warm machines and a real build on fresh ones (the driver,
+        // every round) — a machine-bimodal floor that flags structurally.
+        val r1 = { artifactCaches.get(name).foreach(_(spark)); trial() }
         val r2 =
           if (r1._2.isDefined) r1
           else { artifactCaches.get(name).foreach(_(spark)); trial() }
@@ -357,7 +398,10 @@ object Bench {
     val ratios = results.collect {
       case (k, v, None) if v > 0 && prev.get(k).exists(_ > 0) => v / prev(k)
     }
-    val windowFactor = BenchWindow.windowFactor(ratios)
+    // subset runs flag un-normalized and emit null window fields — see
+    // BenchWindow.windowFieldsJson (r16 verdict #2)
+    val windowFactor =
+      if (subset.isEmpty) BenchWindow.windowFactor(ratios) else 1.0
     val regressions = results.collect {
       case (k, v, None) if prev.get(k).exists(p =>
           BenchWindow.flagged(p, v, windowFactor)) =>
@@ -411,7 +455,9 @@ object Bench {
       s""""mem_mb":${rddInfo.map(_.memSize).sum / 1024 / 1024},""" +
       s""""disk_mb":${rddInfo.map(_.diskSize).sum / 1024 / 1024}}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,"window_factor":$windowFactor,"window_regressed":${windowFactor > 1.4},"window_drift":$windowDrift,"storage":$storage,"sf":"$sfDir"}""")
+    val windowFields = BenchWindow.windowFieldsJson(
+      subset.nonEmpty, windowFactor, windowDrift)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min_of_2_confirm","queries":$qs,"errors":$errs,"regressions":$regressions,$windowFields,"storage":$storage,"sf":"$sfDir"}""")
     // release the session-scoped persist-once artifacts (verified pairs,
     // n-gram signatures, inverted index) before retiring the session
     graft.operators.Dedup.clearCaches(spark)

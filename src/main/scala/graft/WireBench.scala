@@ -24,9 +24,14 @@ import graft.protocol.Payloads.WireMessage
   *    micro-batch source draining a pre-loaded broker.
   *
   * Usage: `sbt "runMain graft.WireBench [msgsSmall] [msgsLarge]"`.
-  * Emits one JSON line; numbers land in SURVEY §7.16. Not a bench-gate
-  * row on purpose: a streaming loopback number has no floor protocol —
-  * it is a posture measurement, re-run by hand with this command.
+  * Emits one JSON line AND appends it (with a timestamp and the host's
+  * 1-minute loadavg for window context) to
+  * `tools/wirebench_history.jsonl` (r16 verdict #4) — the same
+  * committed-history protocol the window factors use, so a regression
+  * in the socket path is visible across rounds instead of living in a
+  * one-time hand-run. Not a bench-gate row on purpose: a streaming
+  * loopback number has no floor protocol — it is a posture
+  * measurement, re-run by hand with this command.
   */
 object WireBench {
 
@@ -107,7 +112,18 @@ object WireBench {
 
     val qs = results.map { case (k, v) => s""""$k":${math.round(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wire_msgs_per_sec","unit":"msgs/sec","n_small":$nSmall,"n_large":$nLarge,"rates":$qs}""")
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").headOption.getOrElse("-1")
+      catch { case scala.util.control.NonFatal(_) => "-1" }
+    val line = s"""{"metric":"wire_msgs_per_sec","unit":"msgs/sec","n_small":$nSmall,"n_large":$nLarge,"rates":$qs}"""
+    println(line)
+    val hist = new java.io.File("/root/repo/tools/wirebench_history.jsonl")
+    if (hist.getParentFile.isDirectory) {
+      val w = new java.io.FileWriter(hist, true)
+      try w.write(s"""{"ts":${System.currentTimeMillis()},"loadavg_1m":$loadavg,"n_small":$nSmall,"n_large":$nLarge,"rates":$qs}""" + "\n")
+      finally w.close()
+    }
     spark.stop()
   }
 }

@@ -1553,10 +1553,11 @@ object Dedup {
     }
   }
 
-  /** Serializes [[measureKeyRuns]]' session-conf pin: two concurrent
-    * builds interleaving their save/restores could otherwise leave the
-    * 8 TiB pin as the session value permanently (thread B reads A's pin
-    * as the "prior" and restores it last). */
+  /** Serializes [[measureKeyRuns]] invocations. The original reason (two
+    * builds interleaving a session-conf save/restore) is gone — the pin
+    * now lives in a discarded session clone (r16 advice #5) — but the
+    * measurement is a full index scan, and two index builds racing their
+    * stamping scans on one executor pool just thrash each other. */
   private val measureLock = new Object
 
   /** Page-selectivity statistic of `keyCol` under the table's PHYSICAL
@@ -1586,9 +1587,11 @@ object Dedup {
     * count once per split and restart a run at each split boundary,
     * deflating runs/file exactly on the borderline layouts the gate
     * exists to catch (true runs ~40 split 4 ways measures ~11 <
-    * KeyRunsMax). The pin is safe to save/restore here because the
-    * measurement is an EAGER action inside the index build (no lazy
-    * plan escapes the restore window). The denominator additionally
+    * KeyRunsMax). The pin lives in a CLONED session
+    * (`spark.newSession()` — shared catalog, so the saveAsTable'd index
+    * is visible; ISOLATED SQL conf, so the 8 TiB pin can never leak
+    * into concurrent queries planned in the caller's session during the
+    * measurement window — r16 advice #5). The denominator additionally
     * counts DISTINCT file names (merged across partitions), not
     * split-first-rows, as a belt-and-braces invariant. */
   private[graft] def measureKeyRuns(spark: SparkSession, table: String,
@@ -1605,12 +1608,15 @@ object Dedup {
           "or stamp 'plain' explicitly")
     val MPB = "spark.sql.files.maxPartitionBytes"
     val (runs, fileSets) = measureLock.synchronized {
-      val prior = spark.conf.get(MPB)
-      try {
-        spark.conf.set(MPB, (8L << 40).toString) // no file splits below 8 TiB
-        val df = spark.table(table)
-          .select(col(keyCol).as("k"), input_file_name().as("f"))
-        df.rdd.mapPartitions { it =>
+      // isolated-conf clone: the pin affects only this measurement's
+      // plan, never the shared session (r16 advice #5); nothing to
+      // restore afterwards — the clone is discarded
+      val measureSession = spark.newSession()
+      // no file splits below 8 TiB
+      measureSession.conf.set(MPB, (8L << 40).toString)
+      val df = measureSession.table(table)
+        .select(col(keyCol).as("k"), input_file_name().as("f"))
+      df.rdd.mapPartitions { it =>
           var runs = 0L
           val files = scala.collection.mutable.HashSet.empty[String]
           var prevFile: String = null
@@ -1648,7 +1654,6 @@ object Dedup {
         }.fold((0L, Set.empty[String])) {
           case ((r1, f1), (r2, f2)) => (r1 + r2, f1 ++ f2)
         }
-      } finally spark.conf.set(MPB, prior)
     }
     if (fileSets.isEmpty) 1.0 else runs.toDouble / fileSets.size
   }

@@ -16,12 +16,16 @@ import graft.operators.Maintenance
   *   sbt "runMain graft.protocol.FlyqBrokerMain --base-dir ./data --port 9092"
   * }}}
   *
-  * Flags mirror the reference's `Params` (`server/params.rs`):
+  * Flags mirror the reference's `Params` (`server/params.rs`) plus the
+  * knobs its `--config` file carries (`server/config.rs:13-31`):
   * `--base-dir` (env `FLYQ_BASE_DIR`, default `./data`), `--port` (env
-  * `FLYQ_PORT`, default 9092), plus `--partitions` (default
+  * `FLYQ_PORT`, default 9092), `--partitions` (default
   * [[graft.model.LogModel.NumPartitions]]), `--cleanup-interval-ms`
   * (default [[Maintenance.DefaultIntervalMs]], the reference's
-  * `cleanup_interval`), `--quirks` (serve the reference's transport
+  * `cleanup_interval`), `--segment-bytes` (the reference's
+  * `segment_max_bytes`, default 1 GiB), `--retention-ms` /
+  * `--retention-bytes` (the reference's `retention` /
+  * `retention_bytes`), `--quirks` (serve the reference's transport
   * dialect instead of engine semantics), and `--no-maintenance` (serve
   * only — no Spark session, no background loops).
   *
@@ -48,7 +52,13 @@ object FlyqBrokerMain {
 
   final case class Config(baseDir: String, port: Int, partitions: Int,
                           cleanupIntervalMs: Long, quirks: Boolean,
-                          maintenance: Boolean)
+                          maintenance: Boolean,
+                          segmentBytes: Long =
+                            graft.model.LogModel.SegmentMaxBytes,
+                          retentionMs: Long =
+                            graft.model.LogModel.RetentionDays * 86400000L,
+                          retentionBytes: Long =
+                            graft.model.LogModel.RetentionBytes)
 
   /** `--key value` / `--key=value` / bare flags; unknown keys fail
     * loudly naming the flag (the reference's clap does the same). */
@@ -57,6 +67,9 @@ object FlyqBrokerMain {
     var port = sys.env.get("FLYQ_PORT").map(_.toInt).getOrElse(9092)
     var partitions = graft.model.LogModel.NumPartitions.toInt
     var interval = Maintenance.DefaultIntervalMs
+    var segmentBytes = graft.model.LogModel.SegmentMaxBytes
+    var retentionMs = graft.model.LogModel.RetentionDays * 86400000L
+    var retentionBytes = graft.model.LogModel.RetentionBytes
     var quirks = false
     var maintenance = true
     var i = 0
@@ -78,16 +91,21 @@ object FlyqBrokerMain {
         case "--port" => port = value(key, inline).toInt
         case "--partitions" => partitions = value(key, inline).toInt
         case "--cleanup-interval-ms" => interval = value(key, inline).toLong
+        case "--segment-bytes" => segmentBytes = value(key, inline).toLong
+        case "--retention-ms" => retentionMs = value(key, inline).toLong
+        case "--retention-bytes" => retentionBytes = value(key, inline).toLong
         case "--quirks" => quirks = true
         case "--no-maintenance" => maintenance = false
         case other => throw new IllegalArgumentException(
           s"unknown flag '$other' (expected --base-dir, --port, " +
-            "--partitions, --cleanup-interval-ms, --quirks, " +
+            "--partitions, --cleanup-interval-ms, --segment-bytes, " +
+            "--retention-ms, --retention-bytes, --quirks, " +
             "--no-maintenance)")
       }
       i += 1
     }
-    Config(baseDir, port, partitions, interval, quirks, maintenance)
+    Config(baseDir, port, partitions, interval, quirks, maintenance,
+      segmentBytes, retentionMs, retentionBytes)
   }
 
   /** A started broker: the TCP server plus (unless `--no-maintenance`)
@@ -118,7 +136,7 @@ object FlyqBrokerMain {
 
   def start(cfg: Config): RunningBroker = {
     val server = new FlyqServer(cfg.baseDir, cfg.partitions,
-      quirks = cfg.quirks)
+      segMaxBytes = cfg.segmentBytes, quirks = cfg.quirks)
     val port = server.start(cfg.port)
     val runner =
       if (!cfg.maintenance) None
@@ -129,7 +147,9 @@ object FlyqBrokerMain {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         Some(new Maintenance.Runner(spark, cfg.baseDir,
-          intervalMs = cfg.cleanupIntervalMs).start())
+          intervalMs = cfg.cleanupIntervalMs,
+          retentionMs = cfg.retentionMs,
+          retentionBytes = cfg.retentionBytes).start())
       }
     new RunningBroker(server, port, runner)
   }

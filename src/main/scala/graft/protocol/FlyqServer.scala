@@ -28,6 +28,17 @@ import graft.protocol.Payloads._
   * reads through the Spark sources; the files this server writes are the
   * SAME layout those sources read, which the lifecycle spec proves.
   *
+  * Engine-semantics consume keeps a PER-CONNECTION sequential-read
+  * cursor (r16 verdict #1): a sequential walk — the live-tail socket
+  * source's access pattern, and the reference's stated design center
+  * (`README.md:9` "optimized for sequential reads") — serves each record
+  * in O(1) file reads instead of re-seeking the sparse-index floor and
+  * decoding ~IndexInterval records per RPC. The wire format and answers
+  * are unchanged; the cursor is validated against the bytes it points at
+  * and falls back to the stateless floor-seek on any surprise (rotation,
+  * retention, corruption), so it can never serve wrong bytes. The quirk
+  * dialect deliberately keeps the reference's stateless re-seek.
+  *
   * Divergences from the reference's transport quirks (documented, round-2
   * adjudicated): produce keeps the message key (`listener.rs:92-96` drops
   * it) and consume honors the requested partition (`listener.rs:122`
@@ -167,6 +178,16 @@ class FlyqServer(baseDir: String,
     * walk covers the whole file and stops before EOF (torn tail). */
   private def readSegWithExtent(topic: String, part: Long, base: Long,
                                 fromPos: Long = 0L): (Seq[Rec], Long) = {
+    val (entries, extent) = readSegEntries(topic, part, base, fromPos)
+    (entries.map(_._1), extent)
+  }
+
+  /** [[readSegWithExtent]]'s core, additionally labeling each record with
+    * the ABSOLUTE byte position just past it — the seed for the
+    * sequential-read cursor ([[consumeTracked]]): the position after
+    * record N is where record N+1's length prefix starts. */
+  private def readSegEntries(topic: String, part: Long, base: Long,
+                             fromPos: Long = 0L): (Seq[(Rec, Long)], Long) = {
     val p = segPath(topic, part, base)
     val size = Files.size(p)
     val start = math.max(0L, math.min(fromPos, size))
@@ -179,7 +200,7 @@ class FlyqServer(baseDir: String,
       val buf = ByteBuffer.wrap(bytes)
       while (buf.hasRemaining && ch.read(buf) >= 0) ()
     } finally ch.close()
-    val out = mutable.ArrayBuffer.empty[Rec]
+    val out = mutable.ArrayBuffer.empty[(Rec, Long)]
     var pos = 0
     var done = false
     while (!done && pos + 4 <= bytes.length) {
@@ -197,9 +218,9 @@ class FlyqServer(baseDir: String,
                 (h.getUTF8String(0).toString, h.getBinary(1))
               }
             }
-          out += ((r.getLong(0), r.getLong(1),
+          out += (((r.getLong(0), r.getLong(1),
             if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3),
-            headers))
+            headers), start + pos + 4L + recLen))
         } catch {
           case NonFatal(_) => // body-corrupt, resync via outer length chain
         }
@@ -209,9 +230,63 @@ class FlyqServer(baseDir: String,
     (out.toSeq, start + pos)
   }
 
+  /** Decode exactly ONE record at byte `pos` (a record boundary) of one
+    * segment — the cursor hot path's O(1) read, vs the floor-seek's
+    * ~IndexInterval-record decode. `None` = the record at `pos` is
+    * incomplete (a torn or in-flight tail — nothing servable there YET).
+    * Decode failures and a vanished file propagate to the caller, which
+    * treats any surprise as a stale cursor. */
+  private def readOneAt(topic: String, part: Long, base: Long, pos: Long,
+                        size: Long): Option[(Rec, Long)] = {
+    val ch = java.nio.channels.FileChannel.open(segPath(topic, part, base))
+    try {
+      val lenBuf = ByteBuffer.allocate(4)
+      ch.position(pos)
+      while (lenBuf.hasRemaining && ch.read(lenBuf) >= 0) ()
+      if (lenBuf.hasRemaining) return None
+      val recLen = lenBuf.getInt(0)
+      if (recLen < 28 || pos + 4L + recLen > size) return None
+      val bytes = new Array[Byte](4 + recLen)
+      ch.position(pos)
+      val buf = ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+      if (buf.hasRemaining) return None
+      val (r, _) = FlyqCodec.decodeRecordAt(bytes, 0)
+      val headers =
+        if (r.isNullAt(4)) Nil
+        else {
+          val ad = r.getArray(4)
+          (0 until ad.numElements()).map { i =>
+            val h = ad.getStruct(i, 2)
+            (h.getUTF8String(0).toString, h.getBinary(1))
+          }
+        }
+      Some(((r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3),
+        headers), pos + 4L + recLen))
+    } finally ch.close()
+  }
+
   private def readSeg(topic: String, part: Long, base: Long,
                       fromPos: Long = 0L): Seq[Rec] =
     readSegWithExtent(topic, part, base, fromPos)._1
+
+  /** Bounded retry of a list-then-read sequence on NoSuchFileException
+    * (r16 advice #1): a concurrent retention pass — the exact composition
+    * [[FlyqBrokerMain]] creates — may unlink a segment between
+    * [[listSegBases]] and the read. That race is transient BY
+    * CONSTRUCTION (the next attempt re-lists, and the deleted segment is
+    * gone from the listing), while the Error frame the catch-all in
+    * [[dispatch]] would produce is classified by [[FlyqClient]] /
+    * the socket source as a PERMANENT protocol failure — so without the
+    * retry a routine retention race fails the streaming query. A
+    * NoSuchFileException that survives the attempts is a real filesystem
+    * problem and propagates. */
+  private[graft] def retryTransient[T](body: => T, attempts: Int = 3): T =
+    try body catch {
+      case _: java.nio.file.NoSuchFileException if attempts > 1 =>
+        retryTransient(body, attempts - 1)
+    }
 
   private def head(topic: String, part: Long): Head =
     heads.getOrElseUpdate(topic -> part, {
@@ -294,9 +369,11 @@ class FlyqServer(baseDir: String,
     * floor-seek the segment via its sparse index, scan forward). The
     * floor segment is entered at its index floor position, so a point
     * read touches ~index_interval records, not the whole segment; later
-    * segments in the chain start at 0 (their whole range is >= from). */
-  private def consumeAt(topic: String, part: Long,
-                        from: Long): Option[Rec] =
+    * segments in the chain start at 0 (their whole range is >= from).
+    * Returns the record plus its (segment base, byte position just past
+    * it) so [[consumeTracked]] can seed a cursor from the serve. */
+  private def consumeAtPos(topic: String, part: Long,
+                           from: Long): Option[(Rec, Long, Long)] =
     lock.synchronized {
       val bases = listSegBases(topic, part)
       val floor = bases.filter(_ <= from).lastOption
@@ -305,10 +382,125 @@ class FlyqServer(baseDir: String,
         .flatMap { b =>
           val fromPos = if (floor.contains(b))
             indexFloorPos(topic, part, b, from) else 0L
-          readSeg(topic, part, b, fromPos).iterator
+          readSegEntries(topic, part, b, fromPos)._1.iterator
+            .map { case (r, end) => (r, b, end) }
         }
-        .find(_._1 >= from)
+        .find(_._1._1 >= from)
     }
+
+  private def consumeAt(topic: String, part: Long,
+                        from: Long): Option[Rec] =
+    consumeAtPos(topic, part, from).map(_._1)
+
+  // ---- per-connection sequential-read cursors (r16 verdict #1) ----
+
+  /** Where a connection's sequential walk of one (topic, partition) left
+    * off: the next record to serve is `next`, and its length prefix
+    * starts at byte `pos` of segment `base` — unless the log rotated or
+    * retention intervened, which [[serveCursor]] detects. */
+  private[protocol] final class Cursor(var base: Long, var pos: Long,
+                                       var next: Long)
+  private[protocol] type Cursors = mutable.Map[(String, Long), Cursor]
+  private[protocol] def newCursors: Cursors = mutable.Map.empty
+
+  private sealed trait CursorServe
+  private case class Served(rec: Rec, base: Long, endPos: Long)
+      extends CursorServe
+  private case class CaughtUp(base: Long, pos: Long) extends CursorServe
+  private case object Stale extends CursorServe
+
+  /** Serve the cursor's `next` record in O(1) file reads. The cursor is a
+    * HINT, validated against the bytes it points at: the record decoded
+    * there must carry offset >= `next` (offsets are strictly increasing
+    * within a partition, so anything else means the file changed under
+    * us — retention, truncation, base reuse) — and ANY surprise (missing
+    * segment, bad decode, mismatched offset) answers [[Stale]], sending
+    * the caller back to the stateless floor-seek. A stale cursor can
+    * therefore cost one re-seek but can never serve wrong bytes. Caller
+    * holds `lock`. */
+  private def serveCursor(topic: String, part: Long,
+                          c: Cursor): CursorServe = {
+    var base = c.base
+    var pos = c.pos
+    var hops = 0
+    while (hops < 10000) {
+      val size =
+        try Files.size(segPath(topic, part, base))
+        catch { case _: java.io.IOException => return Stale }
+      if (pos + 4 <= size) {
+        return (try readOneAt(topic, part, base, pos, size)
+                catch { case NonFatal(_) => return Stale }) match {
+          case Some((r, end)) if r._1 >= c.next => Served(r, base, end)
+          case Some(_) => Stale // bytes moved under the cursor — re-seek
+          case None => CaughtUp(base, pos) // in-flight/torn tail: not yet
+        }
+      }
+      // end of this segment: hop into the next one if the log rotated.
+      // Dense logs rotate AT the next offset ([[append]] sets segBase =
+      // off), so probe segment_{next} directly first — a directory
+      // listing is O(total segments) per hop, which at one-record-per-
+      // segment payloads (value > segMaxBytes) would put an O(n) listing
+      // back on every RPC, exactly the cost the cursor exists to remove.
+      // The listing stays as the fallback for sparse/unusual layouts.
+      if (c.next > base &&
+          Files.exists(segPath(topic, part, c.next))) {
+        base = c.next; pos = 0L; hops += 1
+      } else listSegBases(topic, part).find(_ > base) match {
+        case Some(nb) => base = nb; pos = 0L; hops += 1
+        case None => return CaughtUp(base, pos)
+      }
+    }
+    Stale
+  }
+
+  /** Engine-semantics consume with the per-connection cursor fast path
+    * (r16 verdict #1): a sequential walk — the live-tail socket source's
+    * access pattern, and the reference's stated design center
+    * (`README.md:9`) — pays one O(1) [[readOneAt]] per RPC instead of
+    * the floor-seek's ~IndexInterval-record decode
+    * (`segment.rs:156-179,274-313`). Random access, a vanished segment
+    * (retention — the DeferredDelete hazard cases), rotation races, or
+    * any validation surprise fall back to [[consumeAtPos]] and re-seed
+    * the cursor from whatever was actually served; the wire format and
+    * answers are IDENTICAL to the stateless path (the quirk dialect
+    * keeps the reference's stateless re-seek untouched). */
+  private def consumeTracked(cursors: Cursors, topic: String, part: Long,
+                             from: Long): Option[Rec] = {
+    val key = (topic, part)
+    var answered = false
+    var answer: Option[Rec] = None
+    lock.synchronized {
+      cursors.get(key) match {
+        case Some(c) if c.next == from =>
+          serveCursor(topic, part, c) match {
+            case Served(r, base, end) =>
+              c.base = base; c.pos = end; c.next = r._1 + 1
+              answered = true; answer = Some(r)
+            case CaughtUp(base, pos) =>
+              // nothing past the cursor on disk: same "out of range"
+              // answer the floor-seek gives, without paying for it; the
+              // cursor keeps its (possibly hopped) position for the next
+              // poll
+              c.base = base; c.pos = pos
+              answered = true; answer = None
+            case Stale => cursors.remove(key): Unit
+          }
+        case _ => () // absent or non-sequential ask: floor-seek below
+      }
+    }
+    if (answered) answer
+    else {
+      val served = retryTransient(consumeAtPos(topic, part, from))
+      lock.synchronized {
+        served match {
+          case Some((r, base, end)) =>
+            cursors(key) = new Cursor(base, end, r._1 + 1)
+          case None => cursors.remove(key): Unit
+        }
+      }
+      served.map(_._1)
+    }
+  }
 
   /** First record's offset without decoding the segment: the StoredRecord
     * layout is `[len u32][offset u64]...`, so 12 bytes suffice — a
@@ -359,17 +551,24 @@ class FlyqServer(baseDir: String,
   private def respond(corr: Int, payload: Array[Byte]): WireFrame =
     WireFrame(1, FrameType.Response, corr, payload)
 
-  private[protocol] def dispatch(f: WireFrame): WireFrame = f.frameType match {
+  private[protocol] def dispatch(f: WireFrame): WireFrame =
+    dispatch(f, newCursors)
+
+  private[protocol] def dispatch(f: WireFrame,
+                                 cursors: Cursors): WireFrame = f.frameType match {
     case FrameType.Heartbeat => WireFrame(1, FrameType.Heartbeat, f.correlationId, Array.empty)
     case FrameType.Request =>
       val out = for {
         req <- RequestPayload.decode(f.payload)
-        // exceptions escaping a handler (e.g. NoSuchFileException when a
-        // concurrent retention pass unlinks a segment between
-        // listSegBases and the read — FlyqBrokerMain composes exactly
-        // that) become Error frames on a LIVE connection, not a silent
-        // connection close from serve()'s catch-all (r16 review #6)
-        resp <- (try handleOp(req)
+        // exceptions escaping a handler become Error frames on a LIVE
+        // connection, not a silent connection close from serve()'s
+        // catch-all (r16 review #6). The retention race (a concurrent
+        // pass unlinking a segment between listSegBases and the read —
+        // FlyqBrokerMain composes exactly that) no longer lands here:
+        // the read paths retry it as transient (retryTransient, r16
+        // advice #1), because an Error frame is classified by clients
+        // as a PERMANENT protocol failure.
+        resp <- (try handleOp(req, cursors)
                  catch { case NonFatal(e) =>
                    Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
                  })
@@ -382,7 +581,8 @@ class FlyqServer(baseDir: String,
     case _ => errorFrame(f.correlationId, s"unexpected frame type ${f.frameType}")
   }
 
-  private def handleOp(req: RequestPayload): Either[String, Array[Byte]] =
+  private def handleOp(req: RequestPayload,
+                       cursors: Cursors): Either[String, Array[Byte]] =
     req.opCode match {
       case OpCode.Produce if quirks =>
         // `listener.rs:91-96`: message bytes ARE the value; key/headers
@@ -407,10 +607,12 @@ class FlyqServer(baseDir: String,
         }
       case OpCode.Consume if quirks =>
         // `listener.rs:122-129`: partition hardcoded to 0, the REQUESTED
-        // offset echoed back, empty payload when nothing is found
+        // offset echoed back, empty payload when nothing is found. The
+        // re-seek stays STATELESS like the reference's (no cursor — the
+        // quirk stub must pay what the real broker pays).
         ConsumeRequest.decode(req.data).flatMap { c =>
           validTopic(c.topic).map { _ =>
-            consumeAt(c.topic, 0L, c.offset) match {
+            retryTransient(consumeAt(c.topic, 0L, c.offset)) match {
               case None => Array.emptyByteArray
               case Some((_, ts, k, v, h)) =>
                 ConsumeResponse.encode(ConsumeResponse(c.offset,
@@ -420,7 +622,8 @@ class FlyqServer(baseDir: String,
         }
       case OpCode.Consume =>
         ConsumeRequest.decode(req.data).flatMap { c =>
-          validTopic(c.topic).flatMap(_ => consumeAt(c.topic, c.partition, c.offset)
+          validTopic(c.topic).flatMap(_ =>
+            consumeTracked(cursors, c.topic, c.partition, c.offset)
             .toRight(s"offset ${c.offset} out of range")
             .map { case (off, ts, k, v, h) =>
               ConsumeResponse.encode(ConsumeResponse(off,
@@ -432,14 +635,22 @@ class FlyqServer(baseDir: String,
             .flatMap(c => validTopic(c.topic).map(_ => c)).flatMap { c =>
           val from = lock.synchronized(
             committed.getOrElse((c.topic, c.partition, c.group), 0L))
-          val found = consumeAt(c.topic, c.partition, from)
-          // `listener.rs:177-181`: caught-up is an empty payload there
+          // `listener.rs:177-181`: caught-up is an empty payload there,
+          // and the labeled offset is the FETCHED group offset, not the
+          // served record's (`log_engine.rs:152-160` maps the message to
+          // `(offset, msg)` where offset is the tracker value;
+          // `listener.rs:166-169` passes it through) — after a retention
+          // trim the reference mislabels the first surviving record with
+          // the stale committed offset, and the quirk stub must
+          // reproduce that or clients integration-tested against it miss
+          // the real broker's behavior (r16 advice #2).
           if (quirks)
-            Right(found.fold(Array.emptyByteArray) { case (off, ts, k, v, h) =>
-              ConsumeResponse.encode(ConsumeResponse(off,
+            Right(retryTransient(consumeAt(c.topic, c.partition, from))
+              .fold(Array.emptyByteArray) { case (_, ts, k, v, h) =>
+              ConsumeResponse.encode(ConsumeResponse(from,
                 WireMessage(ts, Option(k), v, h)))
             })
-          else found
+          else consumeTracked(cursors, c.topic, c.partition, from)
             .toRight(s"group ${c.group} caught up past the log end")
             .map { case (off, ts, k, v, h) =>
               ConsumeResponse.encode(ConsumeResponse(off,
@@ -465,7 +676,8 @@ class FlyqServer(baseDir: String,
       case OpCode.Watermark =>
         WatermarkRequest.decode(req.data)
             .flatMap(w => validTopic(w.topic).map(_ => w)).map { w =>
-          val (low, high, end) = watermark(w.topic, w.partition)
+          val (low, high, end) =
+            retryTransient(watermark(w.topic, w.partition))
           WatermarkResponse.encode(WatermarkResponse(low, high, end))
         }
       case OpCode.GetConsumerLag =>
@@ -498,7 +710,7 @@ class FlyqServer(baseDir: String,
           }
           val parts = topics.flatMap { t =>
             (0L until numPartitions).flatMap { p =>
-              val (_, high, _) = watermark(t, p)
+              val (_, high, _) = retryTransient(watermark(t, p))
               if (high < 0) None
               else {
                 val c = lock.synchronized(
@@ -513,12 +725,15 @@ class FlyqServer(baseDir: String,
       case OpCode.GetPartitionHealth =>
         PartitionHealthRequest.decode(req.data)
             .flatMap(h => validTopic(h.topic).map(_ => h)).map { h =>
-          val bases = listSegBases(h.topic, h.partition)
-          val bytes = bases.map(b =>
-            Files.size(segPath(h.topic, h.partition, b))).sum
-          val (low, high, end) = watermark(h.topic, h.partition)
+          val (segs, bytes, low, high, end) = retryTransient {
+            val bases = listSegBases(h.topic, h.partition)
+            val sz = bases.map(b =>
+              Files.size(segPath(h.topic, h.partition, b))).sum
+            val (l, hi, e) = watermark(h.topic, h.partition)
+            (bases.length.toLong, sz, l, hi, e)
+          }
           PartitionHealthResponse.encode(PartitionHealthResponse(
-            h.topic, h.partition, bases.length.toLong, bytes, low, high,
+            h.topic, h.partition, segs, bytes, low, high,
             end, None))
         }
       case other => Left(s"unknown op_code $other")
@@ -565,10 +780,14 @@ class FlyqServer(baseDir: String,
     server.getLocalPort
   }
 
-  /** One connection: length-framed request/response loop. */
+  /** One connection: length-framed request/response loop. The cursor map
+    * is PER CONNECTION (r16 verdict #1) — it dies with the socket, so a
+    * reconnecting client starts from a clean floor-seek and the server
+    * holds no unbounded cross-connection state. */
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
+    val cursors = newCursors
     try {
       while (running) {
         val header = new Array[Byte](Frame.HeaderLen)
@@ -585,7 +804,7 @@ class FlyqServer(baseDir: String,
           // get no reply; the client knows not to send them)
           case Right(Some((frame, _)))
               if quirks && frame.frameType != FrameType.Request => null
-          case Right(Some((frame, _))) => dispatch(frame)
+          case Right(Some((frame, _))) => dispatch(frame, cursors)
           case Right(None) => errorFrame(0, "incomplete frame")
           case Left(err) => errorFrame(0, err)
         }

@@ -55,6 +55,10 @@ import graft.protocol.{FlyqClient, FlyqProtocolException}
   *    so a broker that HANGS mid-batch fails the task (and Spark
   *    retries) instead of blocking it forever (r15 advice #4); 0
   *    disables;
+  *  - `maxHoldTriggers` (default 120 under quirkCompat, 0 = unbounded
+  *    otherwise): fail the stream after this many CONSECUTIVE
+  *    latestOffset transport failures instead of holding forever —
+  *    see the known-limitation paragraph below;
   *  - `quirkCompat` (default false): speak the REFERENCE BROKER's
   *    actual transport (r15 verdict #2) — its listener hardcodes
   *    partition 0 on Consume (`listener.rs:122`), echoes the REQUESTED
@@ -78,6 +82,20 @@ import graft.protocol.{FlyqClient, FlyqProtocolException}
   * transport failures (connect refused/reset/timeout) are
   * `IOException`s and `latestOffset` HOLDS through them at the last
   * known end — a bounced broker comes back, a deleted topic does not.
+  *
+  * KNOWN LIMITATION under `quirkCompat` (r16 advice #3): that
+  * protocol-vs-transport split only holds against a server that
+  * answers errors on a live connection. A TRUE reference broker
+  * propagates handler errors and DROPS the connection
+  * (`listener.rs` `handle_connection`'s `?`), so against it an
+  * unknown/deleted topic is indistinguishable on the wire from a
+  * transport outage — both are `IOException`s. The hold is therefore
+  * BOUNDED: after `maxHoldTriggers` consecutive failed `latestOffset`
+  * calls (option, default 120 under quirkCompat, unbounded under
+  * engine semantics where the split is sound) the stream fails loudly
+  * naming both possible causes, instead of holding forever on a topic
+  * that may no longer exist. A restart resumes from the checkpoint, so
+  * bouncing a long-dead broker back costs nothing.
   */
 class FlyqSocketSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -109,7 +127,13 @@ class FlyqSocketSource extends TableProvider {
         throw new IllegalArgumentException(
           "flyq-socket source requires a topic option")),
       partitions, starting, quirk,
-      Option(opts.get("readTimeoutMs")).map(_.toInt).getOrElse(30000))
+      Option(opts.get("readTimeoutMs")).map(_.toInt).getOrElse(30000),
+      // 0 = hold forever. Engine semantics can: a server Error frame
+      // already fails the stream, so an IOException IS a transport
+      // outage. The quirk wire cannot tell the two apart (class
+      // scaladoc), so it gets a bounded hold by default.
+      Option(opts.get("maxHoldTriggers")).map(_.toInt)
+        .getOrElse(if (quirk) 120 else 0))
   }
 }
 
@@ -124,7 +148,8 @@ object FlyqSocketSource {
 
 class FlyqSocketTable(host: String, port: Int, topic: String,
                       numPartitions: Int, startingOffsets: String,
-                      quirk: Boolean, readTimeoutMs: Int)
+                      quirk: Boolean, readTimeoutMs: Int,
+                      maxHoldTriggers: Int = 0)
     extends Table with SupportsRead {
   override def name(): String = s"flyq-socket($host:$port, topic=$topic)"
   override def schema(): StructType = FlyqSocketSource.schema
@@ -132,17 +157,18 @@ class FlyqSocketTable(host: String, port: Int, topic: String,
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new FlyqSocketScan(host, port, topic, numPartitions,
-      startingOffsets, quirk, readTimeoutMs)
+      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers)
 }
 
 class FlyqSocketScan(host: String, port: Int, topic: String,
                      numPartitions: Int, startingOffsets: String,
-                     quirk: Boolean, readTimeoutMs: Int) extends Scan {
+                     quirk: Boolean, readTimeoutMs: Int,
+                     maxHoldTriggers: Int = 0) extends Scan {
   override def readSchema(): StructType = FlyqSocketSource.schema
   override def description(): String = s"FlyqSocketScan($host:$port/$topic)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FlyqSocketMicroBatchStream(host, port, topic, numPartitions,
-      startingOffsets, quirk, readTimeoutMs)
+      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers)
 }
 
 /** Offset = per-partition NEXT offset to consume, JSON `{"0":n,...}`. */
@@ -161,7 +187,8 @@ object FlyqSocketOffset {
 
 class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
                                  numPartitions: Int, startingOffsets: String,
-                                 quirk: Boolean, readTimeoutMs: Int)
+                                 quirk: Boolean, readTimeoutMs: Int,
+                                 maxHoldTriggers: Int = 0)
     extends MicroBatchStream {
 
   /** Driver-side metadata connection. Recreated once per failed call
@@ -232,17 +259,36 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
     if (startingOffsets == "latest") offsets(_.logEndOffset)
     else offsets(_.lowWatermark)
   }
+  /** Consecutive failed latestOffset calls while holding — the bounded-
+    * hold counter (r16 advice #3); any success resets it. */
+  @volatile private var consecutiveHolds = 0
+
   override def latestOffset(): Offset =
     try {
       val o = offsets(_.logEndOffset)
       lastKnownEnd = Some(o)
+      consecutiveHolds = 0
       o
     } catch {
       // IOException only: transport outages hold, protocol errors
       // (FlyqProtocolException) propagate and fail the query
       case e: java.io.IOException if lastKnownEnd.isDefined =>
+        consecutiveHolds += 1
+        if (maxHoldTriggers > 0 && consecutiveHolds >= maxHoldTriggers)
+          // the quirk wire cannot distinguish "broker down" from "topic
+          // gone" (the reference drops the connection for both — class
+          // scaladoc); after this many consecutive failures, holding
+          // forever is likelier to be masking the permanent case
+          throw new FlyqProtocolException(
+            s"broker $host:$port unreachable for $consecutiveHolds " +
+              s"consecutive triggers (maxHoldTriggers=$maxHoldTriggers): " +
+              "either a long outage or — against a reference broker, " +
+              "indistinguishable on the wire — a deleted/unknown topic. " +
+              "Failing loudly; restarting the query resumes from the " +
+              s"checkpoint. Last error: ${e.getMessage}")
         System.err.println(s"[flyq-socket] broker unreachable, holding " +
-          s"at last known offsets: ${e.getMessage}")
+          s"at last known offsets ($consecutiveHolds consecutive): " +
+          s"${e.getMessage}")
         lastKnownEnd.get
     }
   override def deserializeOffset(json: String): Offset =

@@ -70,6 +70,17 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(BenchWindow.drift(Seq(1.0, 1.04, 1.08, 1.12), 1.17)) // slow
   }
 
+  test("subset runs emit null window fields; full runs emit the real " +
+      "ones (r16 verdict #2: a 3-row subset on an idle box printed " +
+      "window_regressed:true from cold-start alone)") {
+    assert(BenchWindow.windowFieldsJson(subset = true, 2.03, drift = true) ===
+      """"window_factor":null,"window_regressed":null,"window_drift":null""")
+    assert(BenchWindow.windowFieldsJson(subset = false, 1.36, drift = false) ===
+      """"window_factor":1.36,"window_regressed":false,"window_drift":false""")
+    assert(BenchWindow.windowFieldsJson(subset = false, 1.45, drift = false)
+      .contains(""""window_regressed":true"""))
+  }
+
   test("a uniformly loaded window produces zero flags (r15 verdict #1)") {
     // every row elevated 2.2x by a co-tenant window: the factor IS 2.2
     // and divides every row back under the bar — no judge-facing flags

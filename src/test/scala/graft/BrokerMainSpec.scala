@@ -75,6 +75,103 @@ class BrokerMainSpec extends AnyFunSuite {
     assert(text.contains("\"log_end_offset\":3"))
   }
 
+  test("parseArgs: the reference config.rs knobs (segment_max_bytes, " +
+      "retention, retention_bytes) ride as flags") {
+    val c = FlyqBrokerMain.parseArgs(Array(
+      "--segment-bytes=256", "--retention-ms", "86400000",
+      "--retention-bytes=1024"))
+    assert(c.segmentBytes === 256L)
+    assert(c.retentionMs === 86400000L)
+    assert(c.retentionBytes === 1024L)
+    // defaults track the model constants the engine uses everywhere else
+    val d = FlyqBrokerMain.parseArgs(Array.empty)
+    assert(d.segmentBytes === graft.model.LogModel.SegmentMaxBytes)
+    assert(d.retentionBytes === graft.model.LogModel.RetentionBytes)
+  }
+
+  test("retention firing under an active socket-source reader (r16 " +
+      "verdict #7): eviction below the stream's checkpointed position " +
+      "resumes at the new low watermark — every surviving record exactly " +
+      "once, never stale bytes, never a silent skip of data still on disk") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("flyq-broker-evict").toString
+    // tiny segments + a size cap through the binary's own flags (the
+    // reference's segment_max_bytes / retention_bytes, config.rs:13-19);
+    // a huge cleanup interval so eviction happens exactly when ticked
+    val broker = FlyqBrokerMain.start(FlyqBrokerMain.Config(
+      dir, port = 0, partitions = 1, cleanupIntervalMs = 3600000L,
+      quirks = false, maintenance = true,
+      segmentBytes = 256, retentionMs = Long.MaxValue / 4,
+      retentionBytes = 1024))
+    val ckpt = Files.createTempDirectory("flyq-broker-evict-ckpt").toString
+    val out = Files.createTempDirectory("flyq-broker-evict-out").toString
+    val c = new FlyqClient("127.0.0.1", broker.port)
+    try {
+      (0 until 30).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      // a file sink, because it supports exactly-once checkpoint
+      // RECOVERY — the memory sink cannot resume, and resuming across
+      // the eviction is the whole point of this test
+      def stream() = spark.readStream
+        .format("graft.sources.v2.FlyqSocketSource")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "t").option("partitions", "1")
+        .option("startingOffsets", "earliest").load()
+        .select(col("msg_offset"), col("mvalue").cast("string").as("v"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      // phase 1: replay from earliest, checkpoint lands at offset 30
+      val q1 = stream()
+      try {
+        q1.processAllAvailable()
+        assert(spark.read.parquet(out).count() === 30)
+      } finally q1.stop()
+
+      // the log grows past the reader's checkpoint, then the broker's
+      // OWN maintenance runner evicts segments BELOW that checkpoint
+      (30 until 60).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      val r = broker.runner.get
+      val before = r.passCount
+      r.tick()
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (r.passCount <= before && System.nanoTime < deadline)
+        Thread.sleep(20)
+      assert(r.passCount > before, "maintenance pass did not run on tick")
+      assert(r.lastPass.errors.isEmpty, r.lastPass.errors.toString)
+      assert(r.lastPass.decisions("t").exists(!_.keep),
+        "the size cap must actually evict segments")
+      val survivingBases = graft.sources.SegmentFiles.segmentBases(
+        Paths.get(dir, "topic_t", "partition_0"))
+      val firstSurviving = survivingBases.min
+      assert(firstSurviving > 30L,
+        s"eviction must bite BELOW the checkpointed offset 30 for this " +
+          s"test to exercise the hazard (low watermark $firstSurviving)")
+      val Right(wm) = c.watermark("t", 0L): @unchecked
+      assert(wm.lowWatermark === firstSurviving)
+
+      // phase 2: the stream resumes from its checkpoint (offset 30, now
+      // under the low watermark) — it must hold at the new low watermark
+      // (serve everything still on disk exactly once) rather than fail,
+      // duplicate, or skip surviving records
+      val q2 = stream()
+      try {
+        q2.processAllAvailable()
+        val got = spark.read.parquet(out)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+        assert(got.map(_._1).toSeq ===
+          ((0L until 30L) ++ (firstSurviving until 60L)),
+          "phase-1 rows plus exactly the surviving offsets, each exactly " +
+            "once — no duplicates, no skips of data still on disk")
+        got.foreach { case (off, v) => assert(v === s"v$off") }
+      } finally q2.stop()
+    } finally { c.close(); broker.close() }
+  }
+
   test("start() with --no-maintenance serves without a runner; --quirks " +
       "serves the reference dialect") {
     val dir = Files.createTempDirectory("flyq-broker-quirk").toString

@@ -959,4 +959,206 @@ class SocketLifecycleSpec extends AnyFunSuite {
         "post-restart produce must stream through the reconnected source")
     } finally { q.stop(); c.close(); server.stop() }
   }
+
+  test("sequential consume rides the per-connection cursor across " +
+      "segment rotations, interleaved random access, and live appends " +
+      "(r16 verdict #1: answers identical to the stateless floor-seek)") {
+    val dir = Files.createTempDirectory("flyq-sock-cursor").toString
+    // ~40-byte records against a 256-byte segment cap: the 120-record
+    // walk crosses dozens of rotation boundaries
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      (0 until 120).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      // sequential walk: after the first RPC every serve is a cursor hit
+      (0L until 120L).foreach { off =>
+        val Right(r) = c.consume("t", 0L, off): @unchecked
+        assert(r.offset === off)
+        assert(new String(r.message.value, "UTF-8") === s"v$off")
+        // interleave a random access mid-walk: the cursor misses (next
+        // != asked), the floor-seek answers, and the walk resumes
+        if (off == 60L) {
+          val Right(back) = c.consume("t", 0L, 7L): @unchecked
+          assert(back.offset === 7L)
+          val Right(fwd) = c.consume("t", 0L, 61L): @unchecked
+          assert(fwd.offset === 61L)
+        }
+      }
+      // caught up: the cursor answers out-of-range without re-seeking
+      assert(c.consume("t", 0L, 120L).isLeft)
+      // a live append past the caught-up cursor is served on the next ask
+      assert(c.produce("t",
+        WireMessage(9999L, Some(b("k")), b("tail"), Nil)).isRight)
+      val Right(tail) = c.consume("t", 0L, 120L): @unchecked
+      assert(tail.offset === 120L)
+      assert(new String(tail.message.value, "UTF-8") === "tail")
+      // a SECOND connection starts cold and reads the same answers (the
+      // cursor is per-connection state, not shared server state)
+      val c2 = new FlyqClient("127.0.0.1", port)
+      try {
+        val Right(r2) = c2.consume("t", 0L, 55L): @unchecked
+        assert(new String(r2.message.value, "UTF-8") === "v55")
+      } finally c2.close()
+    } finally { c.close(); server.stop() }
+  }
+
+  test("a cursor invalidated by retention re-seeks instead of serving " +
+      "stale bytes: eviction under the walk lands at the first " +
+      "surviving record (r16 verdict #1 hazard case)") {
+    val dir = Files.createTempDirectory("flyq-sock-cursor-evict").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5)
+    val c = new FlyqClient("127.0.0.1", server.start())
+    try {
+      (0 until 60).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      val partDir = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+      val bases = graft.sources.SegmentFiles.segmentBases(partDir)
+      assert(bases.length >= 3, s"need multiple segments, got $bases")
+      // walk INTO the oldest segment so the cursor points inside it
+      (0L until 2L).foreach { off =>
+        assert(c.consume("t", 0L, off).map(_.offset) === Right(off))
+      }
+      // retention evicts the two oldest segments out from under the
+      // cursor (what a concurrent Maintenance pass does — the
+      // BrokerMainSpec twin drives it through the real runner)
+      bases.take(2).foreach { base =>
+        Files.delete(partDir.resolve(f"segment_$base%020d.log"))
+        Files.deleteIfExists(partDir.resolve(f"segment_$base%020d.index"))
+      }
+      val firstSurviving = bases(2)
+      // the next sequential ask finds the cursor's segment gone, falls
+      // back to the floor-seek, and serves the first surviving record —
+      // exactly the stateless answer; never truncated/stale bytes
+      val Right(r) = c.consume("t", 0L, 2L): @unchecked
+      assert(r.offset === firstSurviving)
+      assert(new String(r.message.value, "UTF-8") === s"v$firstSurviving")
+      // and the walk continues sequentially from there on the re-seeded
+      // cursor
+      val Right(r2) = c.consume("t", 0L, r.offset + 1): @unchecked
+      assert(r2.offset === firstSurviving + 1)
+    } finally { c.close(); server.stop() }
+  }
+
+  test("retryTransient: a vanished-file race (concurrent retention) is " +
+      "retried, a persistent failure propagates (r16 advice #1)") {
+    val dir = Files.createTempDirectory("flyq-retry").toString
+    val server = new FlyqServer(dir)
+    var calls = 0
+    val got = server.retryTransient({
+      calls += 1
+      if (calls < 3)
+        throw new java.nio.file.NoSuchFileException("segment gone mid-list")
+      "served"
+    })
+    assert(got === "served")
+    assert(calls === 3)
+    // bounded: a NoSuchFileException that survives every attempt is a
+    // real filesystem problem, not a race — it must propagate
+    calls = 0
+    intercept[java.nio.file.NoSuchFileException] {
+      server.retryTransient({
+        calls += 1
+        throw new java.nio.file.NoSuchFileException("really gone")
+      })
+    }
+    assert(calls === 3)
+    server.stop()
+  }
+
+  test("quirkCompat holds are BOUNDED (r16 advice #3): after " +
+      "maxHoldTriggers consecutive transport failures the stream fails " +
+      "loudly naming both possible causes, instead of holding forever " +
+      "on a topic that may no longer exist") {
+    val dir = Files.createTempDirectory("flyq-hold-bound").toString
+    val server = new FlyqServer(dir, numPartitions = 1, quirks = true)
+    val port = server.start()
+    val qc = new FlyqClient("127.0.0.1", port, quirk = true)
+    try {
+      (0 until 3).foreach { i =>
+        assert(qc.produce("t", WireMessage(0L, None, b(s"v$i"), Nil)).isRight)
+      }
+    } finally qc.close()
+    val q = spark.readStream
+      .format("graft.sources.v2.FlyqSocketSource")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .option("topic", "t").option("quirkCompat", "true")
+      .option("maxHoldTriggers", "3")
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("flyq-hold-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable() // at least one good latestOffset first
+      server.stop() // the wire cannot say whether it is coming back
+      val e = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000): Unit
+        fail("stream held past maxHoldTriggers instead of failing")
+      }
+      val chain = causeChain(e)
+      assert(chain.exists(
+        _.isInstanceOf[graft.protocol.FlyqProtocolException]))
+      assert(chain.exists(t =>
+        String.valueOf(t.getMessage).contains("maxHoldTriggers")))
+    } finally { q.stop(); server.stop() }
+  }
+
+  test("quirk ConsumeWithGroup labels the FETCHED group offset, not the " +
+      "served record's (listener.rs:166-169 via log_engine.rs:152-160 — " +
+      "r16 advice #2): after a retention trim the reference mislabels, " +
+      "and the stub must too; the engine dialect keeps real offsets") {
+    val dir = Files.createTempDirectory("flyq-quirk-group").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5, quirks = true)
+    val qc = new FlyqClient("127.0.0.1", server.start(), quirk = true)
+    try {
+      (0 until 40).foreach { i =>
+        assert(qc.produce("t", WireMessage(0L, None, b(s"v$i"), Nil)).isRight)
+      }
+      val partDir = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+      val bases = graft.sources.SegmentFiles.segmentBases(partDir)
+      assert(bases.length >= 2)
+      // trim the oldest segment; the group has committed nothing, so the
+      // fetched offset is 0 while the first surviving record is at
+      // bases(1)
+      Files.delete(partDir.resolve(f"segment_${bases.head}%020d.log"))
+      Files.deleteIfExists(partDir.resolve(f"segment_${bases.head}%020d.index"))
+      val Right(Some(r)) = qc.consumeWithGroupOpt("t", 0L, "g"): @unchecked
+      assert(r.offset === 0L,
+        "the reference passes the OffsetTracker value through, not the " +
+          "record's real offset")
+      assert(new String(r.message.value, "UTF-8") === s"v${bases(1)}",
+        "…while the BYTES are the first surviving record's")
+    } finally { qc.close(); server.stop() }
+
+    // engine dialect contrast on the same on-disk situation: the real
+    // offset is labeled
+    val dir2 = Files.createTempDirectory("flyq-engine-group").toString
+    val server2 = new FlyqServer(dir2, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5)
+    val c2 = new FlyqClient("127.0.0.1", server2.start())
+    try {
+      (0 until 40).foreach { i =>
+        assert(c2.produce("t",
+          WireMessage(0L, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      val partDir2 = java.nio.file.Paths.get(dir2, "topic_t", "partition_0")
+      val bases2 = graft.sources.SegmentFiles.segmentBases(partDir2)
+      Files.delete(partDir2.resolve(f"segment_${bases2.head}%020d.log"))
+      Files.deleteIfExists(
+        partDir2.resolve(f"segment_${bases2.head}%020d.index"))
+      val Right(r2) = c2.consumeWithGroup("t", 0L, "g"): @unchecked
+      assert(r2.offset === bases2(1))
+      assert(new String(r2.message.value, "UTF-8") === s"v${bases2(1)}")
+    } finally { c2.close(); server2.stop() }
+  }
 }

@@ -97,6 +97,15 @@ def main() -> int:
             continue
         seen.add(f)
         parquet_files.append(f)
+    # zero-row part files (possible under AQE/bucketed writes) are
+    # invisible to the Scala fold, which only counts files observed via
+    # ROWS -- counting them here (runs init to 1 per file) would inflate
+    # both runs and the denominator and spuriously fail the
+    # must-compare-equal check (r16 advice #4)
+    import pyarrow.parquet as pq
+    parquet_files = [
+        f for f in parquet_files if pq.ParquetFile(f).metadata.num_rows > 0
+    ]
     if not parquet_files:
         print(json.dumps({"error": f"no parquet files under {table_dir}"}))
         return 1
