@@ -170,6 +170,21 @@ class FlyqServer(baseDir: String,
   private type Rec = (Long, Long, Array[Byte], Array[Byte],
     Seq[(String, Array[Byte])])
 
+  /** Codec row → serve-path [[Rec]] (shared by every decode site). */
+  private def toRec(r: org.apache.spark.sql.catalyst.InternalRow): Rec = {
+    val headers =
+      if (r.isNullAt(4)) Nil
+      else {
+        val ad = r.getArray(4)
+        (0 until ad.numElements()).map { i =>
+          val h = ad.getStruct(i, 2)
+          (h.getUTF8String(0).toString, h.getBinary(1))
+        }
+      }
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3), headers)
+  }
+
   /** Decode records of one segment from byte `fromPos` (0 = whole file;
     * pass an [[indexFloorPos]] result to skip ahead — `fromPos` MUST be a
     * record boundary, which index entries are by construction). Also
@@ -207,21 +222,9 @@ class FlyqServer(baseDir: String,
       val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
       if (recLen < 28 || pos + 4L + recLen > bytes.length) done = true
       else {
-        try {
-          val (r, _) = FlyqCodec.decodeRecordAt(bytes, pos)
-          val headers =
-            if (r.isNullAt(4)) Nil
-            else {
-              val ad = r.getArray(4)
-              (0 until ad.numElements()).map { i =>
-                val h = ad.getStruct(i, 2)
-                (h.getUTF8String(0).toString, h.getBinary(1))
-              }
-            }
-          out += (((r.getLong(0), r.getLong(1),
-            if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3),
-            headers), start + pos + 4L + recLen))
-        } catch {
+        try out += ((toRec(FlyqCodec.decodeRecordAt(bytes, pos)._1),
+          start + pos + 4L + recLen))
+        catch {
           case NonFatal(_) => // body-corrupt, resync via outer length chain
         }
         pos += 4 + recLen
@@ -251,19 +254,51 @@ class FlyqServer(baseDir: String,
       val buf = ByteBuffer.wrap(bytes)
       while (buf.hasRemaining && ch.read(buf) >= 0) ()
       if (buf.hasRemaining) return None
-      val (r, _) = FlyqCodec.decodeRecordAt(bytes, 0)
-      val headers =
-        if (r.isNullAt(4)) Nil
-        else {
-          val ad = r.getArray(4)
-          (0 until ad.numElements()).map { i =>
-            val h = ad.getStruct(i, 2)
-            (h.getUTF8String(0).toString, h.getBinary(1))
-          }
+      Some((toRec(FlyqCodec.decodeRecordAt(bytes, 0)._1), pos + 4L + recLen))
+    } finally ch.close()
+  }
+
+  /** Stream one segment's length chain from `fromPos` and return the
+    * FIRST record with offset >= `from`, plus the byte position just
+    * past it — the stateless point-read, in O(bytes scanned to the
+    * match): each non-matching record costs a 12-byte header peek
+    * (length + offset) and a position skip, and only the match is read
+    * and decoded. Replaces the eager tail read (r17): with production
+    * 1 GiB segments, materializing [floorPos, EOF) was an up-to-GiB
+    * allocation + full decode per cold point read, where the reference
+    * iterates and stops at the match (`partition.rs:144-165`). Corrupt
+    * records resync via the outer length chain ([[readSegEntries]]
+    * semantics: a body-corrupt match is skipped, the next qualifying
+    * record serves); a torn tail ends the scan. */
+  private def seekRecord(topic: String, part: Long, base: Long,
+                         fromPos: Long, from: Long): Option[(Rec, Long)] = {
+    val p = segPath(topic, part, base)
+    val size = Files.size(p)
+    var pos = math.max(0L, math.min(fromPos, size))
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val hdr = ByteBuffer.allocate(12)
+      while (pos + 12 <= size) {
+        hdr.clear()
+        ch.position(pos)
+        while (hdr.hasRemaining && ch.read(hdr) >= 0) ()
+        if (hdr.hasRemaining) return None
+        val recLen = hdr.getInt(0)
+        if (recLen < 28 || pos + 4L + recLen > size) return None // torn
+        val off = hdr.getLong(4)
+        if (off >= from) {
+          val bytes = new Array[Byte](4 + recLen)
+          ch.position(pos)
+          val buf = ByteBuffer.wrap(bytes)
+          while (buf.hasRemaining && ch.read(buf) >= 0) ()
+          if (buf.hasRemaining) return None
+          try return Some((toRec(FlyqCodec.decodeRecordAt(bytes, 0)._1),
+            pos + 4L + recLen))
+          catch { case NonFatal(_) => () } // corrupt body: resync, scan on
         }
-      Some(((r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) null else r.getBinary(2), r.getBinary(3),
-        headers), pos + 4L + recLen))
+        pos += 4L + recLen
+      }
+      None
     } finally ch.close()
   }
 
@@ -382,10 +417,12 @@ class FlyqServer(baseDir: String,
         .flatMap { b =>
           val fromPos = if (floor.contains(b))
             indexFloorPos(topic, part, b, from) else 0L
-          readSegEntries(topic, part, b, fromPos)._1.iterator
-            .map { case (r, end) => (r, b, end) }
+          // streamed header-peek seek (never materializes the tail);
+          // seekRecord's >= from check subsumes the old find()
+          seekRecord(topic, part, b, fromPos, from)
+            .map { case (r, end) => (r, b, end) }.iterator
         }
-        .find(_._1._1 >= from)
+        .nextOption()
     }
 
   private def consumeAt(topic: String, part: Long,

@@ -1007,6 +1007,50 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
+  test("live-tail under concurrent produce: a cursor walk racing a " +
+      "producer across dozens of rotations serves every record exactly " +
+      "once, in order, with caught-up polls in between") {
+    val dir = Files.createTempDirectory("flyq-sock-race").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5)
+    val port = server.start()
+    val total = 500
+    val producerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val producer = new Thread(() => {
+      val pc = new FlyqClient("127.0.0.1", port)
+      try (0 until total).foreach { i =>
+        pc.produce("t", WireMessage(i.toLong, Some(b("k")), b(s"v$i"), Nil))
+          .fold(e => sys.error(e), _ => ())
+        if (i % 50 == 0) Thread.sleep(1) // let the reader catch up and poll
+      } catch { case t: Throwable => producerErr.set(t) }
+      finally pc.close()
+    }, "race-producer")
+    producer.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      var off = 0L
+      var served = 0
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (off < total && System.nanoTime < deadline) {
+        c.consume("t", 0L, off) match {
+          case Right(r) =>
+            // single producer, dense offsets: any skip or repeat here is
+            // a cursor bug (stale serve, double hop, missed rotation)
+            assert(r.offset === off)
+            assert(new String(r.message.value, "UTF-8") === s"v$off")
+            served += 1
+            off = r.offset + 1
+          case Left(_) => () // caught up to the producer: poll again
+        }
+      }
+      producer.join(30000)
+      assert(producerErr.get() == null,
+        s"producer failed: ${producerErr.get()}")
+      assert(served === total)
+    } finally { c.close(); server.stop() }
+  }
+
   test("a cursor invalidated by retention re-seeks instead of serving " +
       "stale bytes: eviction under the walk lands at the first " +
       "surviving record (r16 verdict #1 hazard case)") {
