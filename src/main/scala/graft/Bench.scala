@@ -262,11 +262,14 @@ object Bench {
       "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
       "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches,
       // the snapshot "cache" is the on-disk tmpdir directory itself;
-      // dropping it makes the min-of-2 second trial a real rebuild
-      "artifact_log_snapshot" ->
-        ((_: SparkSession) => graft.sources.LogTable.dropSnapshots(sfDir)),
-      "artifact_topic_log_snapshot" ->
-        ((_: SparkSession) => graft.sources.LogTable.dropSnapshots(sfDir)))
+      // dropping it makes the min-of-2 second trial a real rebuild.
+      // Variant-scoped so one row's drops never destroy the sibling
+      // row's freshly built snapshot (a cross-row drop forced a third,
+      // untimed full rebuild in the re-warm loop every run).
+      "artifact_log_snapshot" -> ((_: SparkSession) =>
+        graft.sources.LogTable.dropSnapshots(sfDir, "logtable")),
+      "artifact_topic_log_snapshot" -> ((_: SparkSession) =>
+        graft.sources.LogTable.dropSnapshots(sfDir, "topiclog")))
     val artSelected =
       if (subset.isEmpty) artifactBuilds
       else artifactBuilds.filter(b => subset(b._1))

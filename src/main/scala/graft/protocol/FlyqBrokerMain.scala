@@ -23,11 +23,18 @@ import graft.operators.Maintenance
   * [[graft.model.LogModel.NumPartitions]]), `--cleanup-interval-ms`
   * (default [[Maintenance.DefaultIntervalMs]], the reference's
   * `cleanup_interval`), `--segment-bytes` (the reference's
-  * `segment_max_bytes`, default 1 GiB), `--retention-ms` /
-  * `--retention-bytes` (the reference's `retention` /
-  * `retention_bytes`), `--quirks` (serve the reference's transport
-  * dialect instead of engine semantics), and `--no-maintenance` (serve
-  * only — no Spark session, no background loops).
+  * `segment_max_bytes`), `--retention-ms` / `--retention-bytes` (the
+  * reference's `retention` / `retention_bytes`), `--quirks` (serve the
+  * reference's transport dialect instead of engine semantics), and
+  * `--no-maintenance` (serve only — no Spark session, no background
+  * loops). Sizing DEFAULTS are the reference's PRODUCTION defaults
+  * (`config.rs:28-31`): 1 GiB segments, 7-day time retention,
+  * size-based retention OFF (its `retention_bytes: None`) — NOT the
+  * library's test-scale `LogModel` constants (4 KiB / 16 KiB), which
+  * exist for the oracle queries' fixtures; a binary defaulting to
+  * those would rotate every ~100 records and silently evict all but
+  * the newest ~16 KiB per partition on the first maintenance pass
+  * (r17 review #3).
   *
   * Composition parity with `main.rs`:
   *  - `server::start`            → [[FlyqServer.start]];
@@ -50,15 +57,18 @@ import graft.operators.Maintenance
   */
 object FlyqBrokerMain {
 
+  /** Reference production defaults (`flyq-server/src/config.rs:28-31`). */
+  val DefaultSegmentBytes: Long = 1024L * 1024 * 1024 // 1 GiB
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000 // 7 days
+  /** `retention_bytes: None` — size-based retention disabled. */
+  val DefaultRetentionBytes: Long = Long.MaxValue
+
   final case class Config(baseDir: String, port: Int, partitions: Int,
                           cleanupIntervalMs: Long, quirks: Boolean,
                           maintenance: Boolean,
-                          segmentBytes: Long =
-                            graft.model.LogModel.SegmentMaxBytes,
-                          retentionMs: Long =
-                            graft.model.LogModel.RetentionDays * 86400000L,
-                          retentionBytes: Long =
-                            graft.model.LogModel.RetentionBytes)
+                          segmentBytes: Long = DefaultSegmentBytes,
+                          retentionMs: Long = DefaultRetentionMs,
+                          retentionBytes: Long = DefaultRetentionBytes)
 
   /** `--key value` / `--key=value` / bare flags; unknown keys fail
     * loudly naming the flag (the reference's clap does the same). */
@@ -67,9 +77,9 @@ object FlyqBrokerMain {
     var port = sys.env.get("FLYQ_PORT").map(_.toInt).getOrElse(9092)
     var partitions = graft.model.LogModel.NumPartitions.toInt
     var interval = Maintenance.DefaultIntervalMs
-    var segmentBytes = graft.model.LogModel.SegmentMaxBytes
-    var retentionMs = graft.model.LogModel.RetentionDays * 86400000L
-    var retentionBytes = graft.model.LogModel.RetentionBytes
+    var segmentBytes = DefaultSegmentBytes
+    var retentionMs = DefaultRetentionMs
+    var retentionBytes = DefaultRetentionBytes
     var quirks = false
     var maintenance = true
     var i = 0

@@ -75,9 +75,34 @@ class FlyqServer(baseDir: String,
                  quirks: Boolean = false) {
 
   // ---- per-partition write head (reference `partition_state.rs`) ----
+  // `log`/`idx` are the CACHED append streams for the active segment
+  // (r17): the reference keeps its segment handles open and flushes per
+  // append (`segment.rs:115,139`); opening/closing a FileOutputStream
+  // per record cost ~2 extra syscalls + path resolution on every
+  // produce. Lifecycle: opened lazily on first append, closed+reopened
+  // on rotation, closed+nulled on a write failure (the next append
+  // reopens rather than reusing a stream in an unknown state), closed
+  // in [[stop]]. Retention never evicts the ACTIVE segment, so a cached
+  // stream never points at a reaped file; the active segment is
+  // exclusively this server's to write, as it is the reference's.
   private case class Head(var nextOffset: Long, var segBase: Long,
-                          var segBytes: Long, var appended: Int)
+                          var segBytes: Long, var appended: Int,
+                          var log: FileOutputStream = null,
+                          var idx: FileOutputStream = null) {
+    def closeStreams(): Unit = {
+      if (log != null) { try log.close() catch { case NonFatal(_) => () }; log = null }
+      if (idx != null) { try idx.close() catch { case NonFatal(_) => () }; idx = null }
+    }
+  }
   private val heads = mutable.Map.empty[(String, Long), Head]
+  /** LRU of heads with OPEN append streams — the fd bound (r17 review
+    * #2): topic names come off the wire, so without a cap a client
+    * walking topic names would pin 2 fds per (topic, partition) until
+    * EMFILE takes down every produce AND consume on the server. A live
+    * producer set is small and hot; an evicted head transparently
+    * reopens (append mode) on its next produce. Guarded by `lock`. */
+  private val MaxOpenHeads = 256
+  private val openHeads = mutable.LinkedHashSet.empty[(String, Long)]
   private val committed = mutable.Map.empty[(String, Long, String), Long]
   private val rr = mutable.Map.empty[String, Long] // keyless round-robin
   private val lock = new Object
@@ -193,16 +218,6 @@ class FlyqServer(baseDir: String,
     * walk covers the whole file and stops before EOF (torn tail). */
   private def readSegWithExtent(topic: String, part: Long, base: Long,
                                 fromPos: Long = 0L): (Seq[Rec], Long) = {
-    val (entries, extent) = readSegEntries(topic, part, base, fromPos)
-    (entries.map(_._1), extent)
-  }
-
-  /** [[readSegWithExtent]]'s core, additionally labeling each record with
-    * the ABSOLUTE byte position just past it — the seed for the
-    * sequential-read cursor ([[consumeTracked]]): the position after
-    * record N is where record N+1's length prefix starts. */
-  private def readSegEntries(topic: String, part: Long, base: Long,
-                             fromPos: Long = 0L): (Seq[(Rec, Long)], Long) = {
     val p = segPath(topic, part, base)
     val size = Files.size(p)
     val start = math.max(0L, math.min(fromPos, size))
@@ -215,15 +230,14 @@ class FlyqServer(baseDir: String,
       val buf = ByteBuffer.wrap(bytes)
       while (buf.hasRemaining && ch.read(buf) >= 0) ()
     } finally ch.close()
-    val out = mutable.ArrayBuffer.empty[(Rec, Long)]
+    val out = mutable.ArrayBuffer.empty[Rec]
     var pos = 0
     var done = false
     while (!done && pos + 4 <= bytes.length) {
       val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
       if (recLen < 28 || pos + 4L + recLen > bytes.length) done = true
       else {
-        try out += ((toRec(FlyqCodec.decodeRecordAt(bytes, pos)._1),
-          start + pos + 4L + recLen))
+        try out += toRec(FlyqCodec.decodeRecordAt(bytes, pos)._1)
         catch {
           case NonFatal(_) => // body-corrupt, resync via outer length chain
         }
@@ -381,22 +395,36 @@ class FlyqServer(baseDir: String,
         }.toArray[Any])
     val bytes = FlyqCodec.encodeRecord(off, key, value, tsMs, hdrs)
     if (h.segBytes > 0 && h.segBytes + bytes.length > segMaxBytes) {
+      h.closeStreams() // rotation: the next open targets the new segment
       h.segBase = off; h.segBytes = 0L; h.appended = 0
     }
-    Files.createDirectories(partDir(topic, part))
-    val log = new FileOutputStream(
-      segPath(topic, part, h.segBase).toFile, true)
-    try log.write(bytes) finally log.close()
+    if (h.log == null) {
+      Files.createDirectories(partDir(topic, part))
+      h.log = new FileOutputStream(
+        segPath(topic, part, h.segBase).toFile, true)
+    }
+    try h.log.write(bytes)
+    catch { case e: java.io.IOException => h.closeStreams(); throw e }
     if (h.appended % indexInterval == 0) {
       val e = ByteBuffer.allocate(16)
       e.putLong(off); e.putLong(h.segBytes)
-      val idx = new FileOutputStream(partDir(topic, part)
-        .resolve(f"segment_${h.segBase}%020d.index").toFile, true)
-      try idx.write(e.array()) finally idx.close()
+      if (h.idx == null)
+        h.idx = new FileOutputStream(partDir(topic, part)
+          .resolve(f"segment_${h.segBase}%020d.index").toFile, true)
+      try h.idx.write(e.array())
+      catch { case ex: java.io.IOException => h.closeStreams(); throw ex }
     }
     h.appended += 1
     h.segBytes += bytes.length
     h.nextOffset = off + 1
+    // LRU touch + fd-cap eviction (see openHeads)
+    val hk = topic -> part
+    openHeads.remove(hk); openHeads.add(hk): Unit
+    if (openHeads.size > MaxOpenHeads) {
+      val eldest = openHeads.head
+      openHeads.remove(eldest): Unit
+      heads.get(eldest).foreach(_.closeStreams())
+    }
     (part, off)
   }
 
@@ -446,6 +474,32 @@ class FlyqServer(baseDir: String,
   private case class CaughtUp(base: Long, pos: Long) extends CursorServe
   private case object Stale extends CursorServe
 
+  /** Retirement-manifest view for the cursor fast path (r17 review #1):
+    * the stateless listing consults the deferred-deletion manifest on
+    * every seek ([[graft.sources.SegmentFiles.segmentBases]] excludes
+    * retired bases — a retired segment has LEFT the log even though its
+    * file survives until the last reader lease drops), so the cursor
+    * must too, or it would keep serving records from a segment the log
+    * has logically dropped — and two connections would answer the same
+    * offset differently. Cost: one stat of `_retired.json` per serve;
+    * the parse is cached on (mtime, length). Caller holds `lock`. */
+  private val retiredCache =
+    mutable.Map.empty[String, (Long, Set[(Long, Long)])]
+  private def retiredSet(topic: String): Set[(Long, Long)] = {
+    val f = Paths.get(baseDir, s"topic_$topic", "_retired.json").toFile
+    val stamp =
+      if (f.exists()) f.lastModified() ^ (f.length() << 20) else -1L
+    retiredCache.get(topic) match {
+      case Some((s, set)) if s == stamp => set
+      case _ =>
+        val set =
+          if (stamp == -1L) Set.empty[(Long, Long)]
+          else graft.operators.DeferredDelete.retiredBases(baseDir, topic)
+        retiredCache(topic) = (stamp, set)
+        set
+    }
+  }
+
   /** Serve the cursor's `next` record in O(1) file reads. The cursor is a
     * HINT, validated against the bytes it points at: the record decoded
     * there must carry offset >= `next` (offsets are strictly increasing
@@ -460,7 +514,12 @@ class FlyqServer(baseDir: String,
     var base = c.base
     var pos = c.pos
     var hops = 0
+    val retired = retiredSet(topic)
     while (hops < 10000) {
+      // a segment retired UNDER the cursor (deferred deletion keeps the
+      // file for leased readers) has left the log: re-seek, never serve
+      // from it — the stateless listing would not (r17 review #1)
+      if (retired.contains((part, base))) return Stale
       val size =
         try Files.size(segPath(topic, part, base))
         catch { case _: java.io.IOException => return Stale }
@@ -479,7 +538,7 @@ class FlyqServer(baseDir: String,
       // segment payloads (value > segMaxBytes) would put an O(n) listing
       // back on every RPC, exactly the cost the cursor exists to remove.
       // The listing stays as the fallback for sparse/unusual layouts.
-      if (c.next > base &&
+      if (c.next > base && !retired.contains((part, c.next)) &&
           Files.exists(segPath(topic, part, c.next))) {
         base = c.next; pos = 0L; hops += 1
       } else listSegBases(topic, part).find(_ > base) match {
@@ -860,7 +919,9 @@ class FlyqServer(baseDir: String,
   def stop(): Unit = {
     running = false
     lock.synchronized {
+      openHeads.clear()
       heads.foreach { case ((topic, part), h) =>
+        h.closeStreams()
         val dir = partDir(topic, part)
         if (Files.isDirectory(dir)) {
           val low = listSegBases(topic, part).headOption.getOrElse(0L)

@@ -93,25 +93,32 @@ object LogTable {
     f.delete(): Unit
   }
 
-  /** Delete this sfDir's materialized snapshots (both variants) so the
-    * next [[ensureMaterialized]]/[[ensureMaterializedTopicLog]] call
+  /** Delete this sfDir's materialized snapshot(s) so the next
+    * [[ensureMaterialized]]/[[ensureMaterializedTopicLog]] call
     * REBUILDS — the bench's artifact-row cache-dropper (r17): the
     * snapshots are once-per-MACHINE, so without a dedicated artifact row
     * whichever materialized-lag query ran first on a fresh machine (the
     * driver's environment, every round) silently paid the build inside
     * its own timing — the exact cold-start asymmetry the r9 protocol
-    * charges as `artifact_*` rows everywhere else. */
-  def dropSnapshots(sfDir: String): Unit = synchronized {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        n.startsWith(s"graft_logtable_v$SemanticsVersion$tag") ||
-          n.startsWith(s"graft_topiclog_v$SemanticsVersion$tag")
-      }
-      .foreach(deleteRecursively)
-  }
+    * charges as `artifact_*` rows everywhere else. `variant` scopes the
+    * drop ("logtable" / "topiclog"; empty = both) so one artifact row's
+    * trials don't destroy the sibling row's freshly built snapshot. The
+    * match includes [[ensureSnapshot]]'s FULL prefix with its trailing
+    * separator — an unterminated prefix would over-match sibling sfDirs
+    * (dropping `/data/sf1` must not delete `/data/sf10`'s snapshots)
+    * and future double-digit semantics versions (r17 review #5). */
+  def dropSnapshots(sfDir: String, variant: String = ""): Unit =
+    synchronized {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val variants =
+        if (variant.isEmpty) Seq("logtable", "topiclog") else Seq(variant)
+      val prefixes =
+        variants.map(v => s"graft_${v}_v$SemanticsVersion${tag}_")
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => prefixes.exists(f.getName.startsWith(_)))
+        .foreach(deleteRecursively)
+    }
 
   /** Read a materialized log back with the canonical column types (the
     * partition-dir column comes back as INT; the log model uses LONG). */

@@ -83,10 +83,14 @@ class BrokerMainSpec extends AnyFunSuite {
     assert(c.segmentBytes === 256L)
     assert(c.retentionMs === 86400000L)
     assert(c.retentionBytes === 1024L)
-    // defaults track the model constants the engine uses everywhere else
+    // defaults are the reference's PRODUCTION defaults (config.rs:28-31),
+    // not the library's test-scale LogModel constants — a binary
+    // defaulting to 4 KiB segments + a 16 KiB size cap would silently
+    // evict a default-configured broker's data on the first pass
     val d = FlyqBrokerMain.parseArgs(Array.empty)
-    assert(d.segmentBytes === graft.model.LogModel.SegmentMaxBytes)
-    assert(d.retentionBytes === graft.model.LogModel.RetentionBytes)
+    assert(d.segmentBytes === 1024L * 1024 * 1024)
+    assert(d.retentionMs === 7L * 24 * 60 * 60 * 1000)
+    assert(d.retentionBytes === Long.MaxValue) // size retention OFF
   }
 
   test("retention firing under an active socket-source reader (r16 " +

@@ -1091,6 +1091,50 @@ class SocketLifecycleSpec extends AnyFunSuite {
     } finally { c.close(); server.stop() }
   }
 
+  test("a cursor over a DEFERRED-retired segment re-seeks: the manifest " +
+      "drops the segment from the log while its file stays on disk for " +
+      "leased readers, and the cursor must answer like the stateless " +
+      "listing — never serve from a logically-dropped file (r17 review)") {
+    val dir = Files.createTempDirectory("flyq-sock-retire").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 5)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      (0 until 60).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1000L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      // walk INTO the oldest segment so the cursor points inside it
+      (0L until 2L).foreach { off =>
+        assert(c.consume("t", 0L, off).map(_.offset) === Right(off))
+      }
+      // deferred retention: the size cap RETIRES the older segments —
+      // manifest written, files kept for pre-retirement reader leases
+      val decisions = graft.operators.DeferredDelete.compactDeferred(
+        spark, dir, "t", retentionMs = Long.MaxValue / 4,
+        retentionBytes = 1024, retireAtMs = 1L)
+      val retiredBases = decisions.filterNot(_.keep).map(_.baseOff)
+      assert(retiredBases.contains(0L),
+        "the cursor's segment must be among the retired for this test")
+      val partDir = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+      retiredBases.foreach { bse =>
+        assert(Files.exists(partDir.resolve(f"segment_$bse%020d.log")),
+          "deferred deletion keeps the file on disk — that is the trap")
+      }
+      val firstLive = decisions.filter(_.keep).map(_.baseOff).min
+      // the next sequential ask sits exactly where the cursor points,
+      // in a file that still exists — but the segment has left the log:
+      // the serve must re-seek to the first LIVE record
+      val Right(r) = c.consume("t", 0L, 2L): @unchecked
+      assert(r.offset === firstLive)
+      // ...which is precisely what a fresh connection answers
+      val c2 = new FlyqClient("127.0.0.1", port)
+      try assert(c2.consume("t", 0L, 2L).map(_.offset) === Right(firstLive))
+      finally c2.close()
+    } finally { c.close(); server.stop() }
+  }
+
   test("retryTransient: a vanished-file race (concurrent retention) is " +
       "retried, a persistent failure propagates (r16 advice #1)") {
     val dir = Files.createTempDirectory("flyq-retry").toString
