@@ -91,6 +91,20 @@ object FlyqBrokerMain {
           throw new IllegalArgumentException(s"$key requires a value")
         args(i)
     }
+    // boolean flags: bare = true, but an INLINE value must be honored
+    // or rejected — silently discarding it made `--quirks=false` serve
+    // the quirk dialect, the exact opposite of what the operator wrote
+    // (r17 protocol review #4)
+    def boolValue(key: String, inline: Option[String]): Boolean =
+      inline match {
+        case None => true
+        case Some(v) => v.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"$key expects true or false, got '$other'")
+        }
+      }
     while (i < args.length) {
       val (key, inline) = args(i).split("=", 2) match {
         case Array(k, v) => (k, Some(v))
@@ -104,8 +118,8 @@ object FlyqBrokerMain {
         case "--segment-bytes" => segmentBytes = value(key, inline).toLong
         case "--retention-ms" => retentionMs = value(key, inline).toLong
         case "--retention-bytes" => retentionBytes = value(key, inline).toLong
-        case "--quirks" => quirks = true
-        case "--no-maintenance" => maintenance = false
+        case "--quirks" => quirks = boolValue(key, inline)
+        case "--no-maintenance" => maintenance = !boolValue(key, inline)
         case other => throw new IllegalArgumentException(
           s"unknown flag '$other' (expected --base-dir, --port, " +
             "--partitions, --cleanup-interval-ms, --segment-bytes, " +

@@ -95,9 +95,15 @@ class FlyqClient(host: String, port: Int, quirk: Boolean = false,
       corr += 1
       val f = roundTrip(WireFrame(1, FrameType.Request, corr,
         RequestPayload.encode(RequestPayload(opCode, payload))))
-      if (f.correlationId != corr)
-        Left(s"correlation mismatch: sent $corr got ${f.correlationId}")
-      else f.frameType match {
+      f.frameType match {
+        // an Error frame's diagnostic surfaces even when its
+        // correlation id disagrees (a pre-dispatch server failure may
+        // predate correlation extraction) — burying "checksum
+        // mismatch" under "correlation mismatch" loses the one clue
+        // that matters (r17 protocol review #5)
+        case FrameType.Error => Left(new String(f.payload, "UTF-8"))
+        case _ if f.correlationId != corr =>
+          Left(s"correlation mismatch: sent $corr got ${f.correlationId}")
         case FrameType.Response =>
           if (!quirk) Right(f.payload)
           else if (f.payload.isEmpty)
@@ -105,7 +111,6 @@ class FlyqClient(host: String, port: Int, quirk: Boolean = false,
           else if (f.payload(0) != opCode)
             Left(s"quirk response opcode ${f.payload(0)} for request $opCode")
           else Right(f.payload.drop(1))
-        case FrameType.Error => Left(new String(f.payload, "UTF-8"))
         case t => Left(s"unexpected frame type $t")
       }
     }

@@ -80,9 +80,10 @@ class FlyqServer(baseDir: String,
   // append (`segment.rs:115,139`); opening/closing a FileOutputStream
   // per record cost ~2 extra syscalls + path resolution on every
   // produce. Lifecycle: opened lazily on first append, closed+reopened
-  // on rotation, closed+nulled on a write failure (the next append
-  // reopens rather than reusing a stream in an unknown state), closed
-  // in [[stop]]. Retention never evicts the ACTIVE segment, so a cached
+  // on rotation, EVICTED with the whole head on a write failure (the
+  // next append re-seeds from disk, truncating any torn tail —
+  // [[dropHead]]), closed in [[stop]].
+  // Retention never evicts the ACTIVE segment, so a cached
   // stream never points at a reaped file; the active segment is
   // exclusively this server's to write, as it is the reference's.
   private case class Head(var nextOffset: Long, var segBase: Long,
@@ -320,6 +321,71 @@ class FlyqServer(baseDir: String,
                       fromPos: Long = 0L): Seq[Rec] =
     readSegWithExtent(topic, part, base, fromPos)._1
 
+  /** Length-chain walk of one segment WITHOUT decoding or materializing
+    * records: (record count, last offset or -1, valid extent). Seeding a
+    * write head needs only these three numbers; the old
+    * [[readSegWithExtent]] seed allocated and decoded the ENTIRE tail
+    * segment under the global lock — at the broker binary's 1 GiB
+    * production segments, a GiB allocation plus full decode PER
+    * PARTITION on the first post-restart watermark/lag RPC (r17
+    * protocol review). Body-corrupt records count too: they occupy
+    * their offsets and resync via the outer chain, exactly as the
+    * decode walk advances past them. */
+  private def scanChainStats(topic: String, part: Long,
+                             base: Long): (Int, Long, Long) = {
+    val p = segPath(topic, part, base)
+    val size = Files.size(p)
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(p.toFile), 1 << 16))
+    try {
+      var pos = 0L; var count = 0; var last = -1L; var done = false
+      while (!done && pos + 12 <= size) {
+        val recLen = in.readInt()
+        val off = in.readLong()
+        if (recLen < 28 || pos + 4L + recLen > size) done = true
+        else {
+          in.skipNBytes(recLen - 8L)
+          count += 1; last = off; pos += 4L + recLen
+        }
+      }
+      (count, last, pos)
+    } finally in.close()
+  }
+
+  /** Repair the sparse index at seed time (r17 protocol review): the
+    * idx stream reopens in APPEND mode, so a torn (non-16-multiple)
+    * tail — a partial entry write before a crash — would 8-byte-shift
+    * every later entry, and [[indexFloorPos]] would hand back garbage
+    * byte positions that [[seekRecord]] then misreads as a torn
+    * segment ("offset out of range" for records that exist). Keeps the
+    * longest prefix of complete entries with strictly increasing
+    * offsets AND positions, all pointing strictly inside the valid
+    * extent; truncates the rest. */
+  private def repairIndex(topic: String, part: Long, base: Long,
+                          extent: Long): Unit = {
+    val idx = partDir(topic, part).resolve(f"segment_$base%020d.index")
+    if (!Files.exists(idx)) return
+    val bytes = Files.readAllBytes(idx)
+    var keep = 0
+    var lastOff = Long.MinValue
+    var lastPos = -1L
+    var ok = true
+    while (ok && keep + 16 <= bytes.length) {
+      val off = ByteBuffer.wrap(bytes, keep, 8).getLong
+      val pos = ByteBuffer.wrap(bytes, keep + 8, 8).getLong
+      if (off > lastOff && pos > lastPos && pos < extent) {
+        lastOff = off; lastPos = pos; keep += 16
+      } else ok = false
+    }
+    if (keep < bytes.length) {
+      System.err.println(s"[flyq-server] $topic/$part segment $base: " +
+        s"truncating index ${bytes.length} -> $keep bytes")
+      val ch = java.nio.channels.FileChannel.open(idx,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(keep.toLong) finally ch.close()
+    }
+  }
+
   /** Bounded retry of a list-then-read sequence on NoSuchFileException
     * (r16 advice #1): a concurrent retention pass — the exact composition
     * [[FlyqBrokerMain]] creates — may unlink a segment between
@@ -343,7 +409,8 @@ class FlyqServer(baseDir: String,
       if (bases.isEmpty) Head(0L, 0L, 0L, 0)
       else {
         val base = bases.last
-        val (recs, extent) = readSegWithExtent(topic, part, base)
+        // streaming length-chain stats — never materializes the tail
+        val (count, lastOff, extent) = scanChainStats(topic, part, base)
         val p = segPath(topic, part, base)
         val size = Files.size(p)
         // torn tail (crash mid-append): TRUNCATE to the last complete
@@ -362,10 +429,46 @@ class FlyqServer(baseDir: String,
             java.nio.file.StandardOpenOption.WRITE)
           try ch.truncate(extent) finally ch.close()
         }
-        Head(if (recs.isEmpty) base else recs.last._1 + 1, base,
-          extent, recs.length)
+        // the .index can be torn too (crash mid-entry), and may hold
+        // entries pointing past the truncation — repair it BEFORE the
+        // first append reopens it in append mode (r17 protocol review)
+        repairIndex(topic, part, base, extent)
+        Head(if (count == 0) base else lastOff + 1, base, extent, count)
       }
     })
+
+  /** A failed write leaves the active segment tail in an UNKNOWN state:
+    * the log may hold a torn fragment (partial write), or — when the
+    * INDEX write failed after the log write succeeded — a complete
+    * record the in-memory head never accounted for. Reopening in
+    * append mode after either would corrupt the partition: torn bytes
+    * strand every later acked record behind an unparseable prefix
+    * (and left-shift every later index position), while an unaccounted
+    * record gets its offset assigned TWICE. Evict the head entirely:
+    * the next append re-seeds from disk via [[head]], which truncates
+    * the torn tail, repairs the index, and resumes after the last
+    * COMPLETE record (r17 protocol review #1). Caller holds `lock`. */
+  private def dropHead(topic: String, part: Long): Unit = {
+    val key = topic -> part
+    heads.remove(key).foreach(_.closeStreams())
+    openHeads.remove(key): Unit
+  }
+
+  /** TEST SEAM: close a head's cached append streams WITHOUT evicting
+    * it, so the next write throws IOException through the REAL failure
+    * path — the only deterministic way to exercise live write-failure
+    * recovery (ENOSPC/partial writes cannot be provoked on demand in a
+    * unit test). `log`/`idx` pick which stream fails, covering both the
+    * torn-log and the index-write-after-successful-log-write cases. */
+  private[graft] def failNextWriteForTest(topic: String, part: Long,
+                                          log: Boolean = true,
+                                          idx: Boolean = true): Unit =
+    lock.synchronized {
+      heads.get(topic -> part).foreach { h =>
+        if (log && h.log != null) h.log.close()
+        if (idx && h.idx != null) h.idx.close()
+      }
+    }
 
   /** Append one message — atomic offset assignment + greedy pre-append
     * rotation + sparse index, the reference's `Partition::append`
@@ -404,7 +507,7 @@ class FlyqServer(baseDir: String,
         segPath(topic, part, h.segBase).toFile, true)
     }
     try h.log.write(bytes)
-    catch { case e: java.io.IOException => h.closeStreams(); throw e }
+    catch { case e: java.io.IOException => dropHead(topic, part); throw e }
     if (h.appended % indexInterval == 0) {
       val e = ByteBuffer.allocate(16)
       e.putLong(off); e.putLong(h.segBytes)
@@ -412,7 +515,7 @@ class FlyqServer(baseDir: String,
         h.idx = new FileOutputStream(partDir(topic, part)
           .resolve(f"segment_${h.segBase}%020d.index").toFile, true)
       try h.idx.write(e.array())
-      catch { case ex: java.io.IOException => h.closeStreams(); throw ex }
+      catch { case ex: java.io.IOException => dropHead(topic, part); throw ex }
     }
     h.appended += 1
     h.segBytes += bytes.length
@@ -894,6 +997,11 @@ class FlyqServer(baseDir: String,
         val buf = new Array[Byte](Frame.HeaderLen + payloadLen)
         System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
         in.readFully(buf, Frame.HeaderLen, payloadLen)
+        // pre-dispatch failures (checksum mismatch, short frame) echo
+        // the correlation id already sitting in the header — answering
+        // corr 0 made the client mask the real diagnostic as
+        // "correlation mismatch" (r17 protocol review #5)
+        val hdrCorr = ByteBuffer.wrap(header, 2, 4).getInt
         val reply = Frame.decode(buf) match {
           // the reference listener silently skips non-Request frames
           // (`listener.rs:49-52`) — in quirk mode so do we (heartbeats
@@ -901,8 +1009,8 @@ class FlyqServer(baseDir: String,
           case Right(Some((frame, _)))
               if quirks && frame.frameType != FrameType.Request => null
           case Right(Some((frame, _))) => dispatch(frame, cursors)
-          case Right(None) => errorFrame(0, "incomplete frame")
-          case Left(err) => errorFrame(0, err)
+          case Right(None) => errorFrame(hdrCorr, "incomplete frame")
+          case Left(err) => errorFrame(hdrCorr, err)
         }
         if (reply != null) {
           out.write(Frame.encode(reply))

@@ -59,6 +59,12 @@ import graft.protocol.{FlyqClient, FlyqProtocolException}
   *    otherwise): fail the stream after this many CONSECUTIVE
   *    latestOffset transport failures instead of holding forever —
   *    see the known-limitation paragraph below;
+  *  - `failOnDataLoss` (default true; engine semantics only): planned
+  *    offsets that vanish from the broker between planning and read
+  *    (retention evicting under the reader) FAIL the task; `false`
+  *    logs the lost range and skips it, Kafka-source style. Under
+  *    quirkCompat the echoed-offset walk cannot observe a gap, so the
+  *    option has no effect there;
   *  - `quirkCompat` (default false): speak the REFERENCE BROKER's
   *    actual transport (r15 verdict #2) — its listener hardcodes
   *    partition 0 on Consume (`listener.rs:122`), echoes the REQUESTED
@@ -133,7 +139,8 @@ class FlyqSocketSource extends TableProvider {
       // outage. The quirk wire cannot tell the two apart (class
       // scaladoc), so it gets a bounded hold by default.
       Option(opts.get("maxHoldTriggers")).map(_.toInt)
-        .getOrElse(if (quirk) 120 else 0))
+        .getOrElse(if (quirk) 120 else 0),
+      Option(opts.get("failOnDataLoss")).forall(_.toBoolean))
   }
 }
 
@@ -149,7 +156,8 @@ object FlyqSocketSource {
 class FlyqSocketTable(host: String, port: Int, topic: String,
                       numPartitions: Int, startingOffsets: String,
                       quirk: Boolean, readTimeoutMs: Int,
-                      maxHoldTriggers: Int = 0)
+                      maxHoldTriggers: Int = 0,
+                      failOnDataLoss: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"flyq-socket($host:$port, topic=$topic)"
   override def schema(): StructType = FlyqSocketSource.schema
@@ -157,18 +165,19 @@ class FlyqSocketTable(host: String, port: Int, topic: String,
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new FlyqSocketScan(host, port, topic, numPartitions,
-      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers)
+      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers, failOnDataLoss)
 }
 
 class FlyqSocketScan(host: String, port: Int, topic: String,
                      numPartitions: Int, startingOffsets: String,
                      quirk: Boolean, readTimeoutMs: Int,
-                     maxHoldTriggers: Int = 0) extends Scan {
+                     maxHoldTriggers: Int = 0,
+                     failOnDataLoss: Boolean = true) extends Scan {
   override def readSchema(): StructType = FlyqSocketSource.schema
   override def description(): String = s"FlyqSocketScan($host:$port/$topic)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FlyqSocketMicroBatchStream(host, port, topic, numPartitions,
-      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers)
+      startingOffsets, quirk, readTimeoutMs, maxHoldTriggers, failOnDataLoss)
 }
 
 /** Offset = per-partition NEXT offset to consume, JSON `{"0":n,...}`. */
@@ -188,7 +197,8 @@ object FlyqSocketOffset {
 class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
                                  numPartitions: Int, startingOffsets: String,
                                  quirk: Boolean, readTimeoutMs: Int,
-                                 maxHoldTriggers: Int = 0)
+                                 maxHoldTriggers: Int = 0,
+                                 failOnDataLoss: Boolean = true)
     extends MicroBatchStream {
 
   /** Driver-side metadata connection. Recreated once per failed call
@@ -302,7 +312,7 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
       val from = s.getOrElse(p, 0L)
       if (until > from)
         Some(FlyqSocketInputPartition(host, port, topic, p, from, until,
-          quirk, readTimeoutMs): InputPartition)
+          quirk, readTimeoutMs, failOnDataLoss): InputPartition)
       else None
     }.toArray
   }
@@ -318,7 +328,8 @@ class FlyqSocketMicroBatchStream(host: String, port: Int, topic: String,
 
 case class FlyqSocketInputPartition(host: String, port: Int, topic: String,
                                     partId: Long, from: Long, until: Long,
-                                    quirk: Boolean, readTimeoutMs: Int)
+                                    quirk: Boolean, readTimeoutMs: Int,
+                                    failOnDataLoss: Boolean = true)
     extends InputPartition
 
 class FlyqSocketReaderFactory extends PartitionReaderFactory {
@@ -328,16 +339,24 @@ class FlyqSocketReaderFactory extends PartitionReaderFactory {
 
 /** Walks Consume responses over [from, until) on its own connection.
   * Engine semantics: the server answers each request with the FIRST
-  * record at ≥ the asked offset, so a retention-trimmed gap advances
-  * cleanly; a record the server hands back at ≥ `until` belongs to a
-  * later batch and is dropped, keeping batch replays exact. Quirk
-  * semantics: the server echoes the asked offset, so the reader labels
-  * rows with it and advances by 1 — see the source scaladoc. Either
-  * way, an empty "nothing there" answer below the planned end (quirk
-  * transport) fails the task — a planned offset the broker cannot
-  * serve is a torn tail, and skipping it would silently drop records.
-  * The connection carries the configured SO_TIMEOUT, so a hung
-  * broker fails the task instead of wedging it (r15 advice #4). */
+  * record at ≥ the asked offset. Offsets are DENSE (the broker assigns
+  * nextOffset += 1 per append), so a served record ABOVE the asked
+  * offset means the records in between were evicted between planning
+  * and read — retention-under-reader DATA LOSS, exactly the class the
+  * segment source's checkVanished throws for. The reader fails loudly
+  * (`failOnDataLoss`, default true, mirroring Kafka's option of the
+  * same name) instead of silently advancing the checkpoint past
+  * planned-but-undelivered records; `failOnDataLoss=false` logs the
+  * lost range and skips (r17 protocol review #2 — the old behavior
+  * skipped silently, contradicting the loud-failure policy every
+  * sibling path enforces). Quirk semantics: the server echoes the
+  * asked offset, so the reader labels rows with it and advances by 1 —
+  * see the source scaladoc. Either way, an empty "nothing there"
+  * answer below the planned end (quirk transport) fails the task — a
+  * planned offset the broker cannot serve is a torn tail, and skipping
+  * it would silently drop records. The connection carries the
+  * configured SO_TIMEOUT, so a hung broker fails the task instead of
+  * wedging it (r15 advice #4). */
 class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
     extends PartitionReader[InternalRow] {
   private val client =
@@ -345,10 +364,26 @@ class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
   private var nextOff = split.from
   private var row: InternalRow = _
 
+  private def warnDataLoss(lostUntil: Long): Unit =
+    System.err.println(s"[flyq-socket] WARNING: data loss — offsets " +
+      s"[$nextOff, $lostUntil) of ${split.topic}/${split.partId} were " +
+      "planned but are no longer on the broker (evicted between " +
+      "planning and read); skipping because failOnDataLoss=false")
+
   override def next(): Boolean = {
     if (nextOff >= split.until) return false
     client.consumeOpt(split.topic, split.partId, nextOff) match {
       case Left(err) =>
+        // engine server: "offset N out of range" = NOTHING at >= N on
+        // the broker — the whole planned remainder was evicted. With
+        // failOnDataLoss=false the user opted into skipping lost
+        // ranges, so end the split (warned) instead of failing.
+        if (!split.quirk && !split.failOnDataLoss &&
+            err.contains("out of range")) {
+          warnDataLoss(split.until)
+          nextOff = split.until
+          return false
+        }
         // a Left is a PROTOCOL answer (an Error frame — e.g. the topic
         // was deleted between planning and read), classified like the
         // driver-side offsets() path, not disguised as a transport
@@ -370,6 +405,21 @@ class FlyqSocketPartitionReader(split: FlyqSocketInputPartition)
             s"no message below the planned end ${split.until} — torn or " +
             "truncated broker tail")
       case Right(Some(resp)) =>
+        // dense offsets: a served record above the asked offset means
+        // [nextOff, resp.offset) no longer exists on the broker (class
+        // scaladoc) — never skip it silently
+        if (!split.quirk && resp.offset > nextOff) {
+          if (split.failOnDataLoss)
+            throw new IllegalStateException(
+              s"offsets [$nextOff, " +
+                s"${math.min(resp.offset, split.until)}) of " +
+                s"${split.topic}/${split.partId} were planned but are " +
+                "no longer on the broker (retention evicted them — " +
+                "either under this batch or below a resumed " +
+                "checkpoint); set failOnDataLoss=false to log lost " +
+                "ranges and resume from the earliest surviving offset")
+          warnDataLoss(math.min(resp.offset, split.until))
+        }
         if (resp.offset >= split.until) { nextOff = split.until; return false }
         val m = resp.message
         val headers = new GenericArrayData(m.headers.map { case (k, v) =>

@@ -39,6 +39,23 @@ class BrokerMainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("--port"))
   }
 
+  test("parseArgs: boolean flags honor an inline value — `--quirks=false` " +
+      "must not enable quirks (r17 protocol review #4)") {
+    assert(!FlyqBrokerMain.parseArgs(Array("--quirks=false")).quirks)
+    assert(FlyqBrokerMain.parseArgs(Array("--quirks=true")).quirks)
+    assert(FlyqBrokerMain.parseArgs(Array("--quirks")).quirks)
+    assert(FlyqBrokerMain.parseArgs(
+      Array("--no-maintenance=false")).maintenance)
+    assert(!FlyqBrokerMain.parseArgs(
+      Array("--no-maintenance=true")).maintenance)
+    // garbage is rejected loudly, never silently coerced
+    val e = intercept[IllegalArgumentException] {
+      FlyqBrokerMain.parseArgs(Array("--quirks=yes"))
+    }
+    assert(e.getMessage.contains("--quirks"))
+    assert(e.getMessage.contains("yes"))
+  }
+
   test("start(): serves TCP, runs maintenance passes, and the shutdown " +
       "order flushes before exit (final pass, then meta snapshot)") {
     val dir = Files.createTempDirectory("flyq-broker-main").toString
@@ -95,8 +112,10 @@ class BrokerMainSpec extends AnyFunSuite {
 
   test("retention firing under an active socket-source reader (r16 " +
       "verdict #7): eviction below the stream's checkpointed position " +
-      "resumes at the new low watermark — every surviving record exactly " +
-      "once, never stale bytes, never a silent skip of data still on disk") {
+      "FAILS loudly by default (failOnDataLoss, Kafka parity) and, under " +
+      "the documented opt-out, resumes at the new low watermark — every " +
+      "surviving record exactly once, never stale bytes, never a SILENT " +
+      "skip") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("flyq-broker-evict").toString
     // tiny segments + a size cap through the binary's own flags (the
@@ -118,14 +137,18 @@ class BrokerMainSpec extends AnyFunSuite {
       // a file sink, because it supports exactly-once checkpoint
       // RECOVERY — the memory sink cannot resume, and resuming across
       // the eviction is the whole point of this test
-      def stream() = spark.readStream
-        .format("graft.sources.v2.FlyqSocketSource")
-        .option("host", "127.0.0.1").option("port", broker.port.toString)
-        .option("topic", "t").option("partitions", "1")
-        .option("startingOffsets", "earliest").load()
-        .select(col("msg_offset"), col("mvalue").cast("string").as("v"))
-        .writeStream.format("parquet").option("path", out)
-        .outputMode("append").option("checkpointLocation", ckpt).start()
+      def stream(extraOpts: (String, String)*) = {
+        val reader = spark.readStream
+          .format("graft.sources.v2.FlyqSocketSource")
+          .option("host", "127.0.0.1").option("port", broker.port.toString)
+          .option("topic", "t").option("partitions", "1")
+          .option("startingOffsets", "earliest")
+        extraOpts.foreach { case (k, v) => reader.option(k, v) }
+        reader.load()
+          .select(col("msg_offset"), col("mvalue").cast("string").as("v"))
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+      }
       // phase 1: replay from earliest, checkpoint lands at offset 30
       val q1 = stream()
       try {
@@ -158,11 +181,28 @@ class BrokerMainSpec extends AnyFunSuite {
       val Right(wm) = c.watermark("t", 0L): @unchecked
       assert(wm.lowWatermark === firstSurviving)
 
-      // phase 2: the stream resumes from its checkpoint (offset 30, now
-      // under the low watermark) — it must hold at the new low watermark
-      // (serve everything still on disk exactly once) rather than fail,
-      // duplicate, or skip surviving records
-      val q2 = stream()
+      // phase 2a: the stream resumes from its checkpoint (offset 30, now
+      // under the low watermark) with the DEFAULT failOnDataLoss=true —
+      // the evicted range [30, lowWatermark) is data the checkpoint
+      // promised and the broker can no longer serve, so the query FAILS
+      // loudly naming the option (r17 protocol review #2; Kafka's
+      // default does the same for aged-out offsets)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = stream()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).take(20).toSeq
+      assert(chain.exists(c => String.valueOf(c.getMessage)
+          .contains("failOnDataLoss")),
+        s"expected the data-loss failure naming the opt-out, got: $e")
+      // the failed batch must not have leaked rows past the checkpoint
+      assert(spark.read.parquet(out).count() === 30)
+
+      // phase 2b: the documented opt-out resumes at the new low
+      // watermark — every surviving record exactly once, never stale
+      // bytes, never duplicates
+      val q2 = stream("failOnDataLoss" -> "false")
       try {
         q2.processAllAvailable()
         val got = spark.read.parquet(out)

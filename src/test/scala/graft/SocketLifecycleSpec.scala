@@ -1249,4 +1249,216 @@ class SocketLifecycleSpec extends AnyFunSuite {
       assert(new String(r2.message.value, "UTF-8") === s"v${bases2(1)}")
     } finally { c2.close(); server2.stop() }
   }
+
+  test("a failed log write evicts the head: recovery truncates the torn " +
+      "fragment so later acked records stay reachable (r17 protocol review #1)") {
+    val dir = Files.createTempDirectory("flyq-wfail").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val c = new FlyqClient("127.0.0.1", server.start())
+    try {
+      (0 until 3).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(10L + i, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      // simulate the PARTIAL bytes an ENOSPC-interrupted write leaves
+      // behind (the head never accounted them), then make the next
+      // write fail through the real IOException path
+      val seg = java.nio.file.Paths.get(dir, "topic_t", "partition_0",
+        "segment_00000000000000000000.log")
+      Files.write(seg, Array[Byte](0, 0, 0, 99, 1, 2, 3),
+        java.nio.file.StandardOpenOption.APPEND)
+      server.failNextWriteForTest("t", 0L)
+      assert(c.produce("t",
+        WireMessage(13L, Some(b("k")), b("lost"), Nil)).isLeft)
+      // recovery: the retry re-seeds from disk, truncates the fragment,
+      // and resumes at the correct dense offset — the OLD append-mode
+      // reopen would have stranded this record behind the torn bytes
+      val Right(ack) = c.produce("t",
+        WireMessage(14L, Some(b("k")), b("v3"), Nil)): @unchecked
+      assert(ack.offset === 3L)
+      (0 until 4).foreach { i =>
+        val Right(r) = c.consume("t", 0L, i.toLong): @unchecked
+        assert(r.offset === i.toLong)
+        assert(new String(r.message.value, "UTF-8") === s"v$i")
+      }
+      val Right(wm) = c.watermark("t", 0L): @unchecked
+      assert(wm.logEndOffset === 4L)
+    } finally { c.close(); server.stop() }
+  }
+
+  test("a failed INDEX write after a successful log write cannot assign " +
+      "an offset twice (r17 protocol review #1)") {
+    val dir = Files.createTempDirectory("flyq-idxfail").toString
+    val server = new FlyqServer(dir, numPartitions = 1, indexInterval = 1)
+    val c = new FlyqClient("127.0.0.1", server.start())
+    try {
+      (0 until 2).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1L, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      server.failNextWriteForTest("t", 0L, log = false, idx = true)
+      // the log write lands (an unacked ORPHAN at offset 2), the index
+      // write fails -> error to the producer, head evicted
+      assert(c.produce("t",
+        WireMessage(1L, Some(b("k")), b("orphan"), Nil)).isLeft)
+      // the retry must NOT reuse offset 2: re-seeding counts the orphan
+      val Right(ack) = c.produce("t",
+        WireMessage(1L, Some(b("k")), b("retry"), Nil)): @unchecked
+      assert(ack.offset === 3L,
+        "re-seeding must account the on-disk orphan record")
+      val Right(o) = c.consume("t", 0L, 2L): @unchecked
+      assert(new String(o.message.value, "UTF-8") === "orphan")
+      val Right(r) = c.consume("t", 0L, 3L): @unchecked
+      assert(new String(r.message.value, "UTF-8") === "retry")
+      val Right(wm) = c.watermark("t", 0L): @unchecked
+      assert(wm.logEndOffset === 4L)
+    } finally { c.close(); server.stop() }
+  }
+
+  test("a torn index tail is repaired at restart: later entries never " +
+      "land 8-byte shifted behind a partial entry (r17 protocol review #3)") {
+    val dir = Files.createTempDirectory("flyq-idxtorn").toString
+    val server1 = new FlyqServer(dir, numPartitions = 1, indexInterval = 1)
+    val c1 = new FlyqClient("127.0.0.1", server1.start())
+    try {
+      (0 until 5).foreach { i =>
+        assert(c1.produce("t",
+          WireMessage(1L, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+    } finally { c1.close(); server1.stop() }
+    val pdir = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+    val log = pdir.resolve("segment_00000000000000000000.log")
+    val idx = pdir.resolve("segment_00000000000000000000.index")
+    val tornPos = Files.size(log)
+    // crash leftovers: a torn record on the log, a complete-looking
+    // index entry pointing INTO the torn region, and half an entry
+    Files.write(log, Array[Byte](0, 0, 0, 99, 9, 9),
+      java.nio.file.StandardOpenOption.APPEND)
+    val ghost = java.nio.ByteBuffer.allocate(16)
+    ghost.putLong(5L); ghost.putLong(tornPos)
+    Files.write(idx, ghost.array() ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
+      java.nio.file.StandardOpenOption.APPEND)
+
+    val server2 = new FlyqServer(dir, numPartitions = 1, indexInterval = 1)
+    val c2 = new FlyqClient("127.0.0.1", server2.start())
+    try {
+      val Right(ack) = c2.produce("t",
+        WireMessage(1L, Some(b("k")), b("v5"), Nil)): @unchecked
+      assert(ack.offset === 5L)
+      assert(Files.size(idx) % 16 === 0L, "repair must leave whole entries")
+      (0 to 5).foreach { i =>
+        val Right(r) = c2.consume("t", 0L, i.toLong): @unchecked
+        assert(r.offset === i.toLong)
+        assert(new String(r.message.value, "UTF-8") === s"v$i")
+      }
+    } finally { c2.close(); server2.stop() }
+  }
+
+  test("pre-dispatch failures echo the header's correlation id instead " +
+      "of answering corr 0 (r17 protocol review #5)") {
+    import graft.protocol.Frame
+    import graft.protocol.Frame.{Frame => WireFrame, FrameType}
+    val dir = Files.createTempDirectory("flyq-corr").toString
+    val server = new FlyqServer(dir, numPartitions = 1)
+    val port = server.start()
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val good = Frame.encode(WireFrame(1, FrameType.Request, 42,
+        RequestPayload.encode(RequestPayload(OpCode.Watermark,
+          WatermarkRequest.encode(WatermarkRequest("t", 0L))))))
+      good(10) = (good(10) ^ 0x7f).toByte // corrupt the checksum field
+      out.write(good); out.flush()
+      val header = new Array[Byte](Frame.HeaderLen)
+      in.readFully(header)
+      val len = java.nio.ByteBuffer.wrap(header, 6, 4).getInt
+      val buf = new Array[Byte](Frame.HeaderLen + len)
+      System.arraycopy(header, 0, buf, 0, Frame.HeaderLen)
+      in.readFully(buf, Frame.HeaderLen, len)
+      val Right(Some((f, _))) = Frame.decode(buf): @unchecked
+      assert(f.frameType === FrameType.Error)
+      assert(f.correlationId === 42)
+      assert(new String(f.payload, "UTF-8").contains("checksum mismatch"))
+    } finally { sock.close(); server.stop() }
+  }
+
+  test("an Error frame's diagnostic survives a correlation mismatch on " +
+      "the client (r17 protocol review #5)") {
+    import graft.protocol.Frame
+    import graft.protocol.Frame.{Frame => WireFrame, FrameType}
+    // a broker (or an older incarnation of ours) that answers a
+    // pre-dispatch failure with corr 0: the MESSAGE is the diagnostic
+    val ss = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = ss.accept()
+      val in = new java.io.DataInputStream(s.getInputStream)
+      val header = new Array[Byte](Frame.HeaderLen)
+      in.readFully(header)
+      val len = java.nio.ByteBuffer.wrap(header, 6, 4).getInt
+      in.readFully(new Array[Byte](len))
+      s.getOutputStream.write(Frame.encode(
+        WireFrame(1, FrameType.Error, 0, b("checksum mismatch: deadbeef"))))
+      s.getOutputStream.flush()
+    })
+    t.setDaemon(true); t.start()
+    val c = new FlyqClient("127.0.0.1", ss.getLocalPort)
+    try {
+      val Left(err) = c.watermark("t", 0L): @unchecked
+      assert(err.contains("checksum mismatch"),
+        s"the server's diagnostic must surface, got: $err")
+      assert(!err.contains("correlation mismatch"))
+    } finally { c.close(); ss.close() }
+  }
+
+  test("engine reader: planned offsets evicted mid-batch FAIL the task " +
+      "by default and skip loudly under failOnDataLoss=false " +
+      "(r17 protocol review #2)") {
+    import graft.sources.v2.{FlyqSocketInputPartition, FlyqSocketPartitionReader}
+    val dir = Files.createTempDirectory("flyq-loss").toString
+    val server = new FlyqServer(dir, numPartitions = 1,
+      segMaxBytes = 256, indexInterval = 4)
+    val port = server.start()
+    val c = new FlyqClient("127.0.0.1", port)
+    try {
+      (0 until 40).foreach { i =>
+        assert(c.produce("t",
+          WireMessage(1L, Some(b("k")), b(s"v$i"), Nil)).isRight)
+      }
+      val pdir = java.nio.file.Paths.get(dir, "topic_t", "partition_0")
+      val bases = graft.sources.SegmentFiles.segmentBases(pdir)
+      assert(bases.length >= 3)
+      // retention evicts the oldest segment between planning and read
+      Files.delete(pdir.resolve(f"segment_${bases.head}%020d.log"))
+      Files.deleteIfExists(pdir.resolve(f"segment_${bases.head}%020d.index"))
+      def split(fail: Boolean) = FlyqSocketInputPartition("127.0.0.1", port,
+        "t", 0L, 0L, 40L, quirk = false, readTimeoutMs = 5000,
+        failOnDataLoss = fail)
+      // default: loud failure naming the lost range — the checkpoint
+      // must never silently advance past undelivered records
+      val strict = new FlyqSocketPartitionReader(split(fail = true))
+      val e = try intercept[IllegalStateException](strict.next())
+              finally strict.close()
+      assert(e.getMessage.contains(s"[0, ${bases(1)})"))
+      // opt-out: serve the survivors, labeled with their REAL offsets
+      val lax = new FlyqSocketPartitionReader(split(fail = false))
+      try {
+        val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (lax.next()) got += lax.get().getLong(1)
+        assert(got.toSeq === (bases(1) until 40L))
+      } finally lax.close()
+      // total eviction: nothing in the planned range survives — strict
+      // fails (protocol error), lax ends the split empty but warned
+      bases.tail.foreach { bs =>
+        Files.delete(pdir.resolve(f"segment_$bs%020d.log"))
+        Files.deleteIfExists(pdir.resolve(f"segment_$bs%020d.index"))
+      }
+      val strict2 = new FlyqSocketPartitionReader(split(fail = true))
+      try intercept[graft.protocol.FlyqProtocolException](strict2.next()): Unit
+      finally strict2.close()
+      val lax2 = new FlyqSocketPartitionReader(split(fail = false))
+      try assert(!lax2.next()) finally lax2.close()
+    } finally { c.close(); server.stop() }
+  }
 }
