@@ -218,11 +218,16 @@ object DeferredDelete {
     fs.mkdirs(dir)
     val id = java.util.UUID.randomUUID().toString
     val p = new Path(dir, s"$id.json")
-    val out = fs.create(p, false)
-    try out.write(
+    // atomic publish like renewLease (r17 lifecycle review #6): a
+    // reaper's liveLeases scan racing this create must parse the whole
+    // lease or none — a torn half-write parses as NO lease, which is
+    // exactly the window in which the skew clause's protection (a lease
+    // acquired just after a retirement still blocks it) would be lost
+    // and the segment wrongly unlinked. Create-exclusivity is not
+    // load-bearing here: the id is a fresh UUID.
+    atomicWriteMeta(p, conf,
       (s"""{"holder":"${escape(holder)}","acquired_ms":$nowMs,""" +
         s""""expires_ms":${nowMs + ttlMs}}""").getBytes("UTF-8"))
-    finally out.close()
     id
   }
 
@@ -350,7 +355,17 @@ object DeferredDelete {
     * span longer than the tombstone's whole lifetime — milliseconds vs
     * the multi-hour horizon. A tombstone whose lease file still EXISTS is
     * kept (that is the raced-recreation state liveLeases must keep
-    * masking until the next renewal cleans it up). */
+    * masking until the next renewal cleans it up).
+    *
+    * Also force-releases lease files EXPIRED for more than the horizon
+    * (r17 lifecycle review #8): a reader that crashed without
+    * releaseLease otherwise leaves its `<id>.json` forever — every
+    * future reap lists and parses it, and a leaked heartbeat could
+    * later "renew" it as if protection had been continuous. The release
+    * goes through [[releaseLease]] (tombstone-first), so a racing
+    * renewal observes it exactly like a normal release; a heartbeat
+    * that somehow survived its reader 7+ days gets `false` and must
+    * re-acquire + re-check liveness, per the renew contract. */
   private def gcReleasedTombstones(
       conf: org.apache.hadoop.conf.Configuration,
       baseDir: String, topic: String, nowMs: Long,
@@ -369,7 +384,20 @@ object DeferredDelete {
     var unparseableKept = 0
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".released")) {
+      if (n.endsWith(".json")) {
+        // crashed-reader sweep: expired beyond the horizon (or
+        // unparseable and older than the secondary file-age horizon,
+        // the same bound torn tombstones get) → force-release
+        val expiresMs = readMeta(st.getPath, conf).flatMap(t =>
+          "\"expires_ms\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t)
+            .map(_.group(1).toLong))
+        val stale = expiresMs match {
+          case Some(exp) => exp < horizonMs
+          case None => st.getModificationTime < secondaryHorizonMs
+        }
+        if (stale)
+          releaseLease(conf, baseDir, topic, n.stripSuffix(".json"))
+      } else if (n.endsWith(".released")) {
         val releasedMs = readMeta(st.getPath, conf).flatMap(t =>
           "\"released_ms\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t)
             .map(_.group(1).toLong))
@@ -407,12 +435,23 @@ object DeferredDelete {
     * RETIRED (manifest append; new read plans exclude them; files stay),
     * watermarks bump exactly as the immediate form does. Returns the
     * decisions (already-retired segments are outside the planning
-    * universe, so a second run retires nothing). */
+    * universe, so a second run retires nothing).
+    *
+    * `retireAtMs` is the retirement timestamp [[reap]] compares lease
+    * ACQUIRE times against, so it must live on the same clock domain as
+    * the lease writers' (reader wall clocks — the v2 source stamps
+    * `System.currentTimeMillis`). Default -1 = the retention job's
+    * current wall clock. (The old default of literal 0 made
+    * `acquiredMs <= retiredAtMs + maxSkew` false for every real
+    * wall-clock lease, so NO lease could ever block the reap — a
+    * production trap fixed in the r17 lifecycle review #2.) */
   def compactDeferred(spark: SparkSession, baseDir: String, topic: String,
                       retentionMs: Long = LogModel.RetentionDays * 86400000L,
                       retentionBytes: Long = LogModel.RetentionBytes,
                       nowMs: Option[Long] = None,
-                      retireAtMs: Long = 0L): Seq[Retention.SegmentDecision] = {
+                      retireAtMs: Long = -1L): Seq[Retention.SegmentDecision] = {
+    val retireAt =
+      if (retireAtMs >= 0L) retireAtMs else System.currentTimeMillis()
     val already = retired(spark, baseDir, topic)
     val decisions = Retention.plan(spark, baseDir, topic, retentionMs,
       retentionBytes, nowMs, excludePaths = already.map(_.path).toSet)
@@ -420,7 +459,7 @@ object DeferredDelete {
     if (evicted.nonEmpty) {
       writeManifest(spark, baseDir, topic,
         already ++ evicted.map(d =>
-          RetiredSegment(d.path, d.partId, d.baseOff, retireAtMs, d.segBytes)))
+          RetiredSegment(d.path, d.partId, d.baseOff, retireAt, d.segBytes)))
     }
     decisions.filter(_.keep).groupBy(_.partId).foreach {
       case (partId, kept) =>

@@ -96,7 +96,18 @@ object Retention {
               retentionMs: Long = LogModel.RetentionDays * 86400000L,
               retentionBytes: Long = LogModel.RetentionBytes,
               nowMs: Option[Long] = None): Seq[SegmentDecision] = {
-    val decisions = plan(spark, baseDir, topic, retentionMs, retentionBytes, nowMs)
+    // exclude already-RETIRED segments (r17 lifecycle review #1): a
+    // retired segment has left the log and its file's lifecycle belongs
+    // to the lease-gated [[DeferredDelete.reap]] — hard-deleting it here
+    // would unlink it under readers whose leases the deferred protocol
+    // promised to honor (the composition FlyqBrokerMain creates runs
+    // THIS compact on topics whose readers may hold v2-source leases),
+    // and its bytes would wrongly count against the size cap, evicting
+    // newer live segments
+    val retiredPaths =
+      DeferredDelete.retired(spark, baseDir, topic).map(_.path).toSet
+    val decisions = plan(spark, baseDir, topic, retentionMs, retentionBytes,
+      nowMs, excludePaths = retiredPaths)
     val evicted = decisions.filterNot(_.keep)
     if (evicted.nonEmpty) {
       val confMap = spark.sessionState.newHadoopConf().iterator()
@@ -137,43 +148,26 @@ object Retention {
     * atomically via tmp + rename (`partiton_meta.rs:27-40`) so a crashed
     * writer can never leave a torn snapshot. */
   object Meta {
+    /** Publish via [[DeferredDelete.atomicWriteMeta]] (r17 lifecycle
+      * review #5): the raw-filesystem tmp+rename path. Writing through
+      * the CHECKSUMMED LocalFileSystem and renaming via FileContext
+      * leaves the `.crc` sidecar out of sync with the renamed data
+      * file, so a concurrent read (a lag monitor racing a Maintenance
+      * pass) dies with ChecksumException — the exact observed failure
+      * DeferredDelete's metaFs comment documents. */
     def write(spark: SparkSession, partitionDir: String, lowWatermark: Long,
-              highWatermark: Long, logEndOffset: Long): Unit = {
-      val conf = spark.sessionState.newHadoopConf()
-      val tmp = new Path(s"$partitionDir/meta.json.tmp")
-      val dst = new Path(s"$partitionDir/meta.json")
-      val fs = dst.getFileSystem(conf)
-      val out = fs.create(tmp, true)
-      try out.write(
+              highWatermark: Long, logEndOffset: Long): Unit =
+      DeferredDelete.atomicWriteMeta(
+        new Path(s"$partitionDir/meta.json"),
+        spark.sessionState.newHadoopConf(),
         (s"""{"log_end_offset":$logEndOffset,"low_watermark":$lowWatermark,""" +
           s""""high_watermark":$highWatermark}""").getBytes("UTF-8"))
-      finally out.close()
-      // FileContext rename with OVERWRITE is the actually-atomic form —
-      // FileSystem.rename needs a delete-first (a crash in between loses
-      // the previous snapshot entirely) and returns false on races
-      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
 
     /** (low, high, logEnd) if a snapshot exists. */
     def read(spark: SparkSession,
-             partitionDir: String): Option[(Long, Long, Long)] = {
-      val p = new Path(s"$partitionDir/meta.json")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val text =
-          try {
-            // drain fully — a single read() may legally return a short
-            // count (FSDataInputStream on object stores does), which
-            // would silently truncate the snapshot and drop fields
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](256)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            new String(bos.toByteArray, "UTF-8")
-          } finally in.close()
+             partitionDir: String): Option[(Long, Long, Long)] =
+      DeferredDelete.readMeta(new Path(s"$partitionDir/meta.json"),
+        spark.sessionState.newHadoopConf()).flatMap { text =>
         def field(name: String): Option[Long] =
           ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r
             .findFirstMatchIn(text).map(_.group(1).toLong)
@@ -183,7 +177,6 @@ object Retention {
           end <- field("log_end_offset")
         } yield (low, high, end)
       }
-    }
   }
 
   /** On-disk watermark triple per partition, respecting persisted low

@@ -2,45 +2,39 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-
-import graft.functions.FlyqCodec
 
 /** Structured Streaming ingestion of FlyQ-format segment files — the
   * Spark-native replacement for the reference's consume lifecycle
-  * (SURVEY.md §3.2): instead of a TCP listener + per-connection tasks
-  * funneling through a global engine mutex, a file stream source discovers
-  * newly-rolled segment files per micro-batch, decodes them in parallel
-  * tasks, and checkpoints progress — no shared lock anywhere.
+  * (SURVEY.md §3.2): segment files are discovered and decoded in parallel
+  * tasks per micro-batch with checkpointed progress — no TCP listener, no
+  * per-connection tasks funneling through a global engine mutex, no
+  * shared lock anywhere.
   *
-  * Scale posture: one input partition per new segment file per batch;
+  * Scale posture: one input partition per grown segment file per batch;
   * decode is a narrow map (no shuffle); downstream aggregations get
   * watermark-bounded state. At 1000 executors this ingests as fast as the
   * filesystem can list+read.
   */
 object LogStream {
 
-  /** binaryFile's fixed schema (needed explicitly for readStream). */
-  private val binaryFileSchema = StructType(Seq(
-    StructField("path", StringType),
-    StructField("modificationTime", TimestampType),
-    StructField("length", LongType),
-    StructField("content", BinaryType)))
-
   /** Stream of decoded records from a FlyQ topic directory:
-    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers). */
+    * (part_id, base_off, msg_offset, ts_ms, mkey, mvalue, headers).
+    *
+    * Delegates to [[graft.sources.v2.FlyqSegmentSource]] (r17 lifecycle
+    * review #4): the earlier `binaryFile` implementation processed each
+    * PATH exactly once — Spark's file-stream source never re-reads a
+    * file that grows — so the ACTIVE segment's content was snapshotted
+    * at first discovery and every record appended to it afterwards was
+    * silently never ingested (permanent data loss on any live topic).
+    * The v2 source checkpoints per-file BYTE extents and plans only the
+    * growth delta, which is both correct under live appends and cheaper
+    * (an active 1 GiB segment costs its new bytes per batch, not a
+    * re-read). Same output schema; sealed-only layouts behave
+    * identically. */
   def readSegments(spark: SparkSession, baseDir: String, topic: String): DataFrame =
-    spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.log")
-      .load(s"$baseDir/topic_$topic/partition_*/")
-      .select(col("path"), FlyqCodec.flyq_decode_segment(col("content")).as("recs"))
-      .withColumn("part_id",
-        regexp_extract(col("path"), "partition_(\\d+)", 1).cast("long"))
-      .withColumn("base_off",
-        regexp_extract(col("path"), "segment_(\\d+)\\.log", 1).cast("long"))
-      .select(col("part_id"), col("base_off"), explode(col("recs")).as("r"))
-      .select(col("part_id"), col("base_off"), col("r.*"))
+    spark.readStream.format("graft.sources.v2.FlyqSegmentSource")
+      .option("topic", topic)
+      .load(baseDir)
 
   /** CONTINUOUS consumer lag — the flagship query as a live stream (the
     * reference's monitor example polls GetConsumerLag in a loop,

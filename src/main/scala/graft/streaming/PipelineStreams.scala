@@ -213,7 +213,14 @@ object PipelineStreams {
       .select(col("doc_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", VectorOps.norm2_seq(col("v")))
       .withColumn("jk", lit(1))
-      .join(broadcast(ev), Seq("jk"))
+      // LEFT join (r17 lifecycle review #9): with an EMPTY eval holdout
+      // (tiny/misconfigured corpus) an inner join emits zero rows — no
+      // doc ever gets its is_clean decision and the pipeline silently
+      // stalls. Left-preserved rows carry null cos → 0 hits → clean,
+      // which is the correct answer against an empty holdout; with a
+      // non-empty holdout every row matches jk=1 and the plan is
+      // identical to the inner form.
+      .join(broadcast(ev), Seq("jk"), "left")
       .withColumn("cos", VectorOps.dot_seq(col("v"), col("qv"))
         / (sqrt(col("n2")) * sqrt(col("qn2"))))
       .groupBy("doc_id")
@@ -1123,14 +1130,26 @@ object PipelineStreams {
                     modelSfDir: String): DataFrame = {
     import graft.operators.LangModel
     val lp = LangModel.lmModel(spark, modelSfDir)
-    docs
+    val toks = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val scored = toks
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(LangModel.bigramsOf(col("toks"))).as("bg"))
       .join(broadcast(lp), Seq("bg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("lp_micro"), lit(OovMicroNats))).as("lm_micro_sum"))
+    // Sub-bigram docs have no transitions to score: route them around
+    // the rollup with an explicit decision row (n_bigrams = 0 →
+    // pass_lm = false, the conservative gate answer) instead of letting
+    // the explode swallow them — an ingest gate must emit a decision
+    // for EVERY doc (round-7 advice, already enforced by
+    // [[importanceWeightStream]] below; r17 lifecycle review #7).
+    val short = toks
+      .filter(size(col("toks")) < 2)
+      .select(col("doc_id"), lit(0L).as("n_bigrams"),
+        lit(0L).as("lm_micro_sum"))
+    scored.unionByName(short)
       .withColumn("pass_lm", col("n_bigrams") > 0 &&
         col("lm_micro_sum") >= lit(LangModel.PassAvgMicroNats) * col("n_bigrams"))
   }

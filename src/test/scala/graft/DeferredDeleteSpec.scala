@@ -326,4 +326,91 @@ class DeferredDeleteSpec extends AnyFunSuite {
     assert(!torn.exists(),
       "an unparseable tombstone must not leak forever — file-age GC")
   }
+
+  test("Retention.compact honors the retired manifest: a lease-protected " +
+      "retired segment is never hard-deleted (r17 lifecycle review #1)") {
+    val dir = Files.createTempDirectory("flyq-compact-retired").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(400)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "cr", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    // a reader holds the pre-retirement view
+    val lease = DeferredDelete.acquireLease(spark, dir, "cr",
+      holder = "reader", ttlMs = 1000000L, nowMs = 1000L)
+    val retired = DeferredDelete.compactDeferred(spark, dir, "cr",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L,
+      retireAtMs = 2000L).filterNot(_.keep)
+    assert(retired.nonEmpty)
+    // the broker-binary composition (Maintenance.Runner) runs the
+    // IMMEDIATE compact on the same topic: it must leave the retired,
+    // lease-gated files alone — their lifecycle belongs to reap
+    val decisions = Retention.compact(spark, dir, "cr",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L)
+    assert(decisions.forall(d => !retired.exists(_.path == d.path)),
+      "retired segments must be outside compact's planning universe")
+    retired.foreach { d =>
+      assert(Files.exists(Paths.get(new java.net.URI(d.path))),
+        s"compact hard-deleted a retired, lease-protected segment: ${d.path}")
+    }
+    DeferredDelete.releaseLease(spark, dir, "cr", lease)
+  }
+
+  test("compactDeferred's default retirement timestamp is the wall clock " +
+      "so real leases actually gate the reap (r17 lifecycle review #2)") {
+    val dir = Files.createTempDirectory("flyq-default-retire").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(400)
+      .select($"user_id".cast("string").cast("binary").as("mkey"),
+        $"props".cast("binary").as("mvalue"),
+        unix_millis($"ts").as("ts_ms"), $"event_id")
+    Broker.produce(ev, dir, "rd", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 1)
+    // a real reader on a real clock, acquired BEFORE the retirement
+    val t0 = System.currentTimeMillis()
+    val lease = DeferredDelete.acquireLease(spark, dir, "rd",
+      holder = "real-reader", ttlMs = 10 * 60 * 1000L, nowMs = t0)
+    val evicted = DeferredDelete.compactDeferred(spark, dir, "rd",
+      retentionMs = Long.MaxValue / 4, retentionBytes = 1L).filterNot(_.keep)
+    val t1 = System.currentTimeMillis()
+    assert(evicted.nonEmpty)
+    DeferredDelete.retired(spark, dir, "rd").foreach { e =>
+      assert(e.retiredAtMs >= t0 && e.retiredAtMs <= t1,
+        s"default retiredAtMs must be the job's wall clock, got ${e.retiredAtMs}")
+    }
+    // with the old literal-0 default, acquiredMs <= 0 + skew was false
+    // for every real lease and this reap would have unlinked everything
+    val (deleted, held) = DeferredDelete.reap(spark, dir, "rd",
+      nowMs = System.currentTimeMillis())
+    assert(deleted.isEmpty && held.size === evicted.size,
+      "a live pre-retirement lease must gate the reap under default clocks")
+    DeferredDelete.releaseLease(spark, dir, "rd", lease)
+  }
+
+  test("a crashed reader's long-expired lease file is force-released once " +
+      "past the tombstone horizon (r17 lifecycle review #8)") {
+    val dir = Files.createTempDirectory("flyq-lease-gc").toString
+    Files.createDirectories(Paths.get(dir, "topic_lg"))
+    val now = System.currentTimeMillis()
+    // crashed 8 days ago with a 1 s TTL — expired far beyond the horizon
+    val id = DeferredDelete.acquireLease(spark, dir, "lg",
+      holder = "crashed", ttlMs = 1000L, nowMs = now - 8L * 86400000L)
+    val leaseFile = Paths.get(dir, "topic_lg", "_leases", s"$id.json")
+    assert(Files.exists(leaseFile))
+    DeferredDelete.reap(spark, dir, "lg", nowMs = now)
+    assert(!Files.exists(leaseFile),
+      "an expired-beyond-horizon lease file must be force-released, not " +
+        "listed and parsed by every future reap forever")
+    // tombstone-first protocol: a leaked heartbeat sees the release
+    assert(!DeferredDelete.renewLease(spark, dir, "lg", id, 1000L, now),
+      "a force-released lease must not be renewable")
+    // a RECENTLY expired lease is NOT swept (the skew/renew grace)
+    val id2 = DeferredDelete.acquireLease(spark, dir, "lg",
+      holder = "recent", ttlMs = 1000L, nowMs = now - 5000L)
+    DeferredDelete.reap(spark, dir, "lg", nowMs = now)
+    assert(Files.exists(Paths.get(dir, "topic_lg", "_leases", s"$id2.json")),
+      "a recently-expired lease stays (renewable within the grace window)")
+  }
 }

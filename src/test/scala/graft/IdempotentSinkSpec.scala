@@ -57,17 +57,43 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(!IdempotentSink.write(Seq(99).toDF("value"), 0L, out))
     assert(IdempotentSink.committed(spark, out)
       .select("value").as[Int].collect().sorted.toSeq === Seq(1, 2))
-    // a crashed attempt of batch 1 left a PARTIAL directory, no marker:
-    // readers never see it...
+    // a crashed attempt of batch 1 left a PARTIAL directory (no
+    // _SUCCESS — the write never finished), no marker: readers never
+    // see it...
     Seq(7, 8).toDF("value").write.parquet(s"$out/batch_id=1")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out, "batch_id=1", "_SUCCESS"))
     assert(IdempotentSink.committed(spark, out)
       .select("value").as[Int].collect().sorted.toSeq === Seq(1, 2))
-    // ...and the retry overwrites it, then commits
+    // ...and the retry replaces it, then commits
     assert(IdempotentSink.write(Seq(10).toDF("value"), 1L, out))
     assert(IdempotentSink.committed(spark, out)
       .select("value").as[Int].collect().sorted.toSeq === Seq(1, 2, 10))
     // batch_id rides along as the partition column
     assert(IdempotentSink.committed(spark, out).columns.toSet ===
       Set("value", "batch_id"))
+  }
+
+  test("publish is by atomic rename: a crashed-publish leftover is " +
+      "ADOPTED, never clobbered under its marker (r17 lifecycle review #3)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("idem-pub").toString
+    assert(IdempotentSink.write(Seq(1, 2, 3).toDF("value"), 0L, out))
+    // crash AFTER the publish rename, BEFORE the marker: the marker is
+    // missing but the batch directory holds a COMPLETE attempt's output
+    val marker = java.nio.file.Paths.get(out, "_commits", "0")
+    java.nio.file.Files.delete(marker)
+    // the replay (different data — simulating the nondeterministic-
+    // upstream worst case) must adopt the complete published attempt;
+    // the OLD in-place mode("overwrite") would have deleted it mid-air,
+    // and a zombie attempt could do that even after the marker landed
+    assert(IdempotentSink.write(Seq(99).toDF("value"), 0L, out))
+    assert(java.nio.file.Files.exists(marker))
+    assert(IdempotentSink.committed(spark, out)
+      .select("value").as[Int].collect().sorted.toSeq === Seq(1, 2, 3),
+      "the committed directory must hold ONE complete attempt's output")
+    // no staging leftovers accumulate
+    val staging = new java.io.File(s"$out/_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
   }
 }

@@ -40,6 +40,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("segment ingest reads records appended to the ACTIVE segment after " +
+      "first discovery (r17 lifecycle review #4)") {
+    val dir = Files.createTempDirectory("flyq-stream-live").toString
+    val ckpt = Files.createTempDirectory("flyq-live-ckpt").toString
+    SegmentFiles.writeSegment(dir, "lt", 0,
+      (0L until 3L).map(i => Record(i, 1000 + i, str(s"k$i"), str(s"v$i"))))
+    val q = LogStream.readSegments(spark, dir, "lt")
+      .writeStream.format("memory").queryName("seg_live")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("seg_live").count() === 3)
+      // a live producer APPENDS to the same segment file (no roll): the
+      // old binaryFile implementation snapshotted the path at first
+      // discovery and would never deliver these records — permanent
+      // silent loss on any live topic
+      val seg = java.nio.file.Paths.get(dir, "topic_lt", "partition_0",
+        f"segment_${0L}%020d.log")
+      val rec = graft.functions.FlyqCodec.encodeRecord(
+        3L, str("k3"), str("v3"), 1003L, null)
+      java.nio.file.Files.write(seg, rec,
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val rows = spark.table("seg_live")
+      assert(rows.count() === 4,
+        "records appended to the active segment must be ingested")
+      assert(rows.agg(max("msg_offset")).head().getLong(0) === 3L)
+    } finally q.stop()
+  }
+
   test("group offset tracker: upsert across batches, monotone, multi-group") {
     val input = MemoryStream[Commit](spark)
     val q = GroupOffsets.track(input.toDS())
@@ -278,6 +308,32 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(got.size === 40)
       got.foreach { case (id, k) => assert(k === batch(id), s"doc $id") }
+    } finally q.stop()
+  }
+
+  test("semantic decontamination gate with an EMPTY eval holdout marks " +
+      "every doc clean instead of silently dropping them (r17 lifecycle " +
+      "review #9)") {
+    import graft.streaming.PipelineStreams.StreamVec
+    // an sf dir whose embeddings table has NO eval-split vectors at all
+    val sf = Files.createTempDirectory("flyq-empty-ev").toString
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(0)
+      .write.parquet(s"$sf/embeddings.parquet")
+    val input = MemoryStream[StreamVec](spark)
+    val q = PipelineStreams.semanticDecontaminateStream(spark, input.toDF(), sf)
+      .writeStream.format("memory").queryName("ssem_empty")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamVec(1L, Array(1.0, 0.0)),
+        StreamVec(2L, Array(0.0, 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("ssem_empty").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_eval_sem_hits"), r.getAs[Boolean]("is_clean"))))
+        .toMap
+      assert(got === Map(1L -> ((0L, true)), 2L -> ((0L, true))),
+        "every doc must receive its decision row against an empty holdout")
     } finally q.stop()
   }
 
@@ -669,7 +725,8 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("update").start()
     try {
       input.addData(corpusDocs.toSeq :+
-        StreamDoc(999999L, "en", "zzqx qxzz zzqx", new java.sql.Timestamp(0L)))
+        StreamDoc(999999L, "en", "zzqx qxzz zzqx", new java.sql.Timestamp(0L)) :+
+        StreamDoc(999998L, "en", "hi", new java.sql.Timestamp(0L)))
       q.processAllAvailable()
       val got = spark.table("slm")
         .select("doc_id", "n_bigrams", "lm_micro_sum", "pass_lm").collect()
@@ -682,6 +739,11 @@ class StreamingSpec extends AnyFunSuite {
       // both bigrams of the salad doc are unseen → flat OOV penalty, fail
       assert(got(999999L) ===
         ((2L, 2L * PipelineStreams.OovMicroNats, false)))
+      // a sub-bigram doc still gets a DECISION row (n_bigrams=0,
+      // pass_lm=false) instead of being swallowed by the explode —
+      // round-7 advice, r17 lifecycle review #7
+      assert(got(999998L) === ((0L, 0L, false)),
+        "an ingest gate must emit a decision for EVERY doc")
     } finally q.stop()
   }
 
