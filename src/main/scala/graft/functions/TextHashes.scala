@@ -39,6 +39,27 @@ object TextHashes {
   /** First 4 bytes of md5(bytes) as an unsigned 32-bit value. */
   def md5_32(bytes: Array[Byte]): Long = md5_32_at(bytes, 0)
 
+  /** Non-null elements of a string array, compacted. The SQL-registered
+    * kernels must not NPE on hand-built arrays with null elements — the
+    * rule [[WinnowFps]] already documents (r17 data-plane review #2);
+    * `tokens()` never emits nulls, so this only fires on degenerate
+    * inputs. A null element is treated as ABSENT, matching the
+    * declarative twins (md5(NULL) is null and drops out of aggregates /
+    * concat_ws skips nulls). */
+  private def nonNullUtf8(a: ArrayData)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val n = a.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val u = a.getUTF8String(i)
+      if (u != null) { out(k) = u; k += 1 }
+      i += 1
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /** hash32_array(array<string>) -> array<long>: md5_32_at per element.
     * `byteOffset` 0 (default) is the standard hash32 family; 4 selects the
     * independent second family (digest bytes 4-7 = hex chars 9-16). */
@@ -48,11 +69,11 @@ object TextHashes {
       s"byteOffset must address 4 bytes inside the 16-byte md5, got $byteOffset")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
-      val out = new Array[Long](a.numElements())
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
+      val out = new Array[Long](toks.length)
       var i = 0
       while (i < out.length) {
-        out(i) = md5_32_at(a.getUTF8String(i).getBytes, byteOffset)
+        out(i) = md5_32_at(toks(i).getBytes, byteOffset)
         i += 1
       }
       new GenericArrayData(out)
@@ -195,14 +216,14 @@ object TextHashes {
       StructField("sh_lo", LongType, nullable = false),
       StructField("sh_hi", LongType, nullable = false)))
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
       val counts = new Array[Long](64) // 0-31 lo, 32-63 hi
       val md = digests.get()
       var i = 0
-      val n = a.numElements()
+      val n = toks.length
       while (i < n) {
         md.reset()
-        val d = md.digest(a.getUTF8String(i).getBytes)
+        val d = md.digest(toks(i).getBytes)
         val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
@@ -376,12 +397,12 @@ object TextHashes {
       tables.map(_.map(org.apache.spark.unsafe.types.UTF8String.fromString).toSet).toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
       val counts = new Array[Long](sets.length)
       var i = 0
-      val n = a.numElements()
+      val n = toks.length
       while (i < n) {
-        val tok = a.getUTF8String(i)
+        val tok = toks(i)
         var j = 0
         while (j < sets.length) {
           if (sets(j).contains(tok)) counts(j) += 1
@@ -403,14 +424,14 @@ object TextHashes {
       extends UnaryExpression with KernelCodegenUnary {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
-      val n = a.numElements()
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
+      val n = toks.length
       val counts =
         new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
       var best = 0L
       var i = 0
       while (i < n) {
-        val c = counts.computeIfAbsent(a.getUTF8String(i), _ => new Array[Long](1))
+        val c = counts.computeIfAbsent(toks(i), _ => new Array[Long](1))
         c(0) += 1
         if (c(0) > best) best = c(0)
         i += 1
@@ -431,8 +452,8 @@ object TextHashes {
     require(n > 0, "n must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
-      val total = a.numElements() - n + 1
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
+      val total = toks.length - n + 1
       if (total <= 0) return new GenericArrayData(Array.emptyLongArray)
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       val sb = new java.lang.StringBuilder()
@@ -442,7 +463,7 @@ object TextHashes {
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(a.getUTF8String(i + j).toString)
+          sb.append(toks(i + j).toString)
           j += 1
         }
         seen.add(md5_32(
@@ -478,14 +499,14 @@ object TextHashes {
       StructField("n_5grams", LongType, nullable = false),
       StructField("dup_5gram_occ", LongType, nullable = false)))
     override protected def nullSafeEval(arr: Any): Any = {
-      val a = arr.asInstanceOf[ArrayData]
-      val n = a.numElements()
+      val toks = nonNullUtf8(arr.asInstanceOf[ArrayData])
+      val n = toks.length
       def gram(i: Int, w: Int): org.apache.spark.unsafe.types.UTF8String = {
         val sb = new java.lang.StringBuilder()
         var j = 0
         while (j < w) {
           if (j > 0) sb.append(' ')
-          sb.append(a.getUTF8String(i + j).toString)
+          sb.append(toks(i + j).toString)
           j += 1
         }
         org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)

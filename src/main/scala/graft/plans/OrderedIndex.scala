@@ -146,9 +146,33 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
     }
     val rdd = child.execute()
 
+    // Pass 1 needs only per-group TOTALS per partition — order-
+    // insensitive — so when the planner satisfied requiredChildOrdering
+    // with a SortExec, count beneath it on the exchange output:
+    // executing the SortExec here would fully sort every partition just
+    // to count, and pass 2 re-sorts the same shuffle output anyway — the
+    // input was being sorted TWICE per prefix (r17 data-plane review #5;
+    // at the 100 TB design point the sort is the dominant cost of this
+    // operator). SortExec preserves partitioning, so per-partition
+    // counts below it equal counts above it.
+    // The sort may be codegen-wrapped (WholeStageCodegen(Sort(Input(x))))
+    // — unwrap to find it; anything else falls back to the sorted rdd
+    // (correct, just without the skip).
+    @scala.annotation.tailrec
+    def beneathSort(p: SparkPlan): Option[SparkPlan] = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        beneathSort(w.child)
+      case s: org.apache.spark.sql.execution.SortExec => Some(s.child)
+      case _ => None
+    }
+    val countInput = beneathSort(child) match {
+      case Some(below) => below.execute()
+      case None => rdd
+    }
+
     // pass 1: per-task per-group totals (tiny). Runs here — first action.
     val counts: Array[(Int, Seq[(UnsafeRow, Long)])] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
+      countInput.mapPartitionsWithIndex { (pid, it) =>
         val keyProj = UnsafeProjection.create(group, childOutput)
         val m = mutable.LinkedHashMap.empty[UnsafeRow, Long]
         it.foreach { row =>
@@ -166,7 +190,7 @@ case class GroupedPrefixExec(groupCols: Seq[Attribute],
 
     // driver-side prefix sum across tasks, per group — O(tasks × groups)
     val running = mutable.HashMap.empty[UnsafeRow, Long]
-    val bases = Array.fill(rdd.getNumPartitions)(Map.empty[UnsafeRow, Long])
+    val bases = Array.fill(countInput.getNumPartitions)(Map.empty[UnsafeRow, Long])
     counts.sortBy(_._1).foreach { case (pid, groups) =>
       bases(pid) = groups.map { case (k, c) =>
         val b = running.getOrElse(k, 0L)

@@ -328,29 +328,12 @@ class FlyqServer(baseDir: String,
     * segment under the global lock — at the broker binary's 1 GiB
     * production segments, a GiB allocation plus full decode PER
     * PARTITION on the first post-restart watermark/lag RPC (r17
-    * protocol review). Body-corrupt records count too: they occupy
-    * their offsets and resync via the outer chain, exactly as the
-    * decode walk advances past them. */
+    * protocol review). Shared with the broker bulk path's recovery
+    * ([[graft.sources.SegmentFiles.scanChainStats]] is the single home
+    * of the framing walk). */
   private def scanChainStats(topic: String, part: Long,
-                             base: Long): (Int, Long, Long) = {
-    val p = segPath(topic, part, base)
-    val size = Files.size(p)
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new java.io.FileInputStream(p.toFile), 1 << 16))
-    try {
-      var pos = 0L; var count = 0; var last = -1L; var done = false
-      while (!done && pos + 12 <= size) {
-        val recLen = in.readInt()
-        val off = in.readLong()
-        if (recLen < 28 || pos + 4L + recLen > size) done = true
-        else {
-          in.skipNBytes(recLen - 8L)
-          count += 1; last = off; pos += 4L + recLen
-        }
-      }
-      (count, last, pos)
-    } finally in.close()
-  }
+                             base: Long): (Int, Long, Long) =
+    graft.sources.SegmentFiles.scanChainStats(segPath(topic, part, base))
 
   /** Repair the sparse index at seed time (r17 protocol review): the
     * idx stream reopens in APPEND mode, so a torn (non-16-multiple)

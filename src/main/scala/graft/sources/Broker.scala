@@ -53,25 +53,36 @@ object Broker {
               numPartitions: Int = LogModel.NumPartitions,
               segMaxBytes: Long = LogModel.SegmentMaxBytes,
               indexInterval: Int = SegmentFiles.IndexInterval): Unit = {
+    // guard: a numPartitions below the existing layout would re-route
+    // every key mod the smaller count AND never recover the higher
+    // partitions' offsets — per-key history silently splits and strands
+    // (r17 data-plane review #1). The partition count is a topic-creation
+    // constant here as in the reference (config-owned, `topic.rs:30-35`).
+    val topicDir = Paths.get(baseDir, s"topic_$topic")
+    if (Files.isDirectory(topicDir)) {
+      val s = Files.list(topicDir)
+      val maxId =
+        try s.toArray.map(_.toString)
+          .flatMap("partition_(\\d+)$".r.findFirstMatchIn(_))
+          .map(_.group(1).toLong).foldLeft(-1L)(math.max)
+        finally s.close()
+      require(maxId < numPartitions,
+        s"topic '$topic' has partition_$maxId on disk but " +
+          s"numPartitions=$numPartitions: appending with a smaller " +
+          "partition count would re-route keys and silently strand the " +
+          "higher partitions — pass the topic's original partition count")
+    }
     // recover per-partition next offsets (reference `partition.rs:180-205`
-    // recovery): driver-side listing + ONE tail-segment decode per
-    // partition — O(partitions), not O(data)
+    // recovery): driver-side listing + ONE streaming tail-segment chain
+    // scan per partition — O(partitions) work, O(1) memory (the shared
+    // SegmentFiles.scanChainStats; an eager readAllBytes here allocated
+    // the whole tail segment on the driver, r17 data-plane review #4)
     val baseOffsets: Map[Long, Long] = (0L until numPartitions.toLong).flatMap { p =>
       val dir = Paths.get(baseDir, s"topic_$topic", s"partition_$p")
       SegmentFiles.segmentBases(dir).lastOption.map { base =>
-        val bytes = Files.readAllBytes(
+        val (count, lastOff, _) = SegmentFiles.scanChainStats(
           dir.resolve(f"segment_$base%020d.log"))
-        var pos = 0
-        var next = base
-        while (pos + 4 <= bytes.length) {
-          val recLen = ByteBuffer.wrap(bytes, pos, 4).getInt
-          if (recLen < 28 || pos + 4L + recLen > bytes.length) pos = bytes.length
-          else {
-            next = ByteBuffer.wrap(bytes, pos + 4, 8).getLong + 1
-            pos += 4 + recLen
-          }
-        }
-        p -> next
+        p -> (if (count == 0) base else lastOff + 1)
       }
     }.toMap
     produceFrom(df, baseDir, topic, orderCols, baseOffsets, numPartitions,
@@ -121,18 +132,21 @@ object Broker {
       .select("part_id", "msg_offset", "ts_ms", "mkey", "mvalue")
       .foreachPartition { it: Iterator[Row] =>
         var writer: SegmentWriter = null
-        it.foreach { r =>
+        // try/finally: an append failure mid-iterator must still close
+        // the current writer's streams — in a long-lived executor leaked
+        // buffered streams hold fds (and unflushed index bytes) until GC
+        // while the task retry rewrites the same filenames
+        try it.foreach { r =>
           val partId = r.getLong(0)
           if (writer == null || writer.partId != partId) {
-            if (writer != null) writer.close()
+            if (writer != null) { writer.close(); writer = null }
             writer = new SegmentWriter(baseDir, topic, partId, segMaxBytes,
               indexInterval)
           }
           writer.append(r.getLong(1), r.getLong(2),
             if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3),
             r.getAs[Array[Byte]](4))
-        }
-        if (writer != null) writer.close()
+        } finally if (writer != null) writer.close()
       }
   }
 
@@ -175,6 +189,15 @@ object Broker {
       segBytes += bytes.length
     }
 
-    def close(): Unit = if (out != null) { out.close(); idx.close() }
+    /** Idempotent; closes BOTH streams even when the log stream's close
+      * (buffered flush) throws — `out.close(); idx.close()` leaked the
+      * index stream on a full-disk flush failure. */
+    def close(): Unit = {
+      val o = out
+      val i = idx
+      out = null
+      idx = null
+      if (o != null) try o.close() finally i.close()
+    }
   }
 }

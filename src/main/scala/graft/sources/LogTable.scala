@@ -74,15 +74,18 @@ object LogTable {
     val prefix = s"graft_${variant}_v$SemanticsVersion${tag}_"
     val path = s"$tmpRoot/$prefix$fp"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      // a regenerated input strands the previous fingerprint's snapshot —
-      // sweep stale siblings so tmpdir doesn't grow without bound
-      Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
-        .foreach(deleteRecursively)
       build.write.mode("overwrite")
         .partitionBy(partitionCols: _*)
         .option("maxRecordsPerFile", RecordsPerFile.toLong)
         .parquet(path)
+      // a regenerated input strands the previous fingerprint's snapshot —
+      // sweep stale siblings so tmpdir doesn't grow without bound. AFTER
+      // the new snapshot's _SUCCESS exists, never before (r17 data-plane
+      // review #6): sweeping first and then failing the build (disk full,
+      // kill mid-write) left the machine with NO working snapshot.
+      Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
+        .foreach(deleteRecursively)
     }
     path
   }

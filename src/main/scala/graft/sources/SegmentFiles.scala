@@ -64,6 +64,34 @@ object SegmentFiles {
     finally s.close()
   }
 
+  /** Streaming length-chain scan of one segment file WITHOUT decoding or
+    * materializing records: (record count, last offset or -1, valid byte
+    * extent). The shared recovery primitive (server head seeding, broker
+    * produce recovery): a 64 KiB buffered walk reading 12 bytes per
+    * record — the eager `Files.readAllBytes` alternative allocated the
+    * whole segment (1 GiB at production sizing) on the driver just to
+    * find the last offset (r17 data-plane review #4). Body-corrupt
+    * records count — they occupy offsets and resync via the outer length
+    * chain; a torn tail ends the scan at the last complete record. */
+  def scanChainStats(p: java.nio.file.Path): (Int, Long, Long) = {
+    val size = Files.size(p)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(p.toFile), 1 << 16))
+    try {
+      var pos = 0L; var count = 0; var last = -1L; var done = false
+      while (!done && pos + 12 <= size) {
+        val recLen = in.readInt()
+        val off = in.readLong()
+        if (recLen < 28 || pos + 4L + recLen > size) done = true
+        else {
+          in.skipNBytes(recLen - 8L)
+          count += 1; last = off; pos += 4L + recLen
+        }
+      }
+      (count, last, pos)
+    } finally in.close()
+  }
+
   /** Write one segment (.log + .index) under dir/topic_{t}/partition_{p}. */
   def writeSegment(baseDir: String, topic: String, partition: Int,
                    records: Seq[Record],
@@ -98,7 +126,11 @@ object SegmentFiles {
       appended += 1
       out.write(bytes)
       pos += bytes.length
-    } finally { out.close(); idx.close() }
+    } finally {
+      // nested finally: an IOException from out.close() (buffered flush
+      // on a full disk) must not leak the index stream
+      try out.close() finally idx.close()
+    }
     logPath
   }
 

@@ -18,9 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** The inference error Spark raises for TIMESTAMP(NANOS) parquet
+    * without the legacy flag (ILLEGAL_PARQUET_TYPE naming the NANOS
+    * type). */
+  private def isNanosVintage(e: Exception): Boolean = {
+    val m = String.valueOf(e.getMessage)
+    m.contains("NANOS") || m.contains("nanosAsLong")
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception if isNanosVintage(e) =>
+          // TIMESTAMP(NANOS) vintage: readable only with the legacy
+          // flag, which must REMAIN set afterwards — it is consulted
+          // again at execution time for this relation's decode. Setting
+          // it unconditionally on every load (the old code) silently
+          // flipped how an EMBEDDING application's own unrelated nanos
+          // parquet reads decode for the rest of the session (LongType
+          // instead of failing loudly) — r17 data-plane review #3; now
+          // only a directory that actually ships nanos pays that.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
     if (name == "events") df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // epoch-nanos as long. ts DIV 1000: integer division (a double

@@ -109,6 +109,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mc") === 2L)
   }
 
+  test("string-array kernels treat null elements as absent instead of " +
+      "NPEing on hand-built SQL arrays (r17 data-plane review #2)") {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    // each kernel over the same array WITH a null element must equal the
+    // kernel over the compacted array — the WinnowFps rule, now uniform
+    val r = s.sql("""
+      SELECT hash32_array(array('a', CAST(NULL AS STRING), 'b')) AS ha,
+             hash32_array(array('a', 'b')) AS ha_ref,
+             simhash64(array('a', CAST(NULL AS STRING), 'b')) AS sh,
+             simhash64(array('a', 'b')) AS sh_ref,
+             word_grams_hashed(array('a', CAST(NULL AS STRING), 'b'), 2) AS wg,
+             word_grams_hashed(array('a', 'b'), 2) AS wg_ref,
+             max_count(array('x', CAST(NULL AS STRING), 'x')) AS mc,
+             repetition_stats(array('a', CAST(NULL AS STRING), 'b', 'a', 'b')) AS rs,
+             repetition_stats(array('a', 'b', 'a', 'b')) AS rs_ref
+    """).head()
+    assert(r.getAs[scala.collection.Seq[Long]]("ha") ===
+      r.getAs[scala.collection.Seq[Long]]("ha_ref"))
+    assert(r.getAs[org.apache.spark.sql.Row]("sh") ===
+      r.getAs[org.apache.spark.sql.Row]("sh_ref"))
+    assert(r.getAs[scala.collection.Seq[Long]]("wg") ===
+      r.getAs[scala.collection.Seq[Long]]("wg_ref"))
+    assert(r.getAs[Long]("mc") === 2L)
+    assert(r.getAs[org.apache.spark.sql.Row]("rs") ===
+      r.getAs[org.apache.spark.sql.Row]("rs_ref"))
+  }
+
   test("GraftViews: the query library and tables answer pure SQL strings") {
     val s = spark.newSession()
     val sf = "/root/testdata/sf0.001"

@@ -59,6 +59,28 @@ class ProduceSpec extends AnyFunSuite {
     back.unpersist()
   }
 
+  test("appending with a numPartitions below the existing layout fails " +
+      "loudly instead of silently re-routing keys (r17 data-plane review #1)") {
+    val dir = Files.createTempDirectory("flyq-produce-nparts").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (s"k$i".getBytes, s"v$i".getBytes, 1000L + i, i))
+        .toDF("mkey", "mvalue", "ts_ms", "event_id")
+    Broker.produce(batch(0, 40), dir, "t", orderCols = Seq("ts_ms", "event_id"),
+      numPartitions = 4)
+    // a later append with a smaller count would hash keys mod the new
+    // count AND never recover partitions >= 2 — per-key history splits
+    // and strands with no error; the partition count is a topic constant
+    val e = intercept[IllegalArgumentException] {
+      Broker.produce(batch(40, 50), dir, "t",
+        orderCols = Seq("ts_ms", "event_id"), numPartitions = 2)
+    }
+    assert(e.getMessage.contains("partition count"))
+    // the matching count still appends fine
+    Broker.produce(batch(40, 50), dir, "t",
+      orderCols = Seq("ts_ms", "event_id"), numPartitions = 4)
+    assert(SegmentFiles.readTopic(spark, dir, "t").count() === 50)
+  }
+
   test("keyed placement = reference (xxh3_64(key) as u32) % n (true broker parity)") {
     // every keyed record in the produced topic sits on EXACTLY the
     // partition the real broker's `topic.rs:90-93` would place it. The
