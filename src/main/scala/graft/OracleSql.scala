@@ -1369,15 +1369,20 @@ object OracleSql {
                               || '.' || CAST(doc_id * 5 % 256 AS VARCHAR) || ' up'
                   ELSE text END AS aug_text
               FROM h),
+      st AS (SELECT doc_id, aug_text,
+               regexp_replace(aug_text, '$EmailPattern', '<EMAIL>', 'g') AS after_email
+             FROM aug),
+      st2 AS (SELECT doc_id, aug_text, after_email,
+                regexp_replace(after_email, '$IpPattern', '<IP>', 'g') AS after_ip
+              FROM st),
+      -- counts follow the redaction basis (each pattern on the text its
+      -- pass actually sees), matching Curation.scrubPii
       s AS (SELECT doc_id,
               CAST(len(regexp_extract_all(aug_text, '$EmailPattern')) AS BIGINT) AS n_emails,
-              CAST(len(regexp_extract_all(aug_text, '$IpPattern')) AS BIGINT) AS n_ips,
-              CAST(len(regexp_extract_all(aug_text, '$PhonePattern')) AS BIGINT) AS n_phones,
-              regexp_replace(regexp_replace(regexp_replace(aug_text,
-                '$EmailPattern', '<EMAIL>', 'g'),
-                '$IpPattern', '<IP>', 'g'),
-                '$PhonePattern', '<PHONE>', 'g') AS scrubbed
-            FROM aug)
+              CAST(len(regexp_extract_all(after_email, '$IpPattern')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(after_ip, '$PhonePattern')) AS BIGINT) AS n_phones,
+              regexp_replace(after_ip, '$PhonePattern', '<PHONE>', 'g') AS scrubbed
+            FROM st2)
       SELECT doc_id, n_emails, n_phones, n_ips,
              n_emails + n_ips + n_phones AS n_pii,
              CAST(length(scrubbed) AS BIGINT) AS scrub_len,

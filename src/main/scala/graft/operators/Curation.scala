@@ -192,8 +192,18 @@ object Curation {
       .withColumn("is_eval", isEvalId(col("doc_id")))
     val ev = n.filter(col("is_eval"))
       .select(col("v").as("qv"), col("n2").as("qn2"))
+      .withColumn("jk", lit(1))
+    // LEFT join on a constant key, not crossJoin (r17 operators review
+    // #2): with an EMPTY eval holdout (tiny/custom sfDir where no doc id
+    // lands in the eval split) the cross join emits zero rows and every
+    // train doc VANISHES from the output — the n-gram twin above reports
+    // them all-clean via exactly this left+coalesce shape. Unmatched
+    // rows carry null cos → 0 hits → is_clean=true; with a non-empty
+    // holdout every row matches jk=1 and the plan is the same broadcast
+    // nested loop as before.
     n.filter(!col("is_eval"))
-      .crossJoin(broadcast(ev))
+      .withColumn("jk", lit(1))
+      .join(broadcast(ev), Seq("jk"), "left")
       .withColumn("cos", VectorOps.dot_seq(col("v"), col("qv"))
         / (sqrt(col("n2")) * sqrt(col("qn2"))))
       .groupBy("doc_id")
@@ -234,25 +244,30 @@ object Curation {
   }
 
   /** Count + redact emails, then IPv4s, then phone numbers (fixed order,
-    * mirrored in the oracle). Counts are taken on the input text; the
-    * scrubbed text is surfaced as md5 + length so the oracle verifies
-    * the full redacted payload without hauling it through the compare. */
-  def scrubPii(d: DataFrame, textCol: String): DataFrame =
+    * mirrored in the oracle). Counts follow the REDACTION basis (r17
+    * operators review #6): each pattern counts on the text as it stands
+    * when its redaction pass runs — emails on the input, IPs after email
+    * redaction, phones after both — so every n_* equals the number of
+    * tokens its pass actually replaced. Counting all three on the raw
+    * input over-counted nested matches (a phone embedded in an email's
+    * local part was counted yet never redacted, so n_pii disagreed with
+    * the scrubbed payload). The scrubbed text is surfaced as md5 +
+    * length so the oracle verifies the full redacted payload without
+    * hauling it through the compare. */
+  def scrubPii(d: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, IpPattern, "<IP>")
     d.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
       .withColumn("n_ips",
-        size(regexp_extract_all(col(textCol), lit(IpPattern), lit(0))).cast("long"))
+        size(regexp_extract_all(afterEmail, lit(IpPattern), lit(0))).cast("long"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
-      .withColumn("scrubbed",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-            IpPattern, "<IP>"),
-          PhonePattern, "<PHONE>"))
+        size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(afterIp, PhonePattern, "<PHONE>"))
       .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
       .withColumn("scrub_len", length(col("scrubbed")).cast("long"))
       .withColumn("scrub_hash", md5(col("scrubbed")))
+  }
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
     scrubPii(withPlantedPii(docs(spark, sfDir)), "aug_text")
@@ -719,13 +734,8 @@ object Curation {
   private val spanCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  def clearCaches(spark: SparkSession): Unit = spanCache.synchronized {
-    val stale = spanCache.keys.filter(_._1 eq spark).toSeq
-    stale.foreach { k =>
-      Dedup.releaseFrame(spanCache(k))
-      spanCache.remove(k)
-    }
-  }
+  def clearCaches(spark: SparkSession): Unit =
+    Dedup.clearCacheFor(spanCache, spark)
 
   def cachedDupSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.getOrUpdateEvicting(spanCache, spark, sfDir, "dup_spans")(

@@ -232,6 +232,19 @@ object Dedup {
     org.apache.spark.sql.graftbridge.Bridge.releaseCheckpointStorage(df)
   }
 
+  /** Release and drop every cache entry belonging to `spark` — the ONE
+    * eviction loop (Sampling/Curation/Similarity each hand-rolled it;
+    * Similarity's copy used bare unpersist, skipping the checkpoint-
+    * storage release [[releaseFrame]] performs, so a discipline fix had
+    * to be re-applied per copy — r17 operators review #8). */
+  private[graft] def clearCacheFor(
+      cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      spark: SparkSession): Unit = cache.synchronized {
+    cache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      cache.remove(k).foreach(releaseFrame)
+    }
+  }
+
   private[graft] def getOrUpdateEvicting(
       cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
       spark: SparkSession, sfDir: String, variant: String,

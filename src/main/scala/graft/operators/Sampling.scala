@@ -78,12 +78,24 @@ object Sampling {
 
   /** Apply the deterministic decision to any doc frame (batch or stream):
     * stable salted hash bucket in [0, buckets), kept iff bucket <
-    * keep_below for the row's language. Adds bucket/keep_below/sampled. */
+    * keep_below for the row's language. Adds bucket/keep_below/sampled.
+    *
+    * LEFT join (r17 operators review #1): the streaming caller applies a
+    * plan trained on a separate reference corpus, so a doc in a language
+    * the plan has never seen must still get its decision row — an inner
+    * join silently dropped it (neither sampled=true nor false). The
+    * default is KEEP (keep_below = the full bucket range): an unseen
+    * language has zero reference docs, and the plan's balancing rate
+    * (tot/n_langs)/n_docs → capped at 1 as n_docs → 0, so keep-all IS
+    * the plan's own limit. Batch callers build the plan from the same
+    * corpus (every lang present), where left ≡ inner. */
   def applySampleDecision(docRows: DataFrame, plan: DataFrame): DataFrame =
     docRows
       .withColumn("bucket",
         Dedup.hash32(concat(lit(SampleSalt), col("doc_id"))) % SampleBuckets)
-      .join(broadcast(plan), Seq("lang"))
+      .join(broadcast(plan), Seq("lang"), "left")
+      .withColumn("keep_below",
+        coalesce(col("keep_below"), lit(SampleBuckets.toLong)))
       .withColumn("sampled", col("bucket") < col("keep_below"))
 
   /** Deterministic stratified sample applying [[sourceMixPlan]]'s rates:
@@ -366,13 +378,8 @@ object Sampling {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** Unpersist and drop the cached DSIR ratio tables for `spark`. */
-  def clearCaches(spark: SparkSession): Unit = modelCache.synchronized {
-    val stale = modelCache.keys.filter(_._1 eq spark).toSeq
-    stale.foreach { k =>
-      Dedup.releaseFrame(modelCache(k))
-      modelCache.remove(k)
-    }
-  }
+  def clearCaches(spark: SparkSession): Unit =
+    Dedup.clearCacheFor(modelCache, spark)
 
   def dsirRatioTable(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.getOrUpdateEvicting(modelCache, spark, sfDir, "dsir_ratio")(

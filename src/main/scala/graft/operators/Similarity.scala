@@ -282,14 +282,25 @@ object Similarity {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** Staleness fingerprint of the embeddings parquet (size + mtime of
-    * every part file) — keys every persist-once entry in this file. */
-  private def embFingerprint(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val parts: Seq[java.io.File] =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
+    * every part file) — keys every persist-once entry in this file.
+    * Via the Hadoop filesystem, not java.io.File (r17 operators review
+    * #3): on a non-local sfDir (s3a/hdfs — the 100 TB posture) a local
+    * File of the URI answers length 0 / mtime 0, making the fingerprint
+    * CONSTANT, so regenerated inputs would never evict stale cached
+    * assignments while fresh scans read the new data. */
+  private def embFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts: Seq[org.apache.hadoop.fs.FileStatus] =
+      try {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        else Seq(st)
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
     java.lang.Long.toHexString(
-      parts.foldLeft(17L)((h, f) => ((h * 31 + f.length) * 31) + f.lastModified))
+      parts.foldLeft(17L)((h, f) =>
+        ((h * 31 + f.getLen) * 31) + f.getModificationTime))
   }
 
   /** Release every persist-once artifact this object holds (centroid
@@ -297,12 +308,7 @@ object Similarity {
     * Verify/Bench teardown next to Dedup/TextAnalysis.clearCaches so a
     * long-lived session can't accumulate stale persisted frames. */
   def clearCaches(spark: SparkSession): Unit = {
-    assignedCache.synchronized {
-      val stale = assignedCache.keys.filter(_._1 eq spark).toSeq
-      stale.foreach { k =>
-        assignedCache.remove(k).foreach(_.unpersist(blocking = false))
-      }
-    }
+    graft.operators.Dedup.clearCacheFor(assignedCache, spark)
     bookCache.synchronized {
       bookCache.keys.filter(_._1 eq spark).toSeq.foreach(bookCache.remove)
     }
@@ -320,13 +326,13 @@ object Similarity {
     assignedCache.keys
       .filter(k => (k._1 eq spark) && k._2.startsWith(prefix) && k._2 != key)
       .toSeq.foreach { k =>
-        assignedCache(k).unpersist(blocking = false)
+        graft.operators.Dedup.releaseFrame(assignedCache(k))
         assignedCache.remove(k)
       }
 
   private[graft] def cellAssignment(spark: SparkSession, sfDir: String): DataFrame =
     assignedCache.synchronized {
-      val fp = embFingerprint(sfDir)
+      val fp = embFingerprint(spark, sfDir)
       evictStale(spark, s"$sfDir#cell#", s"$sfDir#cell#$fp")
       assignedCache.getOrElseUpdate((spark, s"$sfDir#cell#$fp"), {
         val n = vectors(spark, sfDir)
@@ -411,12 +417,14 @@ object Similarity {
   def embeddingDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = embeddingNearDup(spark, sfDir).select("vec_a", "vec_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pairs.count()
     // componentsOf fully materializes before returning, so the pairs
-    // frame can be released as soon as it does
-    val comp = graft.operators.Dedup.componentsOf(spark, pairs, n)
-      .toDF("vec_id", "comp")
-    pairs.unpersist(blocking = false)
+    // frame is released as soon as it does — in a finally, so a failing
+    // action cannot strand the persisted pair table outside every cache
+    // registry (r17 operators review #5)
+    val comp =
+      try graft.operators.Dedup
+        .componentsOf(spark, pairs, pairs.count()).toDF("vec_id", "comp")
+      finally pairs.unpersist(blocking = false)
     emb(spark, sfDir).select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -516,16 +524,26 @@ object Similarity {
     // (round-7 advice). Double-checked: peek under the lock, compute
     // outside it, insert under the lock again; a losing racer unpersists
     // its own chain and adopts the winner's.
-    val key = (spark, s"$sfDir#it$iters#${embFingerprint(sfDir)}")
+    val key = (spark, s"$sfDir#it$iters#${embFingerprint(spark, sfDir)}")
     val refined = assignedCache.synchronized(assignedCache.get(key))
       .getOrElse {
         var cur = assigned
-        (1 to iters).foreach { _ =>
+        // a mid-chain failure (executor loss, OOM on the count) must not
+        // strand persisted intermediates outside every cache registry —
+        // release whatever this attempt pinned before rethrowing (r17
+        // operators review #4; trainPqCodebooks already does this)
+        try (1 to iters).foreach { _ =>
           val next = lloydStep(cur)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the superseded frame
+          try next.count() // materialize before dropping the superseded frame
+          catch { case t: Throwable =>
+            next.unpersist(blocking = false); throw t
+          }
           if (cur ne assigned) cur.unpersist(blocking = false)
           cur = next
+        } catch { case t: Throwable =>
+          if (cur ne assigned) cur.unpersist(blocking = false)
+          throw t
         }
         assignedCache.synchronized {
           assignedCache.get(key) match {
@@ -773,7 +791,7 @@ object Similarity {
     scala.collection.mutable.Map.empty[(SparkSession, String), Array[Double]]
 
   def trainedBook(spark: SparkSession, sfDir: String): Array[Double] = {
-    val key = (spark, s"$sfDir#${embFingerprint(sfDir)}")
+    val key = (spark, s"$sfDir#${embFingerprint(spark, sfDir)}")
     bookCache.synchronized(bookCache.get(key)).getOrElse {
       val b = trainPqCodebooks(spark, sfDir)
       bookCache.synchronized {
@@ -812,12 +830,24 @@ object Similarity {
     * cut-off visible as recall 0 instead of a missing row. Scale: the
     * result sets are Q×k-sized (queries × 10), so everything after the
     * sub-queries is sliver-sized; the grid joins are broadcast literals. */
+  /** Method name → ANN result builder. [[RecallMethods]] keys BOTH the
+    * oracle grid (OracleSql generates the DuckDB rows from it) and this
+    * dispatch, so the two sides cannot silently drift (r17 operators
+    * review #7) — an unmapped method fails loudly here instead of
+    * producing a grid the Spark side lacks. */
+  private def annMethod(spark: SparkSession, sfDir: String,
+                        method: String): DataFrame = method match {
+    case "lsh" => embeddingAnnLsh(spark, sfDir)
+    case "ivf" => embeddingAnnIvf(spark, sfDir)
+    case "ivf2" => embeddingAnnIvfMultiprobe(spark, sfDir)
+    case "pq" => embeddingAnnPq(spark, sfDir)
+    case other => throw new IllegalArgumentException(
+      s"RecallMethods lists '$other' but annMethod has no builder for it")
+  }
+
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
-    recallTable(spark, sfDir, Seq(
-      "lsh" -> embeddingAnnLsh(spark, sfDir),
-      "ivf" -> embeddingAnnIvf(spark, sfDir),
-      "ivf2" -> embeddingAnnIvfMultiprobe(spark, sfDir),
-      "pq" -> embeddingAnnPq(spark, sfDir)))
+    recallTable(spark, sfDir,
+      RecallMethods.map(m => m -> annMethod(spark, sfDir, m)))
 
   /** The trained-codebook quality claim as a margin: at the HEADLINE
     * k (max of [[RecallKs]]) trained-PQ recall must sit within this of

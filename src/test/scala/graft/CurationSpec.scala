@@ -744,4 +744,37 @@ class CurationSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}"))
     }
   }
+
+  test("scrubPii counts follow the redaction basis: a phone nested in an " +
+      "email is not double-counted (r17 operators review #6)") {
+    val d = Seq(
+      (1L, "call 555-123-4567@mail.com now"), // phone inside the email
+      (2L, "mail a@b.co or dial 555-123-4567"),
+      (3L, "host 10.1.2.3 up")
+    ).toDF("doc_id", "text")
+    val got = Curation.scrubPii(d, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "n_pii", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    // the email swallows the digits; the phone pass sees none left
+    assert(got(1L) === ((1L, 0L, 0L, 1L, "call <EMAIL> now")))
+    assert(got(2L) === ((1L, 1L, 0L, 2L, "mail <EMAIL> or dial <PHONE>")))
+    assert(got(3L) === ((0L, 0L, 1L, 1L, "host <IP> up")))
+  }
+
+  test("semanticDecontaminate with an EMPTY eval holdout reports every " +
+      "train doc all-clean like its n-gram twin (r17 operators review #2)") {
+    // vec_ids >= DecontamEvalIdBound are never eval -> empty holdout
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-ev").toString
+    Seq((5000L, Array(1.0f, 0.0f)), (5001L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Curation.semanticDecontaminate(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_sem_hits"), r.getAs[Boolean]("is_clean"))))
+      .toMap
+    assert(got === Map(5000L -> ((0L, true)), 5001L -> ((0L, true))),
+      "every train doc must get its all-clean row, not vanish")
+  }
 }

@@ -227,4 +227,18 @@ class SamplingSpec extends AnyFunSuite {
       s"sample share $sampleShare vs corpus share $corpusShare")
     s1.unpersist()
   }
+
+  test("applySampleDecision: a language absent from the plan still gets " +
+      "its decision row, default KEEP (r17 operators review #1)") {
+    val docs = Seq((1L, "en"), (2L, "xx")).toDF("doc_id", "lang")
+    val plan = Seq(("en", 5000L)).toDF("lang", "keep_below")
+    val got = Sampling.applySampleDecision(docs, plan)
+      .select("doc_id", "lang", "keep_below", "sampled")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size === 2, "no doc may vanish from the decision output")
+    assert(got(2L)._2 === Sampling.SampleBuckets.toLong)
+    assert(got(2L)._3, "an unseen language defaults to keep " +
+      "(the plan's own rate limit as reference docs -> 0)")
+  }
 }
