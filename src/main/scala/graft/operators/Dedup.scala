@@ -89,6 +89,13 @@ object Dedup {
     * pass — graft.functions.TextHashes — instead of an interpreted
     * per-element HOF lambda; values identical). */
   private[graft] def docWords(spark: SparkSession, sfDir: String): DataFrame =
+    // NO spreadIfNarrow here (r17 A/B): the tokenize+md5 kernel is cheap
+    // relative to the pairs builds' join stages, and the added exchange +
+    // 32-partition persisted base measured SLOWER on the same window
+    // (artifact_minhash_pairs 4.67 → 5.34 s, simhash_fingerprint 0.30 →
+    // 0.43 s) — the same pre-partitioned-cache effect as the r14 band_key
+    // bisect. The spread stays where the kernel dominates (ngramDocs,
+    // docFingerprint).
     docs(spark, sfDir).select(
       col("doc_id"), col("lang"),
       normText(col("text")).as("ntext"),
@@ -994,6 +1001,10 @@ object Dedup {
       .drop("ws", "sh")
 
   private def simhash64(spark: SparkSession, sfDir: String): DataFrame =
+    // NO spreadIfNarrow (r17 A/B): the simhash kernel is cheap — the
+    // spread left the artifact build flat (0.32 → 0.39 s) and slowed the
+    // checkpoint's consumer (dedup_simhash_pairs 0.42 → 0.66 s, more
+    // tasks over tiny checkpoint partitions).
     withSimhash64(docs(spark, sfDir))
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"))
 
@@ -1135,7 +1146,11 @@ object Dedup {
     * persist-the-signature-table pattern as [[verifiedPairs]]. */
   private[graft] def ngramDocs(spark: SparkSession, sfDir: String): DataFrame =
     getOrUpdateEvicting(pairsCache, spark, sfDir, "ngrams")(
-      docs(spark, sfDir).select(
+      // spreadIfNarrow (r17): char_grams_distinct + hash32 over the full
+      // normalized text is the heaviest per-row kernel in the repo; the
+      // single-row-group scan ran it on one task (see docWords)
+      graft.sources.Tables.spreadIfNarrow(spark, sfDir, "documents",
+        docs(spark, sfDir), col("doc_id")).select(
           col("doc_id"), col("lang"),
           normText(col("text")).as("ntext"))
         .withColumn("n_chars_norm", length(col("ntext")).cast("long"))
@@ -1710,8 +1725,12 @@ object Dedup {
     // deliberately NOT persist-once (unlike verifiedPairs/ngramDocs,
     // which several queries share): nothing else consumes this table, so
     // a cache would only make the bench measure a cache read and blind
-    // the per-query regression guard to the md5-per-gram hot path
-    docs(spark, sfDir).select(
+    // the per-query regression guard to the md5-per-gram hot path.
+    // spreadIfNarrow: the 5-gram shingle kernel is the whole query; over
+    // a single-row-group file it ran as ONE task (r17 profile: 1.9 s, 2
+    // tasks, 0 shuffle) — one tiny exchange buys a cores-wide kernel
+    graft.sources.Tables.spreadIfNarrow(spark, sfDir, "documents",
+        docs(spark, sfDir), col("doc_id")).select(
         col("doc_id"), normText(col("text")).as("ntext"))
       .withColumn("grams",
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 5))

@@ -23,7 +23,11 @@ object Relational {
     * Catalyst pushes the shipdate filter and prunes columns at the parquet
     * scan; partial aggregation makes the shuffle tiny. */
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
+    // spreadIfNarrow (r17): the decimal aggregate kernel over 600k rows
+    // ran inside the single-row-group scan task (r17 profile: 3 jobs /
+    // 5 tasks, 0 shuffle, ~0.7 s warm); no-op at cluster scale
+    graft.sources.Tables.spreadIfNarrow(spark, sfDir, "lineitem",
+        t(spark, sfDir, "lineitem"), col("l_orderkey"))
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
       .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))

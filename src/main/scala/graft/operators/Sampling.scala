@@ -388,17 +388,26 @@ object Sampling {
   private def dsirRatioTableUncached(spark: SparkSession,
                                      sfDir: String): DataFrame = {
     import graft.operators.LangModel.LmMicro
+    // ONE aggregation pass (r17, guide §2.3 "aggregate before you
+    // shuffle" / §2.4): the old shape evaluated the occurrence subtree —
+    // corpus scan + bigram explode + LM-pass join — FOUR times (base
+    // counts, target counts, totals, support; 26 jobs for a 3 MB-shuffle
+    // build in the r17 structural profile). Both counts are one
+    // conditional aggregate per feature, and the totals/support are exact
+    // functions OF that per-feature table: nb = Σcb, nt = Σct (a doc's
+    // pass_lm is constant across its occurrences, so counting pass rows
+    // equals the old filtered count), v = |{f}|. Values are integer-exact
+    // identical; the occurrence pipeline now runs once.
     val occ = dsirOcc(spark, sfDir)
-    val baseCnt = occ.groupBy("f").agg(count(lit(1)).as("cb"))
-    val tgtCnt = occ.filter(col("pass_lm"))
-      .groupBy("f").agg(count(lit(1)).as("ct"))
-    val totals = occ.agg(count(lit(1)).as("nb"),
-      count(when(col("pass_lm"), 1)).as("nt"))
-    val support = baseCnt.agg(count(lit(1)).as("v"))
-    baseCnt.join(tgtCnt, Seq("f"), "left")
-      .crossJoin(broadcast(totals)).crossJoin(broadcast(support))
+    val perF = occ.groupBy("f").agg(
+      count(lit(1)).as("cb"),
+      count(when(col("pass_lm"), 1)).as("ct"))
+    val totals = perF.agg(
+      sum(col("cb")).as("nb"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    perF.crossJoin(broadcast(totals))
       .select(col("f"),
-        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (floor(log((col("ct") + 1).cast("double") /
             (col("nt") + col("v"))) * LmMicro) -
           floor(log((col("cb") + 1).cast("double") /
             (col("nb") + col("v"))) * LmMicro)).cast("long").as("lr_micro"))

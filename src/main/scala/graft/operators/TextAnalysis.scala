@@ -173,6 +173,8 @@ object TextAnalysis {
       // at the session default, so small-scale plans are unchanged.
       {
         val wide = Dedup.buildShufflePartitions(spark, sfDir)
+        // NO spreadIfNarrow (r17 A/B): the tokenize+explode kernel here is
+        // too cheap to beat the extra exchange (0.65 → 0.75 s same-window)
         docs(spark, sfDir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .repartition(wide, col("doc_id"), col("term"))

@@ -18,6 +18,72 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Estimated scan-task count for a table, using Spark's own split
+    * math (FilePartition.maxSplitBytes + greedy packing) over fs
+    * metadata only — no plan compilation, no footer reads. Used by
+    * [[spreadIfNarrow]] to decide whether a scan can feed the session's
+    * cores at all: the driver testdata ships each table as ONE parquet
+    * file with ONE row group, so every scan is a single task and any
+    * heavy per-row kernel right after it (tokenize/shingle/hash) runs
+    * single-threaded on a 32-core session (r17 profile:
+    * `doc_fingerprint` = 1.9 s on 2 tasks, zero shuffle bytes). */
+  private[graft] def estimatedScanSlots(spark: SparkSession,
+                                        sfDir: String, name: String): Int = {
+    val src = new java.io.File(s"$sfDir/$name.parquet")
+    val files: Seq[Long] =
+      if (src.isDirectory)
+        src.listFiles().toSeq.map(_.length).filter(_ > 0)
+      else Seq(src.length)
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val defaultMax = conf.filesMaxPartitionBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+    val maxSplit = math.min(defaultMax, math.max(openCost, bytesPerCore))
+    // greedy packing over per-file split chunks, mirroring
+    // FilePartition.getFilePartitions: files split into maxSplit pieces,
+    // pieces packed into partitions of ≤ maxSplit (each piece charged
+    // openCost)
+    val pieces = files.flatMap { len =>
+      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
+      (0L until n).map(i => math.min(maxSplit, len - i * maxSplit) + openCost)
+    }.sortBy(-_)
+    var slots = 0
+    var cur = 0L
+    pieces.foreach { p =>
+      if (cur + p > maxSplit && cur > 0) { slots += 1; cur = 0L }
+      cur += p
+    }
+    if (cur > 0) slots += 1
+    slots
+  }
+
+  /** Scale-adaptive kernel spread (opt guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read"): hash-
+    * repartition `df` on `key` to the session's parallelism IFF the
+    * backing table's estimated scan slots cannot feed the session's
+    * cores. The testdata's single-file single-row-group tables make the
+    * scan stage — and every codegen'd text kernel fused into it — one
+    * task; one cheap exchange of the raw rows buys a cores-wide kernel
+    * stage. At cluster scale the condition is false (thousands of
+    * splits) and the call is an exact no-op, so no plan changes and no
+    * payload shuffle are introduced where the scan already parallelizes.
+    * Hash-keyed (not round-robin) so no sort-before-repartition is paid
+    * and placement is deterministic under retries (guide §2.5); the
+    * partition count is pinned explicitly so AQE cannot coalesce the
+    * tiny exchange back down to one task. Value-identical for any
+    * order-free consumer (the oracle compares sorted rows). */
+  private[graft] def spreadIfNarrow(spark: SparkSession, sfDir: String,
+                                    name: String, df: DataFrame,
+                                    key: org.apache.spark.sql.Column): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (estimatedScanSlots(spark, sfDir, name) < par)
+      df.repartition(par, key)
+    else df
+  }
+
   /** The inference error Spark raises for TIMESTAMP(NANOS) parquet
     * without the legacy flag (ILLEGAL_PARQUET_TYPE naming the NANOS
     * type). */
