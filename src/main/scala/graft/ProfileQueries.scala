@@ -97,7 +97,10 @@ object ProfileQueries {
       ("artifact_topic_log_snapshot",
         () => graft.sources.LogTable.ensureMaterializedTopicLog(spark, sfDir)))
 
-    val subset = args.toSet
+    // flags (e.g. -phases) are mode switches, not query names — leaving
+    // them in the subset made `-phases` with no names profile NOTHING
+    // (r17 advice #4)
+    val subset = args.filterNot(_.startsWith("-")).toSet
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val queryNames = if (subset.isEmpty) names0 else names0.filter(subset)
     val artNames = artifacts.map(_._1).toSet
@@ -114,8 +117,10 @@ object ProfileQueries {
         println(s"$name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a beat to drain before reading
-      Thread.sleep(120)
+      // listener bus is async; drain DETERMINISTICALLY before reading —
+      // a fixed sleep undercounted jobs/stages/bytes on heavy rows
+      // (r17 advice #4)
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
       println(f"$name%-40s $sec%8.3f ${jobs.get}%5d ${stages.get}%6d " +
         f"${tasks.get}%6d ${shufRead.get / 1e6}%9.2f ${shufWrite.get / 1e6}%9.2f")
     }

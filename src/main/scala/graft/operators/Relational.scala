@@ -25,10 +25,14 @@ object Relational {
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
     // spreadIfNarrow (r17): the decimal aggregate kernel over 600k rows
     // ran inside the single-row-group scan task (r17 profile: 3 jobs /
-    // 5 tasks, 0 shuffle, ~0.7 s warm); no-op at cluster scale
+    // 5 tasks, 0 shuffle, ~0.7 s warm); no-op at cluster scale.
+    // Filter BEFORE the spread (r17 advice #3): parquet pushdown and the
+    // exchange's row volume must not depend on Catalyst moving the
+    // predicate through RepartitionByExpression.
     graft.sources.Tables.spreadIfNarrow(spark, sfDir, "lineitem",
-        t(spark, sfDir, "lineitem"), col("l_orderkey"))
-      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        t(spark, sfDir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp")),
+        col("l_orderkey"))
       .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
       .withColumn("price", col("l_extendedprice").cast("decimal(18,2)"))
       .withColumn("disc", col("l_discount").cast("decimal(18,2)"))

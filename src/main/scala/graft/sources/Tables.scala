@@ -20,45 +20,78 @@ object Tables {
 
   /** Estimated scan-task count for a table, using Spark's own split
     * math (FilePartition.maxSplitBytes + greedy packing) over fs
-    * metadata only — no plan compilation, no footer reads. Used by
-    * [[spreadIfNarrow]] to decide whether a scan can feed the session's
-    * cores at all: the driver testdata ships each table as ONE parquet
-    * file with ONE row group, so every scan is a single task and any
-    * heavy per-row kernel right after it (tokenize/shingle/hash) runs
-    * single-threaded on a 32-core session (r17 profile:
-    * `doc_fingerprint` = 1.9 s on 2 tasks, zero shuffle bytes). */
+    * metadata only. Used by [[spreadIfNarrow]] to decide whether a scan
+    * can feed the session's cores at all: the driver testdata ships each
+    * table as ONE parquet file with ONE row group, so every scan is a
+    * single task and any heavy per-row kernel right after it
+    * (tokenize/shingle/hash) runs single-threaded on a 32-core session
+    * (r17 profile: `doc_fingerprint` = 1.9 s on 2 tasks, zero shuffle
+    * bytes).
+    *
+    * Stats through the table's own Hadoop FileSystem, not java.io.File
+    * (r17 verdict #1): the old local stat read length 0 for any
+    * hdfs://s3a:// table — slots=1 — so spreadIfNarrow ALWAYS injected a
+    * full-table hash shuffle at exactly the scale where it must be a
+    * no-op. Any stat/listing failure now FAILS OPEN (Int.MaxValue → the
+    * spread is skipped): a missed local spread costs one slow sf0.1 row,
+    * a spurious cluster-scale shuffle costs the job.
+    *
+    * Single-file refinement (r17 advice #2): byte-split math overcounts a
+    * one-file table whose file exceeds maxSplit but holds fewer ROW GROUPS
+    * than splits — only the split containing a row-group midpoint decodes
+    * it, so real scan parallelism is min(splits, row groups). The footer
+    * is read (driver-side, one file) only in that narrow case; multi-file
+    * tables — every table at cluster scale — never pay a footer read. */
   private[graft] def estimatedScanSlots(spark: SparkSession,
-                                        sfDir: String, name: String): Int = {
-    val src = new java.io.File(s"$sfDir/$name.parquet")
-    val files: Seq[Long] =
-      if (src.isDirectory)
-        src.listFiles().toSeq.map(_.length).filter(_ > 0)
-      else Seq(src.length)
-    val conf = spark.sessionState.conf
-    val openCost = conf.filesOpenCostInBytes
-    val defaultMax = conf.filesMaxPartitionBytes
-    val minPartitionNum = conf.filesMinPartitionNum
-      .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalBytes = files.map(_ + openCost).sum
-    val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
-    val maxSplit = math.min(defaultMax, math.max(openCost, bytesPerCore))
-    // greedy packing over per-file split chunks, mirroring
-    // FilePartition.getFilePartitions: files split into maxSplit pieces,
-    // pieces packed into partitions of ≤ maxSplit (each piece charged
-    // openCost)
-    val pieces = files.flatMap { len =>
-      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
-      (0L until n).map(i => math.min(maxSplit, len - i * maxSplit) + openCost)
-    }.sortBy(-_)
-    var slots = 0
-    var cur = 0L
-    pieces.foreach { p =>
-      if (cur + p > maxSplit && cur > 0) { slots += 1; cur = 0L }
-      cur += p
-    }
-    if (cur > 0) slots += 1
-    slots
-  }
+                                        sfDir: String, name: String): Int =
+    try {
+      val hconf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = path.getFileSystem(hconf)
+      val st = fs.getFileStatus(path)
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(path).toSeq.filter(f => f.isFile && f.getLen > 0)
+        else Seq(st)
+      val lens = files.map(_.getLen).filter(_ > 0)
+      if (lens.isEmpty) Int.MaxValue // unreadable/empty listing: fail open
+      else {
+        val conf = spark.sessionState.conf
+        val openCost = conf.filesOpenCostInBytes
+        val defaultMax = conf.filesMaxPartitionBytes
+        val minPartitionNum = conf.filesMinPartitionNum
+          .getOrElse(spark.sparkContext.defaultParallelism)
+        val totalBytes = lens.map(_ + openCost).sum
+        val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+        val maxSplit = math.min(defaultMax, math.max(openCost, bytesPerCore))
+        // greedy packing over per-file split chunks, mirroring
+        // FilePartition.getFilePartitions: files split into maxSplit
+        // pieces, pieces packed into partitions of ≤ maxSplit (each piece
+        // charged openCost)
+        val pieces = lens.flatMap { len =>
+          val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
+          (0L until n).map(i =>
+            math.min(maxSplit, len - i * maxSplit) + openCost)
+        }.sortBy(-_)
+        var slots = 0
+        var cur = 0L
+        pieces.foreach { p =>
+          if (cur + p > maxSplit && cur > 0) { slots += 1; cur = 0L }
+          cur += p
+        }
+        if (cur > 0) slots += 1
+        if (files.size == 1 && slots > 1) {
+          val rowGroups =
+            try {
+              val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(files.head, hconf))
+              try in.getRowGroups.size() finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => slots }
+          math.min(slots, math.max(1, rowGroups))
+        } else slots
+      }
+    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
 
   /** Scale-adaptive kernel spread (opt guide §2.5 "input skew: one huge
     * unsplittable file … repartition immediately after the read"): hash-
