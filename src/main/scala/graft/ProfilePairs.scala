@@ -56,49 +56,41 @@ object ProfilePairs {
         min_by(col("hws"), col("doc_id")).as("hws"))
       .persist(lvl)
     time("rep aggregation") { reps.count() }
-    val b = Dedup.bandsOf(reps.select(col("doc_id"), col("nw"), col("hws")))
-      .select(col("doc_id"), col("nw"), col("band_j"), col("band_key"))
+    // r18 shape: hws rides through the band explode so the verify runs
+    // INSIDE the band self-join — no candidate-table shuffle, no
+    // per-doc-frame attach joins (the old shape's two SHUFFLE_HASH joins
+    // moved 176 of the build's 177 MB of shuffle at sf0.1)
+    val b = Dedup.bandsOf(reps.select(
+        col("doc_id"), col("nw"), col("hws")))
+      .select(col("doc_id"), col("nw"), col("band_j"), col("band_key"),
+        col("hws"))
       .persist(lvl)
     time("minhash sigs + band keys") { b.count() }
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.band_j") === col("b.band_j") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.nw"), col("b.nw")) * 10 >=
-            greatest(col("a.nw"), col("b.nw")) * 9)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .persist(lvl)
-    time("band self-join + distinct") { pairs.count() }
-    // decompositions: how much of each heavy stage is structural
-    // (shuffle/join) vs kernel arithmetic
-    val preDistinct = b.as("a").join(b.as("b"),
-        col("a.band_j") === col("b.band_j") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.nw"), col("b.nw")) * 10 >=
-            greatest(col("a.nw"), col("b.nw")) * 9)
-    time("band join, NO distinct") { preDistinct.count() }
-    val w0 = reps.select(col("doc_id"), col("hws"))
-    val joinOnly = pairs
-      .join(w0.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
-      .join(w0.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
-      .select((size(col("wa.hws")) + size(col("wb.hws"))).as("s"))
-    time("verify joins, NO kernel") { joinOnly.agg(sum("s")).head() }
+    val candCond = col("a.band_j") === col("b.band_j") &&
+      col("a.band_key") === col("b.band_key") &&
+      col("a.doc_id") < col("b.doc_id") &&
+      least(col("a.nw"), col("b.nw")) * 10 >=
+        greatest(col("a.nw"), col("b.nw")) * 9
+    // decomposition: candidate generation alone (streamed inside the
+    // join, never shuffled) vs with the fused jaccard verify
+    time("band join, candidates only") {
+      b.as("a").join(b.as("b"), candCond).count()
+    }
     println(s"[profile] avg |hws| = " +
       reps.agg(avg(size(col("hws")))).head().getDouble(0))
-
-    val w = reps.select(col("doc_id"), col("hws"))
-    val repPairs = pairs
-      .join(w.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
-      .join(w.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
+    val repPairs = b.as("a").join(b.as("b"), candCond)
       .withColumn("jaccard",
         round(graft.functions.TextHashes.jaccard_long(
-          col("wa.hws"), col("wb.hws")), 6))
+          col("a.hws"), col("b.hws")), 6))
       .filter(col("jaccard") >= Dedup.JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("jaccard"))
+      .distinct()
       .persist(lvl)
-    time("jaccard verify") { repPairs.count() }
+    if (args.contains("-plan"))
+      println(repPairs.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    time("fused band join + verify") { repPairs.count() }
     val members = all.select(col("set_id"), col("doc_id"))
     val sa = reps.select(col("doc_id").as("doc_a"), col("set_id").as("sid_a"))
     val sb = reps.select(col("doc_id").as("doc_b"), col("set_id").as("sid_b"))
@@ -121,11 +113,12 @@ object ProfilePairs {
         .localCheckpoint(true)
     }
     println(s"[profile] counts: all=${all.count()} reps=${reps.count()} " +
-      s"bandRows=${b.count()} candPairs=${pairs.count()} " +
+      s"bandRows=${b.count()} " +
+      s"candPairs=${b.as("a").join(b.as("b"), candCond).count()} " +
       s"repPairs=${repPairs.count()}")
     // the end-to-end production build, cold caches, for reference
     Dedup.clearCaches(spark)
-    Seq(all, reps, b, pairs, repPairs).foreach(_.unpersist(blocking = true))
+    Seq(all, reps, b, repPairs).foreach(_.unpersist(blocking = true))
     time("verifiedPairs end-to-end") {
       mat(Dedup.verifiedPairs(spark, sfDir))
     }

@@ -59,6 +59,8 @@ object ProfileQueries {
     Seq("watermarks", "token_count", "embedding_topk").foreach(mat)
     // warm artifacts so consumers profile net of builds, like the bench
     val artifacts: Seq[(String, () => Any)] = Seq(
+      ("artifact_minhash_base",
+        () => graft.operators.Dedup.wordSetBase(spark, sfDir)),
       ("artifact_minhash_pairs",
         () => graft.operators.Dedup.verifiedPairs(spark, sfDir)
           .queryExecution.toRdd.count()),
@@ -125,14 +127,29 @@ object ProfileQueries {
         f"${tasks.get}%6d ${shufRead.get / 1e6}%9.2f ${shufWrite.get / 1e6}%9.2f")
     }
 
-    // artifact rows: profile the cold build (cache-dropped), like Bench
+    // artifact rows: profile the cold build (cache-dropped), like Bench.
+    // The minhash rows drop variant-scoped so a family row profiles the
+    // family build NET of the shared word-set base, matching the bench's
+    // per-row charging.
+    val variantDrops: Map[String, SparkSession => Unit] = Map(
+      "artifact_minhash_base" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("wsall", "wsreps", "wsintra"))),
+      "artifact_minhash_pairs" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairs"))),
+      "artifact_minhash_pairs_b" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairsB"))))
     artSelected.foreach { case (name, build) =>
-      graft.operators.Dedup.clearCaches(spark)
-      graft.operators.TextAnalysis.clearCaches(spark)
-      graft.operators.Curation.clearCaches(spark)
-      graft.operators.LangModel.clearCaches(spark)
-      graft.operators.Sampling.clearCaches(spark)
-      graft.operators.Similarity.clearCaches(spark)
+      variantDrops.get(name) match {
+        case Some(drop) => drop(spark)
+        case None =>
+          // full drops are fine here: the three minhash rows run first
+          graft.operators.Dedup.clearCaches(spark)
+          graft.operators.TextAnalysis.clearCaches(spark)
+          graft.operators.Curation.clearCaches(spark)
+          graft.operators.LangModel.clearCaches(spark)
+          graft.operators.Sampling.clearCaches(spark)
+          graft.operators.Similarity.clearCaches(spark)
+      }
       profile(name) { build(): Unit }
     }
     // re-warm all artifacts so query rows measure net of builds

@@ -275,6 +275,74 @@ object Dedup {
     })
   }
 
+  /** Family-independent collapsed word-set base shared by BOTH MinHash
+    * family builds (r17 verdict #3: the two families re-ran the
+    * tokenize+hash+collapse subtree end-to-end — build it once, band
+    * twice). `wsall` = per-doc word sets with the collapse key;
+    * `wsreps` = one row per DISTINCT set. Persist-once pairsCache
+    * variants, so [[clearCaches]] reclaims them with everything else;
+    * the bench charges the base as its own artifact row
+    * (`artifact_minhash_base`) and drops ONLY the family variants
+    * between pairs-row trials. */
+  private[graft] def wordSetAll(spark: SparkSession, sfDir: String): DataFrame =
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "wsall")(
+      wordSetIds(spark, sfDir))
+
+  private[graft] def wordSetReps(spark: SparkSession, sfDir: String): DataFrame =
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "wsreps")(
+      wordSetAll(spark, sfDir).groupBy("set_id").agg(
+        min("doc_id").as("doc_id"),
+        first("nw").as("nw"), // members share the set, hence nw
+        min_by(col("hws"), col("doc_id")).as("hws")))
+
+  /** Intra-group pairs: identical sets ⟺ Jaccard exactly 1.0, and
+    * identical signatures always collide — every member pair is a
+    * verified pair by construction, for EITHER hash family. Family-
+    * independent, so cached once and unioned into both family builds. */
+  private[graft] def wordSetIntraPairs(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    getOrUpdateEvicting(pairsCache, spark, sfDir, "wsintra")({
+      val members = wordSetAll(spark, sfDir)
+        .select(col("set_id"), col("doc_id"))
+      members.as("x").join(members.as("y"),
+          col("x.set_id") === col("y.set_id") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+    })
+
+  /** Materialize the base eagerly — persist alone is lazy, and a
+    * self-join over a cold cache races both sides into computing the
+    * same partitions (duplicate scans, not cache hits). The count jobs
+    * run only when the entry is cold so a warm-path family build pays
+    * zero extra actions. */
+  private[graft] def wordSetBase(spark: SparkSession, sfDir: String): Unit = {
+    def cold(variant: String): Boolean = pairsCache.synchronized {
+      !pairsCache.contains(
+        (spark, cacheKeyFor(sfDir, variant, "documents")))
+    }
+    if (cold("wsall")) wordSetAll(spark, sfDir).count(): Unit
+    if (cold("wsreps")) wordSetReps(spark, sfDir).count(): Unit
+    if (cold("wsintra")) wordSetIntraPairs(spark, sfDir).count(): Unit
+  }
+
+  /** Release ONLY the named pairsCache variants for `(spark, sfDir)` —
+    * the bench's per-artifact-row cache dropper (a blanket
+    * [[clearCaches]] between the min-of-2 trials of a FAMILY row would
+    * evict the shared base and time base+family instead of the family
+    * build alone). sfDir-scoped so concurrent users of other data
+    * directories (parallel test suites) are untouched. */
+  private[graft] def clearPairsVariants(spark: SparkSession, sfDir: String,
+      variants: Seq[String]): Unit = pairsCache.synchronized {
+    val stale = pairsCache.keys.filter { case (s, k) =>
+      (s eq spark) && variants.exists(v => k.startsWith(s"$sfDir#$v#"))
+    }.toSeq
+    stale.foreach { k =>
+      releaseFrame(pairsCache(k))
+      pairsCache.remove(k)
+    }
+  }
+
   def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
     getOrUpdateEvicting(pairsCache, spark, sfDir, "pairs")(
       computeMinhashPairs(spark, sfDir))
@@ -352,14 +420,13 @@ object Dedup {
     // output-bounded expansion, instead of copies squared. set_id is
     // md5 over the sorted hash set (128-bit; a fingerprint collision
     // would wrongly merge sets, so the 32-bit limb hash is not enough).
-    val all = wordSetIds(spark, sfDir).persist(lvl)
-    all.count()
-    val reps = all.groupBy("set_id").agg(
-        min("doc_id").as("doc_id"),
-        first("nw").as("nw"), // members share the set, hence nw
-        min_by(col("hws"), col("doc_id")).as("hws"))
-      .persist(lvl)
-    reps.count()
+    // The word-set base (`all`, `reps`) is FAMILY-INDEPENDENT and shared
+    // with the second family's build via the persist-once cache (r17
+    // verdict #3) — built once, banded twice. Cache-owned: NOT
+    // unpersisted here.
+    wordSetBase(spark, sfDir)
+    val all = wordSetAll(spark, sfDir)
+    val reps = wordSetReps(spark, sfDir)
     val members = all.select(col("set_id"), col("doc_id"))
     // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
     // the r11 ngram build's plan discipline, adopted here in r12), so
@@ -376,9 +443,14 @@ object Dedup {
     // where ENSURE_REQUIREMENTS exchanges off the narrow cache leave AQE
     // free to size the join stages. Data-proportional sizing stays where
     // it measured a WIN (the termCounts aggregation).
+    // hws RIDES THROUGH the band explode too (r18): the verify consumes
+    // it IN the self-join (below), so the band table carries NumBands
+    // copies of each distinct set's hash array — linear in the collapsed
+    // corpus — instead of the candidate table carrying per-PAIR rows
+    // (quadratic in bucket size) across two verify exchanges.
     val b = bandsOf(base, familyOffset)
       .select(col("doc_id"), col("nw"), col("set_id"),
-        col("band_j"), col("band_key"))
+        col("band_j"), col("band_key"), col("hws"))
       .persist(lvl)
     b.count()
     // size-ratio prune INSIDE the band join: jaccard ≥ 0.9 implies
@@ -386,45 +458,36 @@ object Dedup {
     // identical condition selects the identical candidate set); at sf0.1
     // this drops ~52% of candidates before the array-intersect verify.
     //
-    // NO pre-verify distinct (r12 profile finding): candidates
-    // outnumber verified pairs ~45:1 at sf0.1, and the distinct was a
-    // full extra Exchange of the candidate table (~1.3 s of the 7.7 s
-    // floor row) paid only to dedup the ~5% of pairs that collide in
-    // more than one band. The verify joins stream the slightly-larger
-    // multiset instead, and the distinct runs AFTER the jaccard filter,
-    // on the output-sized survivor sliver (a pair's jaccard is
-    // pair-determined, so duplicates agree and distinct is exact).
-    val cand = b.as("a").join(b.as("b"),
-        col("a.band_j") === col("b.band_j") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.nw"), col("b.nw")) * 10 >=
-            greatest(col("a.nw"), col("b.nw")) * 9)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"))
-    // Verify on the hashed shingle sets (standard MinHash practice),
-    // identical to the oracle's list_intersect/list_distinct arithmetic.
-    // Two scale-critical shapes here (sf1 stress findings — the verify
-    // stage dominated the whole build):
-    //  - SHUFFLE_HASH hint on the per-doc side: a sort-merge join would
-    //    SORT the candidate side, which carries a hash array per row —
-    //    tens of GB of sort spill at stress scale for zero benefit; the
-    //    hash join builds its map from the small per-doc side and streams
-    //    the candidates.
-    //  - the candidate side crosses its one shuffle carrying only
-    //    (doc_a, doc_b, set ids); arrays attach from the narrow per-doc
-    //    frame.
-    val w = reps.select(col("doc_id"), col("hws"))
+    // VERIFY INSIDE THE BAND JOIN (r18, opt guide §2.3/§2.4 — the r12
+    // "no pre-verify distinct" finding taken to its limit): the old
+    // shape materialized the candidate multiset (Σ bucket² rows — 1.39M
+    // at sf0.1 from 15,740 band rows, 48:1 over verified pairs) and
+    // shuffled it through TWO SHUFFLE_HASH joins against the per-doc
+    // hash-set frame just to attach hws — 176 MB of the build's 177 MB
+    // measured shuffle, 2.2 of ~5.5 s. Computing jaccard directly on
+    // the joined band rows means the quadratic candidate set lives only
+    // INSIDE the join operator (streamed, filtered to the output-sized
+    // survivor sliver before anything crosses an exchange); the only
+    // payload shuffled is the band table itself — NumBands × the
+    // collapsed corpus' hash arrays, linear, the §8 rule ("every
+    // shuffle but the last operates on data linear in the input").
+    // Values are identical: same candidate multiset (same join
+    // condition), same per-pair jaccard (a rep's hws is the same array
+    // the old per-doc frame attached), same post-filter distinct.
     try {
       // verified pairs at REPRESENTATIVE level (one per distinct set)
-      val repPairs = cand
-        .join(w.as("wa").hint("SHUFFLE_HASH"), col("doc_a") === col("wa.doc_id"))
-        .join(w.as("wb").hint("SHUFFLE_HASH"), col("doc_b") === col("wb.doc_id"))
+      val repPairs = b.as("a").join(b.as("b"),
+          col("a.band_j") === col("b.band_j") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.nw"), col("b.nw")) * 10 >=
+              greatest(col("a.nw"), col("b.nw")) * 9)
         .withColumn("jaccard",
           round(graft.functions.TextHashes.jaccard_long(
-            col("wa.hws"), col("wb.hws")), 6))
+            col("a.hws"), col("b.hws")), 6))
         .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("sid_a"), col("sid_b"),
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"),
           col("jaccard"))
         .distinct() // multi-band collisions, deduped post-verify
       // expand rep pairs to member pairs: cross the two member groups —
@@ -436,14 +499,9 @@ object Dedup {
           least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
           greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
           col("jaccard"))
-      // intra-group pairs: identical sets ⟺ Jaccard exactly 1.0, and
-      // identical signatures always collide — every member pair is a
-      // verified pair by construction
-      val intra = members.as("x").join(members.as("y"),
-          col("x.set_id") === col("y.set_id") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          lit(1.0).as("jaccard"))
+      // intra-group pairs: family-independent, cached once in the base
+      // ([[wordSetIntraPairs]]) and reused by the sibling family's build
+      val intra = wordSetIntraPairs(spark, sfDir)
       // Materialize the sliver CLUSTERED BY doc_b: the pre-collapse
       // pipeline's last shuffle was the doc_b-keyed verify join, so
       // consumers doing per-doc_b work (dedup_similar_keep's distinct)
@@ -456,9 +514,9 @@ object Dedup {
           col("doc_b"))
         .localCheckpoint(true) // eager: intermediates are safe to drop
     } finally {
+      // all/reps are cache-owned (shared with the sibling family build);
+      // only this family's band table is build-local
       b.unpersist(blocking = false)
-      reps.unpersist(blocking = false)
-      all.unpersist(blocking = false)
     }
   }
 
