@@ -201,11 +201,36 @@ object Bench {
       ("artifact_lm_model",
         () => graft.operators.LangModel.lmModel(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The corpus scored against the LM model, as its own persist-once
+      // row (r18): six rows evaluate this subtree (its own query,
+      // lm_quality_buckets, quality_signals, the DSIR build,
+      // importance_sample twice) and each evaluation is a corpus
+      // tokenize + bigram explode + model join.
+      ("artifact_lm_scores",
+        () => graft.operators.LangModel.lmBigramScore(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_dsir_ratio",
         () => graft.operators.Sampling.dsirRatioTable(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The curation decision frame (r18): curate_corpus and
+      // curation_report both consumed the four-sub-pipeline composition;
+      // one materialization, reports read the table.
+      ("artifact_curate_decision",
+        () => graft.operators.Curation.curateCorpus(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_cell_assignment",
         () => graft.operators.Similarity.cellAssignment(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      // The exact cosine top-k — the ANN family's recall ground truth —
+      // was evaluated by three rows (r18); compute the table once.
+      ("artifact_exact_topk",
+        () => graft.operators.Similarity.embeddingTopK(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      // The embedding near-dup components table (r18): the banded
+      // near-dup pipeline + components fixpoint ran end-to-end in BOTH
+      // embedding_dedup_keep and curate_embeddings.
+      ("artifact_embedding_components",
+        () => graft.operators.Similarity.embeddingComponents(spark, sfDir)
           .queryExecution.toRdd.count()),
       ("artifact_pq_trained_book",
         () => graft.operators.Similarity.trainedBook(spark, sfDir)),
@@ -270,10 +295,11 @@ object Bench {
     // Cache-droppers per artifact row, shared by the min-of-2 build loop
     // below and the end-of-run reconfirm (a build trial against a warm
     // persist-once cache would time nothing).
-    // The three minhash rows drop VARIANT-SCOPED (r18): a blanket
-    // Dedup.clearCaches between a family row's min-of-2 trials would
-    // evict the shared word-set base and time base+family instead of the
-    // family build alone (the base has its own timed row above).
+    // ALL Dedup-family rows drop VARIANT-SCOPED (r18): a blanket module
+    // clearCaches between one row's min-of-2 trials would evict SIBLING
+    // artifacts built earlier in the loop (the shared word-set base, the
+    // pairs tables), mischarging later rows with their rebuilds; each
+    // row now drops exactly the cache entries its own build populates.
     val artifactCaches: Map[String, SparkSession => Unit] = Map(
       "artifact_minhash_base" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("wsall", "wsreps", "wsintra"))),
@@ -281,14 +307,28 @@ object Bench {
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairs"))),
       "artifact_minhash_pairs_b" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairsB"))),
-      "artifact_ngram_signatures" -> graft.operators.Dedup.clearCaches,
+      "artifact_ngram_signatures" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir,
+          Seq("ngrams", "ngram_reps"))),
       "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
-      "artifact_dup_spans" -> graft.operators.Curation.clearCaches,
+      "artifact_dup_spans" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDupSpans(s, sfDir)),
       "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
+      "artifact_lm_scores" -> ((s: SparkSession) =>
+        graft.operators.LangModel.clearScores(s, sfDir)),
       "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
-      "artifact_cell_assignment" -> graft.operators.Similarity.clearCaches,
-      "artifact_pq_trained_book" -> graft.operators.Similarity.clearCaches,
-      "artifact_simhash_fp" -> graft.operators.Dedup.clearCaches,
+      "artifact_curate_decision" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDecision(s, sfDir)),
+      "artifact_cell_assignment" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearCells(s, sfDir)),
+      "artifact_embedding_components" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearComponents(s, sfDir)),
+      "artifact_exact_topk" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearTopK(s, sfDir)),
+      "artifact_pq_trained_book" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearBook(s, sfDir)),
+      "artifact_simhash_fp" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearSimhash(s, sfDir)),
       // the snapshot "cache" is the on-disk tmpdir directory itself;
       // dropping it makes the min-of-2 second trial a real rebuild.
       // Variant-scoped so one row's drops never destroy the sibling

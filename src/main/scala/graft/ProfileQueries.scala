@@ -83,11 +83,25 @@ object ProfileQueries {
       ("artifact_lm_model",
         () => graft.operators.LangModel.lmModel(spark, sfDir)
           .queryExecution.toRdd.count()),
+      ("artifact_lm_scores",
+        () => graft.operators.LangModel.lmBigramScore(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_dsir_ratio",
         () => graft.operators.Sampling.dsirRatioTable(spark, sfDir)
           .queryExecution.toRdd.count()),
+      ("artifact_curate_decision",
+        () => graft.operators.Curation.curateCorpus(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_cell_assignment",
         () => graft.operators.Similarity.cellAssignment(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      // The exact cosine top-k — the ANN family's recall ground truth —
+      // was evaluated by three rows (r18); compute the table once.
+      ("artifact_exact_topk",
+        () => graft.operators.Similarity.embeddingTopK(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_embedding_components",
+        () => graft.operators.Similarity.embeddingComponents(spark, sfDir)
           .queryExecution.toRdd.count()),
       ("artifact_pq_trained_book",
         () => graft.operators.Similarity.trainedBook(spark, sfDir)),
@@ -137,7 +151,26 @@ object ProfileQueries {
       "artifact_minhash_pairs" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairs"))),
       "artifact_minhash_pairs_b" -> ((s: SparkSession) =>
-        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairsB"))))
+        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairsB"))),
+      "artifact_ngram_signatures" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir,
+          Seq("ngrams", "ngram_reps"))),
+      "artifact_dup_spans" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDupSpans(s, sfDir)),
+      "artifact_lm_scores" -> ((s: SparkSession) =>
+        graft.operators.LangModel.clearScores(s, sfDir)),
+      "artifact_curate_decision" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDecision(s, sfDir)),
+      "artifact_cell_assignment" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearCells(s, sfDir)),
+      "artifact_embedding_components" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearComponents(s, sfDir)),
+      "artifact_exact_topk" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearTopK(s, sfDir)),
+      "artifact_pq_trained_book" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearBook(s, sfDir)),
+      "artifact_simhash_fp" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearSimhash(s, sfDir)))
     artSelected.foreach { case (name, build) =>
       variantDrops.get(name) match {
         case Some(drop) => drop(spark)

@@ -332,16 +332,28 @@ object Dedup {
     * evict the shared base and time base+family instead of the family
     * build alone). sfDir-scoped so concurrent users of other data
     * directories (parallel test suites) are untouched. */
-  private[graft] def clearPairsVariants(spark: SparkSession, sfDir: String,
-      variants: Seq[String]): Unit = pairsCache.synchronized {
-    val stale = pairsCache.keys.filter { case (s, k) =>
+  private[graft] def clearVariantsFor(
+      cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      spark: SparkSession, sfDir: String,
+      variants: Seq[String]): Unit = cache.synchronized {
+    val stale = cache.keys.filter { case (s, k) =>
       (s eq spark) && variants.exists(v => k.startsWith(s"$sfDir#$v#"))
     }.toSeq
     stale.foreach { k =>
-      releaseFrame(pairsCache(k))
-      pairsCache.remove(k)
+      releaseFrame(cache(k))
+      cache.remove(k)
     }
   }
+
+  private[graft] def clearPairsVariants(spark: SparkSession, sfDir: String,
+      variants: Seq[String]): Unit =
+    clearVariantsFor(pairsCache, spark, sfDir, variants)
+
+  /** Variant-scoped dropper for the simhash fingerprint table (the
+    * bench's artifact_simhash_fp row — a blanket clearCaches would evict
+    * the warm minhash base/pairs mid-artifact-loop). */
+  private[graft] def clearSimhash(spark: SparkSession, sfDir: String): Unit =
+    clearVariantsFor(simhashCache, spark, sfDir, Seq("simhash_fp"))
 
   def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
     getOrUpdateEvicting(pairsCache, spark, sfDir, "pairs")(

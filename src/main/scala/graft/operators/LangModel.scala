@@ -92,7 +92,25 @@ object LangModel {
     }
   }
 
-  def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc LM score table, session-scoped persist-once (r18): six
+    * bench rows evaluate this subtree — its own query, lm_quality_buckets,
+    * quality_signals, the DSIR ratio build, and importance_sample
+    * (twice: the pass flags and the occurrence stream) — and each
+    * evaluation is a full corpus tokenize + bigram explode + model join.
+    * The scored table is the classic trained-scorer artifact (score the
+    * corpus once, route every consumer through the table), charged as
+    * its own bench row `artifact_lm_scores` with a variant-scoped drop. */
+  def lmBigramScore(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(modelCache, spark, sfDir, "lm_scores")(
+      lmBigramScoreUncached(spark, sfDir))
+
+  /** Variant-scoped dropper for the score table (the bench's
+    * artifact_lm_scores row must rebuild the SCORES, not the model). */
+  private[graft] def clearScores(spark: SparkSession, sfDir: String): Unit =
+    Dedup.clearVariantsFor(modelCache, spark, sfDir, Seq("lm_scores"))
+
+  private def lmBigramScoreUncached(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val bgs = bigramOccurrences(d)
     val lp = lmModel(spark, sfDir)

@@ -71,8 +71,36 @@ object Similarity {
 
   /** Exact cosine top-k: broadcast the query subset, scan the corpus once,
     * per-query top-k via partition-local window (ranking uses the unrounded
-    * cosine; ties broken by vec_id). */
+    * cosine; ties broken by vec_id).
+    *
+    * Session-scoped persist-once (r18): the exact table is the RECALL
+    * GROUND TRUTH — evaluated by three bench rows (its own query,
+    * ann_recall, ann_recall_trained), each evaluation the full corpus×Q
+    * scoring scan, while the result is Q×k rows. Charged as its own
+    * bench row `artifact_exact_topk`; the production shape (compute the
+    * ground-truth table once, evaluate every method against it). Eager
+    * (count at build) — recallTable joins it twice, and a lazy cold
+    * cache would race both subtrees into duplicate evaluation. */
   def embeddingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (spark, s"$sfDir#topk#${embFingerprint(spark, sfDir)}")
+    assignedCache.synchronized(assignedCache.get(key)).getOrElse {
+      val built = embeddingTopKUncached(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      built.count()
+      assignedCache.synchronized {
+        assignedCache.get(key) match {
+          case Some(winner) =>
+            built.unpersist(blocking = false); winner
+          case None =>
+            evictStale(spark, s"$sfDir#topk#", key._2)
+            assignedCache.update(key, built); built
+        }
+      }
+    }
+  }
+
+  private def embeddingTopKUncached(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
     val q = n.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
@@ -81,6 +109,10 @@ object Similarity {
         dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
     rankTopK(scored)
   }
+
+  /** Variant-scoped dropper for the exact top-k table. */
+  private[graft] def clearTopK(spark: SparkSession, sfDir: String): Unit =
+    clearAssignedPrefix(spark, s"$sfDir#topk#")
 
   /** LSH bucket id: sign bits of the projections onto NumPlanes
     * deterministic hyperplanes (Knuth-hashed flat index → [-0.5, 0.5)),
@@ -414,23 +446,79 @@ object Similarity {
     * CHAINS collapse to one kept vector per component (min vec_id).
     * The full embedding table is only touched by the singleton-stamping
     * left join. */
-  def embeddingDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = embeddingNearDup(spark, sfDir).select("vec_a", "vec_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // componentsOf fully materializes before returning, so the pairs
-    // frame is released as soon as it does — in a finally, so a failing
-    // action cannot strand the persisted pair table outside every cache
-    // registry (r17 operators review #5)
-    val comp =
-      try graft.operators.Dedup
-        .componentsOf(spark, pairs, pairs.count()).toDF("vec_id", "comp")
-      finally pairs.unpersist(blocking = false)
+  def embeddingDedupKeep(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir).select(col("vec_id"))
-      .join(comp, Seq("vec_id"), "left")
+      .join(embeddingComponents(spark, sfDir), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("component_id"))
       .withColumn("is_kept", col("component_id") === col("vec_id"))
+
+  /** Session-scoped persist-once of the embedding near-dup CONNECTED
+    * COMPONENTS table (r18): both embedding_dedup_keep and
+    * curate_embeddings ran the banded near-dup pipeline + the components
+    * fixpoint end-to-end; one materialization per (session, corpus),
+    * charged as its own bench row `artifact_embedding_components`.
+    * Double-checked like the Lloyd chain — the build runs Spark actions,
+    * so it must not hold the cache monitor; a losing racer unpersists
+    * its own build and adopts the winner's. */
+  private[graft] def embeddingComponents(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    val key = (spark, s"$sfDir#ncomp#${embFingerprint(spark, sfDir)}")
+    assignedCache.synchronized(assignedCache.get(key)).getOrElse {
+      val pairs = embeddingNearDup(spark, sfDir).select("vec_a", "vec_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // componentsOf fully materializes before returning, so the pairs
+      // frame is released as soon as it does — in a finally, so a failing
+      // action cannot strand the persisted pair table outside every cache
+      // registry (r17 operators review #5)
+      val comp =
+        try graft.operators.Dedup
+          .componentsOf(spark, pairs, pairs.count()).toDF("vec_id", "comp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        finally pairs.unpersist(blocking = false)
+      comp.count()
+      assignedCache.synchronized {
+        assignedCache.get(key) match {
+          case Some(winner) =>
+            comp.unpersist(blocking = false); winner
+          case None =>
+            evictStale(spark, s"$sfDir#ncomp#", key._2)
+            assignedCache.update(key, comp); comp
+        }
+      }
+    }
   }
+
+  /** Prefix-scoped dropper over assignedCache (its keys are ad-hoc
+    * "$sfDir#<kind>#<fp>" strings, not getOrUpdateEvicting variants). */
+  private def clearAssignedPrefix(spark: SparkSession,
+                                  prefix: String): Unit =
+    assignedCache.synchronized {
+      assignedCache.keys.filter { case (s, k) =>
+        (s eq spark) && k.startsWith(prefix)
+      }.toSeq.foreach { k =>
+        graft.operators.Dedup.releaseFrame(assignedCache(k))
+        assignedCache.remove(k)
+      }
+    }
+
+  /** Variant-scoped droppers for the bench's similarity artifact rows —
+    * each row rebuilds exactly its own cache entries, so one row's
+    * min-of-2 drops can no longer evict a sibling artifact built
+    * earlier in the loop (mischarging the re-warm). */
+  private[graft] def clearComponents(spark: SparkSession,
+                                     sfDir: String): Unit =
+    clearAssignedPrefix(spark, s"$sfDir#ncomp#")
+
+  private[graft] def clearCells(spark: SparkSession, sfDir: String): Unit =
+    clearAssignedPrefix(spark, s"$sfDir#cell#")
+
+  private[graft] def clearBook(spark: SparkSession, sfDir: String): Unit =
+    bookCache.synchronized {
+      bookCache.keys.filter { case (s, k) =>
+        (s eq spark) && k.startsWith(s"$sfDir#")
+      }.toSeq.foreach(bookCache.remove)
+    }
 
   // ---- k-means refinement (semantic clustering over embeddings) ----
 
