@@ -67,6 +67,11 @@ object ProfileQueries {
       ("artifact_minhash_pairs_b",
         () => graft.operators.Dedup.verifiedPairsB(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The doc components table: dedup_components and centrality_keep
+      // both ran the fixpoint (r18); compute once, consumers join it.
+      ("artifact_doc_components",
+        () => graft.operators.Dedup.docComponents(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_ngram_signatures",
         () => {
           graft.operators.Dedup.ngramDocs(spark, sfDir)
@@ -152,6 +157,8 @@ object ProfileQueries {
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairs"))),
       "artifact_minhash_pairs_b" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("pairsB"))),
+      "artifact_doc_components" -> ((s: SparkSession) =>
+        graft.operators.Dedup.clearPairsVariants(s, sfDir, Seq("doccomp"))),
       "artifact_ngram_signatures" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir,
           Seq("ngrams", "ngram_reps"))),

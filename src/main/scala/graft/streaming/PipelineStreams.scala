@@ -591,8 +591,9 @@ object PipelineStreams {
       .filter(col("n_chars_norm") >= Dedup.NgramMinChars)
       .withColumn("hgs", graft.functions.TextHashes.hash32_array(
         graft.functions.TextHashes.char_grams_distinct(col("ntext"), 3)))
-      .withColumn("stream_hgs", col("hgs"))
+      // hgs rides the band explode since r18 — rename, don't duplicate
       .transform(Dedup.ngramBandKeys(_))
+      .withColumnRenamed("hgs", "stream_hgs")
       .withColumn("pkey", Dedup.ngramProbeKey(
         col("lang"), col("n_chars_norm"), col("band_key")))
   }
