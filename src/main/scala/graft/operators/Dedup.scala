@@ -1439,29 +1439,43 @@ object Dedup {
     // set_id RIDES THROUGH the band explode (32 bytes per exploded row —
     // same plan discipline as the SimHash collapse), so the expansion
     // needs no joins back to `reps` to recover each side's group
-    // VERIFY INSIDE THE BAND JOIN (r18, the minhash-build fusion): hgs
-    // rides the band rows, jaccard is computed on the joined pair, and
-    // the candidate multiset never crosses an exchange — the old shape
-    // shuffled it through two attach joins against the per-rep gram
-    // frame. The distinct still runs AFTER the jaccard filter, on the
-    // output-sized survivor sliver (multi-band collisions agree on
-    // jaccard, so distinct is exact).
+    // NOT the minhash-build fusion (r18 A/B at sf10): fusing the verify
+    // into this self-join (hgs riding the band rows, jaccard on the
+    // joined pair) measured ngram_recall 9.0 -> 34.5 s and ngram_jaccard
+    // 5.7 -> 11.3 s at the 100x decade and was REVERTED. The ngram gram
+    // sets are ~5x larger than the word-hash sets (one hash per distinct
+    // char 3-gram), so shipping them xNgramNumBands through the band
+    // exchange and the sort-merge sort costs more than the candidate
+    // multiset the fusion avoids — here candidates are CHEAP relative to
+    // array bytes, the opposite of the minhash build's ratio. The
+    // attach-join shape keeps the arrays crossing ONE narrow exchange
+    // each, exactly as the r17 comment below documents.
     val b = ngramBandKeys(reps, familyOffset)
       .select(col("doc_id"), col("lang"), col("n_chars_norm"),
-        col("set_id"), col("band_j"), col("band_key"), col("hgs"))
-    b.as("a").join(b.as("b"),
+        col("set_id"), col("band_j"), col("band_key"))
+    val pairs = b.as("a").join(b.as("b"),
         col("a.band_j") === col("b.band_j") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.lang") === col("b.lang") &&
           col("a.n_chars_norm") === col("b.n_chars_norm") &&
           col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"))
+    val h = reps.select(col("doc_id"), col("hgs"))
+    // NO pre-verify distinct (the r12 minhash-build discipline): the
+    // candidate multiset streams into the verify joins and the dedup of
+    // multi-band collisions (≤ NgramNumBands rows per pair) runs AFTER
+    // the jaccard filter on the survivor sliver — the deleted Exchange
+    // was candidate-sized, the remaining one is output-sized
+    pairs
+      .join(h.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(h.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("ngram_jaccard",
         round(graft.functions.TextHashes.jaccard_long(
-          col("a.hgs"), col("b.hgs")), 6))
+          col("ga.hgs"), col("gb.hgs")), 6))
       .filter(col("ngram_jaccard") >= NgramJaccardThreshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.set_id").as("sid_a"), col("b.set_id").as("sid_b"),
-        col("ngram_jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sid_a"), col("sid_b"), col("ngram_jaccard"))
       .distinct()
   }
 
