@@ -217,6 +217,19 @@ object Bench {
       ("artifact_dsir_ratio",
         () => graft.operators.Sampling.dsirRatioTable(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The per-language mix plan (r18): ONE corpus tokenize pass behind
+      // a dozen-row table, evaluated by three rows (source_mix_plan,
+      // stratified_sample, the curation decision build); built once,
+      // every sampler reads it.
+      ("artifact_source_mix",
+        () => graft.operators.Sampling.sourceMixPlan(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      // The 5-gram eval-contamination flags (r18): the corpus tokenize +
+      // gram-explode pass ran in both the decontaminate row and the
+      // decision build; published once per (corpus, holdout).
+      ("artifact_decontam",
+        () => graft.operators.Curation.decontaminate(spark, sfDir)
+          .queryExecution.toRdd.count()),
       // The curation decision frame (r18): curate_corpus and
       // curation_report both consumed the four-sub-pipeline composition;
       // one materialization, reports read the table.
@@ -323,7 +336,14 @@ object Bench {
       "artifact_lm_model" -> graft.operators.LangModel.clearCaches,
       "artifact_lm_scores" -> ((s: SparkSession) =>
         graft.operators.LangModel.clearScores(s, sfDir)),
-      "artifact_dsir_ratio" -> graft.operators.Sampling.clearCaches,
+      // variant-scoped (r18): a blanket Sampling.clearCaches between the
+      // dsir row's trials would evict the mix plan built two rows earlier
+      "artifact_dsir_ratio" -> ((s: SparkSession) =>
+        graft.operators.Sampling.clearDsir(s, sfDir)),
+      "artifact_source_mix" -> ((s: SparkSession) =>
+        graft.operators.Sampling.clearSourceMix(s, sfDir)),
+      "artifact_decontam" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDecontam(s, sfDir)),
       "artifact_curate_decision" -> ((s: SparkSession) =>
         graft.operators.Curation.clearDecision(s, sfDir)),
       "artifact_cell_assignment" -> ((s: SparkSession) =>

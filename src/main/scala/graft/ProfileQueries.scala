@@ -94,6 +94,12 @@ object ProfileQueries {
       ("artifact_dsir_ratio",
         () => graft.operators.Sampling.dsirRatioTable(spark, sfDir)
           .queryExecution.toRdd.count()),
+      ("artifact_source_mix",
+        () => graft.operators.Sampling.sourceMixPlan(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_decontam",
+        () => graft.operators.Curation.decontaminate(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_curate_decision",
         () => graft.operators.Curation.curateCorpus(spark, sfDir)
           .queryExecution.toRdd.count()),
@@ -166,6 +172,12 @@ object ProfileQueries {
         graft.operators.Curation.clearDupSpans(s, sfDir)),
       "artifact_lm_scores" -> ((s: SparkSession) =>
         graft.operators.LangModel.clearScores(s, sfDir)),
+      "artifact_dsir_ratio" -> ((s: SparkSession) =>
+        graft.operators.Sampling.clearDsir(s, sfDir)),
+      "artifact_source_mix" -> ((s: SparkSession) =>
+        graft.operators.Sampling.clearSourceMix(s, sfDir)),
+      "artifact_decontam" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearDecontam(s, sfDir)),
       "artifact_curate_decision" -> ((s: SparkSession) =>
         graft.operators.Curation.clearDecision(s, sfDir)),
       "artifact_cell_assignment" -> ((s: SparkSession) =>

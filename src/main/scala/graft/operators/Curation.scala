@@ -137,8 +137,26 @@ object Curation {
     * .WordGramsHashed]], one pass per doc) so the join currency is a
     * fixed-width key; the eval gram set is explicitly broadcast — at any
     * corpus scale the holdout stays benchmark-sized, so the train side
-    * is a map-side hash probe with NO shuffle of corpus data. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    * is a map-side hash probe with NO shuffle of corpus data.
+    *
+    * Session-scoped persist-once (r18): the corpus tokenize + 5-gram
+    * pass behind the flags table was evaluated TWICE per session (the
+    * decontaminate row itself and the curation decision build). One
+    * materialization per (session, sfDir), charged as its own bench row
+    * `artifact_decontam` with a variant-scoped drop — the production
+    * shape: contamination flags are published once per (corpus, holdout)
+    * pair and every consumer reads the table. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(spanCache, spark, sfDir, "decontam")(
+      decontaminateUncached(spark, sfDir))
+
+  /** Variant-scoped dropper for the contamination flags (the bench's
+    * artifact_decontam row must not evict dup-spans or the decision). */
+  private[graft] def clearDecontam(spark: SparkSession, sfDir: String): Unit =
+    Dedup.clearVariantsFor(spanCache, spark, sfDir, Seq("decontam"))
+
+  private def decontaminateUncached(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("is_eval", isEvalId(col("doc_id")))

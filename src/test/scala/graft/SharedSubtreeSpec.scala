@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Sampling}
+
+/** The r18 shared corpus-pass subtrees behind the curation decision: the
+  * per-language mix plan (one corpus tokenize pass, consumed by
+  * source_mix_plan, stratified_sample, and the decision build) and the
+  * 5-gram contamination flags (one corpus gram pass, consumed by the
+  * decontaminate row and the decision build) must each materialize ONCE
+  * per (session, sfDir), and the bench's variant-scoped droppers must
+  * evict one without evicting its siblings. Scratch-dir isolated —
+  * parallel suites share the SparkSession and the operator caches. */
+class SharedSubtreeSpec extends AnyFunSuite {
+
+  lazy val spark = Testing.spark
+
+  private def scratchDir(): String = {
+    val dir = Files.createTempDirectory("sharedsub").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    dir
+  }
+
+  test("source mix plan materializes once and is reused by its consumers") {
+    val dir = scratchDir()
+    val plan0 = Sampling.sourceMixPlan(spark, dir)
+    plan0.count()
+    // repeat call and the decision build must REUSE the cache entry
+    assert(Sampling.sourceMixPlan(spark, dir) eq plan0)
+    Curation.curateCorpus(spark, dir).count()
+    assert(Sampling.sourceMixPlan(spark, dir) eq plan0)
+  }
+
+  test("contamination flags materialize once and are reused by the decision") {
+    val dir = scratchDir()
+    val flags0 = Curation.decontaminate(spark, dir)
+    flags0.count()
+    assert(Curation.decontaminate(spark, dir) eq flags0)
+    Curation.curateCorpus(spark, dir).count()
+    assert(Curation.decontaminate(spark, dir) eq flags0)
+  }
+
+  test("variant-scoped drops evict one subtree without touching siblings") {
+    val dir = scratchDir()
+    val plan0 = Sampling.sourceMixPlan(spark, dir)
+    val dsir0 = Sampling.dsirRatioTable(spark, dir)
+    val flags0 = Curation.decontaminate(spark, dir)
+    // dropping the dsir table keeps the mix plan, and vice versa
+    Sampling.clearDsir(spark, dir)
+    assert(Sampling.sourceMixPlan(spark, dir) eq plan0)
+    Sampling.clearSourceMix(spark, dir)
+    assert(Sampling.sourceMixPlan(spark, dir) ne plan0)
+    assert(Sampling.dsirRatioTable(spark, dir) ne dsir0)
+    // dropping the contamination flags keeps the decision entry warm
+    val decided0 = Curation.curateCorpus(spark, dir)
+    Curation.clearDecontam(spark, dir)
+    assert(Curation.curateCorpus(spark, dir) eq decided0)
+    assert(Curation.decontaminate(spark, dir) ne flags0)
+  }
+
+  test("cached mix plan and flags equal a fresh rebuild row-for-row") {
+    val dir = scratchDir()
+    val plan = Sampling.sourceMixPlan(spark, dir).collect().sortBy(_.getString(0))
+    Sampling.clearSourceMix(spark, dir)
+    val fresh = Sampling.sourceMixPlan(spark, dir).collect().sortBy(_.getString(0))
+    assert(plan.toSeq == fresh.toSeq)
+    val flags = Curation.decontaminate(spark, dir).collect().sortBy(_.getLong(0))
+    Curation.clearDecontam(spark, dir)
+    val freshF = Curation.decontaminate(spark, dir).collect().sortBy(_.getLong(0))
+    assert(flags.toSeq == freshF.toSeq)
+  }
+}
