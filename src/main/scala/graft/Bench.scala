@@ -200,6 +200,21 @@ object Bench {
       ("artifact_term_counts",
         () => graft.operators.TextAnalysis.termCounts(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The per-doc vocabulary-coverage table (r18): two rows evaluate
+      // it (its own query, quality_signals' vocab leg), each a
+      // corpus-sized rollup over the inverted index; built once.
+      ("artifact_vocab_coverage",
+        () => graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      // The Gopher flag and repetition-signal corpus kernel passes
+      // (r18): each evaluated by two rows (their own query +
+      // quality_signals' leg); one kernel pass per family per session.
+      ("artifact_quality_flags",
+        () => graft.operators.Curation.qualityFilter(spark, sfDir)
+          .queryExecution.toRdd.count()),
+      ("artifact_rep_signals",
+        () => graft.operators.Curation.qualityRepetition(spark, sfDir)
+          .queryExecution.toRdd.count()),
       ("artifact_dup_spans",
         () => graft.operators.Curation.cachedDupSpans(spark, sfDir)
           .queryExecution.toRdd.count()),
@@ -330,7 +345,17 @@ object Bench {
       "artifact_ngram_signatures" -> ((s: SparkSession) =>
         graft.operators.Dedup.clearPairsVariants(s, sfDir,
           Seq("ngrams", "ngram_reps"))),
-      "artifact_term_counts" -> graft.operators.TextAnalysis.clearCaches,
+      // variant-scoped (r18): a blanket TextAnalysis.clearCaches between
+      // the term_counts row's trials would evict the vocab table and
+      // vice versa
+      "artifact_term_counts" -> ((s: SparkSession) =>
+        graft.operators.TextAnalysis.clearTermCounts(s, sfDir)),
+      "artifact_vocab_coverage" -> ((s: SparkSession) =>
+        graft.operators.TextAnalysis.clearVocabCov(s, sfDir)),
+      "artifact_quality_flags" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearQualityFlags(s, sfDir)),
+      "artifact_rep_signals" -> ((s: SparkSession) =>
+        graft.operators.Curation.clearRepSignals(s, sfDir)),
       "artifact_dup_spans" -> ((s: SparkSession) =>
         graft.operators.Curation.clearDupSpans(s, sfDir)),
       "artifact_lm_model" -> graft.operators.LangModel.clearCaches,

@@ -523,8 +523,29 @@ object TextAnalysis {
     * aggregation capped by a distributed TakeOrdered (never a
     * single-partition window), broadcast to the per-doc side; the only
     * corpus-sized exchange is the doc_id rollup, which is
-    * partial-aggregable. */
-  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    * partial-aggregable.
+    *
+    * Persist-once per (session, sfDir) (r18): TWO bench rows evaluate
+    * this frame per run (its own query and quality_signals' vocab leg),
+    * each evaluation a corpus-sized rollup over termCounts. Charged as
+    * its own bench row `artifact_vocab_coverage` with a variant-scoped
+    * drop, same protocol as the LM scores table. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.getOrUpdateEvicting(termCountsCache, spark, sfDir, "vocab_cov")(
+      vocabCoverageUncached(spark, sfDir))
+
+  /** Variant-scoped droppers: the bench's artifact_term_counts row must
+    * rebuild ONLY the inverted index between its min-of-2 trials (a
+    * blanket [[clearCaches]] would evict the vocab table built later in
+    * the artifact loop, and vice versa). */
+  private[graft] def clearTermCounts(spark: SparkSession, sfDir: String): Unit =
+    Dedup.clearVariantsFor(termCountsCache, spark, sfDir, Seq("term_counts"))
+
+  private[graft] def clearVocabCov(spark: SparkSession, sfDir: String): Unit =
+    Dedup.clearVariantsFor(termCountsCache, spark, sfDir, Seq("vocab_cov"))
+
+  private def vocabCoverageUncached(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
     val tc = termCounts(spark, sfDir)
     val vocab = tc.groupBy("term")
       .agg(sum("term_count").as("tf"))

@@ -62,6 +62,52 @@ class SharedSubtreeSpec extends AnyFunSuite {
     assert(Curation.decontaminate(spark, dir) ne flags0)
   }
 
+  test("quality legs materialize once and quality_signals reuses them") {
+    val dir = scratchDir()
+    val vocab0 = graft.operators.TextAnalysis.vocabCoverage(spark, dir)
+    val gopher0 = Curation.qualityFilter(spark, dir)
+    val rep0 = Curation.qualityRepetition(spark, dir)
+    Curation.qualitySignals(spark, dir).count()
+    assert(graft.operators.TextAnalysis.vocabCoverage(spark, dir) eq vocab0)
+    assert(Curation.qualityFilter(spark, dir) eq gopher0)
+    assert(Curation.qualityRepetition(spark, dir) eq rep0)
+  }
+
+  test("quality-leg variant drops evict one leg without touching siblings") {
+    val dir = scratchDir()
+    val tc0 = graft.operators.TextAnalysis.termCounts(spark, dir)
+    val vocab0 = graft.operators.TextAnalysis.vocabCoverage(spark, dir)
+    val gopher0 = Curation.qualityFilter(spark, dir)
+    val rep0 = Curation.qualityRepetition(spark, dir)
+    // dropping the inverted index keeps the vocab table, and vice versa
+    graft.operators.TextAnalysis.clearTermCounts(spark, dir)
+    assert(graft.operators.TextAnalysis.vocabCoverage(spark, dir) eq vocab0)
+    assert(graft.operators.TextAnalysis.termCounts(spark, dir) ne tc0)
+    graft.operators.TextAnalysis.clearVocabCov(spark, dir)
+    assert(graft.operators.TextAnalysis.vocabCoverage(spark, dir) ne vocab0)
+    // the two Curation kernel legs drop independently
+    Curation.clearQualityFlags(spark, dir)
+    assert(Curation.qualityRepetition(spark, dir) eq rep0)
+    assert(Curation.qualityFilter(spark, dir) ne gopher0)
+    Curation.clearRepSignals(spark, dir)
+    assert(Curation.qualityRepetition(spark, dir) ne rep0)
+  }
+
+  test("cached quality legs equal a fresh rebuild row-for-row") {
+    val dir = scratchDir()
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getLong(0)).toSeq
+    val vocab = sortedRows(graft.operators.TextAnalysis.vocabCoverage(spark, dir))
+    graft.operators.TextAnalysis.clearVocabCov(spark, dir)
+    assert(sortedRows(graft.operators.TextAnalysis.vocabCoverage(spark, dir)) == vocab)
+    val gopher = sortedRows(Curation.qualityFilter(spark, dir))
+    Curation.clearQualityFlags(spark, dir)
+    assert(sortedRows(Curation.qualityFilter(spark, dir)) == gopher)
+    val rep = sortedRows(Curation.qualityRepetition(spark, dir))
+    Curation.clearRepSignals(spark, dir)
+    assert(sortedRows(Curation.qualityRepetition(spark, dir)) == rep)
+  }
+
   test("cached mix plan and flags equal a fresh rebuild row-for-row") {
     val dir = scratchDir()
     val plan = Sampling.sourceMixPlan(spark, dir).collect().sortBy(_.getString(0))
