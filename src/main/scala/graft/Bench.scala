@@ -254,6 +254,12 @@ object Bench {
       ("artifact_cell_assignment",
         () => graft.operators.Similarity.cellAssignment(spark, sfDir)
           .queryExecution.toRdd.count()),
+      // The four ANN method result slivers (r18): each method pipeline
+      // was evaluated twice per run (its own row + ann_recall's union),
+      // pq a third time in ann_recall_trained — each a full corpus probe
+      // pass for a Q×k-row result. Built once; consumers read the table.
+      ("artifact_ann_methods",
+        () => graft.operators.Similarity.annMethodsBase(spark, sfDir)),
       // The exact cosine top-k — the ANN family's recall ground truth —
       // was evaluated by three rows (r18); compute the table once.
       ("artifact_exact_topk",
@@ -373,6 +379,8 @@ object Bench {
         graft.operators.Curation.clearDecision(s, sfDir)),
       "artifact_cell_assignment" -> ((s: SparkSession) =>
         graft.operators.Similarity.clearCells(s, sfDir)),
+      "artifact_ann_methods" -> ((s: SparkSession) =>
+        graft.operators.Similarity.clearAnnMethods(s, sfDir)),
       "artifact_embedding_components" -> ((s: SparkSession) =>
         graft.operators.Similarity.clearComponents(s, sfDir)),
       "artifact_exact_topk" -> ((s: SparkSession) =>

@@ -386,7 +386,11 @@ object Similarity {
       })
     }
 
-  def embeddingAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    cachedAnnMethod(spark, sfDir, "ivf")(embeddingAnnIvfUncached(spark, sfDir))
+
+  private def embeddingAnnIvfUncached(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
     val assigned = cellAssignment(spark, sfDir)
     // query side renames its cell column — q derives from `assigned`, so
     // joining on same-named columns would lean on analyzer self-join
@@ -418,7 +422,12 @@ object Similarity {
     * (candidate superset + rank monotonicity; asserted in PipelineSpec
     * and measured by `ann_recall`'s ivf2 rows). */
   def embeddingAnnIvfMultiprobe(spark: SparkSession,
-                                sfDir: String): DataFrame = {
+                                sfDir: String): DataFrame =
+    cachedAnnMethod(spark, sfDir, "ivf2")(
+      embeddingAnnIvfMultiprobeUncached(spark, sfDir))
+
+  private def embeddingAnnIvfMultiprobeUncached(spark: SparkSession,
+                                                sfDir: String): DataFrame = {
     val n = vectors(spark, sfDir)
     val cents = n.filter(isCentroidVec(col("vec_id")))
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
@@ -512,6 +521,41 @@ object Similarity {
 
   private[graft] def clearCells(spark: SparkSession, sfDir: String): Unit =
     clearAssignedPrefix(spark, s"$sfDir#cell#")
+
+  /** Session-scoped persist-once of ONE ANN method's top-k result table
+    * (r18): every method pipeline was evaluated TWICE per bench run (its
+    * own declared row plus ann_recall's union leg) and pq a third time in
+    * ann_recall_trained's detail — each evaluation a full corpus probe
+    * pass. The result is a queries×TopK sliver (Q·k rows at ANY corpus
+    * size), so the cache stores nothing data-proportional; charged as the
+    * bench row `artifact_ann_methods`. Keyed by the embeddings
+    * fingerprint like every entry in [[assignedCache]]. */
+  private def cachedAnnMethod(spark: SparkSession, sfDir: String,
+                              method: String)(
+      build: => DataFrame): DataFrame = assignedCache.synchronized {
+    val fp = embFingerprint(spark, sfDir)
+    val key = s"$sfDir#ann_$method#$fp"
+    evictStale(spark, s"$sfDir#ann_$method#", key)
+    assignedCache.getOrElseUpdate((spark, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private[graft] def clearAnnMethods(spark: SparkSession,
+                                     sfDir: String): Unit =
+    RecallMethods.foreach(m => clearAssignedPrefix(spark, s"$sfDir#ann_$m#"))
+
+  /** Materialize every method sliver eagerly (count only when cold, so a
+    * warm path pays zero extra actions) — the bench's
+    * `artifact_ann_methods` build row, mirroring [[Dedup.wordSetBase]]. */
+  private[graft] def annMethodsBase(spark: SparkSession,
+                                    sfDir: String): Unit = {
+    val fp = embFingerprint(spark, sfDir)
+    RecallMethods.foreach { m =>
+      val cold = assignedCache.synchronized(
+        !assignedCache.contains((spark, s"$sfDir#ann_$m#$fp")))
+      if (cold) annMethod(spark, sfDir, m).count(): Unit
+    }
+  }
 
   private[graft] def clearBook(spark: SparkSession, sfDir: String): Unit =
     bookCache.synchronized {
@@ -769,7 +813,20 @@ object Similarity {
     * candidate's codeword reconstruction; ranking on the unrounded
     * approximate cosine with vec_id tie-break. */
   def embeddingAnnPq(spark: SparkSession, sfDir: String,
-                     book: Option[Array[Double]] = None): DataFrame = {
+                     book: Option[Array[Double]] = None): DataFrame =
+    // only the synthetic-book (None) variant is multi-consumer; an
+    // explicit book (the trained path) has ann_recall_trained as its
+    // sole consumer, and a sole-consumer cache would blind the bench's
+    // per-query regression guard
+    book match {
+      case None =>
+        cachedAnnMethod(spark, sfDir, "pq")(
+          embeddingAnnPqUncached(spark, sfDir, None))
+      case some => embeddingAnnPqUncached(spark, sfDir, some)
+    }
+
+  private def embeddingAnnPqUncached(spark: SparkSession, sfDir: String,
+                                     book: Option[Array[Double]]): DataFrame = {
     val assigned = cellAssignment(spark, sfDir)
     val coded = assigned
       .withColumn("codes", graft.functions.VectorOps.pq_encode(
@@ -1011,7 +1068,11 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id — never Q×N), then exact cosine within. */
-  def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    cachedAnnMethod(spark, sfDir, "lsh")(embeddingAnnLshUncached(spark, sfDir))
+
+  private def embeddingAnnLshUncached(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
     val b = vectors(spark, sfDir).withColumn("bucket", bucketOf(col("v")))
     val q = b.filter(isQueryVec(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),

@@ -108,6 +108,28 @@ class SharedSubtreeSpec extends AnyFunSuite {
     assert(sortedRows(Curation.qualityRepetition(spark, dir)) == rep)
   }
 
+  test("ANN method slivers materialize once and recall reuses them") {
+    val dir = Files.createTempDirectory("sharedsub").toString
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(s"$dir/$t.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    val Sim = graft.operators.Similarity
+    val lsh0 = Sim.embeddingAnnLsh(spark, dir)
+    val pq0 = Sim.embeddingAnnPq(spark, dir)
+    Sim.annRecall(spark, dir).count()
+    assert(Sim.embeddingAnnLsh(spark, dir) eq lsh0)
+    assert(Sim.embeddingAnnPq(spark, dir) eq pq0)
+    // the trained-book path must NOT read the synthetic-pq cache entry
+    assert(Sim.embeddingAnnPq(spark, dir, Some(Sim.syntheticPqBook)) ne pq0)
+    // variant drop evicts one method without touching siblings, and the
+    // rebuilt sliver is row-identical to the cached one
+    val rows0 = pq0.collect().map(_.toString).sorted.toSeq
+    Sim.clearAnnMethods(spark, dir)
+    val pq1 = Sim.embeddingAnnPq(spark, dir)
+    assert(pq1 ne pq0)
+    assert(pq1.collect().map(_.toString).sorted.toSeq == rows0)
+  }
+
   test("cached mix plan and flags equal a fresh rebuild row-for-row") {
     val dir = scratchDir()
     val plan = Sampling.sourceMixPlan(spark, dir).collect().sortBy(_.getString(0))
